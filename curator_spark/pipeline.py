@@ -1,0 +1,171 @@
+"""The Spark quality-filter pipeline (the flagship dataflow).
+
+Spark-first re-expression of the reference's per-row curation lifecycle
+(reference: src/bespokelabs/curator/llm/llm.py:165-239 +
+request_processor/*): scan → vectorized scoring (mapInPandas, models
+loaded once per Python worker) → conversation-level aggregates via
+SALTED two-phase groupBy (defuses 10^3–10^6-turn conversation skew) →
+join aggregates back to turns → keep/scrub columns.
+
+Scale notes (100 TB design point):
+* Scoring is a narrow map — no shuffle; Arrow batches; zero per-row
+  Python at the Spark level.
+* All conversation-level state flows through ONE salted partial
+  aggregation + one compact final aggregation; the per-conv aggregate
+  table is ~1/avg_turns the size of the input.
+* The agg→turns join broadcasts only when the aggregate side is small
+  (configurable threshold); otherwise it is a plain shuffle join that
+  AQE can convert/split at runtime (skew-join enabled in session.py).
+* Window functions over whole conversations are deliberately avoided in
+  the hot path — a window over a 10^6-turn conversation serializes one
+  task; the salted groupBy shape does not.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from . import rules, schema, scoring
+
+SALT_BUCKETS = 16  # salt cardinality for the two-phase aggregation
+
+
+def score_turns(df: DataFrame) -> DataFrame:
+    """Per-turn scoring: langid, perplexity, scrub, heuristic rules.
+
+    mapInPandas over Arrow batches; the models are executor-process
+    singletons (lru_cache in curator_spark.models.*) — the Spark analogue
+    of the reference loading the vLLM model once per chunk (reference:
+    vllm_offline_request_processor.py:43-54).
+    """
+    in_cols = df.columns
+    out_schema = schema.SCORED_SCHEMA if "part" in in_cols else _drop_field(
+        schema.SCORED_SCHEMA, "part")
+
+    def score_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield scoring.score_turn_batch(pdf)
+
+    return df.mapInPandas(score_batches, schema=out_schema)
+
+
+def _drop_field(st, name):
+    from pyspark.sql import types as T
+    return T.StructType([f for f in st.fields if f.name != name])
+
+
+def conversation_aggregates(scored: DataFrame) -> DataFrame:
+    """Per-conversation aggregates via salted two-phase groupBy.
+
+    Phase 1 groups by (conv_id, salt) — a single million-turn
+    conversation fans out over SALT_BUCKETS reducers instead of
+    serializing one; phase 2 combines the per-salt partials (tiny).
+    Majority-vote language takes the same two-phase shape over
+    (conv_id, lang) with a deterministic (count desc, lang asc)
+    tie-break. SURVEY.md §4 O10.
+    """
+    salted = scored.select(
+        "conv_id", "turn_idx", "role", "lang", "ppl",
+        F.pmod(F.col("turn_idx"), F.lit(SALT_BUCKETS)).alias("salt"),
+        F.col("role").isin(*sorted(rules.VALID_ROLES)).__and__(
+            (F.col("role") != F.lit("system")) | (F.col("turn_idx") == F.lit(0))
+        ).alias("role_valid"),
+    )
+
+    s1 = salted.groupBy("conv_id", "salt").agg(
+        F.sum("ppl").alias("ppl_sum"),
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("role").eqNullSafe("assistant").cast("long")).alias("n_assistant"),
+        F.sum(F.col("role").isin("user", "assistant").cast("long")).alias("n_ua"),
+        F.sum(F.col("role_valid").cast("long")).alias("n_role_valid"),
+        F.min("turn_idx").alias("min_turn"),
+        F.min_by("role", "turn_idx").alias("first_role"),
+    )
+    conv = s1.groupBy("conv_id").agg(
+        F.round(F.sum("ppl_sum") / F.sum("n"), 6).alias("conv_mean_ppl"),
+        F.sum("n").alias("conv_n_turns"),
+        F.round(F.sum("n_assistant") / F.greatest(F.sum("n_ua"), F.lit(1)), 6)
+        .alias("role_balance"),
+        # exact integer sums → the k/n division is bit-identical to the
+        # pandas oracle's mean-of-bools, no rounding needed
+        ((F.lit(1.0) - F.sum("n_role_valid") / F.sum("n"))
+         <= F.lit(rules.MAX_INVALID_ROLE_FRAC)).alias("roles_mostly_valid"),
+        F.min_by("first_role", "min_turn").alias("first_role"),
+    )
+
+    # Majority language: salted partial counts → final counts → argmax
+    # with deterministic tie-break via max_by on a sortable struct.
+    lang_counts = (
+        salted.groupBy("conv_id", "lang", "salt")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("conv_id", "lang")
+        .agg(F.sum("c").alias("c"))
+    )
+    # argmax(count) with tie-break lang ASC: max over struct(c, neg-ordered
+    # lang) is awkward; min_by on struct(-c, lang) is exact and shuffle-free
+    # beyond the groupBy.
+    conv_lang = lang_counts.groupBy("conv_id").agg(
+        F.min_by("lang", F.struct((-F.col("c")).alias("nc"), F.col("lang")))
+        .alias("conv_lang")
+    )
+
+    lo, hi = rules.CONV_ROLE_BALANCE_RANGE
+    return (
+        conv.join(conv_lang, "conv_id")
+        .withColumn(
+            "structure_ok",
+            F.col("roles_mostly_valid") & F.col("first_role").isin("system", "user"),
+        )
+        .withColumn(
+            "conv_pass",
+            (F.col("conv_n_turns") >= F.lit(rules.CONV_MIN_TURNS))
+            & (F.col("conv_mean_ppl") <= F.lit(rules.CONV_MAX_MEAN_PPL))
+            & F.col("conv_lang").isin(*sorted(rules.ALLOWED_LANGS))
+            & (F.col("role_balance") >= F.lit(lo))
+            & (F.col("role_balance") <= F.lit(hi)),
+        )
+        .drop("roles_mostly_valid", "first_role")
+    )
+
+
+def run_pipeline_df(transcripts: DataFrame,
+                    broadcast_conv_aggs: bool | None = None,
+                    persist_scored: bool = True) -> DataFrame:
+    """Full quality-filter plan: transcripts → OUTPUT_SCHEMA columns.
+
+    broadcast_conv_aggs: True forces a broadcast join of the per-conv
+    aggregate table back to turns (right for small/medium conv counts);
+    False forces shuffle join (right at 10^10-conv scale); None (default)
+    leaves the choice to Catalyst/AQE statistics.
+
+    persist_scored: the scored stage feeds BOTH the conversation
+    aggregation and the final join — without materialization the
+    expensive Python scoring stage would execute twice. Locally we
+    persist(MEMORY_AND_DISK); the checkpointing runner instead writes
+    the scored stage to the output table per partition (its resume
+    unit) and re-reads it, which is the 100 TB-scale shape.
+    """
+    scored = score_turns(transcripts)
+    if persist_scored:
+        from pyspark import StorageLevel
+        scored = scored.persist(StorageLevel.MEMORY_AND_DISK)
+    conv = conversation_aggregates(scored)
+    if broadcast_conv_aggs is True:
+        conv = F.broadcast(conv)
+
+    out = scored.join(conv, "conv_id").select(
+        *[c for c in scored.columns],
+        F.col("role").isin(*sorted(rules.VALID_ROLES)).__and__(
+            (F.col("role") != F.lit("system")) | (F.col("turn_idx") == F.lit(0))
+        ).alias("role_valid"),
+        "structure_ok", "conv_n_turns", "conv_mean_ppl", "conv_lang",
+        "role_balance", "conv_pass",
+    )
+    return out.withColumn(
+        "keep",
+        F.col("turn_pass") & F.col("role_valid") & F.col("structure_ok")
+        & F.col("conv_pass"),
+    )

@@ -1,0 +1,39 @@
+"""SparkSession builder with scale-appropriate defaults.
+
+Defaults chosen for the 100 TB design point, scaled to local[k] for
+tests: AQE on (runtime re-plan + skew-join splitting), Arrow transport
+for pandas UDFs, shuffle partitions proportional to parallelism so the
+two-parallelism scaling benchmark is honest (SURVEY.md §7 step 7).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "curator-spark", parallelism: int | None = None,
+              shuffle_partitions: int | None = None, **extra_conf: str) -> SparkSession:
+    if parallelism is None:
+        parallelism = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if shuffle_partitions is None:
+        # proportional to cores so scaling runs don't under/over-partition
+        shuffle_partitions = max(parallelism, 8)
+    b = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{parallelism}]")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    )
+    for k, v in extra_conf.items():
+        b = b.config(k, v)
+    return b.getOrCreate()
