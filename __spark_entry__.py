@@ -1,38 +1,57 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry()      — flagship quality-filter pipeline over sf0.001 documents
+               re-shaped into the transcripts table.
+queries()    — the full operator battery (relational surface, text
+               analysis, dedup, similarity, plus the flagship pipeline).
+oracle_sql() — DuckDB oracles for every SQL-expressible query; the
+               flagship pipeline (Python langid/perplexity models) is
+               deliberately oracle-less here — its correctness gate is
+               the exact-match pandas-oracle pytest suite
+               (tests/test_pipeline_exact.py, BASELINE.md targets).
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from curator_spark import queries as _q
+from curator_spark import queries_dedup as _qd
+from curator_spark.ingest import docs_to_transcripts
+from curator_spark.pipeline import run_pipeline_df
+
+
+def _quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: documents → transcripts shape → full quality-filter
+    pipeline (langid + perplexity + heuristic rules + PII scrub +
+    conversation aggregates → keep)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    transcripts = docs_to_transcripts(docs)
+    out = run_pipeline_df(transcripts, broadcast_conv_aggs=True)
+    return out.select(
+        "conv_id", "turn_idx", "role", "lang", F.round("ppl", 4).alias("ppl"),
+        "scrubbed_text", "turn_pass", "conv_lang", "conv_pass", "keep",
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return _quality_filter(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+        "q00_quality_filter": _quality_filter,
+    }
+    out.update(_q.QUERIES)
+    out.update(_qd.QUERIES)
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    out: dict[str, str] = {}
+    out.update(_q.ORACLES)
+    out.update(_qd.ORACLES)
+    return out

@@ -1,0 +1,164 @@
+"""Deduplication operators for web-scale corpora: exact hash dedup,
+word-shingle n-gram Jaccard, MinHash+LSH banding, and SimHash.
+
+All hashing is md5-based so the DuckDB oracle can replicate it exactly
+(builtin `hash()` differs between engines; md5 hex strings compare
+identically everywhere). Minimum-of-md5-hex IS a valid MinHash: md5 is
+uniform over hex strings, so argmin over shingles is a uniform random
+permutation draw per seed.
+
+Scale shape (100 TB corpus):
+* exact_dedup — one shuffle on a 128-bit uniform key; no skew possible.
+* MinHash/LSH — per-doc signature is a narrow map + one groupBy(doc);
+  candidate generation joins on (band, band_key) buckets, never on raw
+  shingles, so the join fan-out is bounded by bucket collision rates.
+* jaccard_pairs (exact) is the VERIFY stage for LSH candidates at scale;
+  run standalone only on bounded inputs (it self-joins on shingles).
+* SimHash — narrow map + 16 conditional sums per doc; dedup = equality
+  on the signature (or Hamming-ball probing over signature rotations).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+N_HASHES = 16
+N_BANDS = 4
+ROWS_PER_BAND = N_HASHES // N_BANDS
+SIMHASH_BITS = 16
+HIGH_HEX = ("8", "9", "a", "b", "c", "d", "e", "f")
+
+
+def tokens_expr(text_col: str = "text") -> Column:
+    """Lowercased whitespace tokens, empties removed (JVM-side)."""
+    return F.filter(F.split(F.lower(F.col(text_col)), " "), lambda t: t != "")
+
+
+def shingles_expr(text_col: str = "text", n: int = 5) -> Column:
+    """Distinct word n-gram shingles as array<string>.
+
+    Guarded sequence: Spark's `sequence(1, k)` DESCENDS when k<1, so a
+    doc shorter than n shingles to an empty array, not garbage."""
+    toks = tokens_expr(text_col)
+    m = F.size(toks) - F.lit(n - 1)
+    idx = F.when(m >= 1, F.sequence(F.lit(1), m)).otherwise(
+        F.array().cast("array<int>"))
+    sh = F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
+    return F.array_distinct(sh)
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Group by content hash; min id is canonical. The reference's
+    run-level fingerprint memoization (SURVEY.md §2 A14) applied per-row."""
+    return (
+        docs.select(id_col, F.md5(F.col(text_col)).alias("h"))
+        .groupBy("h")
+        .agg(F.min(id_col).alias("canonical_id"),
+             F.count(F.lit(1)).alias("n_dups"))
+    )
+
+
+def doc_shingles(docs: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id", n: int = 5) -> DataFrame:
+    """(id, shingle) exploded distinct shingle table."""
+    return (
+        docs.select(F.col(id_col), F.explode(shingles_expr(text_col, n)).alias("shingle"))
+    )
+
+
+def minhash_bands(docs: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", n: int = 5,
+                  n_hashes: int = N_HASHES, n_bands: int = N_BANDS) -> DataFrame:
+    """Per-(doc, band) LSH key.
+
+    MinHash h_i(doc) = min over shingles of md5(f"{i:02d}:{shingle}");
+    band key = md5 of the band's minhashes concatenated in seed order
+    (sort_array makes collect_list deterministic). Two groupBys, both on
+    uniformly-hashed keys — no skew at any corpus size."""
+    sh = doc_shingles(docs, text_col, id_col, n)
+    seeds = F.explode(F.sequence(F.lit(0), F.lit(n_hashes - 1))).alias("seed")
+    hashed = sh.select(id_col, "shingle", seeds).select(
+        id_col, "seed",
+        F.md5(F.concat(F.lpad(F.col("seed").cast("string"), 2, "0"),
+                       F.lit(":"), F.col("shingle"))).alias("h"),
+    )
+    sig = hashed.groupBy(id_col, "seed").agg(F.min("h").alias("mh"))
+    rows_per_band = n_hashes // n_bands
+    return (
+        sig.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
+        .groupBy(id_col, "band")
+        .agg(F.md5(F.concat_ws("", F.sort_array(F.collect_list(
+            F.concat(F.lpad(F.col("seed").cast("string"), 2, "0"), F.col("mh"))
+        )))).alias("band_key"))
+    )
+
+
+def lsh_candidate_pairs(docs: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", n: int = 5) -> DataFrame:
+    """Near-dup candidate pairs (id_a < id_b) sharing ≥1 LSH band.
+
+    The scale path for near-dedup: candidates come from equi-joining
+    compact band buckets; verify with jaccard_pairs on candidates only."""
+    bands = minhash_bands(docs, text_col, id_col, n)
+    a = bands.select(F.col(id_col).alias("id_a"), "band", "band_key")
+    b = bands.select(F.col(id_col).alias("id_b"), "band", "band_key")
+    return (
+        a.join(b, ["band", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b").distinct()
+    )
+
+
+def jaccard_pairs(docs: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", n: int = 3,
+                  threshold: float = 0.5) -> DataFrame:
+    """Exact n-gram Jaccard similarity pairs (id_a < id_b, sim ≥ threshold).
+
+    Self-join on shingles → intersection counts; |A∪B| from per-doc
+    distinct-shingle sizes. O(collisions) not O(n²): only docs sharing a
+    shingle ever pair. At 100 TB run this on LSH candidates, not raw."""
+    sh = doc_shingles(docs, text_col, id_col, n)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sz_a = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
+    sz_b = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(F.broadcast(sz_a), "id_a").join(F.broadcast(sz_b), "id_b")
+        .withColumn("jaccard", F.round(
+            F.col("n_inter")
+            / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")), 4))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash(docs: DataFrame, text_col: str = "text",
+            id_col: str = "doc_id", bits: int = SIMHASH_BITS) -> DataFrame:
+    """SimHash signature as a `bits`-char bitstring.
+
+    Bit p of the signature is the sign of Σ_tokens w(token)·(±1), where
+    the ±1 is hex digit p of md5(token) ≥ 8 and w is the token's count in
+    the doc. Exactly replicable in SQL (see queries_dedup.ORACLES)."""
+    toks = (
+        docs.select(id_col, F.explode(tokens_expr(text_col)).alias("token"))
+        .withColumn("h", F.md5(F.col("token")))
+    )
+    bit_sums = [
+        F.sum(F.when(F.substring("h", p + 1, 1).isin(*HIGH_HEX), 1)
+              .otherwise(-1)).alias(f"s{p}")
+        for p in range(bits)
+    ]
+    agg = toks.groupBy(id_col).agg(*bit_sums)
+    bit_chars = [
+        F.when(F.col(f"s{p}") > 0, F.lit("1")).otherwise(F.lit("0"))
+        for p in range(bits)
+    ]
+    return agg.select(id_col, F.concat(*bit_chars).alias("simhash"))

@@ -1,0 +1,114 @@
+"""Similarity search over embedding columns (`array<float>`).
+
+Brute-force cosine top-k is the correctness baseline; sign-bucket LSH
+(random-hyperplane-style coarse quantization on leading dimensions) is
+the scale path: bucket the corpus once, probe only the query's bucket.
+
+Numeric determinism: elements are cast float→double (exact) BEFORE any
+arithmetic, and dot products are sequential left folds (`F.aggregate`),
+so Spark and the DuckDB oracle produce bit-identical doubles; results
+are rounded to 6 decimals anyway.
+
+Scale shape (10^10 vectors): brute force is one broadcast of the query
++ a narrow map + TakeOrderedAndProject (no shuffle of the corpus);
+bucketed ANN prunes the scan to one bucket — with the bucket as a
+partition column, partition pruning skips everything else at the source.
+embedding_neardup_pairs is O(n²)/bucket — only ever run it per-bucket
+(or on LSH candidates), never on a raw 100 TB corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+N_SIGN_BITS = 8
+
+
+def _dvec(col: Column) -> Column:
+    """float[] → double[] (exact widening, makes both engines identical)."""
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def dot_expr(a: Column, b: Column) -> Column:
+    """Sequential left-fold dot product — deterministic summation order."""
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+def norm_expr(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def with_norm(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    d = _dvec(F.col(vec_col))
+    return emb.withColumn("v", d).withColumn("nrm", norm_expr(F.col("v")))
+
+
+def cosine_topk(emb: DataFrame, query_vec_id: int, k: int = 10,
+                id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Brute-force cosine top-k vs one stored vector.
+
+    Plan: 1-row query side broadcast; corpus side is a narrow map
+    (dot + norms) into TakeOrderedAndProject — zero corpus shuffle."""
+    base = with_norm(emb, vec_col)
+    q = (base.filter(F.col(id_col) == query_vec_id)
+         .select(F.col("v").alias("qv"), F.col("nrm").alias("qn")))
+    return (
+        base.crossJoin(F.broadcast(q))
+        .withColumn("cos_sim", F.round(
+            dot_expr(F.col("v"), F.col("qv")) / (F.col("nrm") * F.col("qn")), 6))
+        .select(id_col, "cos_sim")
+        .orderBy(F.col("cos_sim").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def sign_bucket_expr(vec_col: str = "embedding",
+                     n_bits: int = N_SIGN_BITS) -> Column:
+    """LSH bucket id: sign bits of the first n_bits dimensions.
+
+    A fixed-axis random-hyperplane sketch (axes ARE random directions for
+    trained embeddings). At scale this is the partition column."""
+    bits = [F.when(F.element_at(F.col(vec_col), i + 1) >= 0, F.lit("1"))
+            .otherwise(F.lit("0")) for i in range(n_bits)]
+    return F.concat(*bits)
+
+
+def signbucket_ann(emb: DataFrame, query_vec_id: int, k: int = 5,
+                   id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Bucketed ANN: probe only the query's sign bucket, exact cosine
+    within it. With `bucket` as a partition column the filter becomes
+    partition pruning — the 100 TB corpus scan reads one bucket."""
+    base = with_norm(emb, vec_col).withColumn("bucket", sign_bucket_expr(vec_col))
+    q = (base.filter(F.col(id_col) == query_vec_id)
+         .select(F.col("v").alias("qv"), F.col("nrm").alias("qn"),
+                 F.col("bucket").alias("qbucket")))
+    return (
+        base.join(F.broadcast(q), F.col("bucket") == F.col("qbucket"))
+        .withColumn("cos_sim", F.round(
+            dot_expr(F.col("v"), F.col("qv")) / (F.col("nrm") * F.col("qn")), 6))
+        .select(id_col, "bucket", "cos_sim")
+        .orderBy(F.col("cos_sim").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def embedding_neardup_pairs(emb: DataFrame, threshold: float = 0.8,
+                            id_col: str = "vec_id",
+                            vec_col: str = "embedding") -> DataFrame:
+    """All pairs (id_a < id_b) with cosine ≥ threshold — embedding-space
+    near-duplicate detection. Brute-force O(n²); bound the input (a
+    bucket, a candidate set) before calling at scale."""
+    base = with_norm(emb, vec_col)
+    a = base.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"),
+                    F.col("nrm").alias("na"))
+    b = base.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"),
+                    F.col("nrm").alias("nb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos_sim", F.round(
+            dot_expr(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6))
+        .filter(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", "cos_sim")
+    )

@@ -1,0 +1,515 @@
+"""Relational + text-analysis query battery over the driver testdata.
+
+Each query exists twice: a Spark DataFrame implementation here (QUERIES)
+and an ANSI-SQL oracle (ORACLES) that DuckDB runs on the same parquet —
+the driver's correctness gate (CORRECTNESS_r{N}.json). Column aliases
+match exactly on both sides; every float is rounded identically; every
+top-N has a deterministic tiebreak.
+
+The queries cover the dataset-combinator surface the reference composes
+with (SURVEY.md §2.b: map/filter/union/sort/limit/explode/groupBy over
+HF Dataset — reference: examples/.../combine_data.py:25-129,
+llm/llm.py:288-309) re-expressed as Catalyst-optimizable DataFrame
+plans, plus the text-analysis operators a training-data pipeline needs.
+
+Scale notes are attached per query (broadcast choices, pushdown,
+two-phase aggs); see bench.py for the measured plans.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _cents(col: Column | str, scale: int = 100) -> Column:
+    """Money double → exact integer (cents / micros).
+
+    Summing doubles is order-dependent (Spark's partial aggregates vs
+    DuckDB's sequential scan differ in the last ulp), which can flip a
+    round() at a .xx5 boundary and fail an exact value-hash compare.
+    Integer sums are exact and associative — bit-identical everywhere."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(c * scale).cast("long")
+
+
+# ---------------------------------------------------------------------------
+# Relational core (§2.b surface)
+# ---------------------------------------------------------------------------
+
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style scan+aggregate: the canonical map-side-combinable
+    groupBy. At 100 TB this is one shuffle of 4 groups — partial
+    aggregation does all the work; the filter is pushed to parquet."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+            (F.sum(_cents("l_extendedprice")) / 100.0).alias("sum_base_price"),
+            (F.sum(_cents(F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                          1_000_000)) / 1e6).alias("sum_disc_price"),
+            F.round(F.sum(F.col("l_quantity").cast("long"))
+                    / F.count(F.lit(1)), 4).alias("avg_qty"),
+            F.round(F.sum(_cents("l_discount")) / (100.0 * F.count(F.lit(1))), 6)
+            .alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q02_revenue_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6-style selective filter + single aggregate — exercises
+    predicate pushdown + column pruning (scan should read 4 columns)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.03) & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg((F.sum(_cents(F.col("l_extendedprice") * F.col("l_discount"),
+                           1_000_000)) / 1e6).alias("revenue"))
+    )
+
+
+def q03_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-way star join: fact (lineitem→orders) ⋈ broadcast dims
+    (customer, nation, region). Dims are broadcast explicitly — at 100 TB
+    the fact side never shuffles for the dim joins; only orders⋈lineitem
+    shuffles on orderkey (or co-partitions if both bucketed by orderkey)."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name").isin("ASIA", "EUROPE"))
+        .groupBy(F.col("r_name").alias("region_name"), F.col("n_name").alias("nation_name"))
+        .agg((F.sum(_cents(F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                           1_000_000)) / 1e6).alias("revenue"),
+             F.count(F.lit(1)).alias("n_lineitems"))
+    )
+
+
+def q04_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-N with deterministic tiebreak — Spark plans TakeOrderedAndProject
+    (no global sort materialization)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("total_price"))
+        .orderBy(F.col("total_price").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
+
+
+def q05_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer top-3 orders via row_number window — the reference's
+    order-restore op generalized (SURVEY.md §2 A11). Partitioned window:
+    shuffles once on o_custkey; no global sort."""
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+    return (
+        _t(spark, sf_dir, "orders")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("o_custkey", "o_orderkey", F.round("o_totalprice", 2).alias("total_price"),
+                "rk")
+    )
+
+
+def q06_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join — the reference's resume op (skip completed ids,
+    SURVEY.md §2 A13) as a standalone relational operator. Broadcast the
+    smaller distinct-key side at scale; here Catalyst/AQE picks."""
+    cust = _t(spark, sf_dir, "customer")
+    urgent = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT")
+    return (
+        cust.join(urgent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+    )
+
+
+def q07_parts_in_use(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-join + aggregate: parts referenced by any lineitem, counted
+    per brand. Semi-join avoids materializing the (huge) join product."""
+    part = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        part.join(li, F.col("p_partkey") == F.col("l_partkey"), "left_semi")
+        .groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("n_parts"),
+             F.round(F.sum(_cents("p_retailprice"))
+                     / (100.0 * F.count(F.lit(1))), 4).alias("avg_price"))
+    )
+
+
+def q08_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union + distinct (reference: concatenate_datasets,
+    combine_data.py:213-221). Distinct = hash aggregate on the key."""
+    cust = _t(spark, sf_dir, "customer")
+    a = cust.filter(F.col("c_acctbal") < 0).select("c_custkey")
+    b = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    return a.unionByName(b).distinct()
+
+
+def q09_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explode/flatMap (reference: parse_func list-explode,
+    base_request_processor.py:357-393): tokenize documents, global token
+    counts, top-20. Two-phase agg handles the heavy-hitter skew ('the')
+    automatically via partial aggregation."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.split(F.lower(F.col("text")), " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("token").asc())
+        .limit(20)
+    )
+
+
+def q10_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregate over the event stream (batch view of the
+    streaming op): hour × event_type grid."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour"),
+                   "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.round(F.sum("value"), 2).alias("sum_value"))
+    )
+
+
+def q11_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization (30-min inactivity gap) via lag + running sum —
+    gaps-and-islands. One shuffle on user_id; window frames stay within
+    a user's partition slice."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # parquet ts is TIMESTAMP_NTZ → cast via LTZ (session TZ = UTC) to epoch
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    gap = epoch - F.lag(epoch).over(w)
+    sess = ev.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > 1800), F.lit(1)).otherwise(F.lit(0)))
+    sess = sess.withColumn(
+        "session_seq",
+        F.sum("new_session").over(
+            Window.partitionBy("user_id").orderBy("ts", "event_id")
+            .rowsBetween(Window.unboundedPreceding, 0)))
+    return (
+        sess.groupBy("user_id")
+        .agg(F.max("session_seq").alias("n_sessions"),
+             F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+def q12_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured projection: pull props.k out of the JSON payload
+    column and aggregate — schema-validating cast analogue (SURVEY.md §2
+    A10, reference: prompt_formatter.py:103-148 response_to_response_format)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.withColumn("k", F.get_json_object("props", "$.k").cast("int"))
+        .groupBy("event_type")
+        .agg(F.round(F.avg("k"), 4).alias("avg_k"),
+             F.sum("k").alias("sum_k"),
+             F.count(F.lit(1)).alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis over `documents` (training-data ops)
+# ---------------------------------------------------------------------------
+
+def q13_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token counting — narrow map, no shuffle; all
+    JVM-side (whole-stage codegen), zero Python."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.length("text").alias("n_chars_actual"),
+        F.round(F.length("text") / F.greatest(F.size(toks), F.lit(1)), 4)
+        .alias("chars_per_token"),
+    )
+
+
+def q14_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/Gopher-style heuristic quality flags per document, pure
+    pyspark.sql.functions (no UDF): length bounds, mean word length,
+    digit ratio → keep flag. The SQL-checkable analogue of the
+    transcript pipeline's heuristic stage (rules.heuristic_flags)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+    n_tokens = F.size(toks)
+    n_chars = F.length("text")
+    n_digits = n_chars - F.length(F.regexp_replace(F.col("text"), "[0-9]", ""))
+    n_spaces = n_chars - F.length(F.regexp_replace(F.col("text"), " ", ""))
+    mean_wlen = (n_chars - n_spaces).cast("double") / F.greatest(n_tokens, F.lit(1))
+    d = docs.select(
+        "doc_id",
+        (n_tokens < 10).alias("too_short"),
+        (n_chars > 5000).alias("too_long"),
+        ((n_digits.cast("double") / F.greatest(n_chars, F.lit(1))) > 0.3)
+        .alias("digit_heavy"),
+        ((mean_wlen < 2.0) | (mean_wlen > 12.0)).alias("bad_word_len"),
+    )
+    return d.withColumn(
+        "keep",
+        ~(F.col("too_short") | F.col("too_long") | F.col("digit_heavy")
+          | F.col("bad_word_len")))
+
+
+def q15_lang_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-density language heuristic (the SQL-expressible cousin of
+    the char-trigram langid model): English function-word fraction →
+    guess_en, compared against the labeled lang column."""
+    docs = _t(spark, sf_dir, "documents")
+    stop = ("the", "a", "of", "and", "to", "in", "is", "for")
+    toks = F.filter(F.split(F.lower(F.col("text")), " "), lambda t: t != "")
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*stop)))
+    frac = n_stop.cast("double") / F.greatest(F.size(toks), F.lit(1))
+    return docs.select(
+        "doc_id", "lang",
+        F.round(frac, 4).alias("stopword_frac"),
+        (frac >= 0.05).alias("guess_en"),
+        (F.col("lang") == "en").alias("is_en"),
+    )
+
+
+def q16_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: md5 over the space-collapsed lowercased
+    text — the exact-dedup key. Narrow map, hash computed JVM-side."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.md5(F.regexp_replace(F.lower(F.col("text")), " ", "")).alias("fp"),
+    )
+
+
+def q17_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact deduplication: group by content hash, keep the minimum
+    doc_id as canonical. One shuffle on the 128-bit hash — uniformly
+    distributed, no skew; at 100 TB this is the standard first dedup
+    pass before any near-dup method."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", F.md5(F.col("text")).alias("h"))
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("canonical_id"),
+             F.count(F.lit(1)).alias("n_dups"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Oracle SQL (DuckDB) — aliases and rounding match the Spark side exactly
+# ---------------------------------------------------------------------------
+
+ORACLES: dict[str, str] = {
+    "q01_pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               sum(CAST(l_quantity AS BIGINT)) AS sum_qty,
+               sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0
+                   AS sum_base_price,
+               sum(CAST(round(l_extendedprice * (1 - l_discount) * 1000000)
+                        AS BIGINT)) / 1e6 AS sum_disc_price,
+               round(sum(CAST(l_quantity AS BIGINT)) / count(*), 4) AS avg_qty,
+               round(sum(CAST(round(l_discount * 100) AS BIGINT))
+                     / (100.0 * count(*)), 6) AS avg_disc,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "q02_revenue_filter": """
+        SELECT sum(CAST(round(l_extendedprice * l_discount * 1000000)
+                        AS BIGINT)) / 1e6 AS revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+          AND l_discount BETWEEN 0.03 AND 0.07
+          AND l_quantity < 24
+    """,
+    "q03_revenue_by_nation": """
+        SELECT r_name AS region_name, n_name AS nation_name,
+               sum(CAST(round(l_extendedprice * (1 - l_discount) * 1000000)
+                        AS BIGINT)) / 1e6 AS revenue,
+               count(*) AS n_lineitems
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name IN ('ASIA', 'EUROPE')
+        GROUP BY r_name, n_name
+    """,
+    "q04_top_orders": """
+        SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS total_price
+        FROM orders
+        ORDER BY total_price DESC, o_orderkey ASC
+        LIMIT 10
+    """,
+    "q05_window_rank": """
+        SELECT o_custkey, o_orderkey, total_price, rk FROM (
+            SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS total_price,
+                   row_number() OVER (PARTITION BY o_custkey
+                                      ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+            FROM orders
+        ) WHERE rk <= 3
+    """,
+    "q06_customers_without_orders": """
+        SELECT c_custkey, c_name, c_mktsegment
+        FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey
+                            AND o_orderpriority = '1-URGENT')
+    """,
+    "q07_parts_in_use": """
+        SELECT p_brand, count(*) AS n_parts,
+               round(sum(CAST(round(p_retailprice * 100) AS BIGINT))
+                     / (100.0 * count(*)), 4) AS avg_price
+        FROM part
+        WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+        GROUP BY p_brand
+    """,
+    "q08_union_distinct": """
+        SELECT DISTINCT c_custkey FROM (
+            SELECT c_custkey FROM customer WHERE c_acctbal < 0
+            UNION ALL
+            SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        )
+    """,
+    "q09_top_tokens": """
+        SELECT token, count(*) AS cnt FROM (
+            SELECT unnest(string_split(lower(text), ' ')) AS token
+            FROM documents
+        ) WHERE token <> ''
+        GROUP BY token
+        ORDER BY cnt DESC, token ASC
+        LIMIT 20
+    """,
+    "q10_events_hourly": """
+        SELECT date_trunc('hour', ts) AS hour, event_type,
+               count(*) AS n_events, round(sum(value), 2) AS sum_value
+        FROM events
+        GROUP BY 1, 2
+    """,
+    "q11_sessionize": """
+        WITH flagged AS (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                          OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), sessions AS (
+            SELECT user_id,
+                   sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                          ROWS UNBOUNDED PRECEDING) AS session_seq
+            FROM flagged
+        )
+        SELECT user_id, max(session_seq) AS n_sessions, count(*) AS n_events
+        FROM sessions GROUP BY user_id
+    """,
+    "q12_json_extract": """
+        SELECT event_type,
+               round(avg(k), 4) AS avg_k, sum(k) AS sum_k, count(*) AS n
+        FROM (SELECT event_type,
+                     CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+              FROM events)
+        GROUP BY event_type
+    """,
+    "q13_token_stats": """
+        SELECT doc_id,
+               len(list_filter(string_split(text, ' '), t -> t <> '')) AS n_tokens,
+               length(text) AS n_chars_actual,
+               round(length(text) * 1.0 /
+                     greatest(len(list_filter(string_split(text, ' '), t -> t <> '')), 1),
+                     4) AS chars_per_token
+        FROM documents
+    """,
+    "q14_doc_quality": """
+        WITH base AS (
+            SELECT doc_id,
+                   len(list_filter(string_split(text, ' '), t -> t <> '')) AS n_tokens,
+                   length(text) AS n_chars,
+                   length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digits,
+                   length(text) - length(replace(text, ' ', '')) AS n_spaces
+            FROM documents
+        )
+        SELECT doc_id,
+               n_tokens < 10 AS too_short,
+               n_chars > 5000 AS too_long,
+               (n_digits * 1.0 / greatest(n_chars, 1)) > 0.3 AS digit_heavy,
+               ((n_chars - n_spaces) * 1.0 / greatest(n_tokens, 1) < 2.0
+                OR (n_chars - n_spaces) * 1.0 / greatest(n_tokens, 1) > 12.0)
+                 AS bad_word_len,
+               NOT (n_tokens < 10 OR n_chars > 5000
+                    OR (n_digits * 1.0 / greatest(n_chars, 1)) > 0.3
+                    OR ((n_chars - n_spaces) * 1.0 / greatest(n_tokens, 1) < 2.0
+                        OR (n_chars - n_spaces) * 1.0 / greatest(n_tokens, 1) > 12.0))
+                 AS keep
+        FROM base
+    """,
+    "q15_lang_guess": """
+        WITH base AS (
+            SELECT doc_id, lang,
+                   list_filter(string_split(lower(text), ' '), t -> t <> '') AS toks
+            FROM documents
+        )
+        SELECT doc_id, lang,
+               round(len(list_filter(toks,
+                         t -> t IN ('the','a','of','and','to','in','is','for')))
+                     * 1.0 / greatest(len(toks), 1), 4) AS stopword_frac,
+               (len(list_filter(toks,
+                    t -> t IN ('the','a','of','and','to','in','is','for')))
+                * 1.0 / greatest(len(toks), 1)) >= 0.05 AS guess_en,
+               lang = 'en' AS is_en
+        FROM base
+    """,
+    "q16_fingerprint": """
+        SELECT doc_id, md5(replace(lower(text), ' ', '')) AS fp
+        FROM documents
+    """,
+    "q17_exact_dedup": """
+        SELECT md5(text) AS h, min(doc_id) AS canonical_id,
+               count(*) AS n_dups
+        FROM documents
+        GROUP BY md5(text)
+    """,
+}
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q01_pricing_summary": q01_pricing_summary,
+    "q02_revenue_filter": q02_revenue_filter,
+    "q03_revenue_by_nation": q03_revenue_by_nation,
+    "q04_top_orders": q04_top_orders,
+    "q05_window_rank": q05_window_rank,
+    "q06_customers_without_orders": q06_customers_without_orders,
+    "q07_parts_in_use": q07_parts_in_use,
+    "q08_union_distinct": q08_union_distinct,
+    "q09_top_tokens": q09_top_tokens,
+    "q10_events_hourly": q10_events_hourly,
+    "q11_sessionize": q11_sessionize,
+    "q12_json_extract": q12_json_extract,
+    "q13_token_stats": q13_token_stats,
+    "q14_doc_quality": q14_doc_quality,
+    "q15_lang_guess": q15_lang_guess,
+    "q16_fingerprint": q16_fingerprint,
+    "q17_exact_dedup": q17_exact_dedup,
+}

@@ -1,0 +1,193 @@
+"""Dedup + similarity query battery with DuckDB oracles.
+
+Wraps curator_spark.operators.{dedup,similarity} over the driver's
+`documents` / `embeddings` tables. Every oracle replicates the md5-based
+hashing and the double-precision fold order exactly (see the operator
+modules for why the two engines agree bit-for-bit before rounding).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .operators import dedup, similarity
+
+JACCARD_N = 3
+JACCARD_THRESHOLD = 0.5
+NEARDUP_COS = 0.40
+ANN_QUERY_ID = 0
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def q18_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.jaccard_pairs(_docs(spark, sf_dir), n=JACCARD_N,
+                               threshold=JACCARD_THRESHOLD)
+
+
+def q19_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.lsh_candidate_pairs(_docs(spark, sf_dir), n=JACCARD_N)
+
+
+def q20_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash(_docs(spark, sf_dir))
+
+
+def q21_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.cosine_topk(_emb(spark, sf_dir), ANN_QUERY_ID, k=10)
+
+
+def q22_signbucket_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.signbucket_ann(_emb(spark, sf_dir), ANN_QUERY_ID, k=5)
+
+
+def q23_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.embedding_neardup_pairs(_emb(spark, sf_dir),
+                                              threshold=NEARDUP_COS)
+
+
+# ---------------------------------------------------------------------------
+# Oracle SQL
+# ---------------------------------------------------------------------------
+
+# Distinct word n-gram shingles per doc; mirrors dedup.shingles_expr.
+_SHINGLES = f"""
+    SELECT doc_id, unnest(list_distinct(list_transform(
+               range(1, greatest(len(toks) - {JACCARD_N - 1}, 0) + 1),
+               i -> array_to_string(toks[i:i+{JACCARD_N - 1}], ' ')))) AS shingle
+    FROM (SELECT doc_id,
+                 list_filter(string_split(lower(text), ' '), t -> t <> '') AS toks
+          FROM documents)
+"""
+
+_JACCARD_SQL = f"""
+    WITH sh AS ({_SHINGLES}),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b,
+           round(n_inter * 1.0 / (sa.sz + sb.sz - n_inter), 4) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE n_inter * 1.0 / (sa.sz + sb.sz - n_inter) >= {JACCARD_THRESHOLD}
+"""
+
+_MINHASH_SQL = f"""
+    WITH sh AS ({_SHINGLES}),
+    hashed AS (
+        SELECT doc_id, seed,
+               md5(lpad(seed::VARCHAR, 2, '0') || ':' || shingle) AS h
+        FROM sh, (SELECT unnest(range(0, {dedup.N_HASHES})) AS seed)
+    ),
+    sig AS (SELECT doc_id, seed, min(h) AS mh FROM hashed GROUP BY doc_id, seed),
+    bands AS (
+        SELECT doc_id, CAST(seed // {dedup.ROWS_PER_BAND} AS INTEGER) AS band,
+               md5(string_agg(lpad(seed::VARCHAR, 2, '0') || mh, '' ORDER BY seed))
+                   AS band_key
+        FROM sig GROUP BY doc_id, CAST(seed // {dedup.ROWS_PER_BAND} AS INTEGER)
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+"""
+
+_HIGH = ", ".join(f"'{c}'" for c in dedup.HIGH_HEX)
+_SIM_SUMS = ",\n           ".join(
+    f"sum(CASE WHEN substr(h, {p + 1}, 1) IN ({_HIGH}) THEN 1 ELSE -1 END) AS s{p}"
+    for p in range(dedup.SIMHASH_BITS))
+_SIM_BITS = " || ".join(
+    f"CASE WHEN s{p} > 0 THEN '1' ELSE '0' END" for p in range(dedup.SIMHASH_BITS))
+_SIMHASH_SQL = f"""
+    WITH toks AS (
+        SELECT doc_id, md5(unnest(list_filter(string_split(lower(text), ' '),
+                                              t -> t <> ''))) AS h
+        FROM documents
+    ),
+    sums AS (
+        SELECT doc_id,
+           {_SIM_SUMS}
+        FROM toks GROUP BY doc_id
+    )
+    SELECT doc_id, {_SIM_BITS} AS simhash FROM sums
+"""
+
+# double-cast vectors + sequential fold == similarity.dot_expr bit-for-bit
+_EMB_BASE = """
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+           sqrt(list_sum(list_transform(embedding,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+    FROM embeddings
+"""
+
+_COSINE_TOPK_SQL = f"""
+    WITH base AS ({_EMB_BASE}),
+    q AS (SELECT v AS qv, nrm AS qn FROM base WHERE vec_id = {ANN_QUERY_ID})
+    SELECT vec_id,
+           round(list_sum(list_transform(range(1, 65), i -> v[i] * qv[i]))
+                 / (nrm * qn), 6) AS cos_sim
+    FROM base, q
+    ORDER BY cos_sim DESC, vec_id ASC
+    LIMIT 10
+"""
+
+_BUCKET_BITS = " || ".join(
+    f"CASE WHEN embedding[{i + 1}] >= 0 THEN '1' ELSE '0' END"
+    for i in range(similarity.N_SIGN_BITS))
+_SIGNBUCKET_SQL = f"""
+    WITH base AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+               sqrt(list_sum(list_transform(embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm,
+               {_BUCKET_BITS} AS bucket
+        FROM embeddings
+    ),
+    q AS (SELECT v AS qv, nrm AS qn, bucket AS qbucket
+          FROM base WHERE vec_id = {ANN_QUERY_ID})
+    SELECT vec_id, bucket,
+           round(list_sum(list_transform(range(1, 65), i -> v[i] * qv[i]))
+                 / (nrm * qn), 6) AS cos_sim
+    FROM base, q
+    WHERE bucket = qbucket
+    ORDER BY cos_sim DESC, vec_id ASC
+    LIMIT 5
+"""
+
+_NEARDUP_SQL = f"""
+    WITH base AS ({_EMB_BASE})
+    SELECT id_a, id_b, cos_sim FROM (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i]))
+                     / (a.nrm * b.nrm), 6) AS cos_sim
+        FROM base a JOIN base b ON a.vec_id < b.vec_id
+    ) WHERE cos_sim >= {NEARDUP_COS}
+"""
+
+ORACLES: dict[str, str] = {
+    "q18_jaccard_pairs": _JACCARD_SQL,
+    "q19_minhash_lsh": _MINHASH_SQL,
+    "q20_simhash": _SIMHASH_SQL,
+    "q21_cosine_topk": _COSINE_TOPK_SQL,
+    "q22_signbucket_ann": _SIGNBUCKET_SQL,
+    "q23_embedding_neardup": _NEARDUP_SQL,
+}
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q18_jaccard_pairs": q18_jaccard_pairs,
+    "q19_minhash_lsh": q19_minhash_lsh,
+    "q20_simhash": q20_simhash,
+    "q21_cosine_topk": q21_cosine_topk,
+    "q22_signbucket_ann": q22_signbucket_ann,
+    "q23_embedding_neardup": q23_embedding_neardup,
+}
