@@ -1,0 +1,163 @@
+"""Multimodal column plumbing: image/audio/video as opaque `binary`
+columns with typed metadata, processed by Arrow-batched pandas UDFs via
+mapInPandas.
+
+The decode/feature kernels are STUBBED with deterministic fakes (the
+sandbox has no image/audio codecs) behind `_decode_image` /
+`_decode_audio`; the Spark-side plumbing — schema, batch iteration,
+partition behavior, UDF signatures — is real and tested. Swapping in
+Pillow/torchaudio is a one-function change per modality.
+
+Scale shape: media bytes are the dominant I/O at 100 TB — the pipeline
+keeps them in one `content` column that is column-pruned away from every
+metadata-only query, processes them in bounded Arrow batches (batch
+memory = maxRecordsPerBatch × avg blob size — size accordingly), and
+emits compact fixed-width features so downstream stages never reshuffle
+the blobs.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import zlib
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F, types as T
+
+MEDIA_SCHEMA = T.StructType([
+    T.StructField("media_id", T.StringType(), False),
+    T.StructField("modality", T.StringType(), False),   # image|audio|video
+    T.StructField("mime", T.StringType(), True),
+    T.StructField("content", T.BinaryType(), True),      # opaque payload
+    T.StructField("width", T.IntegerType(), True),       # typed metadata
+    T.StructField("height", T.IntegerType(), True),
+    T.StructField("duration_ms", T.LongType(), True),
+])
+
+IMAGE_FEATURES_SCHEMA = T.StructType([
+    T.StructField("media_id", T.StringType(), False),
+    T.StructField("n_bytes", T.LongType(), False),
+    T.StructField("sha256", T.StringType(), False),
+    T.StructField("entropy_proxy", T.DoubleType(), False),
+    T.StructField("thumb_w", T.IntegerType(), True),
+    T.StructField("thumb_h", T.IntegerType(), True),
+    T.StructField("feature", T.ArrayType(T.FloatType()), True),
+])
+
+FRAME_SAMPLE_SCHEMA = T.StructType([
+    T.StructField("media_id", T.StringType(), False),
+    T.StructField("frame_idx", T.IntegerType(), False),
+    T.StructField("frame_ts_ms", T.LongType(), False),
+    T.StructField("frame_sha256", T.StringType(), False),
+])
+
+FEATURE_DIM = 16
+THUMB_MAX = 64
+
+
+def _decode_image(content: bytes) -> np.ndarray:
+    """STUB decoder — deterministic fake pixels from the payload hash.
+
+    Real implementation: `PIL.Image.open(io.BytesIO(content))`. The fake
+    preserves the contract: bytes → HxWx3 uint8 array, stable per input.
+    """
+    if content is None or len(content) == 0:
+        raise NotImplementedError("empty payload; real codec not available")
+    h = hashlib.sha256(content).digest()
+    side = 8 + h[0] % 8
+    rng = np.frombuffer((h * ((side * side * 3) // len(h) + 1))[: side * side * 3],
+                        dtype=np.uint8)
+    return rng.reshape(side, side, 3).copy()
+
+
+def _entropy_proxy(content: bytes) -> float:
+    """Compressibility as an entropy stand-in (pure stdlib, no codec)."""
+    if not content:
+        return 0.0
+    return round(len(zlib.compress(content, 1)) / len(content), 6)
+
+
+def image_features(media: DataFrame,
+                   batch_hint: int = 256) -> DataFrame:
+    """Decode → resize → embed, one Arrow batch at a time.
+
+    The blob column is pruned immediately after feature extraction; only
+    fixed-width features flow on. Errors per row become null features,
+    never task failures (reference retry-to-error-row semantics,
+    base_online_request_processor.py:446-462).
+    """
+    cols = ["media_id", "content", "width", "height"]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, content, w, h in zip(pdf["media_id"], pdf["content"],
+                                          pdf["width"], pdf["height"]):
+                blob = bytes(content) if content is not None else b""
+                try:
+                    px = _decode_image(blob)
+                    tw = min(int(w) if pd.notna(w) else px.shape[1], THUMB_MAX)
+                    th = min(int(h) if pd.notna(h) else px.shape[0], THUMB_MAX)
+                    # mean-pool "embedding" over pixel blocks (stub model)
+                    flat = px.astype(np.float32).ravel()
+                    pads = -len(flat) % FEATURE_DIM
+                    feat = np.pad(flat, (0, pads)).reshape(FEATURE_DIM, -1).mean(axis=1)
+                    feat = (feat / 255.0).astype(np.float32).tolist()
+                except NotImplementedError:
+                    tw = th = None
+                    feat = None
+                out.append({
+                    "media_id": mid,
+                    "n_bytes": len(blob),
+                    "sha256": hashlib.sha256(blob).hexdigest(),
+                    "entropy_proxy": _entropy_proxy(blob),
+                    "thumb_w": tw, "thumb_h": th,
+                    "feature": feat,
+                })
+            yield pd.DataFrame(out, columns=[f.name for f in IMAGE_FEATURES_SCHEMA])
+
+    return media.select(*cols).mapInPandas(run, schema=IMAGE_FEATURES_SCHEMA)
+
+
+def sample_frames(media: DataFrame, every_ms: int = 1000,
+                  max_frames: int = 16) -> DataFrame:
+    """Video frame sampling (stub): one output row per sampled frame —
+    a flatMap (1→N) over binary rows, the multimodal analogue of the
+    reference's parse-func explode (base_request_processor.py:357-393)."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, content, dur in zip(pdf["media_id"], pdf["content"],
+                                         pdf["duration_ms"]):
+                blob = bytes(content) if content is not None else b""
+                n = int(min(max_frames,
+                            max((int(dur) if pd.notna(dur) else 0) // every_ms, 0)))
+                for i in range(n):
+                    fh = hashlib.sha256(blob + i.to_bytes(4, "big")).hexdigest()
+                    rows.append({"media_id": mid, "frame_idx": i,
+                                 "frame_ts_ms": i * every_ms, "frame_sha256": fh})
+            yield pd.DataFrame(rows, columns=[f.name for f in FRAME_SAMPLE_SCHEMA])
+
+    return (media.filter(F.col("modality") == "video")
+            .select("media_id", "content", "duration_ms")
+            .mapInPandas(run, schema=FRAME_SAMPLE_SCHEMA))
+
+
+def media_fixture(spark, n: int = 64, seed: int = 5) -> DataFrame:
+    """Deterministic synthetic media table for tests (fake payloads)."""
+    rows = []
+    for i in range(n):
+        h = hashlib.sha256(f"media-{seed}-{i}".encode()).digest()
+        modality = ("image", "audio", "video")[i % 3]
+        rows.append((
+            f"m-{i:05d}", modality,
+            {"image": "image/png", "audio": "audio/wav",
+             "video": "video/mp4"}[modality],
+            bytearray(h * (1 + i % 7)),
+            32 + i % 64 if modality == "image" else None,
+            32 + (i * 7) % 64 if modality == "image" else None,
+            (1000 * (i % 20)) if modality != "image" else None,
+        ))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)

@@ -58,14 +58,18 @@ def _drop_field(st, name):
 
 
 def conversation_aggregates(scored: DataFrame) -> DataFrame:
-    """Per-conversation aggregates via salted two-phase groupBy.
+    """Per-conversation aggregates via salted multi-phase groupBy,
+    ONE scan of the scored table, no self-joins.
 
-    Phase 1 groups by (conv_id, salt) — a single million-turn
-    conversation fans out over SALT_BUCKETS reducers instead of
-    serializing one; phase 2 combines the per-salt partials (tiny).
-    Majority-vote language takes the same two-phase shape over
-    (conv_id, lang) with a deterministic (count desc, lang asc)
-    tie-break. SURVEY.md §4 O10.
+    Phase 1 groups by (conv_id, lang, salt) — a single million-turn
+    conversation fans out over SALT_BUCKETS×langs reducers instead of
+    serializing one reducer (SURVEY.md §4 O10); phase 2 collapses salts
+    into per-(conv, lang) partials; phase 3 folds langs into the final
+    per-conv row, where majority-vote language is argmax(count) with a
+    deterministic (count desc, lang asc) tie-break expressed as
+    min_by(lang, struct(-count, lang)). Phases 2/3 operate on tables
+    ~|convs|·|langs| — vanishing next to the turn table — so the only
+    data-proportional shuffle is phase 1's partially-aggregated one.
     """
     salted = scored.select(
         "conv_id", "turn_idx", "role", "lang", "ppl",
@@ -75,7 +79,7 @@ def conversation_aggregates(scored: DataFrame) -> DataFrame:
         ).alias("role_valid"),
     )
 
-    s1 = salted.groupBy("conv_id", "salt").agg(
+    s1 = salted.groupBy("conv_id", "lang", "salt").agg(
         F.sum("ppl").alias("ppl_sum"),
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("role").eqNullSafe("assistant").cast("long")).alias("n_assistant"),
@@ -84,38 +88,33 @@ def conversation_aggregates(scored: DataFrame) -> DataFrame:
         F.min("turn_idx").alias("min_turn"),
         F.min_by("role", "turn_idx").alias("first_role"),
     )
-    conv = s1.groupBy("conv_id").agg(
-        F.round(F.sum("ppl_sum") / F.sum("n"), 6).alias("conv_mean_ppl"),
-        F.sum("n").alias("conv_n_turns"),
-        F.round(F.sum("n_assistant") / F.greatest(F.sum("n_ua"), F.lit(1)), 6)
-        .alias("role_balance"),
-        # exact integer sums → the k/n division is bit-identical to the
-        # pandas oracle's mean-of-bools, no rounding needed
-        ((F.lit(1.0) - F.sum("n_role_valid") / F.sum("n"))
-         <= F.lit(rules.MAX_INVALID_ROLE_FRAC)).alias("roles_mostly_valid"),
+    s2 = s1.groupBy("conv_id", "lang").agg(
+        F.sum("ppl_sum").alias("ppl_sum"),
+        F.sum("n").alias("c"),
+        F.sum("n_assistant").alias("n_assistant"),
+        F.sum("n_ua").alias("n_ua"),
+        F.sum("n_role_valid").alias("n_role_valid"),
+        F.min("min_turn").alias("min_turn"),
+        # turn_idx is unique per conv → min_turn ties impossible
         F.min_by("first_role", "min_turn").alias("first_role"),
     )
-
-    # Majority language: salted partial counts → final counts → argmax
-    # with deterministic tie-break via max_by on a sortable struct.
-    lang_counts = (
-        salted.groupBy("conv_id", "lang", "salt")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .groupBy("conv_id", "lang")
-        .agg(F.sum("c").alias("c"))
-    )
-    # argmax(count) with tie-break lang ASC: max over struct(c, neg-ordered
-    # lang) is awkward; min_by on struct(-c, lang) is exact and shuffle-free
-    # beyond the groupBy.
-    conv_lang = lang_counts.groupBy("conv_id").agg(
+    conv = s2.groupBy("conv_id").agg(
+        F.round(F.sum("ppl_sum") / F.sum("c"), 6).alias("conv_mean_ppl"),
+        F.sum("c").alias("conv_n_turns"),
+        # exact integer sums → the k/n division is bit-identical to the
+        # pandas oracle's mean-of-bools, no rounding needed
+        F.round(F.sum("n_assistant") / F.greatest(F.sum("n_ua"), F.lit(1)), 6)
+        .alias("role_balance"),
+        ((F.lit(1.0) - F.sum("n_role_valid") / F.sum("c"))
+         <= F.lit(rules.MAX_INVALID_ROLE_FRAC)).alias("roles_mostly_valid"),
+        F.min_by("first_role", "min_turn").alias("first_role"),
         F.min_by("lang", F.struct((-F.col("c")).alias("nc"), F.col("lang")))
-        .alias("conv_lang")
+        .alias("conv_lang"),
     )
 
     lo, hi = rules.CONV_ROLE_BALANCE_RANGE
     return (
-        conv.join(conv_lang, "conv_id")
-        .withColumn(
+        conv.withColumn(
             "structure_ok",
             F.col("roles_mostly_valid") & F.col("first_role").isin("system", "user"),
         )
@@ -129,6 +128,42 @@ def conversation_aggregates(scored: DataFrame) -> DataFrame:
         )
         .drop("roles_mostly_valid", "first_role")
     )
+
+
+def _finalize(scored: DataFrame, conv: DataFrame) -> DataFrame:
+    """Join conversation aggregates back to turns and derive keep."""
+    out = scored.join(conv, "conv_id").select(
+        *[c for c in scored.columns],
+        F.col("role").isin(*sorted(rules.VALID_ROLES)).__and__(
+            (F.col("role") != F.lit("system")) | (F.col("turn_idx") == F.lit(0))
+        ).alias("role_valid"),
+        "structure_ok", "conv_n_turns", "conv_mean_ppl", "conv_lang",
+        "role_balance", "conv_pass",
+    )
+    return out.withColumn(
+        "keep",
+        F.col("turn_pass") & F.col("role_valid") & F.col("structure_ok")
+        & F.col("conv_pass"),
+    )
+
+
+def run_pipeline_staged(spark, transcripts: DataFrame,
+                        scored_path: str) -> DataFrame:
+    """Production (100 TB) shape of the pipeline: materialize the scored
+    stage ONCE to columnar storage, then feed both consumers (the
+    conversation aggregation and the final join) from re-scans of it.
+
+    vs run_pipeline_df's in-memory persist: parquet is the durable
+    resume unit (the checkpoint runner's partition commit), the
+    aggregation re-scan is column-pruned to 5 narrow columns at the
+    storage layer, and executor loss never forces re-scoring. This is
+    the analogue of the reference durably appending responses_*.jsonl
+    before the finalize pass (reference: src/bespokelabs/curator/
+    request_processor/base_request_processor.py:305-428).
+    """
+    score_turns(transcripts).write.mode("overwrite").parquet(scored_path)
+    scored = spark.read.parquet(scored_path)
+    return _finalize(scored, conversation_aggregates(scored))
 
 
 def run_pipeline_df(transcripts: DataFrame,
@@ -155,17 +190,4 @@ def run_pipeline_df(transcripts: DataFrame,
     conv = conversation_aggregates(scored)
     if broadcast_conv_aggs is True:
         conv = F.broadcast(conv)
-
-    out = scored.join(conv, "conv_id").select(
-        *[c for c in scored.columns],
-        F.col("role").isin(*sorted(rules.VALID_ROLES)).__and__(
-            (F.col("role") != F.lit("system")) | (F.col("turn_idx") == F.lit(0))
-        ).alias("role_valid"),
-        "structure_ok", "conv_n_turns", "conv_mean_ppl", "conv_lang",
-        "role_balance", "conv_pass",
-    )
-    return out.withColumn(
-        "keep",
-        F.col("turn_pass") & F.col("role_valid") & F.col("structure_ok")
-        & F.col("conv_pass"),
-    )
+    return _finalize(scored, conv)

@@ -33,6 +33,10 @@ def get_spark(app_name: str = "curator-spark", parallelism: int | None = None,
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        # conv-aggregate tables are ~1/avg_turns of the input; let joins
+        # against them broadcast well past the 10MB default so the wide
+        # turn table never shuffles for the agg join (AQE still decides)
+        .config("spark.sql.autoBroadcastJoinThreshold", "64m")
     )
     for k, v in extra_conf.items():
         b = b.config(k, v)

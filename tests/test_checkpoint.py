@@ -1,0 +1,84 @@
+"""Checkpoint/resume/memoization tests — the curator crown jewels
+(SURVEY.md §2 A13/A14/A23): kill-after-k-partitions resume must yield a
+table identical to a clean single run, and a completed run must
+short-circuit (mirrors reference cache-hit semantics,
+tests/unittests/test_caching.py:12-26 and resume test
+tests/integrations/test_all.py:180-192).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from curator_spark import fixtures
+from curator_spark.checkpoint import committed_parts, run_checkpointed
+
+
+@pytest.fixture(scope="module")
+def small_input(tmp_path_factory):
+    p = tmp_path_factory.mktemp("ckpt") / "t.parquet"
+    fixtures.write_transcripts_parquet(str(p), 2500, seed=11, n_parts=4)
+    return str(p)
+
+
+def _read_sorted(spark, out_dir):
+    return (
+        spark.read.parquet(os.path.join(out_dir, "data"))
+        .orderBy("conv_id", "turn_idx")
+        .drop("part")  # partition column ordering differs; value-compared via sort
+        .toPandas()
+    )
+
+
+def test_kill_and_resume_identical(spark, small_input, tmp_path):
+    crashed = str(tmp_path / "crashed")
+    clean = str(tmp_path / "clean")
+
+    # simulated crash: only partitions 0,1 commit
+    r1 = run_checkpointed(spark, small_input, crashed, only_parts=[0, 1])
+    assert r1["parts_committed"] == 2
+    assert committed_parts(crashed) == {0, 1}
+    assert not os.path.exists(os.path.join(crashed, "_SUCCESS_RUN"))
+
+    # resume: skips committed, finishes the rest
+    r2 = run_checkpointed(spark, small_input, crashed)
+    assert r2["parts_skipped"] == 2 and r2["parts_committed"] == 2
+    assert os.path.exists(os.path.join(crashed, "_SUCCESS_RUN"))
+
+    # clean single run for comparison
+    run_checkpointed(spark, small_input, clean)
+    a, b = _read_sorted(spark, crashed), _read_sorted(spark, clean)
+    assert a.equals(b), "resumed output != clean-run output"
+
+
+def test_memoization_short_circuit(spark, small_input, tmp_path):
+    out = str(tmp_path / "memo")
+    r1 = run_checkpointed(spark, small_input, out)
+    assert not r1["memoized"]
+    r2 = run_checkpointed(spark, small_input, out)
+    assert r2["memoized"] and r2["parts_committed"] == 0
+
+
+def test_param_change_invalidates_memo(spark, small_input, tmp_path):
+    out = str(tmp_path / "memo2")
+    r1 = run_checkpointed(spark, small_input, out, params={"v": 1})
+    r2 = run_checkpointed(spark, small_input, out, params={"v": 2})
+    # different fingerprint → not memoized (parts ARE committed though,
+    # so nothing recomputes — the ledger is per-partition)
+    assert r1["run_id"] != r2["run_id"]
+    assert not r2["memoized"]
+
+
+def test_metrics_and_lineage_written(spark, small_input, tmp_path):
+    out = str(tmp_path / "metrics")
+    run_checkpointed(spark, small_input, out)
+    m = spark.read.parquet(os.path.join(out, "_metrics")).toPandas()
+    assert set(m["part"]) == {0, 1, 2, 3}
+    data = spark.read.parquet(os.path.join(out, "data"))
+    n_in = data.count()
+    assert m["n_in"].sum() == n_in
+    assert m["n_kept"].sum() == data.filter("keep").count()
+    metas = os.listdir(os.path.join(out, "_meta"))
+    assert any(f.startswith("run_") for f in metas)

@@ -1,0 +1,61 @@
+"""Multimodal plumbing tests: schema, Arrow-batch UDF signatures,
+determinism, and 1→N frame explode — with stubbed codecs."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+from curator_spark.operators import multimodal as mm
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    return mm.media_fixture(spark, n=64)
+
+
+def test_image_features_schema_and_determinism(media):
+    out = mm.image_features(media.filter("modality = 'image'"))
+    rows = {r.media_id: r for r in out.collect()}
+    assert len(rows) == 22
+    for r in rows.values():
+        assert r.n_bytes > 0 and len(r.sha256) == 64
+        # incompressible random blobs can exceed 1.0 (zlib framing overhead)
+        assert 0 < r.entropy_proxy <= 2.0
+        assert r.feature is not None and len(r.feature) == mm.FEATURE_DIM
+        assert r.thumb_w is not None and r.thumb_w <= mm.THUMB_MAX
+    rows2 = {r.media_id: r for r in mm.image_features(
+        media.filter("modality = 'image'")).collect()}
+    assert {k: v.sha256 for k, v in rows.items()} == \
+        {k: v.sha256 for k, v in rows2.items()}
+    assert {k: tuple(v.feature) for k, v in rows.items()} == \
+        {k: tuple(v.feature) for k, v in rows2.items()}
+
+
+def test_feature_matches_local_stub(media):
+    r = (mm.image_features(media.filter("media_id = 'm-00000'"))
+         .collect()[0])
+    blob = bytes(media.filter("media_id = 'm-00000'").collect()[0].content)
+    assert r.sha256 == hashlib.sha256(blob).hexdigest()
+    assert r.entropy_proxy == mm._entropy_proxy(blob)
+
+
+def test_frame_sampling_explodes(media):
+    frames = mm.sample_frames(media, every_ms=1000, max_frames=16).collect()
+    assert frames, "expected sampled frames"
+    by_media: dict[str, list] = {}
+    for f in frames:
+        by_media.setdefault(f.media_id, []).append(f)
+    vids = {r.media_id: r for r in media.filter("modality = 'video'").collect()}
+    for mid, fs in by_media.items():
+        dur = vids[mid].duration_ms
+        assert len(fs) == min(16, dur // 1000)
+        idxs = sorted(f.frame_idx for f in fs)
+        assert idxs == list(range(len(fs)))
+        assert all(f.frame_ts_ms == f.frame_idx * 1000 for f in fs)
+
+
+def test_blob_pruned_from_feature_output(media):
+    out = mm.image_features(media)
+    assert "content" not in out.columns  # blobs never flow downstream

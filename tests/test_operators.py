@@ -1,0 +1,122 @@
+"""Operator-level tests: dedup (exact, Jaccard, MinHash/LSH, SimHash),
+similarity search (cosine top-k, sign-bucket ANN, near-dup pairs), and
+the docs→transcripts ingest adapter. Oracles here are independent
+pure-Python/numpy implementations.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+
+from curator_spark.ingest import TURN_TOKENS, docs_to_transcripts
+from curator_spark.operators import dedup, similarity
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (1, "the quick brown fox jumps over the lazy dog near the river bend"),
+    (2, "completely different content about spark query engines and shuffles"),
+    (3, "the quick brown fox jumps over the lazy dog near the river bank"),  # exact dup of 0
+    (4, "short text"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, ["doc_id", "text"])
+
+
+def _shingles(text: str, n: int) -> set[str]:
+    toks = [t for t in text.lower().split(" ") if t]
+    return {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+
+
+def test_exact_dedup(docs_df):
+    out = {r.h: (r.canonical_id, r.n_dups)
+           for r in dedup.exact_dedup(docs_df).collect()}
+    assert len(out) == 4  # 5 docs, one exact dup
+    assert (0, 2) in out.values()  # docs 0 and 3 collapse to canonical 0
+
+
+def test_jaccard_pairs_matches_python(docs_df):
+    n, thr = 3, 0.5
+    got = {(r.id_a, r.id_b): r.jaccard
+           for r in dedup.jaccard_pairs(docs_df, n=n, threshold=thr).collect()}
+    want = {}
+    for i, (ia, ta) in enumerate(DOCS):
+        for ib, tb in DOCS[i + 1:]:
+            sa, sb = _shingles(ta, n), _shingles(tb, n)
+            if not sa or not sb:
+                continue
+            j = len(sa & sb) / len(sa | sb)
+            if j >= thr:
+                want[(ia, ib)] = round(j, 4)
+    assert got == want
+    assert (0, 3) in got and got[(0, 3)] == 1.0  # exact dup
+    assert (0, 1) in got  # near dup
+
+
+def test_lsh_finds_exact_and_near_dups(docs_df):
+    pairs = {(r.id_a, r.id_b)
+             for r in dedup.lsh_candidate_pairs(docs_df, n=3).collect()}
+    assert (0, 3) in pairs        # identical docs share every band
+    assert (2, 4) not in pairs    # disjoint docs share none
+    # LSH candidates must cover all high-jaccard pairs on this fixture
+    assert (0, 1) in pairs
+
+
+def test_simhash_properties(docs_df):
+    sigs = {r.doc_id: r.simhash for r in dedup.simhash(docs_df).collect()}
+    assert all(len(s) == dedup.SIMHASH_BITS and set(s) <= {"0", "1"}
+               for s in sigs.values())
+    assert sigs[0] == sigs[3]  # identical text → identical signature
+    ham01 = sum(a != b for a, b in zip(sigs[0], sigs[1]))
+    ham02 = sum(a != b for a, b in zip(sigs[0], sigs[2]))
+    assert ham01 <= ham02  # near-dup closer than unrelated
+
+
+@pytest.fixture(scope="module")
+def emb_df(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+
+def test_cosine_topk_matches_numpy(emb_df):
+    rows = emb_df.collect()
+    vecs = {r.vec_id: np.array(r.embedding, dtype="float64") for r in rows}
+    q = vecs[0]
+    sims = {i: float(v @ q / (np.linalg.norm(v) * np.linalg.norm(q)))
+            for i, v in vecs.items()}
+    want = sorted(sims.items(), key=lambda kv: (-round(kv[1], 6), kv[0]))[:10]
+    got = [(r.vec_id, r.cos_sim)
+           for r in similarity.cosine_topk(emb_df, 0, k=10).collect()]
+    assert [w[0] for w in want] == [g[0] for g in got]
+    for (_, ws), (_, gs) in zip(want, got):
+        assert math.isclose(ws, gs, abs_tol=1e-5)
+    assert got[0] == (0, 1.0)  # query itself ranks first at cos=1
+
+
+def test_signbucket_ann_contains_query(emb_df):
+    got = similarity.signbucket_ann(emb_df, 0, k=5).collect()
+    assert got[0].vec_id == 0 and got[0].cos_sim == 1.0
+    assert len({r.bucket for r in got}) == 1  # all from the probe bucket
+
+
+def test_neardup_pairs_symmetric_bound(emb_df):
+    out = similarity.embedding_neardup_pairs(emb_df, threshold=0.3).collect()
+    assert all(r.id_a < r.id_b and r.cos_sim >= 0.3 for r in out)
+
+
+def test_docs_to_transcripts_shape(spark):
+    docs = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    t = docs_to_transcripts(docs).orderBy("conv_id", "turn_idx").collect()
+    n_expected = sum(max(math.ceil(len(txt.split()) / TURN_TOKENS), 1)
+                     for _, txt in DOCS)
+    assert len(t) == n_expected
+    for r in t:
+        assert r.role == ("user" if r.turn_idx % 2 == 0 else "assistant")
+        assert r.part is not None and 0 <= r.part < 8
+    # deterministic: second invocation byte-identical
+    t2 = docs_to_transcripts(docs).orderBy("conv_id", "turn_idx").collect()
+    assert t == t2

@@ -1,0 +1,60 @@
+"""Streaming quality filter: drain-a-directory test with
+Trigger.AvailableNow; streamed scores must equal batch scores exactly
+(the scorer is stateless per turn), and resume must not re-emit."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from curator_spark import fixtures, schema
+from curator_spark.pipeline import score_turns
+from curator_spark.streaming.quality_stream import run_quality_stream
+
+
+@pytest.fixture(scope="module")
+def stream_dirs(tmp_path_factory):
+    root = tmp_path_factory.mktemp("stream")
+    src = root / "src"
+    src.mkdir()
+    pdf = fixtures.generate_transcripts(1200, seed=21, n_parts=4)
+    half = len(pdf) // 2
+    fixtures.to_spark_parquet(pdf.iloc[:half], str(src / "batch1.parquet"))
+    fixtures.to_spark_parquet(pdf.iloc[half:], str(src / "batch2.parquet"))
+    return {"src": str(src), "out": str(root / "out"),
+            "ckpt": str(root / "ckpt"), "pdf": pdf}
+
+
+def test_stream_matches_batch(spark, stream_dirs):
+    q = run_quality_stream(spark, stream_dirs["src"], stream_dirs["out"],
+                           stream_dirs["ckpt"], available_now=True)
+    q.awaitTermination(120)
+
+    got = (spark.read.parquet(stream_dirs["out"])
+           .orderBy("conv_id", "turn_idx").toPandas())
+    batch_df = spark.read.schema(schema.TRANSCRIPTS_SCHEMA).parquet(
+        stream_dirs["src"])
+    want = (score_turns(batch_df)
+            .orderBy("conv_id", "turn_idx").toPandas())
+    assert len(got) == len(want) == len(stream_dirs["pdf"])
+    for col in ("conv_id", "turn_idx", "lang", "ppl", "scrubbed_text",
+                "turn_pass"):
+        assert (got[col].to_numpy() == want[col].to_numpy()).all(), col
+
+
+def test_stream_resume_no_reemit(spark, stream_dirs):
+    n_before = spark.read.parquet(stream_dirs["out"]).count()
+    # restart against the same checkpoint: nothing new → nothing re-emitted
+    q = run_quality_stream(spark, stream_dirs["src"], stream_dirs["out"],
+                           stream_dirs["ckpt"], available_now=True)
+    q.awaitTermination(120)
+    assert spark.read.parquet(stream_dirs["out"]).count() == n_before
+    # new file arrives → exactly its rows are appended
+    extra = fixtures.generate_transcripts(300, seed=22, n_parts=4)
+    fixtures.to_spark_parquet(extra, os.path.join(stream_dirs["src"],
+                                                  "batch3.parquet"))
+    q = run_quality_stream(spark, stream_dirs["src"], stream_dirs["out"],
+                           stream_dirs["ckpt"], available_now=True)
+    q.awaitTermination(120)
+    assert spark.read.parquet(stream_dirs["out"]).count() == n_before + len(extra)
