@@ -1,16 +1,23 @@
-"""fastText-style character n-gram language identifier.
+"""fastText-style character n-gram language identifier — fully
+vectorized.
 
-A tiny multinomial Naive-Bayes over char trigrams, trained at import
-time on the deterministic seed corpora (corpus.training_corpus). The
-model is a pure function of embedded constants, so driver, executors,
-and the pandas oracle all reconstruct bit-identical profiles — the
-Spark-side pattern is still "model built once per executor process and
-reused across Arrow batches" (the analogue of the reference loading a
-vLLM model once per chunk, reference: src/bespokelabs/curator/
-request_processor/offline/vllm_offline_request_processor.py:43-54).
+A multinomial Naive-Bayes over char trigrams, trained at import time on
+the deterministic seed corpora (corpus.training_corpus). The model is a
+pure function of embedded constants, so driver, executors, and the
+pandas oracle all reconstruct identical tables — the Spark-side pattern
+is still "model built once per executor process and reused across Arrow
+batches" (the analogue of the reference loading a vLLM model once per
+chunk, reference: src/bespokelabs/curator/request_processor/offline/
+vllm_offline_request_processor.py:43-54).
 
-Scoring is exposed both per-string and vectorized over a pandas Series;
-the vectorized path is what runs inside `mapInPandas`.
+Execution is batch-vectorized end to end (no per-row Python beyond a
+final mask): every text in the Arrow batch is concatenated with sentinel
+separators, codepoints map through a LUT to a compact alphabet, char
+trigram ids index one (A³, n_langs) log-prob matrix, and per-text sums
+come from one np.add.reduceat. Trigrams containing the sentinel index
+have all-zero rows, so cross-text windows contribute nothing. Unseen
+trigrams (including any containing out-of-alphabet chars) score the
+add-one floor — exactly the semantics of a dict-with-default lookup.
 """
 
 from __future__ import annotations
@@ -26,60 +33,105 @@ from .corpus import LANGS, training_corpus
 _ORDER = 3
 _MIN_CHARS = 12  # below this, classification is unreliable → ("und", 0.0)
 UNKNOWN = "und"
+_SENTINEL = "\x01"  # separates texts in the concatenated batch
+_SHARPEN = 8.0      # mean-logprob gaps are small; sharpen before softmax
 
 
-def _trigrams(text: str):
-    t = f"  {text.lower()}  "
-    return (t[i : i + _ORDER] for i in range(len(t) - _ORDER + 1))
+def _codes_lut(alphabet: list[str], sentinel_idx: int) -> np.ndarray:
+    """codepoint → alphabet index LUT (0 = out-of-alphabet).
+
+    Size 0x10001: astral codepoints clamp to the extra slot, which stays
+    0 (OOV) — one np.minimum instead of a where + astype pass."""
+    lut = np.zeros(0x10001, dtype=np.int32)
+    for i, ch in enumerate(alphabet, start=1):
+        cp = ord(ch)
+        if cp < 0x10000:
+            lut[cp] = i
+    lut[ord(_SENTINEL)] = sentinel_idx
+    return lut
+
+
+def _text_codes(joined: str, lut: np.ndarray) -> np.ndarray:
+    cps = np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32)
+    return lut[np.minimum(cps, np.uint32(0x10000))]
+
+
+def _trigram_ids(codes: np.ndarray, A: int) -> np.ndarray:
+    ids = codes[:-2] * np.int32(A * A)
+    ids += codes[1:-1] * np.int32(A)
+    ids += codes[2:]
+    return ids
 
 
 class LangIdModel:
-    """Char-trigram NB profiles: lang -> {trigram: logprob}, plus a
-    per-lang unseen-trigram floor."""
+    """Trigram NB as one dense (A³, L) float64 log-prob matrix."""
 
     def __init__(self) -> None:
-        self.logprob: dict[str, dict[str, float]] = {}
-        self.floor: dict[str, float] = {}
-        for lang in LANGS:
-            counts: dict[str, int] = {}
-            for g in _trigrams(training_corpus(lang)):
-                counts[g] = counts.get(g, 0) + 1
-            total = sum(counts.values())
-            vocab = len(counts) + 1
+        corpora = {lang: f"  {training_corpus(lang).lower()}  " for lang in LANGS}
+        chars = sorted(set("".join(corpora.values())))
+        # index 0 = OOV, 1..len(chars) = alphabet, last = sentinel
+        self._A = len(chars) + 2
+        self._sent = self._A - 1
+        self._lut = _codes_lut(chars, self._sent)
+        A = self._A
+        M = np.zeros((A * A * A, len(LANGS)), dtype=np.float64)
+        for li, lang in enumerate(LANGS):
+            codes = _text_codes(corpora[lang], self._lut)
+            ids = _trigram_ids(codes, A)
+            counts = np.bincount(ids, minlength=A * A * A)
+            total = int(counts.sum())
+            vocab = int((counts > 0).sum()) + 1
             denom = math.log(total + vocab)
-            self.logprob[lang] = {
-                g: math.log(c + 1) - denom for g, c in counts.items()
-            }
-            self.floor[lang] = -denom  # log(1/(total+vocab)) = add-one unseen mass
-
-    def classify(self, text: str) -> tuple[str, float]:
-        """Return (lang, confidence). confidence = posterior of best lang
-        under a uniform prior over LANGS, normalized per-trigram."""
-        if text is None or len(text.strip()) < _MIN_CHARS:
-            return (UNKNOWN, 0.0)
-        grams = list(_trigrams(text.strip()))
-        if not grams:
-            return (UNKNOWN, 0.0)
-        n = len(grams)
-        scores = np.empty(len(LANGS))
-        for i, lang in enumerate(LANGS):
-            lp, fl = self.logprob[lang], self.floor[lang]
-            scores[i] = sum(lp.get(g, fl) for g in grams) / n
-        # softmax over per-trigram mean logprobs -> calibrated-ish confidence
-        scores = scores * 8.0  # sharpen: mean-logprob gaps are small
-        m = scores.max()
-        p = np.exp(scores - m)
-        p /= p.sum()
-        best = int(p.argmax())
-        return (LANGS[best], float(round(p[best], 6)))
+            col = np.full(A * A * A, -denom)            # add-one floor
+            seen = counts > 0
+            col[seen] = np.log(counts[seen] + 1) - denom
+            M[:, li] = col
+        # zero every row whose trigram touches the sentinel
+        idx = np.arange(A * A * A)
+        touches = ((idx // (A * A) == self._sent)
+                   | ((idx // A) % A == self._sent)
+                   | (idx % A == self._sent))
+        M[touches] = 0.0
+        # contiguous per-language columns: 1-D gathers are ~20× faster
+        # than row-gathering the 2-D matrix
+        self._Mcols = [np.ascontiguousarray(M[:, i]) for i in range(len(LANGS))]
 
     def classify_series(self, s: pd.Series) -> tuple[pd.Series, pd.Series]:
-        """Vectorized over a pandas Series (one Python call per Arrow
-        batch, not per Spark row)."""
-        out = [self.classify(t if isinstance(t, str) else "") for t in s]
-        langs = pd.Series([o[0] for o in out], index=s.index, dtype="object")
-        confs = pd.Series([o[1] for o in out], index=s.index, dtype="float64")
-        return langs, confs
+        """Vectorized over a pandas Series — one numpy pass per batch."""
+        stripped = [t.strip() if isinstance(t, str) else "" for t in s]
+        padded = [f"  {t.lower()}  " for t in stripped]
+        if not padded:
+            return (pd.Series([], index=s.index, dtype="object"),
+                    pd.Series([], index=s.index, dtype="float64"))
+        joined = (_SENTINEL * 2).join(padded)
+        codes = _text_codes(joined, self._lut)
+        ids = _trigram_ids(codes, self._A)
+        lens = np.array([len(p) for p in padded], dtype=np.int64)
+        starts = np.zeros(len(padded), dtype=np.int64)
+        np.cumsum(lens[:-1] + 2, out=starts[1:])  # +2 sentinel chars
+        n_grams = lens - 2
+        starts = np.minimum(starts, len(ids) - 1)
+        sums = np.empty((len(padded), len(LANGS)))
+        for li, col in enumerate(self._Mcols):
+            sums[:, li] = np.add.reduceat(col[ids], starts)
+        mean = sums / n_grams[:, None]
+        z = mean * _SHARPEN
+        z -= z.max(axis=1, keepdims=True)
+        p = np.exp(z)
+        p /= p.sum(axis=1, keepdims=True)
+        best = p.argmax(axis=1)
+        conf = np.round(p[np.arange(len(best)), best], 6)
+        langs = np.array(LANGS, dtype=object)[best]
+        short = np.array([len(t) < _MIN_CHARS for t in stripped])
+        langs[short] = UNKNOWN
+        conf[short] = 0.0
+        return (pd.Series(langs, index=s.index, dtype="object"),
+                pd.Series(conf, index=s.index, dtype="float64"))
+
+    def classify(self, text: str) -> tuple[str, float]:
+        """Single-string convenience wrapper over the batch path."""
+        lang, conf = self.classify_series(pd.Series([text]))
+        return (lang.iloc[0], float(conf.iloc[0]))
 
 
 @lru_cache(maxsize=1)

@@ -38,10 +38,14 @@ SCRUB_PATTERNS: list[tuple[str, str, str]] = [
     ("pii_phone", r"\b\+?1?[-. ]?\(?[0-9]{3}\)?[-. ][0-9]{3}[-. ][0-9]{4}\b", "<PHONE>"),
     ("pii_apikey", r"\b(?:sk-[A-Za-z0-9]{16,}|AKIA[0-9A-Z]{16})\b", "<APIKEY>"),
     ("pii_ipv4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
-    ("tox_slur", r"(?i)\b(?:" + "|".join(SLUR_LEXICON) + r")\b", "<SLUR>"),
+    # (?i: ) scoped flag so the pattern stays embeddable in _ANY_SCRUB
+    ("tox_slur", r"\b(?i:" + "|".join(SLUR_LEXICON) + r")\b", "<SLUR>"),
 ]
 
 _COMPILED = [(name, re.compile(pat), repl) for name, pat, repl in SCRUB_PATTERNS]
+# one alternation over all patterns: rows that don't match it need no
+# per-pattern work at all (the common case in a clean corpus)
+_ANY_SCRUB = re.compile("|".join(f"(?:{pat})" for _, pat, _ in SCRUB_PATTERNS))
 SCRUB_FLAG_NAMES = [name for name, _, _ in SCRUB_PATTERNS]
 
 
@@ -50,14 +54,22 @@ def scrub_series(text: pd.Series) -> tuple[pd.Series, pd.DataFrame]:
 
     Returns (scrubbed_text, flags_df) where flags_df has one boolean
     column per SCRUB_FLAG_NAMES entry (True = pattern fired in that row).
+    One combined-alternation pass finds candidate rows; the sequential
+    per-pattern detect+replace (order-sensitive!) runs only on those.
     """
     s = text.fillna("").astype("object").astype("string")
-    flags = {}
-    for name, rx, repl in _COMPILED:
-        hit = s.str.contains(rx, regex=True)
-        flags[name] = hit.fillna(False).astype(bool)
-        s = s.str.replace(rx, repl, regex=True)
-    return s.astype("object").fillna(""), pd.DataFrame(flags, index=text.index)
+    cand = s.str.contains(_ANY_SCRUB, regex=True).fillna(False).astype(bool)
+    flags = pd.DataFrame(False, index=text.index,
+                         columns=SCRUB_FLAG_NAMES)
+    out = s.astype("object").fillna("")
+    if cand.any():
+        sub = s[cand]
+        for name, rx, repl in _COMPILED:
+            hit = sub.str.contains(rx, regex=True)
+            flags.loc[cand, name] = hit.fillna(False).astype(bool).to_numpy()
+            sub = sub.str.replace(rx, repl, regex=True)
+        out.loc[cand] = sub.astype("object")
+    return out, flags
 
 
 # --------------------------------------------------------------------------
@@ -120,10 +132,20 @@ def heuristic_flags(text: pd.Series, lang: pd.Series,
     word_chars = (n_chars - space_chars).astype("float64")
     mean_word_len = word_chars / n_words.clip(lower=1)
 
-    dup_frac = pd.Series([_dup_line_frac(t) for t in s.fillna("")],
-                         index=s.index, dtype="float64")
-    stop_frac = pd.Series([_stopword_frac(t) for t in s.fillna("")],
-                          index=s.index, dtype="float64")
+    # dup-line fraction: only multi-line texts can violate — loop over
+    # just those (a few % of rows); everything else is 0 by definition
+    dup_frac = pd.Series(0.0, index=s.index, dtype="float64")
+    multiline = s.str.contains("\n", regex=False).fillna(False).astype(bool)
+    if multiline.any():
+        dup_frac.loc[multiline] = [
+            _dup_line_frac(t) for t in s[multiline]]
+
+    # stopword fraction, vectorized: explode words → strip punctuation →
+    # set membership → per-row mean (identical to the per-row loop)
+    ex = s.str.lower().str.split().explode()
+    hit = ex.str.strip(".,!?;:").isin(EN_STOPWORDS)
+    stop_frac = hit.groupby(level=0).mean().reindex(s.index).fillna(0.0) \
+        .astype("float64")
 
     out = pd.DataFrame(index=text.index)
     out["too_short"] = (n_words < MIN_WORDS).to_numpy(dtype=bool)
