@@ -2,14 +2,14 @@
 
 Spark-first re-expression of the reference's per-row curation lifecycle
 (reference: src/bespokelabs/curator/llm/llm.py:165-239 +
-request_processor/*): scan → vectorized scoring (mapInPandas, models
-loaded once per Python worker) → conversation-level aggregates via
-SALTED two-phase groupBy (defuses 10^3–10^6-turn conversation skew) →
-join aggregates back to turns → keep/scrub columns.
+request_processor/*): scan → vectorized scoring (scalar pandas UDF,
+models loaded once per Python worker) → conversation-level aggregates
+via SALTED multi-phase groupBy (defuses 10^3–10^6-turn conversation
+skew) → join aggregates back to turns → keep/scrub columns.
 
 Scale notes (100 TB design point):
-* Scoring is a narrow map — no shuffle; Arrow batches; zero per-row
-  Python at the Spark level.
+* Scoring is a narrow map — no shuffle; only the text column crosses
+  the Arrow boundary; zero per-row Python at the Spark level.
 * All conversation-level state flows through ONE salted partial
   aggregation + one compact final aggregation; the per-conv aggregate
   table is ~1/avg_turns the size of the input.
@@ -23,7 +23,6 @@ Scale notes (100 TB design point):
 
 from __future__ import annotations
 
-from typing import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
@@ -33,28 +32,27 @@ from . import rules, schema, scoring
 SALT_BUCKETS = 16  # salt cardinality for the two-phase aggregation
 
 
+_SCORE_STRUCT = schema.T.StructType(schema.SCORED_EXTRA_FIELDS)
+
+
+@F.pandas_udf(_SCORE_STRUCT)
+def _score_udf(text: pd.Series) -> pd.DataFrame:
+    return scoring.score_text_series(text)
+
+
 def score_turns(df: DataFrame) -> DataFrame:
     """Per-turn scoring: langid, perplexity, scrub, heuristic rules.
 
-    mapInPandas over Arrow batches; the models are executor-process
-    singletons (lru_cache in curator_spark.models.*) — the Spark analogue
-    of the reference loading the vLLM model once per chunk (reference:
+    A scalar Arrow-batched pandas UDF over ONLY the text column — every
+    other column (ids, timestamps, tool payloads) stays JVM-side and
+    never pays Arrow serialization; Catalyst column pruning through the
+    plan is preserved. The models are executor-process singletons
+    (lru_cache in curator_spark.models.*) — the Spark analogue of the
+    reference loading the vLLM model once per chunk (reference:
     vllm_offline_request_processor.py:43-54).
     """
-    in_cols = df.columns
-    out_schema = schema.SCORED_SCHEMA if "part" in in_cols else _drop_field(
-        schema.SCORED_SCHEMA, "part")
-
-    def score_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            yield scoring.score_turn_batch(pdf)
-
-    return df.mapInPandas(score_batches, schema=out_schema)
-
-
-def _drop_field(st, name):
-    from pyspark.sql import types as T
-    return T.StructType([f for f in st.fields if f.name != name])
+    return df.withColumn("_s", _score_udf(F.col("text"))).select(
+        *df.columns, "_s.*")
 
 
 def conversation_aggregates(scored: DataFrame) -> DataFrame:

@@ -33,13 +33,15 @@ SCORE_COLUMNS = [
 ]
 
 
-def score_turn_batch(pdf: pd.DataFrame) -> pd.DataFrame:
-    """Append per-turn score columns to a batch of transcript rows.
+def score_text_series(text: pd.Series) -> pd.DataFrame:
+    """Score a batch of turn texts → DataFrame with SCORE_COLUMNS.
 
     Pure function of the `text` column only — no cross-row state — so
     results are invariant to Spark partitioning/batching (SURVEY.md §7).
+    This exact function body runs as the Spark scalar pandas UDF (only
+    the text column crosses the Arrow boundary; every other column stays
+    JVM-side) AND inside the pandas oracle.
     """
-    text = pdf["text"]
     lang_model = langid.get_model()
     lm = ngram_lm.get_model()
 
@@ -48,7 +50,7 @@ def score_turn_batch(pdf: pd.DataFrame) -> pd.DataFrame:
     scrubbed, scrub_flags = rules.scrub_series(text)
     heur = rules.heuristic_flags(text, lang, ppl)
 
-    out = pdf.copy()
+    out = pd.DataFrame(index=text.index)
     out["lang"] = lang
     out["lang_conf"] = lang_conf
     out["ppl"] = ppl
@@ -59,4 +61,14 @@ def score_turn_batch(pdf: pd.DataFrame) -> pd.DataFrame:
         text.fillna("").astype("object").astype("string").str.split().str.len()
         .fillna(0).astype("int64")
     )
+    return out
+
+
+def score_turn_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Append per-turn score columns to a batch of transcript rows
+    (the pandas-oracle / whole-row entrypoint)."""
+    out = pdf.copy()
+    scores = score_text_series(pdf["text"])
+    for col, _ in SCORE_COLUMNS:
+        out[col] = scores[col]
     return out
