@@ -23,10 +23,29 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, functions as F
 
 N_HASHES = 16
-N_BANDS = 4
+# 8 bands × 2 rows: candidate threshold ≈ (1/b)^(1/r) ≈ 0.35 — tuned for
+# recall (candidates are verified by exact Jaccard downstream, so false
+# positives cost a check, false negatives cost a missed duplicate)
+N_BANDS = 8
 ROWS_PER_BAND = N_HASHES // N_BANDS
 SIMHASH_BITS = 16
 HIGH_HEX = ("8", "9", "a", "b", "c", "d", "e", "f")
+
+# MinHash family: h_i(s) = (A_i·x + B_i) mod P with x = md5_48(s) mod P.
+# One md5 per shingle; the 16 permutations are integer arithmetic that
+# both Spark and DuckDB evaluate identically (all values < 2^62, no
+# overflow). P = 2^31 - 1 (Mersenne prime). Coefficients are fixed
+# literals (random.Random(20240614) draws) — part of the operator's
+# definition, mirrored into the oracle SQL from these constants.
+MINHASH_P = 2_147_483_647
+MINHASH_COEFFS: list[tuple[int, int]] = [
+    (966054304, 908929092), (1422436999, 1497291263), (524581873, 653160994),
+    (185178803, 2075590218), (182605160, 1813232178), (1993014393, 174311505),
+    (2101706648, 1657525197), (1702305435, 1430015699), (612551836, 1228398721),
+    (1797913061, 366283388), (1972218843, 1991121551), (1478414515, 797174017),
+    (238230001, 1637454209), (159996282, 2042650189), (163579317, 236680677),
+    (628748253, 1757167496),
+]
 
 
 def tokens_expr(text_col: str = "text") -> Column:
@@ -72,25 +91,37 @@ def minhash_bands(docs: DataFrame, text_col: str = "text",
                   n_hashes: int = N_HASHES, n_bands: int = N_BANDS) -> DataFrame:
     """Per-(doc, band) LSH key.
 
-    MinHash h_i(doc) = min over shingles of md5(f"{i:02d}:{shingle}");
-    band key = md5 of the band's minhashes concatenated in seed order
-    (sort_array makes collect_list deterministic). Two groupBys, both on
-    uniformly-hashed keys — no skew at any corpus size."""
+    One md5 per shingle; the n_hashes permutations are affine maps
+    (MINHASH_COEFFS) of the 48-bit hash mod P — computed as plain
+    columns, so the whole signature is ONE groupBy with n_hashes min()
+    aggregates (map-side combined; no seed explode, no collect_list).
+    Band key = md5 over the band's minhashes in seed order. Uniform
+    keys — no skew at any corpus size."""
     sh = doc_shingles(docs, text_col, id_col, n)
-    seeds = F.explode(F.sequence(F.lit(0), F.lit(n_hashes - 1))).alias("seed")
-    hashed = sh.select(id_col, "shingle", seeds).select(
-        id_col, "seed",
-        F.md5(F.concat(F.lpad(F.col("seed").cast("string"), 2, "0"),
-                       F.lit(":"), F.col("shingle"))).alias("h"),
+    x = (F.conv(F.substring(F.md5(F.col("shingle")), 1, 12), 16, 10)
+         .cast("long") % MINHASH_P)
+    hashed = sh.select(
+        id_col,
+        *[((F.lit(a) * x + F.lit(b)) % MINHASH_P).alias(f"h{i}")
+          for i, (a, b) in enumerate(MINHASH_COEFFS[:n_hashes])],
     )
-    sig = hashed.groupBy(id_col, "seed").agg(F.min("h").alias("mh"))
+    sig = hashed.groupBy(id_col).agg(
+        *[F.min(f"h{i}").alias(f"m{i}") for i in range(n_hashes)])
     rows_per_band = n_hashes // n_bands
+    bands = [
+        F.struct(
+            F.lit(band).alias("band"),
+            F.md5(F.concat_ws("-", *[
+                F.col(f"m{i}").cast("string")
+                for i in range(band * rows_per_band, (band + 1) * rows_per_band)
+            ])).alias("band_key"),
+        )
+        for band in range(n_bands)
+    ]
     return (
-        sig.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
-        .groupBy(id_col, "band")
-        .agg(F.md5(F.concat_ws("", F.sort_array(F.collect_list(
-            F.concat(F.lpad(F.col("seed").cast("string"), 2, "0"), F.col("mh"))
-        )))).alias("band_key"))
+        sig.select(id_col, F.explode(F.array(*bands)).alias("bk"))
+        .select(id_col, F.col("bk.band").alias("band"),
+                F.col("bk.band_key").alias("band_key"))
     )
 
 

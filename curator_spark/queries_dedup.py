@@ -84,19 +84,32 @@ _JACCARD_SQL = f"""
     WHERE n_inter * 1.0 / (sa.sz + sb.sz - n_inter) >= {JACCARD_THRESHOLD}
 """
 
+# mirror of dedup.minhash_bands: one md5 per shingle, affine permutations
+_MH_COLS = ",\n               ".join(
+    f"min(({a} * x + {b}) % {dedup.MINHASH_P}) AS m{i}"
+    for i, (a, b) in enumerate(dedup.MINHASH_COEFFS))
+_MH_BANDS = "\n        UNION ALL\n".join(
+    "        SELECT doc_id, {band} AS band, md5({key}) AS band_key FROM sig".format(
+        band=band,
+        key=" || '-' || ".join(
+            f"m{i}::VARCHAR"
+            for i in range(band * dedup.ROWS_PER_BAND,
+                           (band + 1) * dedup.ROWS_PER_BAND)))
+    for band in range(dedup.N_BANDS))
 _MINHASH_SQL = f"""
     WITH sh AS ({_SHINGLES}),
     hashed AS (
-        SELECT doc_id, seed,
-               md5(lpad(seed::VARCHAR, 2, '0') || ':' || shingle) AS h
-        FROM sh, (SELECT unnest(range(0, {dedup.N_HASHES})) AS seed)
+        SELECT doc_id,
+               ('0x' || substr(md5(shingle), 1, 12))::BIGINT % {dedup.MINHASH_P} AS x
+        FROM sh
     ),
-    sig AS (SELECT doc_id, seed, min(h) AS mh FROM hashed GROUP BY doc_id, seed),
+    sig AS (
+        SELECT doc_id,
+               {_MH_COLS}
+        FROM hashed GROUP BY doc_id
+    ),
     bands AS (
-        SELECT doc_id, CAST(seed // {dedup.ROWS_PER_BAND} AS INTEGER) AS band,
-               md5(string_agg(lpad(seed::VARCHAR, 2, '0') || mh, '' ORDER BY seed))
-                   AS band_key
-        FROM sig GROUP BY doc_id, CAST(seed // {dedup.ROWS_PER_BAND} AS INTEGER)
+{_MH_BANDS}
     )
     SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
     FROM bands a JOIN bands b

@@ -1,0 +1,71 @@
+"""Physical-plan assertions: the optimizations we design for must
+actually appear in the executed plan, not just in docstrings.
+
+Checks predicate pushdown, column pruning (including THROUGH the
+scoring UDF), broadcast joins for dims, partial (map-side) aggregation,
+and partition-pruning-style filters for resume.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from curator_spark import queries
+from curator_spark.pipeline import score_turns
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q02_filter_pushdown_and_pruning(spark):
+    plan = plan_of(queries.q02_revenue_filter(spark, SF))
+    assert "PushedFilters: [" in plan
+    assert "GreaterThanOrEqual(l_shipdate" in plan or "l_shipdate" in plan.split(
+        "PushedFilters")[1][:300]
+    read = plan.split("ReadSchema: ")[1].split("\n")[0]
+    # 4 needed columns only — not the 11-column table
+    for col in ("l_shipdate", "l_discount", "l_quantity", "l_extendedprice"):
+        assert col in read
+    assert "l_returnflag" not in read and "l_orderkey" not in read
+
+
+def test_q03_broadcasts_dimensions(spark):
+    plan = plan_of(queries.q03_revenue_by_nation(spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 3  # customer, nation, region
+
+
+def test_q01_partial_aggregation(spark):
+    plan = plan_of(queries.q01_pricing_summary(spark, SF))
+    # two-phase hash aggregate: partial_ then final merge
+    assert "partial_" in plan or plan.count("HashAggregate") >= 2
+
+
+def test_pruning_through_scoring_udf(spark):
+    df = spark.read.parquet(f"{SF}/documents.parquet")
+    from curator_spark.ingest import docs_to_transcripts
+    t = docs_to_transcripts(df)
+    pruned = score_turns(t).select("conv_id", "ppl")
+    plan = plan_of(pruned)
+    read = plan.split("ReadSchema: ")[1].split("\n")[0]
+    # the scan reads only what the projection + UDF need
+    assert "text" in read and "doc_id" in read
+    assert "lang" not in read and "source" not in read
+
+
+def test_resume_filter_reaches_scan(spark, transcripts_path):
+    from pyspark.sql import functions as F
+
+    from curator_spark import schema
+    t = spark.read.schema(schema.TRANSCRIPTS_SCHEMA).parquet(transcripts_path)
+    pending = t.filter(F.col("part").isin([0, 1]))
+    plan = plan_of(pending)
+    assert "PushedFilters" in plan and "In(part" in plan
+
+
+def test_anti_join_stays_join_not_cartesian(spark):
+    plan = plan_of(queries.q06_customers_without_orders(spark, SF))
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
