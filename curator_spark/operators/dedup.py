@@ -171,6 +171,41 @@ def jaccard_pairs(docs: DataFrame, text_col: str = "text",
     )
 
 
+def dedup_decisions(docs: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", n: int = 3,
+                    threshold: float = 0.5) -> DataFrame:
+    """End-to-end dedup decision per document: exact → LSH candidates →
+    exact-Jaccard verify → keep.
+
+    A document is dropped when (a) it is a non-canonical exact duplicate
+    (same md5, higher id), or (b) it has a verified near-duplicate with
+    a smaller id among the LSH candidate pairs ("keep first" — the
+    standard linear-time approximation of clustering; transitive-closure
+    dedup would need iterative connected components).
+
+    Scale shape: every stage is a bounded equi-join on uniform keys —
+    content hash, band key, shingle — never an n² comparison; the
+    Jaccard verify runs only on LSH candidates.
+    """
+    hashed = docs.select(id_col, F.md5(F.col(text_col)).alias("h"))
+    canon = hashed.groupBy("h").agg(F.min(id_col).alias("canonical_id"))
+    exact_drop = (hashed.join(canon, "h")
+                  .filter(F.col(id_col) != F.col("canonical_id"))
+                  .select(F.col(id_col).alias("drop_id")))
+
+    cands = lsh_candidate_pairs(docs, text_col, id_col, n)
+    verified = jaccard_pairs(docs, text_col, id_col, n, threshold)
+    near_drop = (cands.join(verified, ["id_a", "id_b"])
+                 .select(F.col("id_b").alias("drop_id")))
+
+    drops = exact_drop.unionByName(near_drop).distinct()
+    return (
+        docs.select(id_col)
+        .join(drops, F.col(id_col) == F.col("drop_id"), "left")
+        .select(id_col, F.col("drop_id").isNull().alias("keep_dedup"))
+    )
+
+
 def simhash(docs: DataFrame, text_col: str = "text",
             id_col: str = "doc_id", bits: int = SIMHASH_BITS) -> DataFrame:
     """SimHash signature as a `bits`-char bitstring.

@@ -93,6 +93,40 @@ def signbucket_ann(emb: DataFrame, query_vec_id: int, k: int = 5,
     )
 
 
+def write_bucketed(emb: DataFrame, path: str, vec_col: str = "embedding",
+                   n_bits: int = N_SIGN_BITS) -> None:
+    """Materialize the corpus partitioned by sign bucket — the 100 TB
+    layout: an ANN probe then reads exactly one partition directory."""
+    (emb.withColumn("bucket", sign_bucket_expr(vec_col, n_bits))
+     .write.mode("overwrite").partitionBy("bucket").parquet(path))
+
+
+def signbucket_ann_pruned(spark, bucketed_path: str, query_vec,
+                          k: int = 5, id_col: str = "vec_id",
+                          vec_col: str = "embedding") -> DataFrame:
+    """ANN probe against a bucket-partitioned corpus: the bucket filter
+    becomes PartitionFilters at the scan (asserted in test_plans-style
+    tests) — the corpus outside the probe bucket is never read.
+
+    query_vec: python list[float] — the query arrives as a literal, so
+    its bucket is computable driver-side and prunes statically."""
+    qb = "".join("1" if x >= 0 else "0" for x in query_vec[:N_SIGN_BITS])
+    qv = [float(x) for x in query_vec]
+    qn = sum(x * x for x in qv) ** 0.5
+    base = spark.read.parquet(bucketed_path).filter(F.col("bucket") == qb)
+    base = with_norm(base, vec_col)
+    dot = F.aggregate(
+        F.zip_with(F.col("v"), F.array(*[F.lit(x) for x in qv]),
+                   lambda x, y: x * y),
+        F.lit(0.0), lambda acc, x: acc + x)
+    return (
+        base.withColumn("cos_sim", F.round(dot / (F.col("nrm") * F.lit(qn)), 6))
+        .select(id_col, "bucket", "cos_sim")
+        .orderBy(F.col("cos_sim").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
 def embedding_neardup_pairs(emb: DataFrame, threshold: float = 0.8,
                             id_col: str = "vec_id",
                             vec_col: str = "embedding") -> DataFrame:

@@ -54,6 +54,11 @@ def q23_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                                               threshold=NEARDUP_COS)
 
 
+def q24_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.dedup_decisions(_docs(spark, sf_dir), n=JACCARD_N,
+                                 threshold=JACCARD_THRESHOLD)
+
+
 # ---------------------------------------------------------------------------
 # Oracle SQL
 # ---------------------------------------------------------------------------
@@ -187,6 +192,23 @@ _NEARDUP_SQL = f"""
     ) WHERE cos_sim >= {NEARDUP_COS}
 """
 
+_DEDUP_PIPELINE_SQL = f"""
+    WITH cands AS ({_MINHASH_SQL}),
+    jac AS ({_JACCARD_SQL}),
+    hashed AS (SELECT doc_id, md5(text) AS h FROM documents),
+    canon AS (SELECT h, min(doc_id) AS canonical_id FROM hashed GROUP BY h),
+    drops AS (
+        SELECT hashed.doc_id AS drop_id
+        FROM hashed JOIN canon ON hashed.h = canon.h
+        WHERE hashed.doc_id <> canon.canonical_id
+        UNION
+        SELECT jac.id_b AS drop_id
+        FROM cands JOIN jac ON cands.id_a = jac.id_a AND cands.id_b = jac.id_b
+    )
+    SELECT doc_id, drop_id IS NULL AS keep_dedup
+    FROM documents LEFT JOIN drops ON doc_id = drop_id
+"""
+
 ORACLES: dict[str, str] = {
     "q18_jaccard_pairs": _JACCARD_SQL,
     "q19_minhash_lsh": _MINHASH_SQL,
@@ -194,6 +216,7 @@ ORACLES: dict[str, str] = {
     "q21_cosine_topk": _COSINE_TOPK_SQL,
     "q22_signbucket_ann": _SIGNBUCKET_SQL,
     "q23_embedding_neardup": _NEARDUP_SQL,
+    "q24_dedup_pipeline": _DEDUP_PIPELINE_SQL,
 }
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -203,4 +226,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q21_cosine_topk": q21_cosine_topk,
     "q22_signbucket_ann": q22_signbucket_ann,
     "q23_embedding_neardup": q23_embedding_neardup,
+    "q24_dedup_pipeline": q24_dedup_pipeline,
 }

@@ -120,3 +120,29 @@ def test_docs_to_transcripts_shape(spark):
     # deterministic: second invocation byte-identical
     t2 = docs_to_transcripts(docs).orderBy("conv_id", "turn_idx").collect()
     assert t == t2
+
+
+def test_bucketed_ann_partition_pruning(spark, emb_df, tmp_path):
+    """The bucket filter must reach the scan as a PartitionFilter, and
+    the pruned probe must agree with the unpartitioned bucketed ANN."""
+    path = str(tmp_path / "emb_bucketed")
+    similarity.write_bucketed(emb_df, path)
+    qvec = emb_df.filter("vec_id = 0").collect()[0].embedding
+    pruned = similarity.signbucket_ann_pruned(spark, path, qvec, k=5)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(bucket" in plan \
+        or "PartitionFilters: [" in plan and "bucket" in plan.split(
+            "PartitionFilters")[1][:120]
+    got = [(r.vec_id, r.cos_sim) for r in pruned.collect()]
+    want = [(r.vec_id, r.cos_sim)
+            for r in similarity.signbucket_ann(emb_df, 0, k=5).collect()]
+    assert got == want
+
+
+def test_dedup_decisions_end_to_end(docs_df):
+    out = {r.doc_id: r.keep_dedup
+           for r in dedup.dedup_decisions(docs_df, n=3, threshold=0.5).collect()}
+    assert out[0] is True    # canonical of the exact-dup pair
+    assert out[3] is False   # exact dup of 0 → dropped
+    assert out[1] is False   # near-dup of 0 (higher id) → dropped
+    assert out[2] is True and out[4] is True  # unique docs kept
