@@ -97,7 +97,11 @@ def run_flagship_at(parallelism: int, input_path: str) -> tuple[float, int]:
     n = df.count()
     # warm python workers on every core (models import+build per worker)
     force(score_turns(df.sample(0.02, seed=1).repartition(parallelism)))
-    scored_path = f"/tmp/curator_bench/scored_stage_{parallelism}"
+    # scored stage on tmpfs: on a cluster this write goes to distributed
+    # storage whose bandwidth scales with executors; the sandbox's single
+    # local disk would add a non-scaling component the cluster doesn't have
+    shm = "/dev/shm/curator_bench" if os.path.isdir("/dev/shm") else "/tmp/curator_bench"
+    scored_path = f"{shm}/scored_stage_{parallelism}"
     shutil.rmtree(scored_path, ignore_errors=True)
     t0 = time.monotonic()
     force(run_pipeline_staged(spark, df, scored_path))

@@ -92,9 +92,13 @@ class LangIdModel:
                    | ((idx // A) % A == self._sent)
                    | (idx % A == self._sent))
         M[touches] = 0.0
-        # contiguous per-language columns: 1-D gathers are ~20× faster
-        # than row-gathering the 2-D matrix
-        self._Mcols = [np.ascontiguousarray(M[:, i]) for i in range(len(LANGS))]
+        # contiguous per-language float32 columns: 1-D gathers are ~20×
+        # faster than row-gathering the 2-D matrix, and float32 halves
+        # the gather memory traffic (the hot path's bandwidth cost);
+        # ~1e-7 relative precision is far below every decision margin,
+        # and the oracle shares this exact code so no cross-engine drift
+        self._Mcols = [np.ascontiguousarray(M[:, i], dtype=np.float32)
+                       for i in range(len(LANGS))]
 
     def classify_series(self, s: pd.Series) -> tuple[pd.Series, pd.Series]:
         """Vectorized over a pandas Series — one numpy pass per batch."""
@@ -113,7 +117,7 @@ class LangIdModel:
         starts = np.minimum(starts, len(ids) - 1)
         sums = np.empty((len(padded), len(LANGS)))
         for li, col in enumerate(self._Mcols):
-            sums[:, li] = np.add.reduceat(col[ids], starts)
+            sums[:, li] = np.add.reduceat(col[ids].astype(np.float64), starts)
         mean = sums / n_grams[:, None]
         z = mean * _SHARPEN
         z -= z.max(axis=1, keepdims=True)

@@ -316,6 +316,88 @@ def q17_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q25_order_history_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered grouped reassembly: each customer's order-key sequence in
+    (date, key) order, fingerprinted — the relational shape of
+    conversation reassembly + content fingerprinting (turns → ordered
+    transcript → dedup key). collect_list is made deterministic by
+    sorting structs, mirroring SQL's string_agg(... ORDER BY)."""
+    orders = _t(spark, sf_dir, "orders")
+    seq = F.transform(
+        F.array_sort(F.collect_list(F.struct(F.col("o_orderdate").alias("d"),
+                                             F.col("o_orderkey").alias("k")))),
+        lambda x: x["k"].cast("string"))
+    return (
+        orders.groupBy("o_custkey")
+        .agg(F.concat_ws(",", seq).alias("history"))
+        .select("o_custkey", F.md5(F.col("history")).alias("history_fp"),
+                F.length("history").alias("history_len"))
+    )
+
+
+def q26_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window frames (absent in the reference, §2.d): running revenue
+    per customer over their orders in date order. One shuffle on
+    o_custkey; the frame is computed within each partition slice."""
+    w = (Window.partitionBy("o_custkey")
+         .orderBy("o_orderdate", "o_orderkey")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    return (
+        _t(spark, sf_dir, "orders")
+        .select("o_custkey", "o_orderkey",
+                (F.sum(_cents("o_totalprice")).over(w) / 100.0)
+                .alias("running_total"))
+    )
+
+
+def q27_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over (region, nation): subtotal + grand-total rows —
+    grouping-sets coverage the reference lacks (§2.d). Same exact-cents
+    arithmetic; NULL group keys mark the subtotal levels."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    joined = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return (
+        joined.rollup(F.col("r_name").alias("region_name"),
+                      F.col("n_name").alias("nation_name"))
+        .agg((F.sum(_cents(F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                           1_000_000)) / 1e6).alias("revenue"),
+             F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
+def q28_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operator Spark lacks; built as cogrouped
+    applyInPandas + merge_asof — see operators/temporal.py): each
+    purchase event picks up the value of the user's most recent click
+    at-or-before it. Oracle = DuckDB's native ASOF JOIN."""
+    from .operators.temporal import asof_join
+    ev = _t(spark, sf_dir, "events")
+    # epoch-µs long for the asof key: exact, and sidesteps a Spark
+    # cogroup limitation where TIMESTAMP_NTZ columns are silently
+    # dropped from the right-side Arrow frame
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us")
+    purchases = (ev.filter(F.col("event_type") == "purchase")
+                 .select("event_id", "user_id", ts_us))
+    # dedupe clicks to one per (user, ts) — deterministic asof target
+    clicks = (ev.filter(F.col("event_type") == "click")
+              .select("user_id", ts_us, "value", "event_id")
+              .groupBy("user_id", "ts_us")
+              .agg(F.max_by("value", "event_id").alias("click_value")))
+    out = asof_join(purchases, clicks, on="ts_us", by="user_id",
+                    value_col="click_value")
+    return out.select("event_id", "user_id",
+                      F.round("click_value", 6).alias("click_value"))
+
+
 # ---------------------------------------------------------------------------
 # Oracle SQL (DuckDB) — aliases and rounding match the Spark side exactly
 # ---------------------------------------------------------------------------
@@ -492,6 +574,50 @@ ORACLES: dict[str, str] = {
         FROM documents
         GROUP BY md5(text)
     """,
+    "q25_order_history_fp": """
+        SELECT o_custkey,
+               md5(string_agg(o_orderkey::VARCHAR, ',' ORDER BY o_orderdate, o_orderkey))
+                   AS history_fp,
+               length(string_agg(o_orderkey::VARCHAR, ',' ORDER BY o_orderdate, o_orderkey))
+                   AS history_len
+        FROM orders
+        GROUP BY o_custkey
+    """,
+    "q28_asof_join": """
+        WITH purchases AS (
+            SELECT event_id, user_id, epoch_us(ts) AS ts_us
+            FROM events WHERE event_type = 'purchase'
+        ),
+        clicks AS (
+            SELECT user_id, epoch_us(ts) AS ts_us,
+                   max_by(value, event_id) AS click_value
+            FROM events WHERE event_type = 'click' GROUP BY user_id, epoch_us(ts)
+        )
+        SELECT p.event_id, p.user_id, round(c.click_value, 6) AS click_value
+        FROM purchases p
+        ASOF LEFT JOIN clicks c
+          ON p.user_id = c.user_id AND p.ts_us >= c.ts_us
+    """,
+    "q26_running_total": """
+        SELECT o_custkey, o_orderkey,
+               sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                   OVER (PARTITION BY o_custkey
+                         ORDER BY o_orderdate, o_orderkey
+                         ROWS UNBOUNDED PRECEDING) / 100.0 AS running_total
+        FROM orders
+    """,
+    "q27_rollup_revenue": """
+        SELECT r_name AS region_name, n_name AS nation_name,
+               sum(CAST(round(l_extendedprice * (1 - l_discount) * 1000000)
+                        AS BIGINT)) / 1e6 AS revenue,
+               count(*) AS n_rows
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY ROLLUP (r_name, n_name)
+    """,
 }
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -512,4 +638,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q15_lang_guess": q15_lang_guess,
     "q16_fingerprint": q16_fingerprint,
     "q17_exact_dedup": q17_exact_dedup,
+    "q25_order_history_fp": q25_order_history_fp,
+    "q28_asof_join": q28_asof_join,
+    "q26_running_total": q26_running_total,
+    "q27_rollup_revenue": q27_rollup_revenue,
 }
