@@ -64,6 +64,9 @@ class NGramLM:
         joined = (_SENTINEL * 2).join(prefixed)
         codes = _text_codes(joined, self._lut)
         ids = _trigram_ids(codes, self._A)
+        if ids.size == 0:  # every text empty → no windows at all
+            return pd.Series([MAX_PPL] * len(texts), index=s.index,
+                             dtype="float64")
         lens = np.array([len(p) for p in prefixed], dtype=np.int64)
         starts = np.zeros(len(prefixed), dtype=np.int64)
         np.cumsum(lens[:-1] + 2, out=starts[1:])

@@ -55,6 +55,50 @@ def score_turns(df: DataFrame) -> DataFrame:
         *df.columns, "_s.*")
 
 
+_SCORE_SAFE_STRUCT = schema.T.StructType(
+    schema.SCORED_EXTRA_FIELDS
+    + [schema.T.StructField("errors", schema.T.StringType(), True)])
+
+
+def score_turns_safe(df: DataFrame, scorer=None) -> DataFrame:
+    """score_turns with the reference's terminal-failure semantics
+    (reference: base_online_request_processor.py:446-462 — after
+    retries, emit an error row instead of data, never kill the run):
+    if a batch throws, re-score row-by-row to isolate the poison rows,
+    which come out with null scores and an `errors` message while every
+    healthy row still produces data.
+
+    `scorer` overrides the batch scoring callable (dependency injection
+    for fault testing; defaults to scoring.score_text_series)."""
+    import traceback
+
+    fn = scorer or scoring.score_text_series
+    null_row = {c: None for c, _ in scoring.SCORE_COLUMNS}
+
+    @F.pandas_udf(_SCORE_SAFE_STRUCT)
+    def _safe_udf(text: pd.Series) -> pd.DataFrame:
+        try:
+            out = fn(text)
+            out["errors"] = None
+            return out
+        except Exception:
+            rows = []
+            for t in text:
+                try:
+                    r = fn(pd.Series([t]))
+                    r["errors"] = None
+                except Exception as e:  # noqa: BLE001 — error-row semantics
+                    r = pd.DataFrame([{**null_row,
+                                       "errors": f"{type(e).__name__}: {e}"}])
+                rows.append(r)
+            out = pd.concat(rows, ignore_index=True)
+            out.index = text.index
+            return out
+
+    return df.withColumn("_s", _safe_udf(F.col("text"))).select(
+        *df.columns, "_s.*")
+
+
 def conversation_aggregates(scored: DataFrame) -> DataFrame:
     """Per-conversation aggregates via salted multi-phase groupBy,
     ONE scan of the scored table, no self-joins.

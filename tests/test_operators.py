@@ -146,3 +146,31 @@ def test_dedup_decisions_end_to_end(docs_df):
     assert out[3] is False   # exact dup of 0 → dropped
     assert out[1] is False   # near-dup of 0 (higher id) → dropped
     assert out[2] is True and out[4] is True  # unique docs kept
+
+
+def test_score_turns_safe_error_rows(spark):
+    """A15 semantics: poison rows become error rows; healthy rows in the
+    same batch still score; the job never fails."""
+    import pandas as pd
+
+    from curator_spark import scoring
+    from curator_spark.pipeline import score_turns_safe
+
+    def poison_scorer(text: pd.Series) -> pd.DataFrame:
+        if text.str.contains("POISON").any():
+            raise RuntimeError("scorer blew up")
+        return scoring.score_text_series(text)
+
+    df = spark.createDataFrame(
+        [("c1", 0, "user", "a perfectly ordinary sentence here"),
+         ("c1", 1, "assistant", "POISON pill in this row"),
+         ("c2", 0, "user", "another healthy row of text")],
+        ["conv_id", "turn_idx", "role", "text"])
+    out = {(r.conv_id, r.turn_idx): r
+           for r in score_turns_safe(df, scorer=poison_scorer).collect()}
+    bad = out[("c1", 1)]
+    assert bad.errors is not None and "scorer blew up" in bad.errors
+    assert bad.lang is None and bad.ppl is None
+    for key in (("c1", 0), ("c2", 0)):
+        r = out[key]
+        assert r.errors is None and r.lang is not None and r.scrubbed_text

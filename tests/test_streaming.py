@@ -58,3 +58,43 @@ def test_stream_resume_no_reemit(spark, stream_dirs):
                            stream_dirs["ckpt"], available_now=True)
     q.awaitTermination(120)
     assert spark.read.parquet(stream_dirs["out"]).count() == n_before + len(extra)
+
+
+def test_stateful_conv_aggregates_across_batches(spark, tmp_path):
+    """A conversation split across two micro-batches must accumulate
+    into one state row; the final update equals the batch aggregate."""
+    import pandas as pd
+
+    from curator_spark.streaming.stateful import conv_aggregates_stateful
+    src = tmp_path / "src"
+    src.mkdir()
+    pdf = fixtures.generate_transcripts(600, seed=33, n_parts=4)
+    big_conv = pdf["conv_id"].value_counts().idxmax()
+    conv_rows = pdf[pdf.conv_id == big_conv]
+    assert len(conv_rows) >= 4
+    half = len(conv_rows) // 2
+    fixtures.to_spark_parquet(
+        pd.concat([conv_rows.iloc[:half], pdf[pdf.conv_id != big_conv]]),
+        str(src / "b1.parquet"))
+    fixtures.to_spark_parquet(conv_rows.iloc[half:], str(src / "b2.parquet"))
+
+    stream = (spark.readStream.schema(schema.TRANSCRIPTS_SCHEMA)
+              .option("maxFilesPerTrigger", 1).parquet(str(src)))
+    q = (conv_aggregates_stateful(stream)
+         .writeStream.format("memory").queryName("conv_state")
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    out = spark.sql("select * from conv_state").toPandas()
+    # the split conversation appears in ≥2 updates; keep the last
+    updates = out[out.conv_id == big_conv]
+    assert len(updates) >= 2, "conversation should span micro-batches"
+    final = updates.iloc[-1]
+    assert final.conv_n_turns == len(conv_rows)
+    # compare against the batch pipeline's aggregate
+    batch = score_turns(
+        spark.read.schema(schema.TRANSCRIPTS_SCHEMA).parquet(str(src))
+    ).filter(f"conv_id = '{big_conv}'").toPandas()
+    assert final.conv_n_turns == len(batch)
+    assert abs(final.conv_mean_ppl - round(batch["ppl"].mean(), 6)) < 1e-5
+    assert final.n_pass == int(batch["turn_pass"].sum())
