@@ -58,7 +58,7 @@ def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
 
     if args.local_cores:
-        from .session import get_spark
+        from curator_spark.session import get_spark
         spark = get_spark("curator-spark-cli", parallelism=args.local_cores,
                           shuffle_partitions=args.partitions)
     else:
@@ -68,7 +68,9 @@ def main(argv: list[str] | None = None) -> int:
             b = b.config("spark.sql.shuffle.partitions", str(args.partitions))
         spark = b.getOrCreate()
 
-    from .checkpoint import run_checkpointed
+    # absolute import: under `spark-submit cli.py` this file runs as a
+    # top-level script; the package itself ships via --py-files
+    from curator_spark.checkpoint import run_checkpointed
     only_parts = ([int(x) for x in args.only_parts.split(",")]
                   if args.only_parts else None)
     summary = run_checkpointed(

@@ -398,6 +398,34 @@ def q28_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.round("click_value", 6).alias("click_value"))
 
 
+def q29_conv_structure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship pipeline's SQL-expressible backbone under the exact
+    oracle: documents → transcripts derivation (ingest.docs_to_transcripts
+    chunking) → per-conversation structure validation + role-balance
+    aggregates. Everything except the Python scorers — so the driver's
+    value-hash gate covers the conv_id naming, turn chunking, role
+    alternation, turn ordering, and the salt-free integer aggregates."""
+    from .ingest import docs_to_transcripts
+    t = docs_to_transcripts(_t(spark, sf_dir, "documents"))
+    toks = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    return (
+        t.select("conv_id", "turn_idx", "role", F.size(toks).alias("n_toks"))
+        .groupBy("conv_id")
+        .agg(
+            F.count(F.lit(1)).alias("conv_n_turns"),
+            F.round(F.sum((F.col("role") == "assistant").cast("long"))
+                    / F.greatest(F.sum(F.col("role").isin("user", "assistant")
+                                       .cast("long")), F.lit(1)), 6)
+            .alias("role_balance"),
+            F.min_by("role", "turn_idx").alias("first_role"),
+            F.sum("n_toks").alias("conv_tokens"),
+            F.max("turn_idx").alias("last_turn_idx"),
+        )
+        .withColumn("structure_ok", F.col("first_role").isin("system", "user")
+                    & (F.col("last_turn_idx") == F.col("conv_n_turns") - 1))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Oracle SQL (DuckDB) — aliases and rounding match the Spark side exactly
 # ---------------------------------------------------------------------------
@@ -598,6 +626,33 @@ ORACLES: dict[str, str] = {
         ASOF LEFT JOIN clicks c
           ON p.user_id = c.user_id AND p.ts_us >= c.ts_us
     """,
+    "q29_conv_structure": """
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split(text, ' '), t -> t <> '') AS toks
+            FROM documents
+        ),
+        turns AS (
+            SELECT 'doc-' || lpad(doc_id::VARCHAR, 10, '0') AS conv_id,
+                   CAST(i - 1 AS INTEGER) AS turn_idx,
+                   CASE WHEN (i - 1) % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
+                   len(list_filter(toks[(i-1)*12+1 : i*12],
+                                   t -> t <> '')) AS n_toks
+            FROM toks,
+                 unnest(range(1, greatest(CAST(ceil(len(toks) * 1.0 / 12) AS INT), 1) + 1)) AS u(i)
+        )
+        SELECT conv_id, count(*) AS conv_n_turns,
+               round(sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END)
+                     / greatest(sum(CASE WHEN role IN ('user','assistant') THEN 1 ELSE 0 END), 1),
+                     6) AS role_balance,
+               min_by(role, turn_idx) AS first_role,
+               sum(n_toks) AS conv_tokens,
+               max(turn_idx) AS last_turn_idx,
+               (min_by(role, turn_idx) IN ('system','user')
+                AND max(turn_idx) = count(*) - 1) AS structure_ok
+        FROM turns
+        GROUP BY conv_id
+    """,
     "q26_running_total": """
         SELECT o_custkey, o_orderkey,
                sum(CAST(round(o_totalprice * 100) AS BIGINT))
@@ -640,6 +695,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q17_exact_dedup": q17_exact_dedup,
     "q25_order_history_fp": q25_order_history_fp,
     "q28_asof_join": q28_asof_join,
+    "q29_conv_structure": q29_conv_structure,
     "q26_running_total": q26_running_total,
     "q27_rollup_revenue": q27_rollup_revenue,
 }
