@@ -41,9 +41,21 @@ def entry(spark: SparkSession) -> DataFrame:
     return _quality_filter(spark, "/root/testdata/sf0.001")
 
 
+def _multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing (rows-only check: binary media has no SQL
+    oracle): deterministic synthetic media table → Arrow-batched decode/
+    feature UDF → fixed-width features. sf_dir is unused (the media
+    fixture is generated, not part of the testdata), but the signature
+    matches the driver contract."""
+    from curator_spark.operators import multimodal as mm
+    media = mm.media_fixture(spark, n=96)
+    return mm.image_features(media.filter(F.col("modality") == "image"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "q00_quality_filter": _quality_filter,
+        "q30_multimodal_features": _multimodal_features,
     }
     out.update(_q.QUERIES)
     out.update(_qd.QUERIES)

@@ -206,6 +206,29 @@ def dedup_decisions(docs: DataFrame, text_col: str = "text",
     )
 
 
+def dedup_conversations(turns: DataFrame, text_col: str = "text",
+                        n: int = 3, threshold: float = 0.5) -> DataFrame:
+    """Conversation-level dedup: reassemble each conversation's turns in
+    (turn_idx) order into one document, then run the full dedup decision
+    (exact → LSH → Jaccard verify) over conversations.
+
+    Composes the quality pipeline with the dedup stack — run it on the
+    pipeline's `scrubbed_text` so PII differences don't mask duplicates.
+    Returns (conv_id, keep_dedup). The reassembly is one groupBy with a
+    deterministic sorted collect_list; conversation documents are
+    ~avg_turns× smaller in row count than the turn table."""
+    conv_docs = (
+        turns.groupBy("conv_id")
+        .agg(F.concat_ws("\n", F.transform(
+            F.array_sort(F.collect_list(
+                F.struct(F.col("turn_idx").alias("i"),
+                         F.col(text_col).alias("t")))),
+            lambda x: x["t"])).alias("conv_text"))
+    )
+    return dedup_decisions(conv_docs, text_col="conv_text",
+                           id_col="conv_id", n=n, threshold=threshold)
+
+
 def simhash(docs: DataFrame, text_col: str = "text",
             id_col: str = "doc_id", bits: int = SIMHASH_BITS) -> DataFrame:
     """SimHash signature as a `bits`-char bitstring.

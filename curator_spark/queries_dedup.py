@@ -59,67 +59,112 @@ def q24_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  threshold=JACCARD_THRESHOLD)
 
 
+
+
+def q31_conv_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline × dedup composition: documents → transcripts shape →
+    conversations reassembled in turn order → full dedup decision per
+    conversation. Oracle = the same parameterized dedup SQL over a
+    SQL-reassembled conversation relation."""
+    from .ingest import docs_to_transcripts
+    turns = docs_to_transcripts(_docs(spark, sf_dir))
+    return dedup.dedup_conversations(turns, text_col="text",
+                                     n=JACCARD_N, threshold=JACCARD_THRESHOLD)
+
+
 # ---------------------------------------------------------------------------
 # Oracle SQL
 # ---------------------------------------------------------------------------
 
-# Distinct word n-gram shingles per doc; mirrors dedup.shingles_expr.
-_SHINGLES = f"""
-    SELECT doc_id, unnest(list_distinct(list_transform(
+# Parameterized SQL builders: the same dedup fragments instantiate for
+# any (relation, id, text) triple — used for `documents` here and for
+# reassembled conversations in queries.q31.
+
+
+def shingles_sql(rel: str, id_col: str, text_col: str) -> str:
+    """Distinct word n-gram shingles per row; mirrors dedup.shingles_expr."""
+    return f"""
+    SELECT {id_col}, unnest(list_distinct(list_transform(
                range(1, greatest(len(toks) - {JACCARD_N - 1}, 0) + 1),
                i -> array_to_string(toks[i:i+{JACCARD_N - 1}], ' ')))) AS shingle
-    FROM (SELECT doc_id,
-                 list_filter(string_split(lower(text), ' '), t -> t <> '') AS toks
-          FROM documents)
+    FROM (SELECT {id_col},
+                 list_filter(string_split(lower({text_col}), ' '), t -> t <> '') AS toks
+          FROM {rel})
 """
 
-_JACCARD_SQL = f"""
-    WITH sh AS ({_SHINGLES}),
-    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+
+def jaccard_sql(rel: str, id_col: str, text_col: str) -> str:
+    return f"""
+    WITH sh AS ({shingles_sql(rel, id_col, text_col)}),
+    sizes AS (SELECT {id_col}, count(*) AS sz FROM sh GROUP BY {id_col}),
     inter AS (
-        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
-        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-        GROUP BY a.doc_id, b.doc_id
+        SELECT a.{id_col} AS id_a, b.{id_col} AS id_b, count(*) AS n_inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.{id_col} < b.{id_col}
+        GROUP BY a.{id_col}, b.{id_col}
     )
     SELECT id_a, id_b,
            round(n_inter * 1.0 / (sa.sz + sb.sz - n_inter), 4) AS jaccard
     FROM inter
-    JOIN sizes sa ON sa.doc_id = id_a
-    JOIN sizes sb ON sb.doc_id = id_b
+    JOIN sizes sa ON sa.{id_col} = id_a
+    JOIN sizes sb ON sb.{id_col} = id_b
     WHERE n_inter * 1.0 / (sa.sz + sb.sz - n_inter) >= {JACCARD_THRESHOLD}
 """
 
-# mirror of dedup.minhash_bands: one md5 per shingle, affine permutations
-_MH_COLS = ",\n               ".join(
-    f"min(({a} * x + {b}) % {dedup.MINHASH_P}) AS m{i}"
-    for i, (a, b) in enumerate(dedup.MINHASH_COEFFS))
-_MH_BANDS = "\n        UNION ALL\n".join(
-    "        SELECT doc_id, {band} AS band, md5({key}) AS band_key FROM sig".format(
-        band=band,
-        key=" || '-' || ".join(
-            f"m{i}::VARCHAR"
-            for i in range(band * dedup.ROWS_PER_BAND,
-                           (band + 1) * dedup.ROWS_PER_BAND)))
-    for band in range(dedup.N_BANDS))
-_MINHASH_SQL = f"""
-    WITH sh AS ({_SHINGLES}),
+
+def minhash_sql(rel: str, id_col: str, text_col: str) -> str:
+    mh_cols = ",\n               ".join(
+        f"min(({a} * x + {b}) % {dedup.MINHASH_P}) AS m{i}"
+        for i, (a, b) in enumerate(dedup.MINHASH_COEFFS))
+    mh_bands = "\n        UNION ALL\n".join(
+        "        SELECT {id_col}, {band} AS band, md5({key}) AS band_key FROM sig".format(
+            id_col=id_col, band=band,
+            key=" || '-' || ".join(
+                f"m{i}::VARCHAR"
+                for i in range(band * dedup.ROWS_PER_BAND,
+                               (band + 1) * dedup.ROWS_PER_BAND)))
+        for band in range(dedup.N_BANDS))
+    return f"""
+    WITH sh AS ({shingles_sql(rel, id_col, text_col)}),
     hashed AS (
-        SELECT doc_id,
+        SELECT {id_col},
                ('0x' || substr(md5(shingle), 1, 12))::BIGINT % {dedup.MINHASH_P} AS x
         FROM sh
     ),
     sig AS (
-        SELECT doc_id,
-               {_MH_COLS}
-        FROM hashed GROUP BY doc_id
+        SELECT {id_col},
+               {mh_cols}
+        FROM hashed GROUP BY {id_col}
     ),
     bands AS (
-{_MH_BANDS}
+{mh_bands}
     )
-    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    SELECT DISTINCT a.{id_col} AS id_a, b.{id_col} AS id_b
     FROM bands a JOIN bands b
-      ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+      ON a.band = b.band AND a.band_key = b.band_key AND a.{id_col} < b.{id_col}
 """
+
+
+def dedup_pipeline_sql(rel: str, id_col: str, text_col: str) -> str:
+    return f"""
+    WITH cands AS ({minhash_sql(rel, id_col, text_col)}),
+    jac AS ({jaccard_sql(rel, id_col, text_col)}),
+    hashed AS (SELECT {id_col}, md5({text_col}) AS h FROM {rel}),
+    canon AS (SELECT h, min({id_col}) AS canonical_id FROM hashed GROUP BY h),
+    drops AS (
+        SELECT hashed.{id_col} AS drop_id
+        FROM hashed JOIN canon ON hashed.h = canon.h
+        WHERE hashed.{id_col} <> canon.canonical_id
+        UNION
+        SELECT jac.id_b AS drop_id
+        FROM cands JOIN jac ON cands.id_a = jac.id_a AND cands.id_b = jac.id_b
+    )
+    SELECT {id_col}, drop_id IS NULL AS keep_dedup
+    FROM {rel} LEFT JOIN drops ON {id_col} = drop_id
+"""
+
+_JACCARD_SQL = jaccard_sql("documents", "doc_id", "text")
+
+_MINHASH_SQL = minhash_sql("documents", "doc_id", "text")
 
 _HIGH = ", ".join(f"'{c}'" for c in dedup.HIGH_HEX)
 _SIM_SUMS = ",\n           ".join(
@@ -192,22 +237,31 @@ _NEARDUP_SQL = f"""
     ) WHERE cos_sim >= {NEARDUP_COS}
 """
 
-_DEDUP_PIPELINE_SQL = f"""
-    WITH cands AS ({_MINHASH_SQL}),
-    jac AS ({_JACCARD_SQL}),
-    hashed AS (SELECT doc_id, md5(text) AS h FROM documents),
-    canon AS (SELECT h, min(doc_id) AS canonical_id FROM hashed GROUP BY h),
-    drops AS (
-        SELECT hashed.doc_id AS drop_id
-        FROM hashed JOIN canon ON hashed.h = canon.h
-        WHERE hashed.doc_id <> canon.canonical_id
-        UNION
-        SELECT jac.id_b AS drop_id
-        FROM cands JOIN jac ON cands.id_a = jac.id_a AND cands.id_b = jac.id_b
+_DEDUP_PIPELINE_SQL = dedup_pipeline_sql("documents", "doc_id", "text")
+
+
+# conversation relation reassembled in SQL (mirrors ingest.docs_to_transcripts
+# chunking + dedup.dedup_conversations newline join, ordered by turn_idx)
+_CONV_DOCS = """
+    SELECT conv_id, string_agg(t, chr(10) ORDER BY turn_idx) AS conv_text
+    FROM (
+        SELECT 'doc-' || lpad(doc_id::VARCHAR, 10, '0') AS conv_id,
+               CAST(i - 1 AS INTEGER) AS turn_idx,
+               array_to_string(toks[(i-1)*12+1 : i*12], ' ') AS t
+        FROM (SELECT doc_id,
+                     list_filter(string_split(text, ' '), x -> x <> '') AS toks
+              FROM documents),
+             unnest(range(1, greatest(CAST(ceil(len(toks) * 1.0 / 12) AS INT), 1) + 1)) AS u(i)
     )
-    SELECT doc_id, drop_id IS NULL AS keep_dedup
-    FROM documents LEFT JOIN drops ON doc_id = drop_id
+    GROUP BY conv_id
 """
+
+# merge the outer CTE into the pipeline's own WITH clause
+_CONV_DEDUP_SQL = (
+    "WITH conv_docs AS (" + _CONV_DOCS + ")"
+    + dedup_pipeline_sql("conv_docs", "conv_id", "conv_text")
+      .replace("WITH cands AS", ", cands AS", 1)
+)
 
 ORACLES: dict[str, str] = {
     "q18_jaccard_pairs": _JACCARD_SQL,
@@ -217,6 +271,7 @@ ORACLES: dict[str, str] = {
     "q22_signbucket_ann": _SIGNBUCKET_SQL,
     "q23_embedding_neardup": _NEARDUP_SQL,
     "q24_dedup_pipeline": _DEDUP_PIPELINE_SQL,
+    "q31_conv_dedup": _CONV_DEDUP_SQL,
 }
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -227,4 +282,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q22_signbucket_ann": q22_signbucket_ann,
     "q23_embedding_neardup": q23_embedding_neardup,
     "q24_dedup_pipeline": q24_dedup_pipeline,
+    "q31_conv_dedup": q31_conv_dedup,
 }

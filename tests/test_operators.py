@@ -174,3 +174,17 @@ def test_score_turns_safe_error_rows(spark):
     for key in (("c1", 0), ("c2", 0)):
         r = out[key]
         assert r.errors is None and r.lang is not None and r.scrubbed_text
+
+
+def test_dedup_conversations(spark):
+    """Two identical conversations collapse to one; distinct survives."""
+    rows = []
+    for conv in ("conv-a", "conv-b"):  # byte-identical content
+        rows += [(conv, 0, "user", "hello there how are you doing today my friend"),
+                 (conv, 1, "assistant", "doing great thanks for asking about it all")]
+    rows += [("conv-c", 0, "user", "completely different topic entirely about spark"),
+             ("conv-c", 1, "assistant", "yes spark shuffles and joins and aggregates")]
+    df = spark.createDataFrame(rows, ["conv_id", "turn_idx", "role", "text"])
+    out = {r.conv_id: r.keep_dedup
+           for r in dedup.dedup_conversations(df).collect()}
+    assert out == {"conv-a": True, "conv-b": False, "conv-c": True}
