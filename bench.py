@@ -119,8 +119,13 @@ def main() -> None:
 
     spark = get_spark("bench", parallelism=CPUS,
                       shuffle_partitions=max(CPUS, 32))
-    # warm the JVM + python workers so q01 doesn't absorb startup cost
+    # warm the JVM AND the python workers (model build per worker) so
+    # the first measured query doesn't absorb startup cost
     force(spark.read.parquet(f"{SF_DIR}/lineitem.parquet").limit(1000))
+    from curator_spark.pipeline import score_turns
+    from curator_spark.ingest import docs_to_transcripts
+    warm_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(64)
+    force(score_turns(docs_to_transcripts(warm_docs).repartition(CPUS)))
 
     t0 = time.monotonic()
     force(qs["q00_quality_filter"](spark, SF_DIR))

@@ -98,3 +98,38 @@ def test_stateful_conv_aggregates_across_batches(spark, tmp_path):
     assert final.conv_n_turns == len(batch)
     assert abs(final.conv_mean_ppl - round(batch["ppl"].mean(), 6)) < 1e-5
     assert final.n_pass == int(batch["turn_pass"].sum())
+
+
+def test_windowed_conv_aggregates_with_watermark(spark, tmp_path):
+    """Watermarked tumbling-window conversation aggregates (append
+    mode): counts per (window, conv) must match a batch groupBy over
+    the same window buckets."""
+    from pyspark.sql import functions as F
+
+    from curator_spark.streaming.quality_stream import conv_window_aggregates
+    src = tmp_path / "wsrc"
+    src.mkdir()
+    pdf = fixtures.generate_transcripts(800, seed=44, n_parts=4)
+    fixtures.to_spark_parquet(pdf, str(src / "b1.parquet"))
+
+    stream = (spark.readStream.schema(schema.TRANSCRIPTS_SCHEMA)
+              .parquet(str(src)))
+    q = (conv_window_aggregates(stream, window="10 minutes",
+                                watermark="30 minutes")
+         .writeStream.format("memory").queryName("conv_windows")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.sql("select * from conv_windows").toPandas()
+
+    batch = (score_turns(spark.read.schema(schema.TRANSCRIPTS_SCHEMA)
+                         .parquet(str(src)))
+             .groupBy(F.window("ts", "10 minutes").alias("w"), "conv_id")
+             .agg(F.count(F.lit(1)).alias("n"))
+             .select(F.col("w.start").alias("window_start"), "conv_id", "n")
+             .toPandas())
+    # append mode emits only windows closed by the watermark; every
+    # emitted row must match the batch count for its bucket exactly
+    assert len(got) > 0
+    want = {(r.window_start, r.conv_id): r.n for r in batch.itertuples()}
+    for r in got.itertuples():
+        assert want[(r.window_start, r.conv_id)] == r.conv_n_turns
