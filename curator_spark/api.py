@@ -1,0 +1,70 @@
+"""User-facing API: the curator call shape on Spark.
+
+The reference's UX is: construct a curation object, call it on a
+dataset, get a curated dataset back — with caching, resume, and metrics
+handled underneath (reference: src/bespokelabs/curator/llm/llm.py:34-67
+class LLM, __call__ at :165-239). QualityFilter is that surface for the
+deterministic quality-filter payload:
+
+    from curator_spark.api import QualityFilter
+    qf = QualityFilter(cache_dir="/data/curated")
+    curated = qf(transcripts_df)          # ephemeral: full DataFrame plan
+    curated = qf(input_path="s3://...")   # durable: checkpointed + memoized
+
+* Called with a DataFrame → returns the lazily-planned curated
+  DataFrame (OUTPUT_SCHEMA columns appended; filter on `keep`).
+* Called with an input path → runs the checkpointed pipeline
+  (per-partition ledger, resume, lineage, metrics) into a
+  fingerprint-derived run directory under cache_dir and returns the
+  result DataFrame read back from storage — the analogue of the
+  reference's run-cache short-circuit (llm/llm.py:138-163 fingerprint,
+  base_request_processor.py:282-303 cache load).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .checkpoint import run_checkpointed, run_fingerprint
+from .pipeline import run_pipeline_df
+
+
+class QualityFilter:
+    def __init__(self, cache_dir: str | None = None,
+                 broadcast_conv_aggs: bool | None = None,
+                 params: dict | None = None) -> None:
+        self.cache_dir = cache_dir
+        self.broadcast_conv_aggs = broadcast_conv_aggs
+        self.params = params or {}
+        self.last_run: dict | None = None  # summary of the last durable run
+
+    def __call__(self, dataset: DataFrame | None = None, *,
+                 input_path: str | None = None,
+                 spark: SparkSession | None = None) -> DataFrame:
+        if (dataset is None) == (input_path is None):
+            raise ValueError("pass exactly one of `dataset` or `input_path`")
+        if dataset is not None:
+            return run_pipeline_df(
+                dataset, broadcast_conv_aggs=self.broadcast_conv_aggs)
+
+        if self.cache_dir is None:
+            raise ValueError("cache_dir is required for durable path runs")
+        spark = spark or SparkSession.getActiveSession()
+        if spark is None:
+            raise ValueError("no active SparkSession; pass `spark=`")
+        run_id = run_fingerprint(input_path, self.params)
+        out_dir = os.path.join(self.cache_dir, run_id)
+        self.last_run = run_checkpointed(
+            spark, input_path, out_dir, params=self.params,
+            broadcast_conv_aggs=self.broadcast_conv_aggs)
+        return spark.read.parquet(os.path.join(out_dir, "data"))
+
+    def metrics(self, spark: SparkSession) -> DataFrame | None:
+        """Counter metrics of the last durable run (reference:
+        online_status_tracker.py:40-78 as a table)."""
+        if not (self.cache_dir and self.last_run):
+            return None
+        p = os.path.join(self.cache_dir, self.last_run["run_id"], "_metrics")
+        return spark.read.parquet(p) if os.path.isdir(p) else None
