@@ -41,6 +41,8 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from . import rules, schema
 from .pipeline import run_pipeline_df
 
+WRITE_SALTS = 8  # max output files per `part` from one run
+
 
 def run_fingerprint(input_path: str, params: dict | None = None) -> str:
     """Deterministic run id from (input, rule constants, code params) —
@@ -135,7 +137,17 @@ def run_checkpointed(spark: SparkSession, input_path: str, out_dir: str,
         # half-written by a crashed attempt is replaced wholesale. Safe
         # because conversations never span parts (part = bucket(conv_id)),
         # so per-part recompute sees whole conversations.
-        (result.write.mode("overwrite").partitionBy("part")
+        #
+        # Salted repartition before the partitioned write: without it,
+        # every upstream task can hold rows of every part, producing
+        # n_tasks × n_parts tiny files (10^7 at cluster scale). Hashing
+        # on (part, salt) lands each part in ≤ WRITE_SALTS partitions —
+        # bounded file count AND no single-task serialization of a huge
+        # part.
+        n_out = max(len(todo) * WRITE_SALTS, 8)
+        (result.repartition(n_out, F.col("part"),
+                            F.pmod(F.col("turn_idx"), F.lit(WRITE_SALTS)))
+         .write.mode("overwrite").partitionBy("part")
          .option("partitionOverwriteMode", "dynamic")
          .parquet(os.path.join(out_dir, "data")))
 
