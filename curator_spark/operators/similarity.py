@@ -127,6 +127,59 @@ def signbucket_ann_pruned(spark, bucketed_path: str, query_vec,
     )
 
 
+N_IVF_CELLS = 16
+
+
+def ivf_assign(emb: DataFrame, centroids: DataFrame,
+               id_col: str = "vec_id") -> DataFrame:
+    """IVF coarse quantization: assign every vector to its nearest
+    centroid by cosine (deterministic tie-break on cell id).
+
+    centroids: (cell:int, cv:array<double>, cn:double). The assignment
+    is a broadcast join + argmax — a narrow map over the corpus; at
+    scale the cell id becomes the partition column (same pruning story
+    as the sign-bucket ANN)."""
+    from pyspark.sql import Window
+    base = with_norm(emb)
+    joined = base.crossJoin(F.broadcast(centroids))
+    sim = dot_expr(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cn"))
+    w = Window.partitionBy(id_col).orderBy(
+        F.round(F.col("csim"), 9).desc(), F.col("cell").asc())
+    return (
+        joined.select(id_col, "v", "nrm", "cell", sim.alias("csim"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(id_col, "cell", "v", "nrm")
+    )
+
+
+def seed_centroids(emb: DataFrame, n_cells: int = N_IVF_CELLS,
+                   id_col: str = "vec_id") -> DataFrame:
+    """Deterministic centroids: the vectors with the n_cells smallest
+    ids (a fixed coarse codebook; swap for k-means offline at scale)."""
+    return (with_norm(emb).filter(F.col(id_col) < n_cells)
+            .select(F.col(id_col).cast("int").alias("cell"),
+                    F.col("v").alias("cv"), F.col("nrm").alias("cn")))
+
+
+def ivf_ann(emb: DataFrame, query_vec_id: int, k: int = 5,
+            n_cells: int = N_IVF_CELLS, id_col: str = "vec_id") -> DataFrame:
+    """IVF probe: exact cosine within the query's cell only."""
+    cents = seed_centroids(emb, n_cells, id_col)
+    assigned = ivf_assign(emb, cents, id_col)
+    q = (assigned.filter(F.col(id_col) == query_vec_id)
+         .select(F.col("v").alias("qv"), F.col("nrm").alias("qn"),
+                 F.col("cell").alias("qcell")))
+    return (
+        assigned.join(F.broadcast(q), F.col("cell") == F.col("qcell"))
+        .withColumn("cos_sim", F.round(
+            dot_expr(F.col("v"), F.col("qv")) / (F.col("nrm") * F.col("qn")), 6))
+        .select(id_col, "cell", "cos_sim")
+        .orderBy(F.col("cos_sim").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
 def embedding_neardup_pairs(emb: DataFrame, threshold: float = 0.8,
                             id_col: str = "vec_id",
                             vec_col: str = "embedding") -> DataFrame:

@@ -426,6 +426,50 @@ def q29_conv_structure(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q33_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation (TPC-H Q12/Q14 shape): CASE-WHEN inside
+    aggregates — high/low-priority lineitem counts per return flag and
+    the promo-style revenue share, all in exact integer arithmetic."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    joined = li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+    rev = _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")), 1_000_000)
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        joined.groupBy("l_returnflag")
+        .agg(F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+             F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+             F.round(F.sum(F.when(high, rev).otherwise(0))
+                     / F.greatest(F.sum(rev), F.lit(1)), 6)
+             .alias("high_rev_share"))
+    )
+
+
+def q34_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF over the document corpus: idf = ln(N / df), per-doc top-3
+    terms by tf·idf with (score desc, term asc) tiebreak. Exact
+    cross-engine: integer tf/df counts, ln on identical doubles, round 6.
+    Two shuffles (token agg, per-doc window) — both on uniform keys."""
+    docs = _t(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    tokens = (docs.select("doc_id",
+                          F.explode(F.split(F.lower(F.col("text")), " "))
+                          .alias("term"))
+              .filter(F.col("term") != ""))
+    tf = tokens.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("term").asc())
+    return (
+        tf.join(df_, "term")
+        .withColumn("score",
+                    F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "term", "score", "rk")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Oracle SQL (DuckDB) — aliases and rounding match the Spark side exactly
 # ---------------------------------------------------------------------------
@@ -602,6 +646,41 @@ ORACLES: dict[str, str] = {
         FROM documents
         GROUP BY md5(text)
     """,
+    "q33_conditional_agg": """
+        SELECT l_returnflag,
+               sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                        THEN 1 ELSE 0 END) AS high_line_count,
+               sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                        THEN 0 ELSE 1 END) AS low_line_count,
+               round(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                         THEN CAST(round(l_extendedprice * (1 - l_discount) * 1000000)
+                                   AS BIGINT) ELSE 0 END)
+                     / greatest(sum(CAST(round(l_extendedprice * (1 - l_discount) * 1000000)
+                                         AS BIGINT)), 1), 6) AS high_rev_share
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY l_returnflag
+    """,
+    "q34_tfidf_top_terms": """
+        WITH tokens AS (
+            SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+            FROM documents
+        ),
+        tf AS (SELECT doc_id, term, count(*) AS tf
+               FROM tokens WHERE term <> '' GROUP BY doc_id, term),
+        df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        n AS (SELECT count(*) AS n_docs FROM documents),
+        scored AS (
+            SELECT tf.doc_id, tf.term, tf.tf, df.df,
+                   round(tf.tf * ln(n.n_docs * 1.0 / df.df), 6) AS score
+            FROM tf JOIN df USING (term), n
+        )
+        SELECT doc_id, term, score, rk FROM (
+            SELECT doc_id, term, score,
+                   row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY score DESC, term ASC) AS rk
+            FROM scored
+        ) WHERE rk <= 3
+    """,
     "q25_order_history_fp": """
         SELECT o_custkey,
                md5(string_agg(o_orderkey::VARCHAR, ',' ORDER BY o_orderdate, o_orderkey))
@@ -697,5 +776,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q28_asof_join": q28_asof_join,
     "q29_conv_structure": q29_conv_structure,
     "q26_running_total": q26_running_total,
+    "q33_conditional_agg": q33_conditional_agg,
+    "q34_tfidf_top_terms": q34_tfidf_top_terms,
     "q27_rollup_revenue": q27_rollup_revenue,
 }

@@ -72,6 +72,13 @@ def q31_conv_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                                      n=JACCARD_N, threshold=JACCARD_THRESHOLD)
 
 
+def q32_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: deterministic coarse codebook (first 16 vectors),
+    cosine cell assignment, exact search inside the probe cell only —
+    the scale path where `cell` is the partition column."""
+    return similarity.ivf_ann(_emb(spark, sf_dir), ANN_QUERY_ID, k=5)
+
+
 # ---------------------------------------------------------------------------
 # Oracle SQL
 # ---------------------------------------------------------------------------
@@ -263,6 +270,34 @@ _CONV_DEDUP_SQL = (
       .replace("WITH cands AS", ", cands AS", 1)
 )
 
+
+_IVF_SQL = f"""
+    WITH base AS ({_EMB_BASE}),
+    cents AS (
+        SELECT CAST(vec_id AS INTEGER) AS cell, v AS cv, nrm AS cn
+        FROM base WHERE vec_id < {similarity.N_IVF_CELLS}
+    ),
+    scored AS (
+        SELECT b.vec_id, b.v, b.nrm, c.cell,
+               row_number() OVER (
+                   PARTITION BY b.vec_id
+                   ORDER BY round(list_sum(list_transform(range(1, 65),
+                             i -> b.v[i] * c.cv[i])) / (b.nrm * c.cn), 9) DESC,
+                            c.cell ASC) AS rk
+        FROM base b CROSS JOIN cents c
+    ),
+    assigned AS (SELECT vec_id, cell, v, nrm FROM scored WHERE rk = 1),
+    q AS (SELECT v AS qv, nrm AS qn, cell AS qcell
+          FROM assigned WHERE vec_id = {ANN_QUERY_ID})
+    SELECT vec_id, cell,
+           round(list_sum(list_transform(range(1, 65), i -> v[i] * qv[i]))
+                 / (nrm * qn), 6) AS cos_sim
+    FROM assigned, q
+    WHERE cell = qcell
+    ORDER BY cos_sim DESC, vec_id ASC
+    LIMIT 5
+"""
+
 ORACLES: dict[str, str] = {
     "q18_jaccard_pairs": _JACCARD_SQL,
     "q19_minhash_lsh": _MINHASH_SQL,
@@ -272,6 +307,7 @@ ORACLES: dict[str, str] = {
     "q23_embedding_neardup": _NEARDUP_SQL,
     "q24_dedup_pipeline": _DEDUP_PIPELINE_SQL,
     "q31_conv_dedup": _CONV_DEDUP_SQL,
+    "q32_ivf_ann": _IVF_SQL,
 }
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -283,4 +319,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q23_embedding_neardup": q23_embedding_neardup,
     "q24_dedup_pipeline": q24_dedup_pipeline,
     "q31_conv_dedup": q31_conv_dedup,
+    "q32_ivf_ann": q32_ivf_ann,
 }

@@ -64,6 +64,16 @@ def conv_window_aggregates(stream: DataFrame, window: str = "10 minutes",
     )
 
 
+def dedup_stream(stream: DataFrame, id_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
+                 watermark: str = "30 minutes") -> DataFrame:
+    """Streaming exact dedup: at-least-once sources re-deliver rows;
+    dropDuplicatesWithinWatermark keeps one per key with state bounded
+    by the watermark horizon (vs unbounded dropDuplicates state).
+    The streaming face of the exact-dedup operator (operators/dedup.py)."""
+    return (stream.withWatermark("ts", watermark)
+            .dropDuplicatesWithinWatermark(list(id_cols)))
+
+
 def run_quality_stream(spark: SparkSession, input_dir: str, output_dir: str,
                        checkpoint_dir: str, available_now: bool = True):
     """Score the stream and append keep/scrub columns to a parquet sink.

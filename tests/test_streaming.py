@@ -133,3 +133,25 @@ def test_windowed_conv_aggregates_with_watermark(spark, tmp_path):
     want = {(r.window_start, r.conv_id): r.n for r in batch.itertuples()}
     for r in got.itertuples():
         assert want[(r.window_start, r.conv_id)] == r.conv_n_turns
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    """Re-delivered turns (same conv_id, turn_idx) across micro-batches
+    collapse to one row via dropDuplicatesWithinWatermark."""
+    from curator_spark.streaming.quality_stream import dedup_stream
+    src = tmp_path / "dsrc"
+    src.mkdir()
+    pdf = fixtures.generate_transcripts(400, seed=55, n_parts=4)
+    fixtures.to_spark_parquet(pdf, str(src / "b1.parquet"))
+    # redeliver the first 100 rows in a second batch (at-least-once source)
+    fixtures.to_spark_parquet(pdf.iloc[:100], str(src / "b2.parquet"))
+
+    stream = (spark.readStream.schema(schema.TRANSCRIPTS_SCHEMA)
+              .option("maxFilesPerTrigger", 1).parquet(str(src)))
+    q = (dedup_stream(stream)
+         .writeStream.format("memory").queryName("dedup_out")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    out = spark.sql("select conv_id, turn_idx from dedup_out").toPandas()
+    assert len(out) == len(pdf)  # duplicates dropped
+    assert not out.duplicated(["conv_id", "turn_idx"]).any()
