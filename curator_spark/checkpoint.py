@@ -39,7 +39,7 @@ from datetime import datetime, timezone
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from . import rules, schema
-from .pipeline import run_pipeline_df
+from .pipeline import run_pipeline_df, run_pipeline_staged
 
 WRITE_SALTS = 8  # max output files per `part` from one run
 
@@ -92,7 +92,8 @@ def _commit_part(out_dir: str, run_id: str, part: int, n_rows: int) -> None:
 def run_checkpointed(spark: SparkSession, input_path: str, out_dir: str,
                      params: dict | None = None,
                      only_parts: list[int] | None = None,
-                     broadcast_conv_aggs: bool | None = None) -> dict:
+                     broadcast_conv_aggs: bool | None = None,
+                     staged: bool = True) -> dict:
     """Execute the pipeline with per-partition commit + resume.
 
     only_parts limits this invocation to a subset of partitions — used
@@ -131,7 +132,17 @@ def run_checkpointed(spark: SparkSession, input_path: str, out_dir: str,
         # the `part` bucket column reaches the parquet scan (PushedFilters)
         # so committed partitions are never read, let alone recomputed.
         pending = transcripts.filter(F.col("part").isin([int(p) for p in todo]))
-        result = run_pipeline_df(pending, broadcast_conv_aggs=broadcast_conv_aggs)
+        if staged:
+            # production shape: durably materialize the scored stage
+            # once (the expensive Python pass), feed the aggregation and
+            # the final join from column-pruned re-scans — ~2× the
+            # throughput of the in-memory persist shape at 32 cores
+            result = run_pipeline_staged(
+                spark, pending, os.path.join(out_dir, "_scored"),
+                broadcast_conv_aggs=broadcast_conv_aggs)
+        else:
+            result = run_pipeline_df(pending,
+                                     broadcast_conv_aggs=broadcast_conv_aggs)
 
         # Dynamic partition overwrite → idempotent re-runs: a partition
         # half-written by a crashed attempt is replaced wholesale. Safe

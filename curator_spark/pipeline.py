@@ -189,8 +189,8 @@ def _finalize(scored: DataFrame, conv: DataFrame) -> DataFrame:
     )
 
 
-def run_pipeline_staged(spark, transcripts: DataFrame,
-                        scored_path: str) -> DataFrame:
+def run_pipeline_staged(spark, transcripts: DataFrame, scored_path: str,
+                        broadcast_conv_aggs: bool | None = None) -> DataFrame:
     """Production (100 TB) shape of the pipeline: materialize the scored
     stage ONCE to columnar storage, then feed both consumers (the
     conversation aggregation and the final join) from re-scans of it.
@@ -205,7 +205,10 @@ def run_pipeline_staged(spark, transcripts: DataFrame,
     """
     score_turns(transcripts).write.mode("overwrite").parquet(scored_path)
     scored = spark.read.parquet(scored_path)
-    return _finalize(scored, conversation_aggregates(scored))
+    conv = conversation_aggregates(scored)
+    if broadcast_conv_aggs is True:
+        conv = F.broadcast(conv)
+    return _finalize(scored, conv)
 
 
 def run_pipeline_df(transcripts: DataFrame,
