@@ -470,6 +470,25 @@ def q34_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q35_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (holistic aggregate — needs the full sorted
+    group, unlike the streaming-combinable sums): median/p90 per return
+    flag. Spark `percentile` and DuckDB `quantile_cont` share the same
+    linear-interpolation definition, so values are bit-identical. At
+    100 TB prefer approx_percentile (t-digest, mergeable) — exact
+    percentile is the correctness baseline for it."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(F.expr("percentile(l_quantity, 0.5)").alias("med_qty"),
+             F.expr("percentile(l_quantity, 0.9)").alias("p90_qty"),
+             F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4)
+             .alias("med_price"),
+             F.round(F.expr("percentile(l_extendedprice, 0.99)"), 4)
+             .alias("p99_price"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Oracle SQL (DuckDB) — aliases and rounding match the Spark side exactly
 # ---------------------------------------------------------------------------
@@ -681,6 +700,15 @@ ORACLES: dict[str, str] = {
             FROM scored
         ) WHERE rk <= 3
     """,
+    "q35_percentiles": """
+        SELECT l_returnflag,
+               quantile_cont(l_quantity, 0.5) AS med_qty,
+               quantile_cont(l_quantity, 0.9) AS p90_qty,
+               round(quantile_cont(l_extendedprice, 0.5), 4) AS med_price,
+               round(quantile_cont(l_extendedprice, 0.99), 4) AS p99_price
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
     "q25_order_history_fp": """
         SELECT o_custkey,
                md5(string_agg(o_orderkey::VARCHAR, ',' ORDER BY o_orderdate, o_orderkey))
@@ -778,5 +806,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q26_running_total": q26_running_total,
     "q33_conditional_agg": q33_conditional_agg,
     "q34_tfidf_top_terms": q34_tfidf_top_terms,
+    "q35_percentiles": q35_percentiles,
     "q27_rollup_revenue": q27_rollup_revenue,
 }
