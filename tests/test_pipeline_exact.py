@@ -92,3 +92,21 @@ def test_rule_flags_match(spark_out, oracle_out):
 def test_keep_rate_sane(oracle_out):
     rate = oracle_out["keep"].mean()
     assert 0.3 < rate < 0.97, f"degenerate keep rate {rate}"
+
+
+def test_staged_shape_matches_inmemory(spark, transcripts_path, tmp_path,
+                                       spark_out):
+    """run_pipeline_staged (the production/checkpoint shape: scored
+    stage materialized to parquet, aggregates from re-scan) must produce
+    exactly the same table as the in-memory run_pipeline_df plan."""
+    from curator_spark.pipeline import run_pipeline_staged
+    df = spark.read.schema(schema.TRANSCRIPTS_SCHEMA).parquet(transcripts_path)
+    staged = run_pipeline_staged(spark, df, str(tmp_path / "scored"))
+    got = (staged.toPandas()
+           .sort_values(["conv_id", "turn_idx"], kind="mergesort")
+           .reset_index(drop=True))
+    assert list(got.columns) == list(spark_out.columns)
+    for col in ("conv_id", "turn_idx", "keep", "scrubbed_text", "lang",
+                "conv_lang", "conv_pass", "turn_pass", "role_balance"):
+        assert (got[col].fillna("") .to_numpy()
+                == spark_out[col].fillna("").to_numpy()).all(), col
