@@ -489,6 +489,30 @@ def q35_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q36_grouped_demean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map applyInPandas (the §2 UDF surface beyond scalar UDFs
+    and cogroup): per-event-type demeaning. Arithmetic is exact-integer
+    micros so the pandas group computation and the SQL window mean agree
+    bit-for-bit (see _cents): one shuffle on event_type, whole-group
+    pandas function per key."""
+    import pandas as pd
+    ev = _t(spark, sf_dir, "events")
+
+    def demean(pdf: pd.DataFrame) -> pd.DataFrame:
+        micros = (pdf["value"] * 1e6).round()
+        mean = micros.sum() / len(micros)
+        return pd.DataFrame({
+            "event_id": pdf["event_id"],
+            "event_type": pdf["event_type"],
+            "demeaned": ((micros - mean) / 1e6).round(6),
+        })
+
+    return (ev.select("event_id", "event_type", "value")
+            .groupby("event_type")
+            .applyInPandas(demean,
+                           schema="event_id long, event_type string, demeaned double"))
+
+
 # ---------------------------------------------------------------------------
 # Oracle SQL (DuckDB) — aliases and rounding match the Spark side exactly
 # ---------------------------------------------------------------------------
@@ -709,6 +733,14 @@ ORACLES: dict[str, str] = {
         FROM lineitem
         GROUP BY l_returnflag
     """,
+    "q36_grouped_demean": """
+        SELECT event_id, event_type,
+               round((micros - avg(micros) OVER (PARTITION BY event_type))
+                     / 1e6, 6) AS demeaned
+        FROM (SELECT event_id, event_type,
+                     round(value * 1e6) AS micros
+              FROM events)
+    """,
     "q25_order_history_fp": """
         SELECT o_custkey,
                md5(string_agg(o_orderkey::VARCHAR, ',' ORDER BY o_orderdate, o_orderkey))
@@ -807,5 +839,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q33_conditional_agg": q33_conditional_agg,
     "q34_tfidf_top_terms": q34_tfidf_top_terms,
     "q35_percentiles": q35_percentiles,
+    "q36_grouped_demean": q36_grouped_demean,
     "q27_rollup_revenue": q27_rollup_revenue,
 }
