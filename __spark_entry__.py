@@ -49,7 +49,18 @@ def _multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     matches the driver contract."""
     from curator_spark.operators import multimodal as mm
     media = mm.media_fixture(spark, n=96)
-    return mm.image_features(media.filter(F.col("modality") == "image"))
+    feats = mm.image_features(media.filter(F.col("modality") == "image"))
+    # Driver boundary: the rich array<float> feature stays in the
+    # operator API, but the driver canonicalizer sorts every column and
+    # cannot sort lists — surface a deterministic fingerprint instead.
+    feature_fp = F.md5(F.concat_ws(
+        ",", F.transform("feature", lambda x: F.format_string("%.6f", x))))
+    return feats.select(
+        "media_id", "n_bytes", "sha256", "entropy_proxy",
+        "thumb_w", "thumb_h",
+        F.when(F.col("feature").isNull(), F.lit(None).cast("string"))
+        .otherwise(feature_fp).alias("feature_fp"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

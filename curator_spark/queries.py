@@ -199,12 +199,15 @@ def q11_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     a user's partition slice."""
     ev = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    # parquet ts is TIMESTAMP_NTZ → cast via LTZ (session TZ = UTC) to epoch
-    epoch = F.col("ts").cast("timestamp").cast("long")
+    # parquet ts is TIMESTAMP_NTZ → cast via LTZ (session TZ = UTC), then
+    # epoch MICROseconds: whole-second truncation would disagree with the
+    # oracle's fractional epoch whenever a gap falls within 1s of the
+    # threshold (tested in tests/test_sessionize_boundary.py)
+    epoch = F.unix_micros(F.col("ts").cast("timestamp"))
     gap = epoch - F.lag(epoch).over(w)
     sess = ev.withColumn(
         "new_session",
-        F.when(gap.isNull() | (gap > 1800), F.lit(1)).otherwise(F.lit(0)))
+        F.when(gap.isNull() | (gap > 1_800_000_000), F.lit(1)).otherwise(F.lit(0)))
     sess = sess.withColumn(
         "session_seq",
         F.sum("new_session").over(
@@ -520,7 +523,10 @@ def q36_grouped_demean(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLES: dict[str, str] = {
     "q01_pricing_summary": """
         SELECT l_returnflag, l_linestatus,
-               sum(CAST(l_quantity AS BIGINT)) AS sum_qty,
+               -- outer CAST: DuckDB sums of integers are HUGEINT, which
+               -- duckdb-python hands to pandas as float64 — the driver's
+               -- exact value-hash then sees 5.0 vs Spark's 5
+               CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
                sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0
                    AS sum_base_price,
                sum(CAST(round(l_extendedprice * (1 - l_discount) * 1000000)
@@ -610,7 +616,7 @@ ORACLES: dict[str, str] = {
         WITH flagged AS (
             SELECT user_id, ts, event_id,
                    CASE WHEN lag(ts) OVER w IS NULL
-                          OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                          OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
                         THEN 1 ELSE 0 END AS new_session
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -620,12 +626,14 @@ ORACLES: dict[str, str] = {
                                           ROWS UNBOUNDED PRECEDING) AS session_seq
             FROM flagged
         )
-        SELECT user_id, max(session_seq) AS n_sessions, count(*) AS n_events
+        SELECT user_id, CAST(max(session_seq) AS BIGINT) AS n_sessions,
+               count(*) AS n_events
         FROM sessions GROUP BY user_id
     """,
     "q12_json_extract": """
         SELECT event_type,
-               round(avg(k), 4) AS avg_k, sum(k) AS sum_k, count(*) AS n
+               round(avg(k), 4) AS avg_k,
+               CAST(sum(k) AS BIGINT) AS sum_k, count(*) AS n
         FROM (SELECT event_type,
                      CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
               FROM events)
@@ -691,10 +699,10 @@ ORACLES: dict[str, str] = {
     """,
     "q33_conditional_agg": """
         SELECT l_returnflag,
-               sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
-                        THEN 1 ELSE 0 END) AS high_line_count,
-               sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
-                        THEN 0 ELSE 1 END) AS low_line_count,
+               CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                        THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+               CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                        THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count,
                round(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
                          THEN CAST(round(l_extendedprice * (1 - l_discount) * 1000000)
                                    AS BIGINT) ELSE 0 END)
@@ -785,7 +793,7 @@ ORACLES: dict[str, str] = {
                      / greatest(sum(CASE WHEN role IN ('user','assistant') THEN 1 ELSE 0 END), 1),
                      6) AS role_balance,
                min_by(role, turn_idx) AS first_role,
-               sum(n_toks) AS conv_tokens,
+               CAST(sum(n_toks) AS BIGINT) AS conv_tokens,
                max(turn_idx) AS last_turn_idx,
                (min_by(role, turn_idx) IN ('system','user')
                 AND max(turn_idx) = count(*) - 1) AS structure_ok

@@ -24,17 +24,33 @@ TABLES = ("region nation customer supplier part orders lineitem events "
 
 
 def canon(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Mirror the driver's canonicalization: sort columns by name, widen
+    int→int64 / float→float64 / bool→bool WITHOUT crossing kinds (so a
+    DuckDB HUGEINT arriving as float64 stays float64 and hash-mismatches
+    Spark's int64 exactly like the driver's gate), then sort rows by all
+    columns. NO rounding, NO tolerance — exactness is the contract."""
     pdf = pdf[sorted(pdf.columns)].copy()
     for c in pdf.columns:
         if pd.api.types.is_datetime64_any_dtype(pdf[c]):
-            pdf[c] = pdf[c].dt.tz_localize(None)
+            # unify tz and unit (Spark→ns, DuckDB→us) — a resolution-only
+            # difference is not a value difference and the driver's gate
+            # does not flag it (q10 was hash-green in round 1)
+            pdf[c] = pdf[c].dt.tz_localize(None).astype("datetime64[ns]")
         elif pd.api.types.is_float_dtype(pdf[c]):
-            pdf[c] = pdf[c].round(9)
+            pdf[c] = pdf[c].astype("float64")
         elif pd.api.types.is_bool_dtype(pdf[c]):
             pdf[c] = pdf[c].astype(bool)
         elif pd.api.types.is_integer_dtype(pdf[c]):
             pdf[c] = pdf[c].astype("int64")
     return pdf.sort_values(list(pdf.columns), kind="mergesort").reset_index(drop=True)
+
+
+def value_hash(pdf: pd.DataFrame) -> str:
+    """Dtype-sensitive exact hash of the canonicalized frame."""
+    import hashlib
+    payload = pdf.to_csv(index=False, float_format="%.17g")
+    payload += "|" + ",".join(str(t) for t in pdf.dtypes)
+    return hashlib.sha256(payload.encode()).hexdigest()
 
 
 def main() -> int:
@@ -79,12 +95,15 @@ def main() -> int:
             print(f"FAIL {name}: rows {len(a)} vs {len(b)}")
             failures += 1
             continue
-        try:
-            pd.testing.assert_frame_equal(a, b, check_dtype=False,
-                                          check_exact=False, rtol=1e-8, atol=1e-10)
+        if value_hash(a) == value_hash(b):
             print(f"OK   {name}: {len(a)} rows [{dt:.1f}s]")
-        except AssertionError as e:
-            print(f"FAIL {name}: value mismatch: {str(e)[:400]}")
+        else:
+            msg = "hash mismatch"
+            try:  # best-effort diagnosis of WHERE they differ
+                pd.testing.assert_frame_equal(a, b, check_exact=True)
+            except AssertionError as e:
+                msg = str(e)[:400]
+            print(f"FAIL {name}: {msg}")
             failures += 1
     spark.stop()
     print(f"\n{'ALL PASS' if failures == 0 else f'{failures} FAILURES'}")
