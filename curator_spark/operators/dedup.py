@@ -143,12 +143,18 @@ def lsh_candidate_pairs(docs: DataFrame, text_col: str = "text",
 
 def jaccard_pairs(docs: DataFrame, text_col: str = "text",
                   id_col: str = "doc_id", n: int = 3,
-                  threshold: float = 0.5) -> DataFrame:
+                  threshold: float = 0.5,
+                  broadcast_sizes: bool = False) -> DataFrame:
     """Exact n-gram Jaccard similarity pairs (id_a < id_b, sim ≥ threshold).
 
     Self-join on shingles → intersection counts; |A∪B| from per-doc
     distinct-shingle sizes. O(collisions) not O(n²): only docs sharing a
-    shingle ever pair. At 100 TB run this on LSH candidates, not raw."""
+    shingle ever pair. At 100 TB run this on LSH candidates, not raw.
+
+    broadcast_sizes: the per-doc size table has one row per input doc —
+    corpus-sized, NOT broadcastable at scale. Default False lets
+    Catalyst/AQE pick the join strategy from actual sizes; pass True
+    only when the input is a bounded candidate set."""
     sh = doc_shingles(docs, text_col, id_col, n)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
@@ -161,8 +167,10 @@ def jaccard_pairs(docs: DataFrame, text_col: str = "text",
     )
     sz_a = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
     sz_b = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    if broadcast_sizes:
+        sz_a, sz_b = F.broadcast(sz_a), F.broadcast(sz_b)
     return (
-        inter.join(F.broadcast(sz_a), "id_a").join(F.broadcast(sz_b), "id_b")
+        inter.join(sz_a, "id_a").join(sz_b, "id_b")
         .withColumn("jaccard", F.round(
             F.col("n_inter")
             / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")), 4))

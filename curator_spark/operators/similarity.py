@@ -133,22 +133,34 @@ N_IVF_CELLS = 16
 def ivf_assign(emb: DataFrame, centroids: DataFrame,
                id_col: str = "vec_id") -> DataFrame:
     """IVF coarse quantization: assign every vector to its nearest
-    centroid by cosine (deterministic tie-break on cell id).
+    centroid by cosine (deterministic tie-break on lowest cell id).
 
-    centroids: (cell:int, cv:array<double>, cn:double). The assignment
-    is a broadcast join + argmax — a narrow map over the corpus; at
-    scale the cell id becomes the partition column (same pruning story
-    as the sign-bucket ANN)."""
-    from pyspark.sql import Window
+    centroids: (cell:int, cv:array<double>, cn:double). The codebook is
+    driver-small by construction (n_cells entries — an IVF codebook is
+    always tiny relative to the corpus), so it is collected once and
+    folded into the plan as literal columns: the assignment becomes ONE
+    narrow map computing all cell similarities and taking the argmax
+    via array_max over (csim, -cell) structs — zero shuffle, zero
+    per-vector window. (The previous form — broadcast cross join +
+    row_number window partitioned by vec_id — shuffled an n_cells×
+    -inflated copy of the corpus just to pick the argmax.)
+
+    Numerics identical to the oracle: same sequential-fold dot product
+    per centroid, round(·, 9) before comparison."""
+    cents = sorted(centroids.select("cell", "cv", "cn").collect(),
+                   key=lambda r: r["cell"])
     base = with_norm(emb)
-    joined = base.crossJoin(F.broadcast(centroids))
-    sim = dot_expr(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cn"))
-    w = Window.partitionBy(id_col).orderBy(
-        F.round(F.col("csim"), 9).desc(), F.col("cell").asc())
+    entries = []
+    for r in cents:
+        cv = F.array(*[F.lit(float(x)) for x in r["cv"]])
+        sim = dot_expr(F.col("v"), cv) / (F.col("nrm") * F.lit(float(r["cn"])))
+        entries.append(F.struct(F.round(sim, 9).alias("csim"),
+                                F.lit(-int(r["cell"])).alias("neg_cell")))
+    # struct max: highest csim, then highest neg_cell == lowest cell
+    best = F.array_max(F.array(*entries))
     return (
-        joined.select(id_col, "v", "nrm", "cell", sim.alias("csim"))
-        .withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") == 1)
+        base.select(id_col, "v", "nrm",
+                    (-best["neg_cell"]).cast("int").alias("cell"))
         .select(id_col, "cell", "v", "nrm")
     )
 
@@ -184,8 +196,10 @@ def embedding_neardup_pairs(emb: DataFrame, threshold: float = 0.8,
                             id_col: str = "vec_id",
                             vec_col: str = "embedding") -> DataFrame:
     """All pairs (id_a < id_b) with cosine ≥ threshold — embedding-space
-    near-duplicate detection. Brute-force O(n²); bound the input (a
-    bucket, a candidate set) before calling at scale."""
+    near-duplicate detection. Brute-force O(n²); the exact-recall
+    correctness baseline. NEVER call on a raw corpus at scale — use
+    embedding_neardup_bucketed (LSH recall tradeoff) or feed this only
+    a bounded candidate set."""
     base = with_norm(emb, vec_col)
     a = base.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"),
                     F.col("nrm").alias("na"))
@@ -198,4 +212,33 @@ def embedding_neardup_pairs(emb: DataFrame, threshold: float = 0.8,
             dot_expr(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6))
         .filter(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", "cos_sim")
+    )
+
+
+def embedding_neardup_bucketed(emb: DataFrame, threshold: float = 0.8,
+                               id_col: str = "vec_id",
+                               vec_col: str = "embedding",
+                               n_bits: int = N_SIGN_BITS) -> DataFrame:
+    """Near-duplicate pairs WITHIN each sign bucket — the scale path.
+
+    The all-pairs comparison happens only inside LSH buckets: the join
+    is an equi-join on the bucket key (one shuffle on bucket, quadratic
+    only per bucket, never across the corpus). With 2^n_bits uniform
+    buckets the candidate volume drops by ~2^n_bits vs the global cross
+    join; recall is the standard random-hyperplane LSH tradeoff (true
+    near-dups with many flipped sign bits are missed — raise n_bits'
+    band count or multi-probe for recall at scale)."""
+    base = (with_norm(emb, vec_col)
+            .withColumn("bucket", sign_bucket_expr(vec_col, n_bits)))
+    a = base.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"),
+                    F.col("nrm").alias("na"), F.col("bucket"))
+    b = base.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"),
+                    F.col("nrm").alias("nb"), F.col("bucket").alias("bucket_b"))
+    return (
+        a.join(b, F.col("bucket") == F.col("bucket_b"))
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos_sim", F.round(
+            dot_expr(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6))
+        .filter(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", "bucket", "cos_sim")
     )

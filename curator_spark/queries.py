@@ -454,7 +454,9 @@ def q34_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-engine: integer tf/df counts, ln on identical doubles, round 6.
     Two shuffles (token agg, per-doc window) — both on uniform keys."""
     docs = _t(spark, sf_dir, "documents")
-    n_docs = docs.count()
+    # corpus size as a broadcast 1-row aggregate, not a driver-side
+    # .count() (which would cost an extra scan job per invocation)
+    n_docs = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
     tokens = (docs.select("doc_id",
                           F.explode(F.split(F.lower(F.col("text")), " "))
                           .alias("term"))
@@ -465,8 +467,10 @@ def q34_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("score").desc(), F.col("term").asc())
     return (
         tf.join(df_, "term")
+        .crossJoin(F.broadcast(n_docs))
         .withColumn("score",
-                    F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6))
+                    F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6))
+        .drop("n_docs")
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= 3)
         .select("doc_id", "term", "score", "rk")

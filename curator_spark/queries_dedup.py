@@ -50,8 +50,11 @@ def q22_signbucket_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q23_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return similarity.embedding_neardup_pairs(_emb(spark, sf_dir),
-                                              threshold=NEARDUP_COS)
+    """Embedding near-dup pairs per sign bucket (equi-join on the LSH
+    bucket key — the scale path; the global cross join exists only as
+    the exact-recall baseline in embedding_neardup_pairs)."""
+    return similarity.embedding_neardup_bucketed(_emb(spark, sf_dir),
+                                                 threshold=NEARDUP_COS)
 
 
 def q24_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -235,12 +238,19 @@ _SIGNBUCKET_SQL = f"""
 """
 
 _NEARDUP_SQL = f"""
-    WITH base AS ({_EMB_BASE})
-    SELECT id_a, id_b, cos_sim FROM (
-        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+    WITH base AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+               sqrt(list_sum(list_transform(embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm,
+               {_BUCKET_BITS} AS bucket
+        FROM embeddings
+    )
+    SELECT id_a, id_b, bucket, cos_sim FROM (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.bucket,
                round(list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i]))
                      / (a.nrm * b.nrm), 6) AS cos_sim
-        FROM base a JOIN base b ON a.vec_id < b.vec_id
+        FROM base a JOIN base b
+          ON a.bucket = b.bucket AND a.vec_id < b.vec_id
     ) WHERE cos_sim >= {NEARDUP_COS}
 """
 

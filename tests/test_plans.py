@@ -69,3 +69,28 @@ def test_anti_join_stays_join_not_cartesian(spark):
     plan = plan_of(queries.q06_customers_without_orders(spark, SF))
     assert "LeftAnti" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_ivf_assign_is_narrow_map(spark):
+    """The IVF cell assignment must be a zero-shuffle argmax over
+    literal centroids — no cartesian product, no per-vector window
+    (the window form shuffles an n_cells×-inflated corpus)."""
+    from curator_spark.operators import similarity
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    cents = similarity.seed_centroids(emb)
+    plan = plan_of(similarity.ivf_assign(emb, cents))
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+    assert "Exchange" not in plan  # narrow map: no shuffle at all
+
+
+def test_neardup_bucketed_is_equijoin(spark):
+    """Per-bucket near-dup must join on the bucket key, never a global
+    cross join over the corpus."""
+    from curator_spark.operators import similarity
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    plan = plan_of(similarity.embedding_neardup_bucketed(emb, threshold=0.4))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert ("SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+            or "BroadcastHashJoin" in plan)
