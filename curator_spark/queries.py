@@ -520,6 +520,53 @@ def q36_grouped_demean(spark: SparkSession, sf_dir: str) -> DataFrame:
                            schema="event_id long, event_type string, demeaned double"))
 
 
+def q37_structured_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured-output schema enforcement (reference:
+    prompt_formatter.py:104-148 response_to_response_format — JSON-parse
+    + schema-validate, null-skip on mismatch). A deterministic subset of
+    payloads is corrupted in-query (event_id%11 → invalid JSON,
+    event_id%13 → type mismatch) so BOTH failure channels are exercised
+    and counted; the valid remainder aggregates the parsed field.
+    One narrow from_json map + one groupBy — no Python, no extra scan."""
+    from pyspark.sql import types as T
+    from .operators.structured import validate_json
+    ev = _t(spark, sf_dir, "events")
+    corrupted = ev.withColumn(
+        "payload",
+        # truncated document — malformed for BOTH engines (Jackson
+        # accepts trailing garbage after a complete first document, so
+        # appending junk would not be malformed to Spark)
+        F.when(F.col("event_id") % 11 == 0, F.lit('{"k": '))
+        .when(F.col("event_id") % 13 == 0, F.lit('{"k": "oops"}'))  # bad type
+        .otherwise(F.col("props")))
+    v = validate_json(corrupted, "payload",
+                      T.StructType([T.StructField("k", T.IntegerType())]),
+                      required=("k",))
+    return (
+        v.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_total"),
+             F.sum((~F.col("json_ok")).cast("long")).alias("n_bad_json"),
+             F.sum((F.col("json_ok") & ~F.col("schema_ok")).cast("long"))
+             .alias("n_mismatch"),
+             F.sum(F.col("schema_ok").cast("long")).alias("n_valid"),
+             F.sum(F.when(F.col("schema_ok"), F.col("parsed.k"))
+                   .otherwise(0).cast("long")).alias("sum_valid_k"))
+    )
+
+
+def q38_nested_conversations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested conversation columns (SURVEY §1.1: message list ↔
+    ArrayType(StructType)): long-format turns collected into an ordered
+    array<struct<role,text>> per conversation, then flat features
+    computed FROM the nested column (size, boundary roles, role
+    alternation, content fingerprint). The collect is the only shuffle;
+    everything after is narrow array expressions."""
+    from .ingest import docs_to_transcripts
+    from .operators.nested import collect_conversations, conversation_features
+    turns = docs_to_transcripts(_t(spark, sf_dir, "documents"))
+    return conversation_features(collect_conversations(turns))
+
+
 # ---------------------------------------------------------------------------
 # Oracle SQL (DuckDB) — aliases and rounding match the Spark side exactly
 # ---------------------------------------------------------------------------
@@ -804,6 +851,61 @@ ORACLES: dict[str, str] = {
         FROM turns
         GROUP BY conv_id
     """,
+    "q37_structured_validate": """
+        WITH corrupted AS (
+            SELECT event_type,
+                   CASE WHEN event_id % 11 = 0 THEN '{"k": '
+                        WHEN event_id % 13 = 0 THEN '{"k": "oops"}'
+                        ELSE props END AS payload
+            FROM events
+        ), v AS (
+            SELECT event_type, json_valid(payload) AS json_ok,
+                   CASE WHEN json_valid(payload)
+                        THEN TRY_CAST(json_extract_string(payload, '$.k')
+                                      AS INTEGER) END AS k
+            FROM corrupted
+        )
+        SELECT event_type, count(*) AS n_total,
+               CAST(sum(CASE WHEN NOT json_ok THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_bad_json,
+               CAST(sum(CASE WHEN json_ok AND k IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_mismatch,
+               CAST(sum(CASE WHEN k IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_valid,
+               CAST(sum(CASE WHEN k IS NOT NULL THEN k ELSE 0 END) AS BIGINT)
+                   AS sum_valid_k
+        FROM v
+        GROUP BY event_type
+    """,
+    "q38_nested_conversations": """
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split(text, ' '), t -> t <> '') AS toks
+            FROM documents
+        ),
+        turns AS (
+            SELECT 'doc-' || lpad(doc_id::VARCHAR, 10, '0') AS conv_id,
+                   CAST(i - 1 AS INTEGER) AS turn_idx,
+                   CASE WHEN (i - 1) % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
+                   array_to_string(toks[(i-1)*12+1 : i*12], ' ') AS t
+            FROM toks,
+                 unnest(range(1, greatest(CAST(ceil(len(toks) * 1.0 / 12) AS INT), 1) + 1)) AS u(i)
+        ),
+        nxt AS (
+            SELECT conv_id, turn_idx, role, t,
+                   lead(role) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+                       AS next_role
+            FROM turns
+        )
+        SELECT conv_id, count(*) AS n_turns,
+               min_by(role, turn_idx) AS first_role,
+               max_by(role, turn_idx) AS last_role,
+               coalesce(bool_and(role <> next_role), TRUE) AS alternates,
+               md5(string_agg(role || ':' || t, chr(31) ORDER BY turn_idx))
+                   AS msg_fp
+        FROM nxt
+        GROUP BY conv_id
+    """,
     "q26_running_total": """
         SELECT o_custkey, o_orderkey,
                sum(CAST(round(o_totalprice * 100) AS BIGINT))
@@ -853,4 +955,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q35_percentiles": q35_percentiles,
     "q36_grouped_demean": q36_grouped_demean,
     "q27_rollup_revenue": q27_rollup_revenue,
+    "q37_structured_validate": q37_structured_validate,
+    "q38_nested_conversations": q38_nested_conversations,
 }
