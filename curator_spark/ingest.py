@@ -11,7 +11,9 @@ _convert_to_dataset).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from collections.abc import Iterable
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 TURN_TOKENS = 12          # tokens per synthetic turn
 BASE_EPOCH = 1_748_736_000  # 2025-06-01T00:00:00Z
@@ -47,3 +49,78 @@ def docs_to_transcripts(docs: DataFrame, n_parts: int = N_PARTS) -> DataFrame:
              .cast("long") % n_parts).cast("int").alias("part"),
         )
     )
+
+
+def _is_message(x) -> bool:
+    return isinstance(x, dict) and "role" in x and ("content" in x or "text" in x)
+
+
+def _is_message_list(x) -> bool:
+    return (isinstance(x, list) and len(x) > 0
+            and all(_is_message(m) for m in x))
+
+
+def coerce_to_transcripts(spark: SparkSession, data,
+                          n_parts: int = N_PARTS) -> DataFrame:
+    """Coerce any supported input into the transcripts table.
+
+    The breadth analogue of the reference's _convert_to_dataset
+    (reference: src/bespokelabs/curator/llm/llm.py:288-309 — str,
+    message-list, generator/iterable, or Dataset all become the one
+    first-class Dataset shape):
+
+    * str                        → one single-turn (user) conversation
+    * message list
+      [{"role","content"}, ...]  → ONE conversation with those turns
+    * iterable of either         → one conversation per element
+    * DataFrame with transcripts
+      columns                    → passthrough (part recomputed if absent)
+    * DataFrame with doc_id/text → docs_to_transcripts chunking
+
+    Python inputs are driver-local by nature (exactly as in the
+    reference); the distributed path is the DataFrame route. conv_ids
+    ("row-%010d" by input position), timestamps, and part assignment
+    are deterministic, so coercion is memoization-stable."""
+    if isinstance(data, DataFrame):
+        cols = set(data.columns)
+        if {"conv_id", "turn_idx", "role", "text"} <= cols:
+            out = data
+            if "part" not in cols:
+                out = out.withColumn(
+                    "part",
+                    (F.conv(F.substring(F.md5(F.col("conv_id")), 1, 8), 16, 10)
+                     .cast("long") % n_parts).cast("int"))
+            return out
+        if {"doc_id", "text"} <= cols:
+            return docs_to_transcripts(data, n_parts)
+        raise TypeError(f"cannot coerce DataFrame with columns {sorted(cols)}")
+
+    if isinstance(data, str) or _is_message_list(data):
+        data = [data]
+    elif not isinstance(data, Iterable):
+        raise TypeError(f"cannot coerce {type(data).__name__} to transcripts")
+
+    rows = []
+    for i, item in enumerate(data):  # generators consume lazily, build once
+        conv_id = f"row-{i:010d}"
+        if isinstance(item, str):
+            turns = [("user", item, None)]
+        elif _is_message_list(item):
+            turns = [(m["role"], m.get("content", m.get("text", "")),
+                      m.get("tool")) for m in item]
+        else:
+            raise TypeError(
+                f"element {i}: expected str or message list, got "
+                f"{type(item).__name__}")
+        for t, (role, text, tool) in enumerate(turns):
+            rows.append((conv_id, t, role, text, tool))
+    from .schema import TRANSCRIPTS_SCHEMA  # noqa: PLC0415 (cycle-free late import)
+    base = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string")
+    out = base.select(
+        "conv_id", "turn_idx", "role", "text", "tool",
+        F.timestamp_seconds(F.lit(BASE_EPOCH) + F.col("turn_idx") * 60).alias("ts"),
+        (F.conv(F.substring(F.md5(F.col("conv_id")), 1, 8), 16, 10)
+         .cast("long") % n_parts).cast("int").alias("part"),
+    )
+    return out.select([f.name for f in TRANSCRIPTS_SCHEMA.fields])

@@ -71,6 +71,69 @@ def test_param_change_invalidates_memo(spark, small_input, tmp_path):
     assert not r2["memoized"]
 
 
+def test_corrupted_partition_recomputed(spark, small_input, tmp_path):
+    """Resume must not trust a commit marker whose partition data no
+    longer reconciles (reference cache-integrity verifier,
+    base_request_processor.py:120-167): the marker is dropped and the
+    partition recomputes, yielding a table identical to a clean run."""
+    import glob
+
+    crashed = str(tmp_path / "corrupt")
+    clean = str(tmp_path / "clean_for_corrupt")
+    run_checkpointed(spark, small_input, crashed, only_parts=[0, 1, 2])
+    assert committed_parts(crashed) == {0, 1, 2}
+
+    # corrupt committed part 1: remove one of its data files
+    files = glob.glob(os.path.join(crashed, "data", "part=1", "*.parquet"))
+    assert files
+    os.remove(files[0])
+
+    r = run_checkpointed(spark, small_input, crashed)
+    assert r["parts_invalidated"] == 1
+    assert r["parts_committed"] == 2  # part 3 (pending) + part 1 (recomputed)
+    assert r["parts_skipped"] == 2
+
+    run_checkpointed(spark, small_input, clean)
+    a, b = _read_sorted(spark, crashed), _read_sorted(spark, clean)
+    assert a.equals(b), "recomputed output != clean-run output"
+
+
+def test_sharded_completion_writes_success_marker(spark, small_input, tmp_path):
+    """A run completed entirely via only_parts shards still gets the
+    whole-run marker, so run-level memoization engages for the
+    production sharding path."""
+    out = str(tmp_path / "sharded")
+    run_checkpointed(spark, small_input, out, only_parts=[0, 1])
+    assert not os.path.exists(os.path.join(out, "_SUCCESS_RUN"))
+    run_checkpointed(spark, small_input, out, only_parts=[2, 3])
+    assert os.path.exists(os.path.join(out, "_SUCCESS_RUN"))
+    r3 = run_checkpointed(spark, small_input, out)
+    assert r3["memoized"]
+
+
+def test_staged_scratch_removed_after_commit(spark, small_input, tmp_path):
+    out = str(tmp_path / "scratch")
+    run_checkpointed(spark, small_input, out, only_parts=[0, 1])
+    run_checkpointed(spark, small_input, out)
+    leftovers = [d for d in os.listdir(out) if d.startswith("_scored")]
+    assert leftovers == []
+
+
+def test_strict_mode_fails_all_on_error_rows(spark, small_input, tmp_path):
+    """require_all_responses analogue (reference
+    base_request_processor.py:398-426): with error rows present, strict
+    mode raises and commits NOTHING, so a rerun reprocesses; default
+    mode soft-fails to error rows and completes."""
+    out = str(tmp_path / "strict")
+    with pytest.raises(RuntimeError, match="strict mode"):
+        run_checkpointed(spark, small_input, out, strict=True)
+    assert committed_parts(out) == set()
+    assert not os.path.exists(os.path.join(out, "_SUCCESS_RUN"))
+    # same out_dir, default mode: completes (error rows carried as data)
+    r = run_checkpointed(spark, small_input, out)
+    assert r["parts_committed"] == 4
+
+
 def test_metrics_and_lineage_written(spark, small_input, tmp_path):
     out = str(tmp_path / "metrics")
     run_checkpointed(spark, small_input, out)

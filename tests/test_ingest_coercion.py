@@ -1,0 +1,67 @@
+"""Input coercion breadth (reference llm/llm.py:288-309
+_convert_to_dataset): str / message-list / iterable / DataFrame all
+coerce into the one transcripts shape, deterministically."""
+
+from __future__ import annotations
+
+import pytest
+
+from curator_spark.ingest import coerce_to_transcripts, docs_to_transcripts
+
+
+def test_str_becomes_single_turn_conversation(spark):
+    t = coerce_to_transcripts(spark, "hello world").collect()
+    assert len(t) == 1
+    r = t[0]
+    assert (r.conv_id, r.turn_idx, r.role, r.text) == \
+        ("row-0000000000", 0, "user", "hello world")
+    assert r.ts is not None and 0 <= r.part < 8
+
+
+def test_message_list_is_one_conversation(spark):
+    msgs = [{"role": "system", "content": "be nice"},
+            {"role": "user", "content": "hi"},
+            {"role": "assistant", "content": "hello"}]
+    t = sorted(coerce_to_transcripts(spark, msgs).collect(),
+               key=lambda r: r.turn_idx)
+    assert [r.conv_id for r in t] == ["row-0000000000"] * 3
+    assert [(r.turn_idx, r.role, r.text) for r in t] == [
+        (0, "system", "be nice"), (1, "user", "hi"), (2, "assistant", "hello")]
+
+
+def test_iterable_and_generator(spark):
+    def gen():
+        yield "first doc"
+        yield [{"role": "user", "content": "q"},
+               {"role": "assistant", "content": "a"}]
+
+    t = coerce_to_transcripts(spark, gen()).collect()
+    convs = {r.conv_id for r in t}
+    assert convs == {"row-0000000000", "row-0000000001"}
+    assert len(t) == 3
+
+
+def test_dataframe_docs_route_matches_docs_to_transcripts(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = coerce_to_transcripts(spark, docs).toPandas()
+    b = docs_to_transcripts(docs).toPandas()
+    key = ["conv_id", "turn_idx"]
+    a = a.sort_values(key).reset_index(drop=True)
+    b = b.sort_values(key).reset_index(drop=True)
+    assert a.equals(b)
+
+
+def test_transcripts_dataframe_passthrough(spark):
+    t = coerce_to_transcripts(spark, "x")
+    again = coerce_to_transcripts(spark, t)
+    assert again is t  # full-schema frame is returned untouched
+
+
+def test_bad_inputs_raise(spark):
+    with pytest.raises(TypeError):
+        coerce_to_transcripts(spark, 42)
+    with pytest.raises(TypeError):
+        coerce_to_transcripts(spark, [42])
+    with pytest.raises(TypeError):
+        coerce_to_transcripts(
+            spark, spark.createDataFrame([(1,)], "only_col int"))
