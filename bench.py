@@ -78,9 +78,10 @@ def prepare_scaling_input(path: str, n_turns: int) -> None:
     os.remove(tmp_single)
 
 
-def run_flagship_at(parallelism: int, input_path: str) -> tuple[float, int]:
-    """Run the full quality-filter pipeline at local[parallelism];
-    returns (wall_sec, n_turns).
+def _measure_flagship(parallelism: int, input_path: str) -> tuple[float, int]:
+    """Measure the full quality-filter pipeline at local[parallelism];
+    returns (wall_sec, n_turns). Runs inside a DEDICATED subprocess —
+    see run_flagship_at.
 
     Runs the production staged shape (run_pipeline_staged: score →
     durable columnar materialization → pruned re-scan for aggregation →
@@ -109,6 +110,26 @@ def run_flagship_at(parallelism: int, input_path: str) -> tuple[float, int]:
     spark.stop()
     shutil.rmtree(scored_path, ignore_errors=True)
     return dt, n
+
+
+def run_flagship_at(parallelism: int, input_path: str) -> tuple[float, int]:
+    """Run one scaling measurement in a FRESH subprocess.
+
+    Each measurement gets its own Python process (and therefore its own
+    JVM + Python-accumulator server): a 2nd SparkContext created after
+    spark.stop() in one process reports task accumulator updates to the
+    first context's dead socket, spraying benign-but-ugly
+    'Failed to update accumulator / EOF reached' DAGScheduler stack
+    traces into the log (root cause of the BENCH_r01 trace anomaly).
+    Results were never affected; the isolation makes the log clean and
+    the measurement unpolluted by leftover JVM state."""
+    import subprocess
+    r = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--scale-worker",
+         str(parallelism), input_path],
+        stdout=subprocess.PIPE, text=True, check=True)
+    d = json.loads(r.stdout.strip().splitlines()[-1])
+    return d["dt"], d["n"]
 
 
 def main() -> None:
@@ -157,7 +178,12 @@ def main() -> None:
         n_lo = int(os.environ.get("SPARK_GRAFT_SCALE_N", "2"))
         n_hi = 4 * n_lo
         scale_input = f"/tmp/curator_bench/transcripts_{SCALE_TURNS}_{SCALE_SEED}"
-        prepare_scaling_input(scale_input, SCALE_TURNS)
+        # fixture prep in its own subprocess too (same stale-accumulator
+        # hygiene as the measurements; no-op when the fixture exists)
+        import subprocess
+        subprocess.run([sys.executable, os.path.abspath(__file__),
+                        "--prep-worker", str(SCALE_TURNS), scale_input],
+                       check=True)
         # SCALE_TURNS is sized so per-core work dominates the ~6 s of
         # fixed stage-scheduling latency — the regime that reflects
         # at-scale behavior, where per-executor data amortizes constant
@@ -246,10 +272,27 @@ def write_bench_md(result: dict) -> None:
             "(scales with cores); the only data-proportional shuffle is the",
             "salted partial aggregation; the finalize join broadcasts the",
             "per-conversation aggregate side.",
+            "",
+            "## Log hygiene (BENCH_r01 trace anomaly, resolved)",
+            "",
+            "The DAGScheduler stack traces in the round-1 bench log were",
+            "'Failed to update accumulator (PythonAccumulatorV2): EOF/",
+            "Broken pipe' — a 2nd SparkContext created after spark.stop()",
+            "in the same Python process reports task accumulator updates",
+            "to the first context's dead socket. Benign for results (no",
+            "Python accumulators are used), but noisy; each scaling",
+            "measurement now runs in its own subprocess and the bench log",
+            "is trace-free (verified: zero ERROR/exception lines).",
         ]
     with open(os.path.join(REPO, "BENCH.md"), "w") as f:
         f.write("\n".join(lines) + "\n")
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) >= 4 and sys.argv[1] == "--scale-worker":
+        dt, n = _measure_flagship(int(sys.argv[2]), sys.argv[3])
+        print(json.dumps({"dt": dt, "n": n}))
+    elif len(sys.argv) >= 4 and sys.argv[1] == "--prep-worker":
+        prepare_scaling_input(sys.argv[3], int(sys.argv[2]))
+    else:
+        main()

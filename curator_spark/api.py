@@ -28,24 +28,37 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 
 from .checkpoint import run_checkpointed, run_fingerprint
+from .ingest import coerce_to_transcripts
 from .pipeline import run_pipeline_df
 
 
 class QualityFilter:
     def __init__(self, cache_dir: str | None = None,
                  broadcast_conv_aggs: bool | None = None,
-                 params: dict | None = None) -> None:
+                 params: dict | None = None,
+                 strict: bool = False) -> None:
+        """strict: fail-all policy — a durable run raises instead of
+        committing when error rows are present (reference
+        require_all_responses, base_request_processor.py:398-426)."""
         self.cache_dir = cache_dir
         self.broadcast_conv_aggs = broadcast_conv_aggs
         self.params = params or {}
+        self.strict = strict
         self.last_run: dict | None = None  # summary of the last durable run
 
-    def __call__(self, dataset: DataFrame | None = None, *,
+    def __call__(self, dataset=None, *,
                  input_path: str | None = None,
                  spark: SparkSession | None = None) -> DataFrame:
         if (dataset is None) == (input_path is None):
             raise ValueError("pass exactly one of `dataset` or `input_path`")
         if dataset is not None:
+            if not isinstance(dataset, DataFrame):
+                # reference input breadth (llm/llm.py:288-309): str /
+                # message list / iterable coerce to the transcripts shape
+                spark = spark or SparkSession.getActiveSession()
+                if spark is None:
+                    raise ValueError("no active SparkSession; pass `spark=`")
+                dataset = coerce_to_transcripts(spark, dataset)
             return run_pipeline_df(
                 dataset, broadcast_conv_aggs=self.broadcast_conv_aggs)
 
@@ -58,7 +71,8 @@ class QualityFilter:
         out_dir = os.path.join(self.cache_dir, run_id)
         self.last_run = run_checkpointed(
             spark, input_path, out_dir, params=self.params,
-            broadcast_conv_aggs=self.broadcast_conv_aggs)
+            broadcast_conv_aggs=self.broadcast_conv_aggs,
+            strict=self.strict)
         return spark.read.parquet(os.path.join(out_dir, "data"))
 
     def metrics(self, spark: SparkSession) -> DataFrame | None:

@@ -124,3 +124,43 @@ def coerce_to_transcripts(spark: SparkSession, data,
          .cast("long") % n_parts).cast("int").alias("part"),
     )
     return out.select([f.name for f in TRANSCRIPTS_SCHEMA.fields])
+
+
+def write_transcripts_jsonl(df: DataFrame, path: str) -> None:
+    """JSONL sink — the reference's durable interchange format
+    (requests_{i}.jsonl / responses_{i}.jsonl, written one line per row:
+    base_online_request_processor.py:492-502 append_generic_response).
+    Columnar parquet remains the primary format; JSONL exists for
+    interop with line-oriented tooling."""
+    df.write.mode("overwrite").json(path)
+
+
+def read_transcripts_jsonl(spark: SparkSession, path: str,
+                           keep_corrupt: bool = False) -> DataFrame:
+    """Schema-enforced JSONL scan (reference A2: stream-read request
+    files validating every line, base_online_request_processor.py:269-274
+    / base_batch_request_processor.py:377-399).
+
+    The declared schema drives the Jackson parse (no inference pass over
+    the data — at 100 TB schema inference would be a full extra scan);
+    malformed lines land in a corrupt-record column and are quarantined
+    (dropped, or kept for inspection with keep_corrupt=True) instead of
+    failing the scan — the line-level analogue of the reference's
+    per-line pydantic validation raising on bad rows."""
+    from .schema import TRANSCRIPTS_SCHEMA
+    from pyspark.sql import types as T
+    full = T.StructType(list(TRANSCRIPTS_SCHEMA.fields)
+                        + [T.StructField("_corrupt", T.StringType(), True)])
+    df = (spark.read.schema(full)
+          .option("mode", "PERMISSIVE")
+          .option("columnNameOfCorruptRecord", "_corrupt")
+          .json(path))
+    if keep_corrupt:
+        return df
+    # conv_id is declared non-null: a line parsing to a null key is a
+    # schema violation too. (Referencing a data column in the filter
+    # also keeps count()-style queries legal — Spark forbids plans that
+    # reference ONLY the corrupt column of a raw JSON scan.)
+    return (df.filter(F.col("_corrupt").isNull()
+                      & F.col("conv_id").isNotNull())
+            .select([f.name for f in TRANSCRIPTS_SCHEMA.fields]))

@@ -65,3 +65,36 @@ def test_bad_inputs_raise(spark):
     with pytest.raises(TypeError):
         coerce_to_transcripts(
             spark, spark.createDataFrame([(1,)], "only_col int"))
+
+
+def test_jsonl_roundtrip_and_quarantine(spark, tmp_path):
+    """A2/A4 parity: schema-enforced JSONL scan round-trips the
+    transcripts table exactly; malformed lines quarantine, not crash."""
+    import os
+
+    from curator_spark.ingest import (read_transcripts_jsonl,
+                                      write_transcripts_jsonl)
+    t = coerce_to_transcripts(
+        spark, ["alpha beta", "gamma delta epsilon",
+                [{"role": "user", "content": "hi"},
+                 {"role": "assistant", "content": "yo"}]])
+    p = str(tmp_path / "t.jsonl")
+    write_transcripts_jsonl(t, p)
+
+    back = read_transcripts_jsonl(spark, p)
+    key = ["conv_id", "turn_idx"]
+    a = t.toPandas().sort_values(key).reset_index(drop=True)
+    b = back.toPandas().sort_values(key).reset_index(drop=True)
+    assert a.equals(b)
+
+    # inject a shard containing a malformed line (a NEW file — appending
+    # to a Spark-written shard trips its Hadoop .crc sidecar, which is
+    # checksum detection, not the parser path under test)
+    with open(os.path.join(p, "part-junk.json"), "w") as f:
+        f.write('{"conv_id": busted\n')
+    again = read_transcripts_jsonl(spark, p)
+    assert again.count() == t.count()  # bad line dropped, good rows intact
+    # (materialize fully: Spark disallows projecting ONLY the corrupt
+    # column straight off a raw JSON scan)
+    kept = read_transcripts_jsonl(spark, p, keep_corrupt=True).toPandas()
+    assert kept["_corrupt"].notna().sum() == 1
