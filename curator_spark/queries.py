@@ -567,6 +567,17 @@ def q38_nested_conversations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return conversation_features(collect_conversations(turns))
 
 
+def q40_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split (operators/sampling.py):
+    salted md5-bucket of the row key → split assignment that is a pure
+    function of (id, salt) — reproducible across partitioning, retries,
+    engines, and scale; changing the salt redraws without touching
+    data. Narrow JVM-side map, zero shuffle, zero Python."""
+    from .operators.sampling import hash_split
+    docs = _t(spark, sf_dir, "documents")
+    return hash_split(docs.select("doc_id"), "doc_id", salt="v1")
+
+
 # ---------------------------------------------------------------------------
 # Oracle SQL (DuckDB) — aliases and rounding match the Spark side exactly
 # ---------------------------------------------------------------------------
@@ -906,6 +917,16 @@ ORACLES: dict[str, str] = {
         FROM nxt
         GROUP BY conv_id
     """,
+    "q40_hash_split": """
+        SELECT doc_id, bucket,
+               CASE WHEN bucket < 8000 THEN 'train'
+                    WHEN bucket < 9000 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM (SELECT doc_id,
+                     ('0x' || substr(md5(doc_id::VARCHAR || ':v1'), 1, 8))::BIGINT
+                         % 10000 AS bucket
+              FROM documents)
+    """,
     "q26_running_total": """
         SELECT o_custkey, o_orderkey,
                sum(CAST(round(o_totalprice * 100) AS BIGINT))
@@ -957,4 +978,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q27_rollup_revenue": q27_rollup_revenue,
     "q37_structured_validate": q37_structured_validate,
     "q38_nested_conversations": q38_nested_conversations,
+    "q40_hash_split": q40_hash_split,
 }

@@ -82,6 +82,32 @@ def q32_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_ann(_emb(spark, sf_dir), ANN_QUERY_ID, k=5)
 
 
+def q39_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive dedup via connected components (operators/graph.py):
+    near-dup graph = exact-dup star edges ∪ LSH-candidates verified by
+    exact Jaccard; every doc labeled with its component's minimum id;
+    keep ⇔ canonical. The iterative-operator class (driver loop of
+    join+groupBy rounds, diameter-bounded) the pair-wise q24 decision
+    approximates. Oracle = recursive-CTE min-label reachability."""
+    from pyspark.sql import functions as F
+
+    from .operators.graph import dedup_components
+    docs = _docs(spark, sf_dir)
+    hashed = docs.select("doc_id", F.md5(F.col("text")).alias("h"))
+    canon = hashed.groupBy("h").agg(F.min("doc_id").alias("canonical_id"))
+    exact_edges = (hashed.join(canon, "h")
+                   .filter(F.col("doc_id") != F.col("canonical_id"))
+                   .select(F.col("canonical_id").alias("id_a"),
+                           F.col("doc_id").alias("id_b")))
+    cands = dedup.lsh_candidate_pairs(_docs(spark, sf_dir), n=JACCARD_N)
+    verified = dedup.jaccard_pairs(_docs(spark, sf_dir), n=JACCARD_N,
+                                   threshold=JACCARD_THRESHOLD)
+    near_edges = (cands.join(verified, ["id_a", "id_b"])
+                  .select("id_a", "id_b"))
+    edges = exact_edges.unionByName(near_edges).distinct()
+    return dedup_components(docs, edges)
+
+
 # ---------------------------------------------------------------------------
 # Oracle SQL
 # ---------------------------------------------------------------------------
@@ -281,6 +307,36 @@ _CONV_DEDUP_SQL = (
 )
 
 
+_COMPONENTS_SQL = f"""
+    WITH RECURSIVE cands AS ({{minhash}}),
+    jac AS ({{jaccard}}),
+    hashed AS (SELECT doc_id, md5(text) AS h FROM documents),
+    canon AS (SELECT h, min(doc_id) AS canonical_id FROM hashed GROUP BY h),
+    edges AS (
+        SELECT canonical_id AS id_a, doc_id AS id_b
+        FROM hashed JOIN canon USING (h) WHERE doc_id <> canonical_id
+        UNION
+        SELECT cands.id_a, cands.id_b
+        FROM cands JOIN jac ON cands.id_a = jac.id_a AND cands.id_b = jac.id_b
+    ),
+    und AS (
+        SELECT id_a AS a, id_b AS b FROM edges
+        UNION
+        SELECT id_b AS a, id_a AS b FROM edges
+    ),
+    reach(id, lbl) AS (
+        SELECT a, a FROM (SELECT DISTINCT a FROM und)
+        UNION
+        SELECT u.b, r.lbl FROM reach r JOIN und u ON u.a = r.id
+    ),
+    comp AS (SELECT id, min(lbl) AS component FROM reach GROUP BY id)
+    SELECT d.doc_id,
+           coalesce(c.component, d.doc_id) AS component,
+           d.doc_id = coalesce(c.component, d.doc_id) AS keep_canonical
+    FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+""".format(minhash=_MINHASH_SQL, jaccard=_JACCARD_SQL)
+
+
 _IVF_SQL = f"""
     WITH base AS ({_EMB_BASE}),
     cents AS (
@@ -318,6 +374,7 @@ ORACLES: dict[str, str] = {
     "q24_dedup_pipeline": _DEDUP_PIPELINE_SQL,
     "q31_conv_dedup": _CONV_DEDUP_SQL,
     "q32_ivf_ann": _IVF_SQL,
+    "q39_dedup_components": _COMPONENTS_SQL,
 }
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -330,4 +387,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q24_dedup_pipeline": q24_dedup_pipeline,
     "q31_conv_dedup": q31_conv_dedup,
     "q32_ivf_ann": q32_ivf_ann,
+    "q39_dedup_components": q39_dedup_components,
 }

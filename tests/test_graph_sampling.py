@@ -1,0 +1,65 @@
+"""Connected-components transitive dedup + deterministic hash splits."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from curator_spark.operators.graph import connected_components, dedup_components
+from curator_spark.operators.sampling import hash_sample, hash_split
+
+
+def test_components_transitive_chain(spark):
+    # 1-2, 2-3 (chain: 1 and 3 never directly linked), 10-11, isolated 99
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long")
+    comp = {r.id: r.component for r in connected_components(edges).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_components_long_chain_and_cycle(spark):
+    # a 12-node path (needs multiple propagation rounds) plus a cycle
+    path = [(i, i + 1) for i in range(12)]
+    cycle = [(100, 101), (101, 102), (102, 100)]
+    edges = spark.createDataFrame(path + cycle, "id_a long, id_b long")
+    comp = {r.id: r.component for r in connected_components(edges).collect()}
+    assert all(comp[i] == 0 for i in range(13))
+    assert all(comp[i] == 100 for i in (100, 101, 102))
+
+
+def test_dedup_components_vs_pairwise_keep_first(spark):
+    """The transitive semantics q24's keep-first approximates: with
+    A~B and B~C but A!~C, components keep exactly one doc."""
+    docs = spark.createDataFrame([(i,) for i in range(1, 6)], "doc_id long")
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+    out = {r.doc_id: r for r in dedup_components(docs, pairs).collect()}
+    assert [out[i].component for i in range(1, 6)] == [1, 1, 1, 4, 5]
+    assert [out[i].keep_canonical for i in range(1, 6)] == \
+        [True, False, False, True, True]
+
+
+def test_hash_split_deterministic_and_partition_invariant(spark):
+    docs = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    a = hash_split(docs, "doc_id").orderBy("doc_id").collect()
+    b = hash_split(docs.repartition(7), "doc_id").orderBy("doc_id").collect()
+    assert a == b  # pure function of (id, salt): partitioning-invariant
+    counts = {r["split"]: r["n"] for r in
+              hash_split(docs, "doc_id").groupBy("split")
+              .agg(F.count("*").alias("n")).collect()}
+    assert abs(counts["train"] / 2000 - 0.8) < 0.05
+    assert abs(counts["val"] / 2000 - 0.1) < 0.03
+    assert abs(counts["test"] / 2000 - 0.1) < 0.03
+
+
+def test_hash_split_salt_redraws(spark):
+    docs = spark.range(0, 500).withColumnRenamed("id", "doc_id")
+    a = {r.doc_id: r.split for r in hash_split(docs, "doc_id", salt="v1").collect()}
+    b = {r.doc_id: r.split for r in hash_split(docs, "doc_id", salt="v2").collect()}
+    assert a != b
+
+
+def test_hash_sample_nested(spark):
+    docs = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    s20 = {r.doc_id for r in hash_sample(docs, "doc_id", 0.2).collect()}
+    s05 = {r.doc_id for r in hash_sample(docs, "doc_id", 0.05).collect()}
+    assert s05 <= s20                      # nested: shrinking keeps subset
+    assert abs(len(s20) / 2000 - 0.2) < 0.05
