@@ -51,6 +51,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="force shuffle join of conv aggregates (10^10-conv scale)")
     p.add_argument("--local-cores", type=int, default=None,
                    help="run on local[k] instead of an existing cluster session")
+    p.add_argument("--strict", action="store_true",
+                   help="fail the run (committing nothing) if any error "
+                        "rows are produced — require_all_responses analogue")
     return p
 
 
@@ -78,6 +81,7 @@ def main(argv: list[str] | None = None) -> int:
         params={"cli": True},
         only_parts=only_parts,
         broadcast_conv_aggs=args.broadcast,
+        strict=args.strict,
     )
     print(json.dumps(summary))
     return 0

@@ -72,3 +72,78 @@ def conv_aggregates_stateful(stream: DataFrame) -> DataFrame:
     return scored.groupBy("conv_id").applyInPandasWithState(
         _update, OUTPUT_SCHEMA, STATE_SCHEMA, "update",
         GroupStateTimeout.NoTimeout)
+
+
+# ---------------------------------------------------------------------------
+# Streaming sessionization (the streaming face of q11_sessionize)
+# ---------------------------------------------------------------------------
+
+SESSION_GAP_US = 1_800_000_000  # 30 min in µs — same threshold as q11
+
+SESSION_STATE_SCHEMA = StructType([
+    StructField("start_us", LongType()),
+    StructField("last_us", LongType()),
+    StructField("n_events", LongType()),
+])
+
+SESSION_OUTPUT_SCHEMA = StructType([
+    StructField("user_id", StringType()),
+    StructField("start_us", LongType()),
+    StructField("end_us", LongType()),
+    StructField("n_events", LongType()),
+])
+
+
+def _session_update(key: Tuple[Any, ...], pdfs: Iterator[pd.DataFrame],
+                    state: GroupState) -> Iterator[pd.DataFrame]:
+    """Gap-based sessions with event-time state eviction.
+
+    Sessions that close WITHIN a batch (a gap > SESSION_GAP_US between
+    consecutive events) emit immediately; the still-open tail session
+    lives in state with an event-time timeout at last_event + gap, so
+    an idle user's final session is emitted (and its state freed) once
+    the WATERMARK passes that point — bounded state without ever
+    scanning for stale keys. Exactly the cross-trigger generalization
+    of q11's lag-based gaps-and-islands."""
+    user = key[0]
+
+    def row(start, last, n):
+        return {"user_id": user, "start_us": int(start),
+                "end_us": int(last), "n_events": int(n)}
+
+    if state.hasTimedOut:
+        start, last, n = state.get
+        state.remove()
+        yield pd.DataFrame([row(start, last, n)],
+                           columns=[f.name for f in SESSION_OUTPUT_SCHEMA])
+        return
+
+    start, last, n = state.get if state.exists else (None, None, 0)
+    closed = []
+    ts_all = sorted(
+        int(t) for pdf in pdfs for t in pdf["ts_us"].tolist())
+    for ts in ts_all:
+        if last is None:
+            start, last, n = ts, ts, 1
+        elif ts - last > SESSION_GAP_US:
+            closed.append(row(start, last, n))
+            start, last, n = ts, ts, 1
+        else:
+            last, n = max(last, ts), n + 1
+    state.update((int(start), int(last), int(n)))
+    # event-time timeout takes ms; fires once the watermark passes it
+    state.setTimeoutTimestamp(last // 1000 + SESSION_GAP_US // 1000)
+    yield pd.DataFrame(closed, columns=[f.name for f in SESSION_OUTPUT_SCHEMA])
+
+
+def sessionize_stateful(stream: DataFrame,
+                        watermark: str = "10 minutes") -> DataFrame:
+    """Streaming events (user_id, ts, …) → closed sessions
+    (user_id, start_us, end_us, n_events)."""
+    from pyspark.sql import functions as F
+    ev = (stream.withWatermark("ts", watermark)
+          .select("user_id", F.col("ts"),
+                  F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us")))
+    return ev.groupBy("user_id").applyInPandasWithState(
+        _session_update, SESSION_OUTPUT_SCHEMA, SESSION_STATE_SCHEMA,
+        "append", GroupStateTimeout.EventTimeTimeout)

@@ -1,0 +1,75 @@
+"""Streaming sessionization: in-batch gap closing + event-time timeout
+eviction across restarts (state persists in the stream checkpoint)."""
+
+from __future__ import annotations
+
+import datetime
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from curator_spark.streaming.stateful import sessionize_stateful
+
+
+T0 = datetime.datetime(2025, 6, 1, 0, 0, 0)
+BASE_US = 1_748_736_000 * 1_000_000  # T0 as epoch microseconds
+
+
+def _write_events(path, rows):
+    tbl = pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.string()),
+        "ts": pa.array([T0 + datetime.timedelta(seconds=r[1]) for r in rows],
+                       pa.timestamp("us")),
+    })
+    pq.write_table(tbl, path)
+
+
+def _drain(spark, src, out, ckpt):
+    from pyspark.sql import types as T
+    stream = (spark.readStream
+              .schema(T.StructType([
+                  T.StructField("user_id", T.StringType()),
+                  T.StructField("ts", T.TimestampType())]))
+              .option("maxFilesPerTrigger", 1)
+              .parquet(src))
+    q = (sessionize_stateful(stream).writeStream.format("parquet")
+         .option("path", out).option("checkpointLocation", ckpt)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+
+def test_streaming_sessions(spark, tmp_path):
+    src = tmp_path / "src"
+    src.mkdir()
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    # batch 1: u1 has two sessions — the first closes IN batch
+    # (gap 7200s > 1800s); the second (single event at 7200s) stays open
+    _write_events(str(src / "b1.parquet"),
+                  [("u1", 0), ("u1", 10), ("u1", 7200)])
+    _drain(spark, str(src), out, ckpt)
+    got = spark.read.parquet(out).toPandas()
+    assert len(got) == 1
+    r = got.iloc[0]
+    assert (r.user_id, r.start_us, r.end_us, r.n_events) == \
+        ("u1", BASE_US, BASE_US + int(10e6), 2)
+
+    # batch 2: a much later event from u2 advances the watermark far past
+    # u1's open-session timeout (7200s + 1800s); batch 3 gives the
+    # timeout a trigger to fire in (timeouts are evaluated against the
+    # PREVIOUS trigger's watermark)
+    _write_events(str(src / "b2.parquet"), [("u2", 40000)])
+    _drain(spark, str(src), out, ckpt)
+    _write_events(str(src / "b3.parquet"), [("u2", 40060)])
+    _drain(spark, str(src), out, ckpt)
+
+    got = (spark.read.parquet(out).toPandas()
+           .sort_values(["user_id", "start_us"]).reset_index(drop=True))
+    u1 = got[got.user_id == "u1"]
+    assert len(u1) == 2, got
+    assert u1.iloc[1].start_us == BASE_US + int(7200e6)
+    assert u1.iloc[1].end_us == BASE_US + int(7200e6)
+    assert u1.iloc[1].n_events == 1
+    # u2's session is still open — not emitted
+    assert (got.user_id == "u2").sum() == 0
