@@ -567,6 +567,29 @@ def q38_nested_conversations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return conversation_features(collect_conversations(turns))
 
 
+def q41_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery, decorrelated (TPC-H Q17 shape):
+    per-brand revenue from lineitems below 0.2× their part's average
+    quantity. Spark expresses the correlation as an explicit aggregate
+    + join — the per-part average table is ~|part| rows (corpus/60),
+    broadcast-able; Catalyst decorrelates the SQL form into exactly
+    this plan. Threshold arithmetic is exact: avg = int-sum/count on
+    both engines, same doubles, same comparison."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    avg_q = (li.groupBy(F.col("l_partkey").alias("pk"))
+             .agg((F.sum(F.col("l_quantity").cast("long"))
+                   / F.count(F.lit(1))).alias("avg_qty")))
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(avg_q, F.col("l_partkey") == F.col("pk"))
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .groupBy("p_brand")
+        .agg((F.sum(_cents("l_extendedprice")) / 100.0).alias("revenue"),
+             F.count(F.lit(1)).alias("n_small"))
+    )
+
+
 def q40_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test split (operators/sampling.py):
     salted md5-bucket of the row key → split assignment that is a pure
@@ -917,6 +940,18 @@ ORACLES: dict[str, str] = {
         FROM nxt
         GROUP BY conv_id
     """,
+    "q41_small_quantity_revenue": """
+        SELECT p_brand,
+               sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0
+                   AS revenue,
+               count(*) AS n_small
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        WHERE l_quantity < 0.2 * (
+            SELECT sum(CAST(l_quantity AS BIGINT)) / count(*)
+            FROM lineitem l2 WHERE l2.l_partkey = lineitem.l_partkey)
+        GROUP BY p_brand
+    """,
     "q40_hash_split": """
         SELECT doc_id, bucket,
                CASE WHEN bucket < 8000 THEN 'train'
@@ -979,4 +1014,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q37_structured_validate": q37_structured_validate,
     "q38_nested_conversations": q38_nested_conversations,
     "q40_hash_split": q40_hash_split,
+    "q41_small_quantity_revenue": q41_small_quantity_revenue,
 }
