@@ -121,6 +121,60 @@ def image_features(media: DataFrame,
     return media.select(*cols).mapInPandas(run, schema=IMAGE_FEATURES_SCHEMA)
 
 
+AUDIO_FEATURES_SCHEMA = T.StructType([
+    T.StructField("media_id", T.StringType(), False),
+    T.StructField("n_bytes", T.LongType(), False),
+    T.StructField("sha256", T.StringType(), False),
+    T.StructField("n_samples", T.IntegerType(), True),
+    T.StructField("rms", T.DoubleType(), True),
+    T.StructField("zero_cross_rate", T.DoubleType(), True),
+])
+
+
+def _decode_audio(content: bytes) -> np.ndarray:
+    """STUB decoder — deterministic fake waveform from the payload hash.
+
+    Real implementation: `torchaudio.load(io.BytesIO(content))` or
+    `soundfile.read`. Contract preserved: bytes → float32 mono samples
+    in [-1, 1], stable per input."""
+    if content is None or len(content) == 0:
+        raise NotImplementedError("empty payload; real codec not available")
+    h = hashlib.sha256(content).digest()
+    n = 256 + h[0] * 4
+    raw = np.frombuffer((h * (n // len(h) + 1))[:n], dtype=np.uint8)
+    return (raw.astype(np.float32) - 127.5) / 127.5
+
+
+def audio_features(media: DataFrame) -> DataFrame:
+    """Decode → waveform stats, one Arrow batch at a time — the audio
+    face of image_features (same blob-pruning, same error-to-null-row
+    semantics)."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                blob = bytes(content) if content is not None else b""
+                try:
+                    w = _decode_audio(blob)
+                    n = int(w.shape[0])
+                    rms = round(float(np.sqrt(np.mean(w * w))), 6)
+                    zcr = round(float(np.mean(np.signbit(w[1:])
+                                              != np.signbit(w[:-1]))), 6)
+                except NotImplementedError:
+                    n, rms, zcr = None, None, None
+                out.append({
+                    "media_id": mid, "n_bytes": len(blob),
+                    "sha256": hashlib.sha256(blob).hexdigest(),
+                    "n_samples": n, "rms": rms, "zero_cross_rate": zcr,
+                })
+            yield pd.DataFrame(out, columns=[f.name for f in
+                                             AUDIO_FEATURES_SCHEMA])
+
+    return (media.filter(F.col("modality") == "audio")
+            .select("media_id", "content")
+            .mapInPandas(run, schema=AUDIO_FEATURES_SCHEMA))
+
+
 def sample_frames(media: DataFrame, every_ms: int = 1000,
                   max_frames: int = 16) -> DataFrame:
     """Video frame sampling (stub): one output row per sampled frame —

@@ -59,3 +59,16 @@ def test_frame_sampling_explodes(media):
 def test_blob_pruned_from_feature_output(media):
     out = mm.image_features(media)
     assert "content" not in out.columns  # blobs never flow downstream
+
+
+def test_audio_features_deterministic(spark):
+    from curator_spark.operators.multimodal import audio_features, media_fixture
+    media = media_fixture(spark, n=24)
+    out = audio_features(media).toPandas().sort_values("media_id")
+    assert len(out) == 8  # every 3rd fixture row is audio
+    assert out["n_samples"].notna().all()
+    assert ((out["rms"] >= 0) & (out["rms"] <= 1)).all()
+    assert ((out["zero_cross_rate"] >= 0) & (out["zero_cross_rate"] <= 1)).all()
+    # pure function of the payload: re-run identical
+    again = audio_features(media).toPandas().sort_values("media_id")
+    assert out.reset_index(drop=True).equals(again.reset_index(drop=True))
