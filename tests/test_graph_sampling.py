@@ -63,3 +63,31 @@ def test_hash_sample_nested(spark):
     s05 = {r.doc_id for r in hash_sample(docs, "doc_id", 0.05).collect()}
     assert s05 <= s20                      # nested: shrinking keeps subset
     assert abs(len(s20) / 2000 - 0.2) < 0.05
+
+
+def test_components_match_union_find_reference(spark):
+    """Seeded random graph vs an independent pure-python union-find."""
+    import random
+    rng = random.Random(20260817)
+    nodes = list(range(200))
+    edges = [(rng.choice(nodes), rng.choice(nodes)) for _ in range(160)]
+    edges = [(a, b) for a, b in edges if a != b]
+
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    touched = {n for e in edges for n in e}
+    want = {n: find(n) for n in touched}
+
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r.id: r.component for r in connected_components(df).collect()}
+    assert got == want
