@@ -8,8 +8,13 @@ row per turn) — these operators convert between the two losslessly:
 
 * collect_conversations — groupBy(conv_id) with a deterministic
   sorted collect_list (structs ordered by turn_idx, then the index is
-  stripped). One shuffle on conv_id; same salt-free aggregate class as
-  the pipeline's conversation aggregates.
+  stripped). One shuffle on conv_id. Unlike the pipeline's salted
+  numeric aggregates, reassembly is irreducibly data-proportional per
+  key (the array IS the conversation): a 10^6-turn conversation
+  becomes one array row on one reducer. At scale, cap turns per
+  conversation upstream (slice the collect) or keep such outliers in
+  long format — salting cannot help an aggregate whose result is the
+  whole group.
 * explode_conversations — posexplode back to long format; turn_idx is
   regenerated from array position (identical to the original because
   collection was turn_idx-ordered). Narrow map, no shuffle.

@@ -567,6 +567,22 @@ def q38_nested_conversations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return conversation_features(collect_conversations(turns))
 
 
+def q42_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT (the set-op breadth the reference lacks,
+    SURVEY §2.d — only union exists there): customers who placed an
+    urgent order AND have negative balance, minus the BUILDING segment.
+    Set ops plan as hash aggregates + joins on the key — one uniform-key
+    shuffle each at scale."""
+    cust = _t(spark, sf_dir, "customer")
+    urgent = (_t(spark, sf_dir, "orders")
+              .filter(F.col("o_orderpriority") == "1-URGENT")
+              .select(F.col("o_custkey").alias("c_custkey")).distinct())
+    negative = cust.filter(F.col("c_acctbal") < 0).select("c_custkey")
+    building = (cust.filter(F.col("c_mktsegment") == "BUILDING")
+                .select("c_custkey"))
+    return urgent.intersect(negative).subtract(building)  # EXCEPT DISTINCT
+
+
 def q41_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlated scalar subquery, decorrelated (TPC-H Q17 shape):
     per-brand revenue from lineitems below 0.2× their part's average
@@ -940,6 +956,14 @@ ORACLES: dict[str, str] = {
         FROM nxt
         GROUP BY conv_id
     """,
+    "q42_set_ops": """
+        SELECT DISTINCT o_custkey AS c_custkey
+        FROM orders WHERE o_orderpriority = '1-URGENT'
+        INTERSECT
+        SELECT c_custkey FROM customer WHERE c_acctbal < 0
+        EXCEPT
+        SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    """,
     "q41_small_quantity_revenue": """
         SELECT p_brand,
                sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0
@@ -1015,4 +1039,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q38_nested_conversations": q38_nested_conversations,
     "q40_hash_split": q40_hash_split,
     "q41_small_quantity_revenue": q41_small_quantity_revenue,
+    "q42_set_ops": q42_set_ops,
 }
