@@ -94,3 +94,38 @@ def test_neardup_bucketed_is_equijoin(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert ("SortMergeJoin" in plan or "ShuffledHashJoin" in plan
             or "BroadcastHashJoin" in plan)
+
+
+def test_cobucketed_join_has_no_exchange(spark, tmp_path):
+    """The 100 TB centerpiece: orders ⋈ lineitem on orderkey with BOTH
+    sides bucketed+sorted by the key plans as a SortMergeJoin with ZERO
+    Exchange — neither fact table ever moves over the network."""
+    from pyspark.sql import functions as F
+
+    from curator_spark.operators.bucketing import cobucketed_join, save_bucketed
+    li = spark.read.parquet(f"{SF}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity", "l_extendedprice")
+    orders = spark.read.parquet(f"{SF}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_totalprice")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # at sf0.001 both facts fit under the broadcast threshold, which
+        # would hide the co-location; at real scale neither side is
+        # broadcastable and SMJ is the only non-shuffle option
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        save_bucketed(li, "li_bkt", "l_orderkey", 8, str(tmp_path / "li"))
+        save_bucketed(orders, "o_bkt", "o_orderkey", 8, str(tmp_path / "o"))
+        joined = cobucketed_join(spark, "li_bkt", "o_bkt",
+                                 "l_orderkey", "o_orderkey")
+        plan = plan_of(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan
+        # and it computes the right thing
+        n = joined.count()
+        want = li.join(orders,
+                       F.col("l_orderkey") == F.col("o_orderkey")).count()
+        assert n == want
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS li_bkt")
+        spark.sql("DROP TABLE IF EXISTS o_bkt")
