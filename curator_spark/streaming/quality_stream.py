@@ -93,3 +93,14 @@ def run_quality_stream(spark: SparkSession, input_dir: str, output_dir: str,
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def enrich_stream(stream: DataFrame, static_dim: DataFrame,
+                  on: str | list[str], how: str = "left") -> DataFrame:
+    """Stream-static enrichment join: attach a slowly-changing static
+    dimension (source metadata, blocklists, per-conv tiers) to the
+    unbounded stream. Stream-static joins are STATELESS in Spark — the
+    static side is (re)read per micro-batch, so a broadcast hint keeps
+    each micro-batch shuffle-free. The streaming face of the pipeline's
+    broadcast of conversation aggregates back to turns."""
+    return stream.join(F.broadcast(static_dim), on, how)

@@ -155,3 +155,28 @@ def test_stream_dedup_within_watermark(spark, tmp_path):
     out = spark.sql("select conv_id, turn_idx from dedup_out").toPandas()
     assert len(out) == len(pdf)  # duplicates dropped
     assert not out.duplicated(["conv_id", "turn_idx"]).any()
+
+
+def test_stream_static_enrichment(spark, stream_dirs, tmp_path):
+    """Stream-static join results must equal the batch join."""
+    from pyspark.sql import functions as F
+
+    from curator_spark.streaming.quality_stream import (enrich_stream,
+                                                        read_transcript_stream)
+    batch = spark.read.schema(schema.TRANSCRIPTS_SCHEMA).parquet(
+        stream_dirs["src"])
+    dim = (batch.select("conv_id").distinct()
+           .withColumn("tier", F.pmod(F.crc32(F.col("conv_id")), F.lit(3))))
+    out, ckpt = str(tmp_path / "enr_out"), str(tmp_path / "enr_ckpt")
+    q = (enrich_stream(read_transcript_stream(spark, stream_dirs["src"]),
+                       dim, "conv_id")
+         .writeStream.format("parquet").option("path", out)
+         .option("checkpointLocation", ckpt)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = (spark.read.parquet(out)
+           .orderBy("conv_id", "turn_idx").toPandas())
+    want = (batch.join(F.broadcast(dim), "conv_id")
+            .orderBy("conv_id", "turn_idx").toPandas())
+    assert len(got) == len(want)
+    assert got["tier"].tolist() == want["tier"].tolist()
