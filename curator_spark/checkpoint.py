@@ -141,6 +141,34 @@ def _commit_part(out_dir: str, run_id: str, part: int, n_rows: int) -> None:
     os.replace(tmp, os.path.join(d, f"part-{part}.json"))  # atomic commit
 
 
+def _append_metrics(out_dir: str, run_id: str, shard: str,
+                    mrows, wall_ms: int) -> None:
+    """Append the per-part counter rows as ONE uniquely-named parquet
+    file written driver-side (pyarrow, tmp+rename): metrics are a
+    handful of rows per invocation — a Spark write job would be pure
+    overhead AND its shared committer staging dir (_temporary/0) is
+    what concurrent shards would collide on. Schema matches
+    METRICS_SCHEMA so spark.read.parquet unions all shards' files."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    mdir = os.path.join(out_dir, "_metrics")
+    os.makedirs(mdir, exist_ok=True)
+    tbl = pa.table({
+        "run_id": pa.array([run_id] * len(mrows), pa.string()),
+        "part": pa.array([int(r.part) for r in mrows], pa.int32()),
+        "n_in": pa.array([int(r.n_in) for r in mrows], pa.int64()),
+        "n_kept": pa.array([int(r.n_kept) for r in mrows], pa.int64()),
+        "n_scrubbed": pa.array([int(r.n_scrubbed) for r in mrows], pa.int64()),
+        "n_errors": pa.array([int(r.n_errors) for r in mrows], pa.int64()),
+        "n_tokens": pa.array([int(r.n_tokens) for r in mrows], pa.int64()),
+        "wall_ms": pa.array([wall_ms] * len(mrows), pa.int64()),
+    })
+    final = os.path.join(mdir, f"metrics-{run_id}-{shard}.parquet")
+    tmp = final + ".tmp"
+    pq.write_table(tbl, tmp)
+    os.replace(tmp, final)
+
+
 def run_checkpointed(spark: SparkSession, input_path: str, out_dir: str,
                      params: dict | None = None,
                      only_parts: list[int] | None = None,
@@ -156,11 +184,11 @@ def run_checkpointed(spark: SparkSession, input_path: str, out_dir: str,
     strict: fail-all policy (reference require_all_responses,
     base_request_processor.py:398-426 — a run with missing/failed
     responses raises instead of shipping a partial dataset). Here:
-    raise BEFORE committing this invocation's partition markers when
-    any processed row is an error row (invalid role), leaving the run
-    incomplete so a rerun reprocesses those partitions; the written
-    data files remain on disk for inspection exactly like the
-    reference's response files.
+    raise BEFORE publishing to data/, appending metrics, or committing
+    any marker when a processed row is an error row (invalid role), so
+    a rerun reprocesses cleanly with nothing double-counted; the staged
+    output is kept in the invocation's scratch dir for inspection
+    (path in the error message), like the reference's response files.
 
     Returns a summary dict {run_id, parts_committed, parts_skipped,
     parts_invalidated, wall_ms, memoized}.
@@ -195,82 +223,107 @@ def run_checkpointed(spark: SparkSession, input_path: str, out_dir: str,
         todo = [p for p in todo if p in set(only_parts)]
 
     if todo:
+        import shutil
+
         # Resume anti-join, expressed as partition pruning: the filter on
         # the `part` bucket column reaches the parquet scan (PushedFilters)
         # so committed partitions are never read, let alone recomputed.
         pending = transcripts.filter(F.col("part").isin([int(p) for p in todo]))
-        scratch = None
-        if staged:
-            # production shape: durably materialize the scored stage
-            # once (the expensive Python pass), feed the aggregation and
-            # the final join from column-pruned re-scans — ~2× the
-            # throughput of the in-memory persist shape at 32 cores.
-            # Scratch path is scoped per (run, shard): concurrent
-            # only_parts shards of one run must not overwrite each
-            # other's scored stage mid-scan.
-            shard = hashlib.md5(",".join(map(str, todo)).encode()).hexdigest()[:8]
-            scratch = os.path.join(out_dir, f"_scored-{run_id}-{shard}")
-            result = run_pipeline_staged(
-                spark, pending, scratch,
-                broadcast_conv_aggs=broadcast_conv_aggs)
-        else:
-            result = run_pipeline_df(pending,
-                                     broadcast_conv_aggs=broadcast_conv_aggs)
+        # Invocation-scoped scratch root: run id + todo set + PID, so
+        # concurrent shards of one run — even two launched with the SAME
+        # only_parts — never share staging paths.
+        shard = hashlib.md5(
+            f"{','.join(map(str, todo))}|{os.getpid()}".encode()).hexdigest()[:8]
+        scratch_root = os.path.join(out_dir, f"_scored-{run_id}-{shard}")
+        stage_out = os.path.join(scratch_root, "out")
+        keep_scratch = False
+        try:
+            if staged:
+                # production shape: durably materialize the scored stage
+                # once (the expensive Python pass), feed the aggregation and
+                # the final join from column-pruned re-scans — ~2× the
+                # throughput of the in-memory persist shape at 32 cores.
+                result = run_pipeline_staged(
+                    spark, pending, os.path.join(scratch_root, "scored"),
+                    broadcast_conv_aggs=broadcast_conv_aggs)
+            else:
+                result = run_pipeline_df(pending,
+                                         broadcast_conv_aggs=broadcast_conv_aggs)
 
-        # Dynamic partition overwrite → idempotent re-runs: a partition
-        # half-written by a crashed attempt is replaced wholesale. Safe
-        # because conversations never span parts (part = bucket(conv_id)),
-        # so per-part recompute sees whole conversations.
-        #
-        # Salted repartition before the partitioned write: without it,
-        # every upstream task can hold rows of every part, producing
-        # n_tasks × n_parts tiny files (10^7 at cluster scale). Hashing
-        # on (part, salt) lands each part in ≤ WRITE_SALTS partitions —
-        # bounded file count AND no single-task serialization of a huge
-        # part.
-        n_out = max(len(todo) * WRITE_SALTS, 8)
-        (result.repartition(n_out, F.col("part"),
-                            F.pmod(F.col("turn_idx"), F.lit(WRITE_SALTS)))
-         .write.mode("overwrite").partitionBy("part")
-         .option("partitionOverwriteMode", "dynamic")
-         .parquet(os.path.join(out_dir, "data")))
+            # Stage THIS shard's output under its own scratch root (no two
+            # concurrent jobs ever share a Hadoop committer staging dir),
+            # then publish each finished partition into data/ with an
+            # atomic directory swap. Disjoint todo sets → disjoint swaps,
+            # so concurrent shards are safe; a crash mid-publish leaves
+            # each partition either fully old or fully new (and an
+            # unpublished partition has no marker → recomputes).
+            #
+            # Salted repartition before the partitioned write: without it,
+            # every upstream task can hold rows of every part, producing
+            # n_tasks × n_parts tiny files (10^7 at cluster scale). Hashing
+            # on (part, salt) lands each part in ≤ WRITE_SALTS partitions —
+            # bounded file count AND no single-task serialization of a huge
+            # part.
+            n_out = max(len(todo) * WRITE_SALTS, 8)
+            (result.repartition(n_out, F.col("part"),
+                                F.pmod(F.col("turn_idx"), F.lit(WRITE_SALTS)))
+             .write.mode("overwrite").partitionBy("part")
+             .parquet(stage_out))
 
-        # Per-part metrics from the materialized output (column-pruned scan).
-        written = spark.read.parquet(os.path.join(out_dir, "data")).filter(
-            F.col("part").isin([int(p) for p in todo]))
-        mrows = (
-            written.groupBy("part").agg(
-                F.count(F.lit(1)).alias("n_in"),
-                F.sum(F.col("keep").cast("long")).alias("n_kept"),
-                F.sum((F.col("scrubbed_text") != F.col("text")).cast("long"))
-                .alias("n_scrubbed"),
-                F.sum((~F.col("role_valid")).cast("long")).alias("n_errors"),
-                F.sum("n_tokens").alias("n_tokens"),
-            ).collect()
-        )
-        wall_ms = int((time.monotonic() - t0) * 1000)
-        metrics_rows = [
-            (run_id, int(r.part), int(r.n_in), int(r.n_kept), int(r.n_scrubbed),
-             int(r.n_errors), int(r.n_tokens), wall_ms)
-            for r in mrows
-        ]
-        spark.createDataFrame(metrics_rows, schema.METRICS_SCHEMA).coalesce(1) \
-            .write.mode("append").parquet(os.path.join(out_dir, "_metrics"))
+            # Per-part metrics from the staged output (column-pruned scan).
+            mrows = (
+                spark.read.parquet(stage_out).groupBy("part").agg(
+                    F.count(F.lit(1)).alias("n_in"),
+                    F.sum(F.col("keep").cast("long")).alias("n_kept"),
+                    F.sum((F.col("scrubbed_text") != F.col("text")).cast("long"))
+                    .alias("n_scrubbed"),
+                    F.sum((~F.col("role_valid")).cast("long")).alias("n_errors"),
+                    F.sum("n_tokens").alias("n_tokens"),
+                ).collect()
+            )
 
-        if strict:
-            n_err = sum(int(r.n_errors) for r in mrows)
-            if n_err:
-                raise RuntimeError(
-                    f"strict mode: {n_err} error rows across parts "
-                    f"{sorted(int(r.part) for r in mrows if r.n_errors)}; "
-                    "no partitions committed this invocation")
+            # Fail-all policy: raise BEFORE metrics append and marker
+            # commit, so a strict failure leaves no trace to double-count
+            # on the rerun; the staged output stays on disk (in scratch)
+            # for inspection like the reference's response files.
+            if strict:
+                n_err = sum(int(r.n_errors) for r in mrows)
+                if n_err:
+                    keep_scratch = True
+                    raise RuntimeError(
+                        f"strict mode: {n_err} error rows across parts "
+                        f"{sorted(int(r.part) for r in mrows if r.n_errors)}; "
+                        "no partitions committed this invocation "
+                        f"(staged output kept at {stage_out})")
 
-        for r in mrows:
-            _commit_part(out_dir, run_id, int(r.part), int(r.n_in))
+            # Publish: atomic per-partition swap into data/, then metrics,
+            # then markers — any prefix of this sequence is recoverable.
+            data_dir = os.path.join(out_dir, "data")
+            os.makedirs(data_dir, exist_ok=True)
+            for p in todo:
+                src = os.path.join(stage_out, f"part={int(p)}")
+                if not os.path.isdir(src):
+                    continue  # partition had zero rows this run
+                dst = os.path.join(data_dir, f"part={int(p)}")
+                tmp_old = dst + ".old"
+                shutil.rmtree(tmp_old, ignore_errors=True)  # stale crash debris
+                if os.path.isdir(dst):
+                    os.replace(dst, tmp_old)
+                os.replace(src, dst)
+                shutil.rmtree(tmp_old, ignore_errors=True)
 
-        if scratch is not None:
-            import shutil
-            shutil.rmtree(scratch, ignore_errors=True)
+            wall_ms = int((time.monotonic() - t0) * 1000)
+            _append_metrics(out_dir, run_id, shard, mrows, wall_ms)
+
+            for r in mrows:
+                _commit_part(out_dir, run_id, int(r.part), int(r.n_in))
+        finally:
+            # scratch is removed on success AND on unexpected failure; a
+            # strict-mode stop deliberately keeps it (the error message
+            # names the path) as the inspectable analogue of the
+            # reference's retained response files
+            if not keep_scratch:
+                shutil.rmtree(scratch_root, ignore_errors=True)
 
     # Lineage row (reference: db.py store_metadata upsert).
     meta_dir = os.path.join(out_dir, "_meta")

@@ -20,6 +20,19 @@ BASE_EPOCH = 1_748_736_000  # 2025-06-01T00:00:00Z
 N_PARTS = 8
 
 
+def part_expr(key, n_parts: int = N_PARTS):
+    """THE part-bucket expression: md5-hex(8) → int % n_parts.
+
+    Single definition shared by every ingest path — part assignment
+    must be identical across them or resume/memoization silently breaks
+    (a conv written under part 3 by one path and looked up under part 5
+    by another never reconciles). The salted cousin for dataset splits
+    is operators/sampling.hash_bucket."""
+    c = F.col(key) if isinstance(key, str) else key
+    return (F.conv(F.substring(F.md5(c), 1, 8), 16, 10)
+            .cast("long") % n_parts).cast("int")
+
+
 def docs_to_transcripts(docs: DataFrame, n_parts: int = N_PARTS) -> DataFrame:
     """documents(doc_id, text, ...) → transcripts rows.
 
@@ -45,8 +58,7 @@ def docs_to_transcripts(docs: DataFrame, n_parts: int = N_PARTS) -> DataFrame:
             F.col("chunk").alias("text"),
             F.lit(None).cast("string").alias("tool"),
             F.timestamp_seconds(F.lit(BASE_EPOCH) + F.col("pos") * 60).alias("ts"),
-            (F.conv(F.substring(F.md5(F.col("conv_id")), 1, 8), 16, 10)
-             .cast("long") % n_parts).cast("int").alias("part"),
+            part_expr("conv_id", n_parts).alias("part"),
         )
     )
 
@@ -86,10 +98,7 @@ def coerce_to_transcripts(spark: SparkSession, data,
         if {"conv_id", "turn_idx", "role", "text"} <= cols:
             out = data
             if "part" not in cols:
-                out = out.withColumn(
-                    "part",
-                    (F.conv(F.substring(F.md5(F.col("conv_id")), 1, 8), 16, 10)
-                     .cast("long") % n_parts).cast("int"))
+                out = out.withColumn("part", part_expr("conv_id", n_parts))
             return out
         if {"doc_id", "text"} <= cols:
             return docs_to_transcripts(data, n_parts)
@@ -97,7 +106,11 @@ def coerce_to_transcripts(spark: SparkSession, data,
 
     if isinstance(data, str) or _is_message_list(data):
         data = [data]
-    elif not isinstance(data, Iterable):
+    elif _is_message(data):
+        data = [[data]]          # one bare message dict → 1-turn conversation
+    elif isinstance(data, dict) or not isinstance(data, Iterable):
+        # a plain dict is Iterable (over its KEYS) — iterating it would
+        # silently fabricate garbage conversations from the key strings
         raise TypeError(f"cannot coerce {type(data).__name__} to transcripts")
 
     rows = []
@@ -105,6 +118,9 @@ def coerce_to_transcripts(spark: SparkSession, data,
         conv_id = f"row-{i:010d}"
         if isinstance(item, str):
             turns = [("user", item, None)]
+        elif _is_message(item):
+            turns = [(item["role"], item.get("content", item.get("text", "")),
+                      item.get("tool"))]
         elif _is_message_list(item):
             turns = [(m["role"], m.get("content", m.get("text", "")),
                       m.get("tool")) for m in item]
@@ -120,8 +136,7 @@ def coerce_to_transcripts(spark: SparkSession, data,
     out = base.select(
         "conv_id", "turn_idx", "role", "text", "tool",
         F.timestamp_seconds(F.lit(BASE_EPOCH) + F.col("turn_idx") * 60).alias("ts"),
-        (F.conv(F.substring(F.md5(F.col("conv_id")), 1, 8), 16, 10)
-         .cast("long") % n_parts).cast("int").alias("part"),
+        part_expr("conv_id", n_parts).alias("part"),
     )
     return out.select([f.name for f in TRANSCRIPTS_SCHEMA.fields])
 

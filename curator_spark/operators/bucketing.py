@@ -38,7 +38,9 @@ def cobucketed_join(spark: SparkSession, left_table: str, right_table: str,
                     left_key: str, right_key: str) -> DataFrame:
     """Join two tables bucketed on their join keys with the same bucket
     count — plans with ZERO Exchange (asserted in tests/test_plans.py)."""
-    from pyspark.sql import functions as F
     lt = spark.table(left_table)
     rt = spark.table(right_table)
-    return lt.join(rt, F.col(left_key) == F.col(right_key))
+    # frame-qualified refs: with the same key name on both sides (the
+    # normal case for co-bucketed subject-area tables), bare F.col()
+    # would be ambiguous — or a trivially-true self-comparison
+    return lt.join(rt, lt[left_key] == rt[right_key])

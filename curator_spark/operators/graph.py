@@ -44,6 +44,7 @@ def connected_components(edges: DataFrame, src: str = "id_a",
               .withColumn("component", F.col("id"))
               .localCheckpoint())
 
+    changed = -1
     for _ in range(max_iter):
         neigh_min = (
             und.join(labels, und["a"] == labels["id"])
@@ -67,6 +68,14 @@ def connected_components(edges: DataFrame, src: str = "id_a",
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        # silently returning a non-fixpoint would split components —
+        # wrong labels with no signal; diameter > max_iter means the
+        # caller's graph is not the small-cluster shape this targets
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            f"({changed} labels still changing); raise max_iter or use a "
+            "large-star/small-star contraction for high-diameter graphs")
     return labels
 
 

@@ -13,10 +13,12 @@ corrupt-record channel separating "not JSON" from "JSON but wrong
 shape/type".
 
 Semantics (verified against Spark 4 Jackson behavior):
-* json_ok — the payload parses as JSON at all, probed with an untyped
-  map<string,string> parse (NULL ⇔ unparseable). The typed parse can't
-  answer this alone: permissive mode routes BOTH malformed JSON and
-  per-field type mismatches into the corrupt-record channel.
+* json_ok — the payload parses as JSON at all (objects, arrays,
+  scalars — same acceptance set as duckdb's json_valid), probed with
+  `try_parse_json` (VARIANT; NULL ⇔ unparseable or NULL input). The
+  typed parse can't answer this alone: permissive mode routes BOTH
+  malformed JSON and per-field type mismatches into the corrupt-record
+  channel.
 * schema_ok — typed parse clean (corrupt-record NULL: no field failed
   conversion) AND every `required` field non-null (catches missing
   keys, `"oops"`/`7.9`-for-int mismatches).
@@ -55,8 +57,7 @@ def validate_json(df: DataFrame, json_col: str, schema: T.StructType,
         [p[f].isNotNull() for f in required],
         F.lit(True))
     clean = F.struct(*[p[f.name].alias(f.name) for f in schema.fields])
-    probe = F.from_json(F.col(json_col),
-                        T.MapType(T.StringType(), T.StringType()))
+    probe = F.try_parse_json(F.col(json_col))
     return (
         df.withColumn("__p", F.from_json(
             F.col(json_col), full, {"columnNameOfCorruptRecord": CORRUPT_COL}))

@@ -909,8 +909,10 @@ ORACLES: dict[str, str] = {
                         ELSE props END AS payload
             FROM events
         ), v AS (
-            SELECT event_type, json_valid(payload) AS json_ok,
-                   CASE WHEN json_valid(payload)
+            -- coalesce: json_valid(NULL) is NULL; the Spark side's
+            -- try_parse_json probe reports NULL input as json_ok=false
+            SELECT event_type, coalesce(json_valid(payload), false) AS json_ok,
+                   CASE WHEN coalesce(json_valid(payload), false)
                         THEN TRY_CAST(json_extract_string(payload, '$.k')
                                       AS INTEGER) END AS k
             FROM corrupted

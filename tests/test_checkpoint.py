@@ -129,9 +129,40 @@ def test_strict_mode_fails_all_on_error_rows(spark, small_input, tmp_path):
         run_checkpointed(spark, small_input, out, strict=True)
     assert committed_parts(out) == set()
     assert not os.path.exists(os.path.join(out, "_SUCCESS_RUN"))
+    # nothing published, no metrics appended (rerun must not double-count);
+    # the staged output is deliberately kept for inspection
+    assert not os.path.exists(os.path.join(out, "data"))
+    assert not os.path.exists(os.path.join(out, "_metrics"))
+    assert any(d.startswith("_scored-") for d in os.listdir(out))
     # same out_dir, default mode: completes (error rows carried as data)
     r = run_checkpointed(spark, small_input, out)
     assert r["parts_committed"] == 4
+    m = spark.read.parquet(os.path.join(out, "_metrics")).toPandas()
+    assert len(m) == 4  # exactly one metrics row per (run, part)
+
+
+def test_concurrent_shards_do_not_clobber(spark, small_input, tmp_path):
+    """Two only_parts shards of one run executing CONCURRENTLY (the
+    documented production sharding) must not corrupt each other: each
+    stages under its own scratch root and publishes disjoint partition
+    directories with atomic renames — no shared Hadoop committer
+    staging, no shared scratch."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    crashed = str(tmp_path / "conc")
+    clean = str(tmp_path / "conc_clean")
+    with ThreadPoolExecutor(2) as ex:
+        f1 = ex.submit(run_checkpointed, spark, small_input, crashed,
+                       None, [0, 1])
+        f2 = ex.submit(run_checkpointed, spark, small_input, crashed,
+                       None, [2, 3])
+        r1, r2 = f1.result(timeout=300), f2.result(timeout=300)
+    assert r1["parts_committed"] == 2 and r2["parts_committed"] == 2
+    assert committed_parts(crashed) == {0, 1, 2, 3}
+    assert os.path.exists(os.path.join(crashed, "_SUCCESS_RUN"))
+    run_checkpointed(spark, small_input, clean)
+    a, b = _read_sorted(spark, crashed), _read_sorted(spark, clean)
+    assert a.equals(b), "concurrent-shard output != clean-run output"
 
 
 def test_metrics_and_lineage_written(spark, small_input, tmp_path):

@@ -65,6 +65,21 @@ def test_bad_inputs_raise(spark):
     with pytest.raises(TypeError):
         coerce_to_transcripts(
             spark, spark.createDataFrame([(1,)], "only_col int"))
+    # a plain dict is Iterable over its KEYS — must raise, not fabricate
+    # conversations named after the key strings
+    with pytest.raises(TypeError):
+        coerce_to_transcripts(spark, {"some": "config", "like": "dict"})
+
+
+def test_bare_message_dict_is_one_turn(spark):
+    t = coerce_to_transcripts(
+        spark, {"role": "assistant", "content": "hi there"}).collect()
+    assert len(t) == 1
+    assert (t[0].role, t[0].text) == ("assistant", "hi there")
+    # ...and inside an iterable too
+    t2 = coerce_to_transcripts(
+        spark, [{"role": "user", "content": "q"}, "plain doc"]).collect()
+    assert {r.conv_id for r in t2} == {"row-0000000000", "row-0000000001"}
 
 
 def test_jsonl_roundtrip_and_quarantine(spark, tmp_path):
