@@ -164,7 +164,9 @@ def _append_metrics(out_dir: str, run_id: str, shard: str,
         "wall_ms": pa.array([wall_ms] * len(mrows), pa.int64()),
     })
     final = os.path.join(mdir, f"metrics-{run_id}-{shard}.parquet")
-    tmp = final + ".tmp"
+    # dot-prefixed tmp: hidden from Spark's file listing, so a crash
+    # mid-write can never poison subsequent _metrics reads
+    tmp = os.path.join(mdir, f".metrics-{run_id}-{shard}.parquet.tmp")
     pq.write_table(tbl, tmp)
     os.replace(tmp, final)
 
@@ -229,11 +231,14 @@ def run_checkpointed(spark: SparkSession, input_path: str, out_dir: str,
         # the `part` bucket column reaches the parquet scan (PushedFilters)
         # so committed partitions are never read, let alone recomputed.
         pending = transcripts.filter(F.col("part").isin([int(p) for p in todo]))
-        # Invocation-scoped scratch root: run id + todo set + PID, so
-        # concurrent shards of one run — even two launched with the SAME
-        # only_parts — never share staging paths.
+        # Invocation-scoped scratch root: run id + todo set + a per-call
+        # nonce, so concurrent shards of one run — even two launched
+        # with the SAME only_parts from the same process — never share
+        # staging paths.
+        import uuid
         shard = hashlib.md5(
-            f"{','.join(map(str, todo))}|{os.getpid()}".encode()).hexdigest()[:8]
+            f"{','.join(map(str, todo))}|{uuid.uuid4().hex}".encode()
+        ).hexdigest()[:8]
         scratch_root = os.path.join(out_dir, f"_scored-{run_id}-{shard}")
         stage_out = os.path.join(scratch_root, "out")
         keep_scratch = False
@@ -297,15 +302,22 @@ def run_checkpointed(spark: SparkSession, input_path: str, out_dir: str,
                         f"(staged output kept at {stage_out})")
 
             # Publish: atomic per-partition swap into data/, then metrics,
-            # then markers — any prefix of this sequence is recoverable.
+            # then markers — any prefix of this sequence is recoverable
+            # (an unpublished/half-published partition has no marker, so
+            # a rerun recomputes it; scratch is preserved once publish
+            # begins so new rows are never the casualty of a failed
+            # rename). The displaced old dir is parked under a
+            # dot-prefixed name, which Spark's partition discovery
+            # ignores — readers never see a bogus 'part=N.old' value.
             data_dir = os.path.join(out_dir, "data")
             os.makedirs(data_dir, exist_ok=True)
+            keep_scratch = True  # publish started: scratch holds new data
             for p in todo:
                 src = os.path.join(stage_out, f"part={int(p)}")
                 if not os.path.isdir(src):
                     continue  # partition had zero rows this run
                 dst = os.path.join(data_dir, f"part={int(p)}")
-                tmp_old = dst + ".old"
+                tmp_old = os.path.join(data_dir, f".old-part={int(p)}")
                 shutil.rmtree(tmp_old, ignore_errors=True)  # stale crash debris
                 if os.path.isdir(dst):
                     os.replace(dst, tmp_old)
@@ -317,11 +329,15 @@ def run_checkpointed(spark: SparkSession, input_path: str, out_dir: str,
 
             for r in mrows:
                 _commit_part(out_dir, run_id, int(r.part), int(r.n_in))
+            keep_scratch = False  # fully published + committed
         finally:
-            # scratch is removed on success AND on unexpected failure; a
-            # strict-mode stop deliberately keeps it (the error message
-            # names the path) as the inspectable analogue of the
-            # reference's retained response files
+            # scratch is removed on full success and on pre-publish
+            # failure; it is KEPT when (a) strict mode stopped the run
+            # (inspectable analogue of the reference's retained response
+            # files — the error names the path) or (b) a failure hit
+            # mid-publish, where scratch holds the only copy of rows not
+            # yet swapped in (the rerun recomputes those markerless
+            # partitions either way)
             if not keep_scratch:
                 shutil.rmtree(scratch_root, ignore_errors=True)
 

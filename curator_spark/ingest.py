@@ -126,8 +126,8 @@ def coerce_to_transcripts(spark: SparkSession, data,
                       m.get("tool")) for m in item]
         else:
             raise TypeError(
-                f"element {i}: expected str or message list, got "
-                f"{type(item).__name__}")
+                f"element {i}: expected str, message dict with role + "
+                f"content/text, or message list; got {type(item).__name__}")
         for t, (role, text, tool) in enumerate(turns):
             rows.append((conv_id, t, role, text, tool))
     from .schema import TRANSCRIPTS_SCHEMA  # noqa: PLC0415 (cycle-free late import)

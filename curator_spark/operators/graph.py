@@ -44,8 +44,10 @@ def connected_components(edges: DataFrame, src: str = "id_a",
               .withColumn("component", F.col("id"))
               .localCheckpoint())
 
-    changed = -1
-    for _ in range(max_iter):
+    # max_iter + 1 rounds: a graph whose labels settle exactly on round
+    # max_iter still gets its zero-change confirmation round instead of
+    # a spurious non-convergence error
+    for _ in range(max_iter + 1):
         neigh_min = (
             und.join(labels, und["a"] == labels["id"])
             .groupBy(F.col("b").alias("id"))
@@ -68,7 +70,7 @@ def connected_components(edges: DataFrame, src: str = "id_a",
         labels = new_labels
         if changed == 0:
             break
-    if changed != 0:
+    else:
         # silently returning a non-fixpoint would split components —
         # wrong labels with no signal; diameter > max_iter means the
         # caller's graph is not the small-cluster shape this targets

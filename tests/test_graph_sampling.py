@@ -91,3 +91,18 @@ def test_components_match_union_find_reference(spark):
     df = spark.createDataFrame(edges, "id_a long, id_b long")
     got = {r.id: r.component for r in connected_components(df).collect()}
     assert got == want
+
+
+def test_components_convergence_edge_cases(spark):
+    import pytest
+    # a 5-node path needs exactly max_iter=4 label rounds + the
+    # confirmation round — must succeed, not spuriously raise
+    path5 = spark.createDataFrame(
+        [(i, i + 1) for i in range(4)], "id_a long, id_b long")
+    comp = {r.id: r.component
+            for r in connected_components(path5, max_iter=4).collect()}
+    assert all(comp[i] == 0 for i in range(5))
+    # but an insufficient round budget must raise, never return a
+    # silently split component
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(path5, max_iter=2)
