@@ -150,21 +150,22 @@ def write_transcripts_jsonl(df: DataFrame, path: str) -> None:
     df.write.mode("overwrite").json(path)
 
 
-def read_transcripts_jsonl(spark: SparkSession, path: str,
-                           keep_corrupt: bool = False) -> DataFrame:
-    """Schema-enforced JSONL scan (reference A2: stream-read request
-    files validating every line, base_online_request_processor.py:269-274
-    / base_batch_request_processor.py:377-399).
+def read_jsonl(spark: SparkSession, path: str, declared_schema,
+               required_key: str, keep_corrupt: bool = False) -> DataFrame:
+    """Schema-enforced JSONL scan for ANY declared StructType
+    (reference A2: stream-read request files validating every line,
+    base_online_request_processor.py:269-274 /
+    base_batch_request_processor.py:377-399).
 
     The declared schema drives the Jackson parse (no inference pass over
     the data — at 100 TB schema inference would be a full extra scan);
     malformed lines land in a corrupt-record column and are quarantined
     (dropped, or kept for inspection with keep_corrupt=True) instead of
     failing the scan — the line-level analogue of the reference's
-    per-line pydantic validation raising on bad rows."""
-    from .schema import TRANSCRIPTS_SCHEMA
+    per-line pydantic validation raising on bad rows. A line parsing to
+    a NULL required_key is a schema violation and quarantines too."""
     from pyspark.sql import types as T
-    full = T.StructType(list(TRANSCRIPTS_SCHEMA.fields)
+    full = T.StructType(list(declared_schema.fields)
                         + [T.StructField("_corrupt", T.StringType(), True)])
     df = (spark.read.schema(full)
           .option("mode", "PERMISSIVE")
@@ -172,10 +173,17 @@ def read_transcripts_jsonl(spark: SparkSession, path: str,
           .json(path))
     if keep_corrupt:
         return df
-    # conv_id is declared non-null: a line parsing to a null key is a
-    # schema violation too. (Referencing a data column in the filter
-    # also keeps count()-style queries legal — Spark forbids plans that
-    # reference ONLY the corrupt column of a raw JSON scan.)
+    # (referencing a data column in the filter also keeps count()-style
+    # queries legal — Spark forbids plans that reference ONLY the
+    # corrupt column of a raw JSON scan)
     return (df.filter(F.col("_corrupt").isNull()
-                      & F.col("conv_id").isNotNull())
-            .select([f.name for f in TRANSCRIPTS_SCHEMA.fields]))
+                      & F.col(required_key).isNotNull())
+            .select([f.name for f in declared_schema.fields]))
+
+
+def read_transcripts_jsonl(spark: SparkSession, path: str,
+                           keep_corrupt: bool = False) -> DataFrame:
+    """Transcripts-shaped wrapper over read_jsonl."""
+    from .schema import TRANSCRIPTS_SCHEMA
+    return read_jsonl(spark, path, TRANSCRIPTS_SCHEMA, "conv_id",
+                      keep_corrupt=keep_corrupt)

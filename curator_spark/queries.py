@@ -567,6 +567,34 @@ def q38_nested_conversations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return conversation_features(collect_conversations(turns))
 
 
+def q43_window_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Remaining window-function surface (row_number/lag/running-sum are
+    covered by q05/q11/q26): ntile quartiles, dense_rank, and lead —
+    per-segment customer balance analytics. Total-order tiebreak
+    (c_acctbal, c_custkey) makes ntile/lead deterministic and the two
+    engines' identical frame definitions bit-agree. One shuffle on
+    mktsegment; all four windows share it."""
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey").asc())
+    cents = _cents("c_acctbal")
+    return (
+        _t(spark, sf_dir, "customer")
+        .select("c_custkey", "c_mktsegment", cents.alias("bal_cents"))
+        .withColumn("quartile", F.ntile(4).over(
+            Window.partitionBy("c_mktsegment").orderBy(
+                F.col("bal_cents").desc(), F.col("c_custkey").asc())))
+        .withColumn("bal_rank", F.dense_rank().over(
+            Window.partitionBy("c_mktsegment").orderBy(
+                F.col("bal_cents").desc())))
+        .withColumn("next_lower_bal",
+                    F.lead("bal_cents").over(
+                        Window.partitionBy("c_mktsegment").orderBy(
+                            F.col("bal_cents").desc(), F.col("c_custkey").asc())))
+        .select("c_custkey", "c_mktsegment", "bal_cents", "quartile",
+                "bal_rank", "next_lower_bal")
+    )
+
+
 def q42_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INTERSECT / EXCEPT (the set-op breadth the reference lacks,
     SURVEY §2.d — only union exists there): customers who placed an
@@ -958,6 +986,21 @@ ORACLES: dict[str, str] = {
         FROM nxt
         GROUP BY conv_id
     """,
+    "q43_window_breadth": """
+        SELECT c_custkey, c_mktsegment,
+               CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents,
+               ntile(4) OVER (PARTITION BY c_mktsegment
+                              ORDER BY CAST(round(c_acctbal * 100) AS BIGINT) DESC,
+                                       c_custkey ASC) AS quartile,
+               dense_rank() OVER (PARTITION BY c_mktsegment
+                                  ORDER BY CAST(round(c_acctbal * 100) AS BIGINT)
+                                      DESC) AS bal_rank,
+               lead(CAST(round(c_acctbal * 100) AS BIGINT))
+                   OVER (PARTITION BY c_mktsegment
+                         ORDER BY CAST(round(c_acctbal * 100) AS BIGINT) DESC,
+                                  c_custkey ASC) AS next_lower_bal
+        FROM customer
+    """,
     "q42_set_ops": """
         SELECT DISTINCT o_custkey AS c_custkey
         FROM orders WHERE o_orderpriority = '1-URGENT'
@@ -1042,4 +1085,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q40_hash_split": q40_hash_split,
     "q41_small_quantity_revenue": q41_small_quantity_revenue,
     "q42_set_ops": q42_set_ops,
+    "q43_window_breadth": q43_window_breadth,
 }
