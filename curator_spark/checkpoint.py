@@ -141,6 +141,34 @@ def _commit_part(out_dir: str, run_id: str, part: int, n_rows: int) -> None:
     os.replace(tmp, os.path.join(d, f"part-{part}.json"))  # atomic commit
 
 
+def _gc_stale_scratch(out_dir: str) -> None:
+    """Remove _scored-* scratch dirs whose owning process is gone.
+
+    Scratch kept by a strict stop or a mid-publish failure would
+    otherwise accumulate forever (shard names carry a per-call nonce, so
+    no later invocation reuses them). Each scratch root records its
+    owner PID; a dir stays inspectable while its owner lives and is
+    swept by the first invocation that runs after the owner exits.
+    (PID checks are host-local: in cluster deployments the driver owns
+    all scratch under its out_dir, so this holds.)"""
+    import shutil
+    for name in os.listdir(out_dir) if os.path.isdir(out_dir) else []:
+        if not name.startswith("_scored-"):
+            continue
+        d = os.path.join(out_dir, name)
+        try:
+            with open(os.path.join(d, "OWNER")) as f:
+                pid = int(f.read().strip())
+            os.kill(pid, 0)          # raises if the process is gone
+            alive = True
+        except PermissionError:
+            alive = True             # exists, owned by another user
+        except (OSError, ValueError):
+            alive = False
+        if not alive:
+            shutil.rmtree(d, ignore_errors=True)
+
+
 def _append_metrics(out_dir: str, run_id: str, shard: str,
                     mrows, wall_ms: int) -> None:
     """Append the per-part counter rows as ONE uniquely-named parquet
@@ -236,10 +264,14 @@ def run_checkpointed(spark: SparkSession, input_path: str, out_dir: str,
         # with the SAME only_parts from the same process — never share
         # staging paths.
         import uuid
+        _gc_stale_scratch(out_dir)  # sweep debris of dead invocations
         shard = hashlib.md5(
             f"{','.join(map(str, todo))}|{uuid.uuid4().hex}".encode()
         ).hexdigest()[:8]
         scratch_root = os.path.join(out_dir, f"_scored-{run_id}-{shard}")
+        os.makedirs(scratch_root, exist_ok=True)
+        with open(os.path.join(scratch_root, "OWNER"), "w") as f:
+            f.write(str(os.getpid()))
         stage_out = os.path.join(scratch_root, "out")
         keep_scratch = False
         try:

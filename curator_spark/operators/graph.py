@@ -47,6 +47,7 @@ def connected_components(edges: DataFrame, src: str = "id_a",
     # max_iter + 1 rounds: a graph whose labels settle exactly on round
     # max_iter still gets its zero-change confirmation round instead of
     # a spurious non-convergence error
+    changed = -1  # sentinel for degenerate max_iter < 0 (zero rounds)
     for _ in range(max_iter + 1):
         neigh_min = (
             und.join(labels, und["a"] == labels["id"])
@@ -75,9 +76,9 @@ def connected_components(edges: DataFrame, src: str = "id_a",
         # wrong labels with no signal; diameter > max_iter means the
         # caller's graph is not the small-cluster shape this targets
         raise RuntimeError(
-            f"connected_components did not converge in {max_iter} rounds "
-            f"({changed} labels still changing); raise max_iter or use a "
-            "large-star/small-star contraction for high-diameter graphs")
+            f"connected_components did not converge in {max_iter + 1} "
+            f"rounds ({changed} labels still changing); raise max_iter or "
+            "use a large-star/small-star contraction for high-diameter graphs")
     return labels
 
 

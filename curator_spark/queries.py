@@ -570,12 +570,11 @@ def q38_nested_conversations(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q43_window_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Remaining window-function surface (row_number/lag/running-sum are
     covered by q05/q11/q26): ntile quartiles, dense_rank, and lead —
-    per-segment customer balance analytics. Total-order tiebreak
-    (c_acctbal, c_custkey) makes ntile/lead deterministic and the two
-    engines' identical frame definitions bit-agree. One shuffle on
-    mktsegment; all four windows share it."""
-    w = Window.partitionBy("c_mktsegment").orderBy(
-        F.col("c_acctbal").desc(), F.col("c_custkey").asc())
+    per-segment customer balance analytics. The (bal_cents, c_custkey)
+    total-order tiebreak makes ntile/lead deterministic; dense_rank
+    deliberately omits the tiebreak (equal balances share a rank). All
+    three windows partition on mktsegment, so Catalyst plans ONE
+    shuffle and sorts within it."""
     cents = _cents("c_acctbal")
     return (
         _t(spark, sf_dir, "customer")

@@ -176,3 +176,20 @@ def test_metrics_and_lineage_written(spark, small_input, tmp_path):
     assert m["n_kept"].sum() == data.filter("keep").count()
     metas = os.listdir(os.path.join(out, "_meta"))
     assert any(f.startswith("run_") for f in metas)
+
+
+def test_stale_scratch_swept_on_next_invocation(spark, small_input, tmp_path):
+    """A scratch dir whose owning process is dead (crash/strict debris)
+    is garbage-collected by the next invocation; a live owner's is not."""
+    out = str(tmp_path / "gc")
+    dead = os.path.join(out, "_scored-deadrun-deadbeef")
+    live = os.path.join(out, "_scored-liverun-cafebabe")
+    os.makedirs(dead)
+    os.makedirs(live)
+    with open(os.path.join(dead, "OWNER"), "w") as f:
+        f.write("999999999")           # no such pid
+    with open(os.path.join(live, "OWNER"), "w") as f:
+        f.write(str(os.getpid()))      # this very process
+    run_checkpointed(spark, small_input, out)
+    assert not os.path.exists(dead)
+    assert os.path.exists(live)
