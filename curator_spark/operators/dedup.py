@@ -126,12 +126,27 @@ def minhash_bands(docs: DataFrame, text_col: str = "text",
 
 
 def lsh_candidate_pairs(docs: DataFrame, text_col: str = "text",
-                        id_col: str = "doc_id", n: int = 5) -> DataFrame:
+                        id_col: str = "doc_id", n: int = 5,
+                        max_bucket: int | None = None) -> DataFrame:
     """Near-dup candidate pairs (id_a < id_b) sharing ≥1 LSH band.
 
     The scale path for near-dedup: candidates come from equi-joining
-    compact band buckets; verify with jaccard_pairs on candidates only."""
+    compact band buckets; verify with jaccard_pairs on candidates only.
+
+    max_bucket: candidate generation is quadratic WITHIN a bucket, so
+    one degenerate bucket (100 TB of shared boilerplate hashing to one
+    band key) can dominate the whole job. The standard defense is to
+    drop buckets larger than a cap — a bucket that big is
+    non-discriminative anyway (its members are caught by exact dedup or
+    by their other 7 bands). None (default) keeps every bucket: exact
+    candidate semantics, required by the q19 oracle."""
     bands = minhash_bands(docs, text_col, id_col, n)
+    if max_bucket is not None:
+        sizes = (bands.groupBy("band", "band_key")
+                 .agg(F.count(F.lit(1)).alias("bsz")))
+        bands = (bands.join(sizes, ["band", "band_key"])
+                 .filter(F.col("bsz") <= max_bucket)
+                 .drop("bsz"))
     a = bands.select(F.col(id_col).alias("id_a"), "band", "band_key")
     b = bands.select(F.col(id_col).alias("id_b"), "band", "band_key")
     return (
@@ -144,7 +159,8 @@ def lsh_candidate_pairs(docs: DataFrame, text_col: str = "text",
 def jaccard_pairs(docs: DataFrame, text_col: str = "text",
                   id_col: str = "doc_id", n: int = 3,
                   threshold: float = 0.5,
-                  broadcast_sizes: bool = False) -> DataFrame:
+                  broadcast_sizes: bool = False,
+                  max_shingle_df: int | None = None) -> DataFrame:
     """Exact n-gram Jaccard similarity pairs (id_a < id_b, sim ≥ threshold).
 
     Self-join on shingles → intersection counts; |A∪B| from per-doc
@@ -154,9 +170,24 @@ def jaccard_pairs(docs: DataFrame, text_col: str = "text",
     broadcast_sizes: the per-doc size table has one row per input doc —
     corpus-sized, NOT broadcastable at scale. Default False lets
     Catalyst/AQE pick the join strategy from actual sizes; pass True
-    only when the input is a bounded candidate set."""
+    only when the input is a bounded candidate set.
+
+    max_shingle_df: the shingle self-join fans out quadratically per
+    shingle — one stop-shingle present in 10^6 docs generates 10^12
+    pairs. Standard defense: drop shingles whose document frequency
+    exceeds the cap BEFORE the join (per-doc sizes keep counting them,
+    so the Jaccard denominators are unchanged; only the numerator loses
+    the non-discriminative shingles → similarity is underestimated for
+    pairs that shared ONLY stop-shingles — pairs that were not
+    near-dups). None (default) = exact semantics (the oracle's)."""
     sh = doc_shingles(docs, text_col, id_col, n)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    if max_shingle_df is not None:
+        df_counts = (sh.groupBy("shingle")
+                     .agg(F.count(F.lit(1)).alias("sdf")))
+        sh = (sh.join(df_counts, "shingle")
+              .filter(F.col("sdf") <= max_shingle_df)
+              .drop("sdf"))
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), "shingle")
     inter = (

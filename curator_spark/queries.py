@@ -520,6 +520,26 @@ def q36_grouped_demean(spark: SparkSession, sf_dir: str) -> DataFrame:
                            schema="event_id long, event_type string, demeaned double"))
 
 
+BPE_ISH_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+def q44_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-style pre-tokenization (the GPT-2 pretokenizer shape: letter
+    runs | digit runs | single punctuation, whitespace dropped) via
+    regexp_extract_all — JVM-side, zero Python, narrow map. The pattern
+    sticks to ASCII classes so Java regex and DuckDB's RE2 tokenize
+    bit-identically (\\p{L} unicode tables differ between engines).
+    Complements q13's whitespace counting; the fingerprint pins the
+    full token SEQUENCE, not just the count."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all(F.col("text"), F.lit(BPE_ISH_PATTERN), 0)
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_bpe_tokens"),
+        F.md5(F.concat_ws("\x1f", toks)).alias("tok_fp"),
+    )
+
+
 def q37_structured_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured-output schema enforcement (reference:
     prompt_formatter.py:104-148 response_to_response_format — JSON-parse
@@ -985,6 +1005,15 @@ ORACLES: dict[str, str] = {
         FROM nxt
         GROUP BY conv_id
     """,
+    "q44_bpe_tokens": """
+        SELECT doc_id,
+               len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))
+                   AS n_bpe_tokens,
+               md5(array_to_string(
+                   regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'),
+                   chr(31))) AS tok_fp
+        FROM documents
+    """,
     "q43_window_breadth": """
         SELECT c_custkey, c_mktsegment,
                CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents,
@@ -1085,4 +1114,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q41_small_quantity_revenue": q41_small_quantity_revenue,
     "q42_set_ops": q42_set_ops,
     "q43_window_breadth": q43_window_breadth,
+    "q44_bpe_tokens": q44_bpe_tokens,
 }

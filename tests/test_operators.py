@@ -188,3 +188,40 @@ def test_dedup_conversations(spark):
     out = {r.conv_id: r.keep_dedup
            for r in dedup.dedup_conversations(df).collect()}
     assert out == {"conv-a": True, "conv-b": False, "conv-c": True}
+
+
+def test_lsh_bucket_cap_drops_degenerate_bucket(spark):
+    """One shared-boilerplate bucket must be droppable without touching
+    discriminative buckets (quadratic-bucket scale guard)."""
+    from pyspark.sql import functions as F
+
+    from curator_spark.operators.dedup import lsh_candidate_pairs
+    boiler = "lorem ipsum dolor sit amet " * 4
+    rows = [(i, boiler) for i in range(30)]           # identical docs
+    rows += [(100, "a unique doc about spark and parquet tables"),
+             (101, "a unique doc about spark and parquet tables!")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    uncapped = lsh_candidate_pairs(docs, n=3).count()
+    capped = lsh_candidate_pairs(docs, n=3, max_bucket=10)
+    got = capped.toPandas()
+    # the 30-doc boilerplate cluster (435 pairs/band) is dropped; the
+    # near-identical unique pair survives via its small buckets
+    assert uncapped >= 435 + 1
+    assert (100, 101) in set(zip(got.id_a, got.id_b))
+    assert not ((got.id_a < 30) & (got.id_b < 30)).any()
+
+
+def test_jaccard_stop_shingle_cap(spark):
+    """Dropping ultra-frequent shingles bounds join fan-out while
+    keeping denominators exact: a pair sharing ONLY stop-shingles loses
+    its (spurious) similarity; a genuinely near-dup pair keeps its."""
+    from curator_spark.operators.dedup import jaccard_pairs
+    common = "the quick brown fox jumps"
+    rows = [(i, common) for i in range(20)]           # stop-shingle herd
+    rows += [(100, "completely novel sentence describing lakehouse compaction"),
+             (101, "completely novel sentence describing lakehouse compaction runs")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    capped = jaccard_pairs(docs, n=3, threshold=0.5, max_shingle_df=5).toPandas()
+    pairs = set(zip(capped.id_a, capped.id_b))
+    assert (100, 101) in pairs
+    assert not any(a < 20 and b < 20 for a, b in pairs)
