@@ -88,18 +88,30 @@ def _part_rows_on_disk(out_dir: str, part: int) -> int | None:
     no data read, driver-side metadata I/O (the reference's cheap
     line-count reconciliation, base_request_processor.py:413-426).
     With a real table catalog this comes from snapshot manifests."""
+    m = part_manifest(out_dir, part)
+    if m is None:
+        return None
+    return sum(f["n_rows"] for f in m.values())
+
+
+def part_manifest(out_dir: str, part: int) -> dict | None:
+    """{file name: {n_rows, n_bytes}} for a committed partition, read
+    from parquet footers + stat — no data I/O. None if the partition
+    dir is missing or any file is unreadable/truncated."""
     import pyarrow.parquet as pq
     d = os.path.join(out_dir, "data", f"part={part}")
     if not os.path.isdir(d):
         return None
-    n = 0
-    for fn in os.listdir(d):
+    out: dict = {}
+    for fn in sorted(os.listdir(d)):
         if fn.endswith(".parquet"):
+            fp = os.path.join(d, fn)
             try:
-                n += pq.ParquetFile(os.path.join(d, fn)).metadata.num_rows
+                out[fn] = {"n_rows": pq.ParquetFile(fp).metadata.num_rows,
+                           "n_bytes": os.path.getsize(fp)}
             except Exception:  # truncated/corrupt file → fail validation
                 return None
-    return n
+    return out
 
 
 def revalidate_committed(out_dir: str) -> tuple[set[int], set[int]]:
@@ -113,13 +125,24 @@ def revalidate_committed(out_dir: str) -> tuple[set[int], set[int]]:
     valid: set[int] = set()
     invalid: set[int] = set()
     for part in sorted(committed_parts(out_dir)):
+        marker = None
         try:
             with open(os.path.join(ld, f"part-{part}.json")) as f:
                 marker = json.load(f)
-            expected = int(marker["n_rows"])
         except Exception:
-            expected = -1  # unreadable marker → recompute
-        if _part_rows_on_disk(out_dir, part) == expected:
+            pass  # unreadable marker → recompute
+        on_disk = part_manifest(out_dir, part)
+        ok = False
+        if marker is not None and on_disk is not None:
+            if "files" in marker:
+                # file-level check: exact file set + per-file row counts
+                # and sizes — catches a same-rowcount file swap that a
+                # bare partition total would miss
+                ok = marker["files"] == on_disk
+            else:  # marker from an older layout: row-count reconcile
+                ok = (int(marker.get("n_rows", -1))
+                      == sum(f["n_rows"] for f in on_disk.values()))
+        if ok:
             valid.add(part)
         else:
             os.remove(os.path.join(ld, f"part-{part}.json"))
@@ -128,13 +151,18 @@ def revalidate_committed(out_dir: str) -> tuple[set[int], set[int]]:
 
 
 def _commit_part(out_dir: str, run_id: str, part: int, n_rows: int) -> None:
-    d = _ledger_dir(out_dir)
-    os.makedirs(d, exist_ok=True)
     marker = {
         "run_id": run_id, "part": int(part), "status": "COMMITTED",
         "n_rows": int(n_rows),
+        # file-level manifest (name → rows/bytes from footers): the
+        # commit records exactly which files constitute the partition,
+        # so resume validation detects swapped/extra/missing files even
+        # when totals happen to agree
+        "files": part_manifest(out_dir, part),
         "updated_at": datetime.now(timezone.utc).isoformat(),
     }
+    d = _ledger_dir(out_dir)
+    os.makedirs(d, exist_ok=True)
     tmp = os.path.join(d, f".part-{part}.json.tmp")
     with open(tmp, "w") as f:
         json.dump(marker, f)

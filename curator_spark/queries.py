@@ -520,6 +520,38 @@ def q36_grouped_demean(spark: SparkSession, sf_dir: str) -> DataFrame:
                            schema="event_id long, event_type string, demeaned double"))
 
 
+def q45_sketch_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mergeable-sketch scale path (HyperLogLog count-distinct,
+    Greenwald-Khanna quantiles) under a VALUE-HASH gate on its error
+    contract: sketches are engine-specific so their raw outputs cannot
+    cross-check, but their bounded-error CLAIMS can — the query emits
+    exact values plus booleans asserting the sketch landed within its
+    bound (HLL within 5% relative; approx-median inside the exact
+    p45–p55 rank window, the principled check for GK's rank-error
+    guarantee). The oracle computes the same exact values and literal
+    TRUEs: a sketch drifting out of contract hash-fails the driver
+    gate. At 100 TB the sketches are the ONLY viable plan (single-pass,
+    mergeable, fixed memory); q35's exact percentiles are their
+    correctness baseline."""
+    ev = _t(spark, sf_dir, "events")
+    agg = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_distinct_users"),
+        F.approx_count_distinct("user_id").alias("hll"),
+        F.expr("percentile(value, 0.5)").alias("exact_med"),
+        F.expr("percentile(value, 0.45)").alias("p45"),
+        F.expr("percentile(value, 0.55)").alias("p55"),
+        F.expr("approx_percentile(value, 0.5, 10000)").alias("apx_med"),
+    )
+    return agg.select(
+        "event_type", "exact_distinct_users",
+        ((F.abs(F.col("hll") - F.col("exact_distinct_users"))
+          / F.col("exact_distinct_users")) <= 0.05).alias("hll_within_5pct"),
+        F.round("exact_med", 6).alias("med_value"),
+        (F.col("apx_med").between(F.col("p45"), F.col("p55")))
+        .alias("approx_med_in_rank_window"),
+    )
+
+
 BPE_ISH_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
 
 
@@ -1005,6 +1037,15 @@ ORACLES: dict[str, str] = {
         FROM nxt
         GROUP BY conv_id
     """,
+    "q45_sketch_accuracy": """
+        SELECT event_type,
+               count(DISTINCT user_id) AS exact_distinct_users,
+               TRUE AS hll_within_5pct,
+               round(quantile_cont(value, 0.5), 6) AS med_value,
+               TRUE AS approx_med_in_rank_window
+        FROM events
+        GROUP BY event_type
+    """,
     "q44_bpe_tokens": """
         SELECT doc_id,
                len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))
@@ -1115,4 +1156,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q42_set_ops": q42_set_ops,
     "q43_window_breadth": q43_window_breadth,
     "q44_bpe_tokens": q44_bpe_tokens,
+    "q45_sketch_accuracy": q45_sketch_accuracy,
 }

@@ -193,3 +193,18 @@ def test_stale_scratch_swept_on_next_invocation(spark, small_input, tmp_path):
     run_checkpointed(spark, small_input, out)
     assert not os.path.exists(dead)
     assert os.path.exists(live)
+
+
+def test_renamed_file_detected_by_manifest(spark, small_input, tmp_path):
+    """File-level manifests catch integrity drift that row-count totals
+    miss: renaming a data file keeps the partition total identical but
+    changes the committed file set → marker dropped, part recomputed."""
+    import glob
+
+    out = str(tmp_path / "manifest")
+    run_checkpointed(spark, small_input, out, only_parts=[0, 1])
+    f = glob.glob(os.path.join(out, "data", "part=0", "*.parquet"))[0]
+    os.rename(f, os.path.join(os.path.dirname(f), "renamed-file.parquet"))
+    r = run_checkpointed(spark, small_input, out)
+    assert r["parts_invalidated"] == 1
+    assert committed_parts(out) == {0, 1, 2, 3}
