@@ -290,3 +290,26 @@ def simhash(docs: DataFrame, text_col: str = "text",
         for p in range(bits)
     ]
     return agg.select(id_col, F.concat(*bit_chars).alias("simhash"))
+
+
+def decontaminate(train: DataFrame, benchmark: DataFrame,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  n: int = 13) -> DataFrame:
+    """Benchmark decontamination: flag training docs sharing ANY word
+    n-gram with a benchmark/eval document (the GPT-3-style 13-gram
+    overlap rule every serious pretraining pipeline runs before
+    training). Plan shape: both sides explode to distinct shingles,
+    LEFT SEMI join on the shingle — the train side is flagged without
+    materializing the (train × benchmark) product, and the benchmark
+    shingle set is typically small enough to broadcast. Returns
+    (id, contaminated:boolean) for every training doc."""
+    tr_sh = doc_shingles(train, text_col, id_col, n)
+    bm_sh = (doc_shingles(benchmark, text_col, id_col, n)
+             .select("shingle").distinct())
+    dirty = (tr_sh.join(bm_sh, "shingle", "left_semi")
+             .select(id_col).distinct()
+             .withColumn("contaminated", F.lit(True)))
+    return (train.select(id_col)
+            .join(dirty, id_col, "left")
+            .select(id_col, F.coalesce("contaminated", F.lit(False))
+                    .alias("contaminated")))

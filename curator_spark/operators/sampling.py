@@ -58,3 +58,23 @@ def hash_sample(df: DataFrame, id_col: str, fraction: float,
     shrinking a sample keeps it a subset, unlike rand() redraws."""
     bound = int(round(fraction * N_BUCKETS))
     return df.filter(hash_bucket(id_col, salt) < F.lit(bound))
+
+
+def mixture_sample(df: DataFrame, group_col: str, id_col: str,
+                   fractions: dict[str, float], salt: str = "mix-v1",
+                   default: float = 0.0) -> DataFrame:
+    """Deterministic mixture/domain-reweighting sample: keep each row
+    with its group's fraction (e.g. {"web": 0.3, "code": 1.0}) — the
+    standard pretraining-mixture op, built on the same salted hash
+    bucket so the draw is reproducible and per-group nested. One narrow
+    map (a CASE over the group column), zero shuffle, zero Python;
+    groups absent from `fractions` keep `default`."""
+    bucket = hash_bucket(id_col, salt)
+    bound = None
+    for g, frac in fractions.items():
+        b = F.lit(int(round(frac * N_BUCKETS)))
+        cond = F.col(group_col) == g
+        bound = F.when(cond, b) if bound is None else bound.when(cond, b)
+    bound = (F.lit(int(round(default * N_BUCKETS))) if bound is None
+             else bound.otherwise(int(round(default * N_BUCKETS))))
+    return df.filter(bucket < bound)

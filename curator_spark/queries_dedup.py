@@ -108,6 +108,39 @@ def q39_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_components(docs, edges)
 
 
+MIX_FRACTIONS = {"en": 0.5, "zh": 0.25}
+MIX_DEFAULT = 1.0
+BENCH_BUCKETS = 1000  # 10% of documents act as the benchmark set
+
+
+def q46_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pretraining mixture / domain reweighting (operators/sampling
+    .mixture_sample): downsample English to 50%, Chinese to 25%, keep
+    everything else — per-language deterministic hash draws, one narrow
+    map, zero shuffle. Emits the kept (doc_id, lang) rows so the value
+    hash pins the exact draw."""
+    from .operators.sampling import mixture_sample
+    docs = _docs(spark, sf_dir).select("doc_id", "lang")
+    return mixture_sample(docs, "lang", "doc_id",
+                          MIX_FRACTIONS, default=MIX_DEFAULT)
+
+
+def q47_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (operators/dedup.decontaminate): a
+    deterministic 10% hash slice of `documents` plays the benchmark
+    set; every training doc is flagged iff it shares a word n-gram with
+    any benchmark doc (n=3 here for the short synthetic docs; 13 is the
+    production default). Shingle semi-join — no train×bench product."""
+    from pyspark.sql import functions as F
+
+    from .operators.sampling import hash_bucket
+    docs = _docs(spark, sf_dir)
+    is_bench = hash_bucket("doc_id", "bench-v1") < BENCH_BUCKETS
+    bench = docs.filter(is_bench)
+    train = docs.filter(~is_bench)
+    return dedup.decontaminate(train, bench, n=JACCARD_N)
+
+
 # ---------------------------------------------------------------------------
 # Oracle SQL
 # ---------------------------------------------------------------------------
@@ -364,7 +397,38 @@ _IVF_SQL = f"""
     LIMIT 5
 """
 
+_MIX_SQL = f"""
+    SELECT doc_id, lang FROM (
+        SELECT doc_id, lang,
+               ('0x' || substr(md5(doc_id::VARCHAR || ':mix-v1'), 1, 8))::BIGINT
+                   % 10000 AS bucket
+        FROM documents
+    )
+    WHERE bucket < CASE lang WHEN 'en' THEN {int(MIX_FRACTIONS['en'] * 10000)}
+                             WHEN 'zh' THEN {int(MIX_FRACTIONS['zh'] * 10000)}
+                             ELSE {int(MIX_DEFAULT * 10000)} END
+"""
+
+_DECONTAM_SQL = f"""
+    WITH bucketed AS (
+        SELECT *, ('0x' || substr(md5(doc_id::VARCHAR || ':bench-v1'), 1, 8))::BIGINT
+                      % 10000 AS bucket
+        FROM documents
+    ),
+    train AS (SELECT doc_id, text FROM bucketed WHERE bucket >= {BENCH_BUCKETS}),
+    bench AS (SELECT doc_id, text FROM bucketed WHERE bucket < {BENCH_BUCKETS}),
+    tr_sh AS ({shingles_sql("train", "doc_id", "text")}),
+    bm_sh AS (SELECT DISTINCT shingle
+              FROM ({shingles_sql("bench", "doc_id", "text")}))
+    SELECT t.doc_id,
+           EXISTS (SELECT 1 FROM tr_sh s JOIN bm_sh USING (shingle)
+                   WHERE s.doc_id = t.doc_id) AS contaminated
+    FROM train t
+"""
+
 ORACLES: dict[str, str] = {
+    "q46_mixture_sample": _MIX_SQL,
+    "q47_decontaminate": _DECONTAM_SQL,
     "q18_jaccard_pairs": _JACCARD_SQL,
     "q19_minhash_lsh": _MINHASH_SQL,
     "q20_simhash": _SIMHASH_SQL,
@@ -388,4 +452,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q31_conv_dedup": q31_conv_dedup,
     "q32_ivf_ann": q32_ivf_ann,
     "q39_dedup_components": q39_dedup_components,
+    "q46_mixture_sample": q46_mixture_sample,
+    "q47_decontaminate": q47_decontaminate,
 }

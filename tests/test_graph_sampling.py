@@ -106,3 +106,36 @@ def test_components_convergence_edge_cases(spark):
     # silently split component
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(path5, max_iter=2)
+
+
+def test_mixture_sample_rates_and_nesting(spark):
+    from curator_spark.operators.sampling import mixture_sample
+    rows = [(i, "web" if i % 2 == 0 else "code") for i in range(4000)]
+    df = spark.createDataFrame(rows, "doc_id long, domain string")
+    out = mixture_sample(df, "domain", "doc_id",
+                         {"web": 0.25, "code": 1.0}).toPandas()
+    by = out.groupby("domain").size()
+    assert by["code"] == 2000                        # fraction 1.0 keeps all
+    assert abs(by["web"] / 2000 - 0.25) < 0.05
+    # default=0.0 drops unlisted groups entirely
+    none = mixture_sample(df, "domain", "doc_id", {"code": 1.0}).toPandas()
+    assert set(none["domain"]) == {"code"}
+    # partitioning-invariant (pure function of id+salt)
+    again = mixture_sample(df.repartition(7), "domain", "doc_id",
+                           {"web": 0.25, "code": 1.0}).toPandas()
+    assert sorted(out["doc_id"]) == sorted(again["doc_id"])
+
+
+def test_decontaminate_flags_ngram_overlap(spark):
+    from curator_spark.operators.dedup import decontaminate
+    train = spark.createDataFrame(
+        [(1, "the secret benchmark answer is forty two exactly"),
+         (2, "a completely unrelated training document about ducks"),
+         (3, "short doc")],                      # too short for any 3-gram? no: 2 words -> none
+        "doc_id long, text string")
+    bench = spark.createDataFrame(
+        [(100, "we ask whether the secret benchmark answer is known")],
+        "doc_id long, text string")
+    out = {r.doc_id: r.contaminated
+           for r in decontaminate(train, bench, n=3).collect()}
+    assert out == {1: True, 2: False, 3: False}
