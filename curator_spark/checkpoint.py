@@ -83,17 +83,6 @@ def committed_parts(out_dir: str) -> set[int]:
     return parts
 
 
-def _part_rows_on_disk(out_dir: str, part: int) -> int | None:
-    """Row count of a committed partition from parquet FOOTERS only —
-    no data read, driver-side metadata I/O (the reference's cheap
-    line-count reconciliation, base_request_processor.py:413-426).
-    With a real table catalog this comes from snapshot manifests."""
-    m = part_manifest(out_dir, part)
-    if m is None:
-        return None
-    return sum(f["n_rows"] for f in m.values())
-
-
 def part_manifest(out_dir: str, part: int) -> dict | None:
     """{file name: {n_rows, n_bytes}} for a committed partition, read
     from parquet footers + stat — no data I/O. None if the partition

@@ -534,21 +534,30 @@ def q45_sketch_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     mergeable, fixed memory); q35's exact percentiles are their
     correctness baseline."""
     ev = _t(spark, sf_dir, "events")
+    # rsd 0.01: the asserted 5% bound must sit well outside the sketch's
+    # 1-sigma error, or the gate flips on ordinary estimator variance
+    # (the default rsd=0.05 failed exactly at the bound at sf0.1)
     agg = ev.groupBy("event_type").agg(
         F.countDistinct("user_id").alias("exact_distinct_users"),
-        F.approx_count_distinct("user_id").alias("hll"),
+        F.expr("approx_count_distinct(user_id, 0.01)").alias("hll"),
         F.expr("percentile(value, 0.5)").alias("exact_med"),
         F.expr("percentile(value, 0.45)").alias("p45"),
         F.expr("percentile(value, 0.55)").alias("p55"),
         F.expr("approx_percentile(value, 0.5, 10000)").alias("apx_med"),
     )
+    # coalesce/guard: an all-null group yields NULL ratios/percentiles —
+    # degenerate groups count as within-contract (nothing to estimate),
+    # matching the oracle's literal TRUE
     return agg.select(
         "event_type", "exact_distinct_users",
-        ((F.abs(F.col("hll") - F.col("exact_distinct_users"))
-          / F.col("exact_distinct_users")) <= 0.05).alias("hll_within_5pct"),
+        F.coalesce(
+            F.when(F.col("exact_distinct_users") > 0,
+                   (F.abs(F.col("hll") - F.col("exact_distinct_users"))
+                    / F.col("exact_distinct_users")) <= 0.05),
+            F.lit(True)).alias("hll_within_5pct"),
         F.round("exact_med", 6).alias("med_value"),
-        (F.col("apx_med").between(F.col("p45"), F.col("p55")))
-        .alias("approx_med_in_rank_window"),
+        F.coalesce(F.col("apx_med").between(F.col("p45"), F.col("p55")),
+                   F.lit(True)).alias("approx_med_in_rank_window"),
     )
 
 

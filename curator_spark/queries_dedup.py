@@ -397,22 +397,27 @@ _IVF_SQL = f"""
     LIMIT 5
 """
 
+from .operators.sampling import N_BUCKETS as _NB  # noqa: E402
+
+# bounds derived with the SAME int(round(...)) as mixture_sample/
+# hash_bucket — int() truncation would diverge at fractions like 0.115
 _MIX_SQL = f"""
     SELECT doc_id, lang FROM (
         SELECT doc_id, lang,
                ('0x' || substr(md5(doc_id::VARCHAR || ':mix-v1'), 1, 8))::BIGINT
-                   % 10000 AS bucket
+                   % {_NB} AS bucket
         FROM documents
     )
-    WHERE bucket < CASE lang WHEN 'en' THEN {int(MIX_FRACTIONS['en'] * 10000)}
-                             WHEN 'zh' THEN {int(MIX_FRACTIONS['zh'] * 10000)}
-                             ELSE {int(MIX_DEFAULT * 10000)} END
+    WHERE bucket < CASE lang
+                   WHEN 'en' THEN {int(round(MIX_FRACTIONS['en'] * _NB))}
+                   WHEN 'zh' THEN {int(round(MIX_FRACTIONS['zh'] * _NB))}
+                   ELSE {int(round(MIX_DEFAULT * _NB))} END
 """
 
 _DECONTAM_SQL = f"""
     WITH bucketed AS (
         SELECT *, ('0x' || substr(md5(doc_id::VARCHAR || ':bench-v1'), 1, 8))::BIGINT
-                      % 10000 AS bucket
+                      % {_NB} AS bucket
         FROM documents
     ),
     train AS (SELECT doc_id, text FROM bucketed WHERE bucket >= {BENCH_BUCKETS}),
