@@ -215,3 +215,55 @@ def media_fixture(spark, n: int = 64, seed: int = 5) -> DataFrame:
             (1000 * (i % 20)) if modality != "image" else None,
         ))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+RESIZED_SCHEMA = T.StructType([
+    T.StructField("media_id", T.StringType(), False),
+    T.StructField("src_w", T.IntegerType(), True),
+    T.StructField("src_h", T.IntegerType(), True),
+    T.StructField("out_w", T.IntegerType(), True),
+    T.StructField("out_h", T.IntegerType(), True),
+    T.StructField("pixels", T.BinaryType(), True),   # raw RGB, out_h*out_w*3
+])
+
+
+def _resize_pixels(px: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Nearest-neighbor resize on the decoded array — pure numpy so the
+    stub pipeline stays deterministic; a real build swaps in
+    PIL.Image.resize with a proper filter. Contract: HxWx3 uint8 in,
+    out_h x out_w x 3 uint8 out."""
+    h, w = px.shape[:2]
+    ys = (np.arange(out_h) * h // out_h).clip(0, h - 1)
+    xs = (np.arange(out_w) * w // out_w).clip(0, w - 1)
+    return px[ys][:, xs]
+
+
+def resize_images(media: DataFrame, out_w: int = 16,
+                  out_h: int = 16) -> DataFrame:
+    """Decode → resize → raw-RGB bytes, one Arrow batch at a time: the
+    resize stage of the multimodal pipeline (decode / feature / RESIZE /
+    frame-sample). Output pixels are a fixed out_h·out_w·3 bytes per
+    row — downstream stages shuffle small fixed-width blobs, never the
+    source payloads. Failed decodes null out, same error-row contract
+    as image_features."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                blob = bytes(content) if content is not None else b""
+                try:
+                    px = _decode_image(blob)
+                    rz = _resize_pixels(px, out_w, out_h)
+                    row = {"media_id": mid,
+                           "src_w": int(px.shape[1]), "src_h": int(px.shape[0]),
+                           "out_w": out_w, "out_h": out_h,
+                           "pixels": rz.tobytes()}
+                except NotImplementedError:
+                    row = {"media_id": mid, "src_w": None, "src_h": None,
+                           "out_w": None, "out_h": None, "pixels": None}
+                out.append(row)
+            yield pd.DataFrame(out, columns=[f.name for f in RESIZED_SCHEMA])
+
+    return (media.filter(F.col("modality") == "image")
+            .select("media_id", "content")
+            .mapInPandas(run, schema=RESIZED_SCHEMA))

@@ -242,3 +242,21 @@ def embedding_neardup_bucketed(emb: DataFrame, threshold: float = 0.8,
         .filter(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", "bucket", "cos_sim")
     )
+
+
+def quantize_int8(emb: DataFrame, id_col: str = "vec_id",
+                  vec_col: str = "embedding") -> DataFrame:
+    """Symmetric per-vector int8 quantization: codes = round(x/s·127)
+    with s = max|x_i| — the standard 4× storage/bandwidth reduction for
+    billion-scale ANN corpora (reconstruction x' = codes·s/127, error
+    ≤ s/254 per component). Pure narrow map, exact integer codes that a
+    SQL oracle replicates bit-for-bit; `scale` rides along for
+    dequantization. Zero vectors quantize to all-zero codes."""
+    v = _dvec(F.col(vec_col))
+    s = F.greatest(F.array_max(F.transform(v, F.abs)), F.lit(1e-30))
+    codes = F.transform(v, lambda x: F.round(x / s * 127).cast("int"))
+    return emb.select(
+        id_col,
+        codes.alias("codes"),
+        s.alias("scale"),
+    )

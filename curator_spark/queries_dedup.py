@@ -141,6 +141,23 @@ def q47_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.decontaminate(train, bench, n=JACCARD_N)
 
 
+def q48_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8 embedding quantization (operators/similarity.quantize_int8)
+    surfaced flat for the driver gate: the exact integer code sequence
+    is fingerprinted (md5 over comma-joined codes), so the oracle
+    checks every code of every vector, not a summary statistic."""
+    from pyspark.sql import functions as F
+
+    q = similarity.quantize_int8(_emb(spark, sf_dir))
+    return q.select(
+        "vec_id",
+        F.size("codes").alias("n_dims"),
+        F.md5(F.concat_ws(",", F.transform(
+            "codes", lambda x: x.cast("string")))).alias("codes_fp"),
+        F.round("scale", 9).alias("scale"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Oracle SQL
 # ---------------------------------------------------------------------------
@@ -431,7 +448,26 @@ _DECONTAM_SQL = f"""
     FROM train t
 """
 
+_QUANT_SQL = """
+    WITH base AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    scaled AS (
+        SELECT vec_id, v,
+               greatest(list_max(list_transform(v, x -> abs(x))), 1e-30) AS s
+        FROM base
+    )
+    SELECT vec_id, len(v) AS n_dims,
+           md5(array_to_string(
+               list_transform(v, x -> CAST(round(x / s * 127) AS INTEGER)),
+               ',')) AS codes_fp,
+           round(s, 9) AS scale
+    FROM scaled
+"""
+
 ORACLES: dict[str, str] = {
+    "q48_quantize_embeddings": _QUANT_SQL,
     "q46_mixture_sample": _MIX_SQL,
     "q47_decontaminate": _DECONTAM_SQL,
     "q18_jaccard_pairs": _JACCARD_SQL,
@@ -459,4 +495,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q39_dedup_components": q39_dedup_components,
     "q46_mixture_sample": q46_mixture_sample,
     "q47_decontaminate": q47_decontaminate,
+    "q48_quantize_embeddings": q48_quantize_embeddings,
 }

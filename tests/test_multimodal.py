@@ -72,3 +72,14 @@ def test_audio_features_deterministic(spark):
     # pure function of the payload: re-run identical
     again = audio_features(media).toPandas().sort_values("media_id")
     assert out.reset_index(drop=True).equals(again.reset_index(drop=True))
+
+
+def test_resize_images_shape_and_determinism(spark):
+    from curator_spark.operators.multimodal import media_fixture, resize_images
+    media = media_fixture(spark, n=24)
+    out = resize_images(media, out_w=8, out_h=4).toPandas().sort_values("media_id")
+    assert len(out) == 8
+    assert (out["out_w"] == 8).all() and (out["out_h"] == 4).all()
+    assert all(len(p) == 8 * 4 * 3 for p in out["pixels"])
+    again = resize_images(media, out_w=8, out_h=4).toPandas().sort_values("media_id")
+    assert [bytes(p) for p in out["pixels"]] == [bytes(p) for p in again["pixels"]]
