@@ -15,3 +15,19 @@ DataFrame plan whose physical strategy Catalyst picks.
 """
 
 __version__ = "0.1.0"
+
+# Public API — the stable user-facing surface. Deeper internals
+# (pipeline stages, checkpoint internals, query batteries) are
+# importable from their modules but may change shape between versions.
+from .api import QualityFilter                          # noqa: E402,F401
+from .checkpoint import run_checkpointed                # noqa: E402,F401
+from .ingest import (                                   # noqa: E402,F401
+    coerce_to_transcripts, docs_to_transcripts,
+    read_jsonl, read_transcripts_jsonl, write_transcripts_jsonl,
+)
+
+__all__ = [
+    "QualityFilter", "run_checkpointed",
+    "coerce_to_transcripts", "docs_to_transcripts",
+    "read_jsonl", "read_transcripts_jsonl", "write_transcripts_jsonl",
+]
