@@ -2,17 +2,24 @@
 columns with typed metadata, processed by Arrow-batched pandas UDFs via
 mapInPandas.
 
-The decode/feature kernels are STUBBED with deterministic fakes (the
-sandbox has no image/audio codecs) behind `_decode_image` /
-`_decode_audio`; the Spark-side plumbing — schema, batch iteration,
-partition behavior, UDF signatures — is real and tested. Swapping in
-Pillow/torchaudio is a one-function change per modality.
+The decode kernels are STUBBED with deterministic fakes (the sandbox
+has no image/audio codecs) behind `_decode_image` / `_decode_audio`;
+the Spark-side plumbing — schema, batch iteration, partition behavior,
+UDF signatures — is real and tested. Swapping in Pillow/torchaudio is a
+one-function change per modality.
+
+All operators share ONE scaffold (`_map_rows`): batch loop, column
+iteration, and output-frame assembly live in a single place, so the
+error-row contract ("errors become null rows, never task failures" —
+reference retry-to-error-row semantics,
+base_online_request_processor.py:446-462) cannot silently fork between
+modalities; each kernel holds only its decode/compute logic.
 
 Scale shape: media bytes are the dominant I/O at 100 TB — the pipeline
 keeps them in one `content` column that is column-pruned away from every
 metadata-only query, processes them in bounded Arrow batches (batch
 memory = maxRecordsPerBatch × avg blob size — size accordingly), and
-emits compact fixed-width features so downstream stages never reshuffle
+emits compact fixed-width outputs so downstream stages never reshuffle
 the blobs.
 """
 
@@ -20,7 +27,7 @@ from __future__ import annotations
 
 import hashlib
 import zlib
-from typing import Iterator
+from typing import Callable, Iterator
 
 import numpy as np
 import pandas as pd
@@ -46,6 +53,15 @@ IMAGE_FEATURES_SCHEMA = T.StructType([
     T.StructField("feature", T.ArrayType(T.FloatType()), True),
 ])
 
+AUDIO_FEATURES_SCHEMA = T.StructType([
+    T.StructField("media_id", T.StringType(), False),
+    T.StructField("n_bytes", T.LongType(), False),
+    T.StructField("sha256", T.StringType(), False),
+    T.StructField("n_samples", T.IntegerType(), True),
+    T.StructField("rms", T.DoubleType(), True),
+    T.StructField("zero_cross_rate", T.DoubleType(), True),
+])
+
 FRAME_SAMPLE_SCHEMA = T.StructType([
     T.StructField("media_id", T.StringType(), False),
     T.StructField("frame_idx", T.IntegerType(), False),
@@ -53,8 +69,38 @@ FRAME_SAMPLE_SCHEMA = T.StructType([
     T.StructField("frame_sha256", T.StringType(), False),
 ])
 
+RESIZED_SCHEMA = T.StructType([
+    T.StructField("media_id", T.StringType(), False),
+    T.StructField("src_w", T.IntegerType(), True),
+    T.StructField("src_h", T.IntegerType(), True),
+    T.StructField("out_w", T.IntegerType(), True),
+    T.StructField("out_h", T.IntegerType(), True),
+    T.StructField("pixels", T.BinaryType(), True),   # raw RGB, out_h*out_w*3
+])
+
 FEATURE_DIM = 16
 THUMB_MAX = 64
+
+
+def _map_rows(media: DataFrame, cols: list[str], schema: T.StructType,
+              row_fn: Callable, modality: str | None = None) -> DataFrame:
+    """The shared Arrow-batched per-row scaffold: optional modality
+    filter, column-pruned select, batch loop, and declared-column-order
+    frame assembly. row_fn(*row values) returns one output dict or a
+    list of dicts (flatMap kernels like frame sampling)."""
+    df = media if modality is None else media.filter(
+        F.col("modality") == modality)
+    names = [f.name for f in schema]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: list[dict] = []
+            for vals in zip(*[pdf[c] for c in cols]):
+                r = row_fn(*vals)
+                out.extend(r if isinstance(r, list) else [r])
+            yield pd.DataFrame(out, columns=names)
+
+    return df.select(*cols).mapInPandas(run, schema=schema)
 
 
 def _decode_image(content: bytes) -> np.ndarray:
@@ -72,65 +118,6 @@ def _decode_image(content: bytes) -> np.ndarray:
     return rng.reshape(side, side, 3).copy()
 
 
-def _entropy_proxy(content: bytes) -> float:
-    """Compressibility as an entropy stand-in (pure stdlib, no codec)."""
-    if not content:
-        return 0.0
-    return round(len(zlib.compress(content, 1)) / len(content), 6)
-
-
-def image_features(media: DataFrame,
-                   batch_hint: int = 256) -> DataFrame:
-    """Decode → resize → embed, one Arrow batch at a time.
-
-    The blob column is pruned immediately after feature extraction; only
-    fixed-width features flow on. Errors per row become null features,
-    never task failures (reference retry-to-error-row semantics,
-    base_online_request_processor.py:446-462).
-    """
-    cols = ["media_id", "content", "width", "height"]
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            out = []
-            for mid, content, w, h in zip(pdf["media_id"], pdf["content"],
-                                          pdf["width"], pdf["height"]):
-                blob = bytes(content) if content is not None else b""
-                try:
-                    px = _decode_image(blob)
-                    tw = min(int(w) if pd.notna(w) else px.shape[1], THUMB_MAX)
-                    th = min(int(h) if pd.notna(h) else px.shape[0], THUMB_MAX)
-                    # mean-pool "embedding" over pixel blocks (stub model)
-                    flat = px.astype(np.float32).ravel()
-                    pads = -len(flat) % FEATURE_DIM
-                    feat = np.pad(flat, (0, pads)).reshape(FEATURE_DIM, -1).mean(axis=1)
-                    feat = (feat / 255.0).astype(np.float32).tolist()
-                except NotImplementedError:
-                    tw = th = None
-                    feat = None
-                out.append({
-                    "media_id": mid,
-                    "n_bytes": len(blob),
-                    "sha256": hashlib.sha256(blob).hexdigest(),
-                    "entropy_proxy": _entropy_proxy(blob),
-                    "thumb_w": tw, "thumb_h": th,
-                    "feature": feat,
-                })
-            yield pd.DataFrame(out, columns=[f.name for f in IMAGE_FEATURES_SCHEMA])
-
-    return media.select(*cols).mapInPandas(run, schema=IMAGE_FEATURES_SCHEMA)
-
-
-AUDIO_FEATURES_SCHEMA = T.StructType([
-    T.StructField("media_id", T.StringType(), False),
-    T.StructField("n_bytes", T.LongType(), False),
-    T.StructField("sha256", T.StringType(), False),
-    T.StructField("n_samples", T.IntegerType(), True),
-    T.StructField("rms", T.DoubleType(), True),
-    T.StructField("zero_cross_rate", T.DoubleType(), True),
-])
-
-
 def _decode_audio(content: bytes) -> np.ndarray:
     """STUB decoder — deterministic fake waveform from the payload hash.
 
@@ -145,34 +132,92 @@ def _decode_audio(content: bytes) -> np.ndarray:
     return (raw.astype(np.float32) - 127.5) / 127.5
 
 
-def audio_features(media: DataFrame) -> DataFrame:
-    """Decode → waveform stats, one Arrow batch at a time — the audio
-    face of image_features (same blob-pruning, same error-to-null-row
-    semantics)."""
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            out = []
-            for mid, content in zip(pdf["media_id"], pdf["content"]):
-                blob = bytes(content) if content is not None else b""
-                try:
-                    w = _decode_audio(blob)
-                    n = int(w.shape[0])
-                    rms = round(float(np.sqrt(np.mean(w * w))), 6)
-                    zcr = round(float(np.mean(np.signbit(w[1:])
-                                              != np.signbit(w[:-1]))), 6)
-                except NotImplementedError:
-                    n, rms, zcr = None, None, None
-                out.append({
-                    "media_id": mid, "n_bytes": len(blob),
-                    "sha256": hashlib.sha256(blob).hexdigest(),
-                    "n_samples": n, "rms": rms, "zero_cross_rate": zcr,
-                })
-            yield pd.DataFrame(out, columns=[f.name for f in
-                                             AUDIO_FEATURES_SCHEMA])
+def _entropy_proxy(content: bytes) -> float:
+    """Compressibility as an entropy stand-in (pure stdlib, no codec)."""
+    if not content:
+        return 0.0
+    return round(len(zlib.compress(content, 1)) / len(content), 6)
 
-    return (media.filter(F.col("modality") == "audio")
-            .select("media_id", "content")
-            .mapInPandas(run, schema=AUDIO_FEATURES_SCHEMA))
+
+def image_features(media: DataFrame,
+                   batch_hint: int = 256) -> DataFrame:
+    """Decode → thumbnail dims → mean-pool embedding, one Arrow batch at
+    a time. The blob column is pruned immediately after feature
+    extraction; only fixed-width features flow on."""
+    def kernel(mid, content, w, h):
+        blob = bytes(content) if content is not None else b""
+        try:
+            px = _decode_image(blob)
+            tw = min(int(w) if pd.notna(w) else px.shape[1], THUMB_MAX)
+            th = min(int(h) if pd.notna(h) else px.shape[0], THUMB_MAX)
+            # mean-pool "embedding" over pixel blocks (stub model)
+            flat = px.astype(np.float32).ravel()
+            pads = -len(flat) % FEATURE_DIM
+            feat = np.pad(flat, (0, pads)).reshape(FEATURE_DIM, -1).mean(axis=1)
+            feat = (feat / 255.0).astype(np.float32).tolist()
+        except NotImplementedError:
+            tw = th = None
+            feat = None
+        return {"media_id": mid, "n_bytes": len(blob),
+                "sha256": hashlib.sha256(blob).hexdigest(),
+                "entropy_proxy": _entropy_proxy(blob),
+                "thumb_w": tw, "thumb_h": th, "feature": feat}
+
+    return _map_rows(media, ["media_id", "content", "width", "height"],
+                     IMAGE_FEATURES_SCHEMA, kernel)
+
+
+def audio_features(media: DataFrame) -> DataFrame:
+    """Decode → waveform stats — the audio face of image_features."""
+    def kernel(mid, content):
+        blob = bytes(content) if content is not None else b""
+        try:
+            w = _decode_audio(blob)
+            n = int(w.shape[0])
+            rms = round(float(np.sqrt(np.mean(w * w))), 6)
+            zcr = round(float(np.mean(np.signbit(w[1:])
+                                      != np.signbit(w[:-1]))), 6)
+        except NotImplementedError:
+            n, rms, zcr = None, None, None
+        return {"media_id": mid, "n_bytes": len(blob),
+                "sha256": hashlib.sha256(blob).hexdigest(),
+                "n_samples": n, "rms": rms, "zero_cross_rate": zcr}
+
+    return _map_rows(media, ["media_id", "content"],
+                     AUDIO_FEATURES_SCHEMA, kernel, modality="audio")
+
+
+def _resize_pixels(px: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Nearest-neighbor resize on the decoded array — pure numpy so the
+    stub pipeline stays deterministic; a real build swaps in
+    PIL.Image.resize with a proper filter. Contract: HxWx3 uint8 in,
+    out_h x out_w x 3 uint8 out."""
+    h, w = px.shape[:2]
+    ys = (np.arange(out_h) * h // out_h).clip(0, h - 1)
+    xs = (np.arange(out_w) * w // out_w).clip(0, w - 1)
+    return px[ys][:, xs]
+
+
+def resize_images(media: DataFrame, out_w: int = 16,
+                  out_h: int = 16) -> DataFrame:
+    """Decode → resize → raw-RGB bytes: the resize stage of the
+    multimodal pipeline (decode / feature / RESIZE / frame-sample).
+    Output pixels are a fixed out_h·out_w·3 bytes per row — downstream
+    stages shuffle small fixed-width blobs, never the source payloads."""
+    def kernel(mid, content):
+        blob = bytes(content) if content is not None else b""
+        try:
+            px = _decode_image(blob)
+            rz = _resize_pixels(px, out_w, out_h)
+            return {"media_id": mid,
+                    "src_w": int(px.shape[1]), "src_h": int(px.shape[0]),
+                    "out_w": out_w, "out_h": out_h, "pixels": rz.tobytes()}
+        except NotImplementedError:
+            return {"media_id": mid, "src_w": None, "src_h": None,
+                    "out_w": None, "out_h": None, "pixels": None}
+
+    return _map_rows(media, ["media_id", "content"],
+                     RESIZED_SCHEMA, kernel, modality="image")
 
 
 def sample_frames(media: DataFrame, every_ms: int = 1000,
@@ -180,23 +225,19 @@ def sample_frames(media: DataFrame, every_ms: int = 1000,
     """Video frame sampling (stub): one output row per sampled frame —
     a flatMap (1→N) over binary rows, the multimodal analogue of the
     reference's parse-func explode (base_request_processor.py:357-393)."""
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for mid, content, dur in zip(pdf["media_id"], pdf["content"],
-                                         pdf["duration_ms"]):
-                blob = bytes(content) if content is not None else b""
-                n = int(min(max_frames,
-                            max((int(dur) if pd.notna(dur) else 0) // every_ms, 0)))
-                for i in range(n):
-                    fh = hashlib.sha256(blob + i.to_bytes(4, "big")).hexdigest()
-                    rows.append({"media_id": mid, "frame_idx": i,
-                                 "frame_ts_ms": i * every_ms, "frame_sha256": fh})
-            yield pd.DataFrame(rows, columns=[f.name for f in FRAME_SAMPLE_SCHEMA])
+    def kernel(mid, content, dur):
+        blob = bytes(content) if content is not None else b""
+        n = int(min(max_frames,
+                    max((int(dur) if pd.notna(dur) else 0) // every_ms, 0)))
+        return [
+            {"media_id": mid, "frame_idx": i, "frame_ts_ms": i * every_ms,
+             "frame_sha256": hashlib.sha256(
+                 blob + i.to_bytes(4, "big")).hexdigest()}
+            for i in range(n)
+        ]
 
-    return (media.filter(F.col("modality") == "video")
-            .select("media_id", "content", "duration_ms")
-            .mapInPandas(run, schema=FRAME_SAMPLE_SCHEMA))
+    return _map_rows(media, ["media_id", "content", "duration_ms"],
+                     FRAME_SAMPLE_SCHEMA, kernel, modality="video")
 
 
 def media_fixture(spark, n: int = 64, seed: int = 5) -> DataFrame:
@@ -215,55 +256,3 @@ def media_fixture(spark, n: int = 64, seed: int = 5) -> DataFrame:
             (1000 * (i % 20)) if modality != "image" else None,
         ))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
-
-
-RESIZED_SCHEMA = T.StructType([
-    T.StructField("media_id", T.StringType(), False),
-    T.StructField("src_w", T.IntegerType(), True),
-    T.StructField("src_h", T.IntegerType(), True),
-    T.StructField("out_w", T.IntegerType(), True),
-    T.StructField("out_h", T.IntegerType(), True),
-    T.StructField("pixels", T.BinaryType(), True),   # raw RGB, out_h*out_w*3
-])
-
-
-def _resize_pixels(px: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
-    """Nearest-neighbor resize on the decoded array — pure numpy so the
-    stub pipeline stays deterministic; a real build swaps in
-    PIL.Image.resize with a proper filter. Contract: HxWx3 uint8 in,
-    out_h x out_w x 3 uint8 out."""
-    h, w = px.shape[:2]
-    ys = (np.arange(out_h) * h // out_h).clip(0, h - 1)
-    xs = (np.arange(out_w) * w // out_w).clip(0, w - 1)
-    return px[ys][:, xs]
-
-
-def resize_images(media: DataFrame, out_w: int = 16,
-                  out_h: int = 16) -> DataFrame:
-    """Decode → resize → raw-RGB bytes, one Arrow batch at a time: the
-    resize stage of the multimodal pipeline (decode / feature / RESIZE /
-    frame-sample). Output pixels are a fixed out_h·out_w·3 bytes per
-    row — downstream stages shuffle small fixed-width blobs, never the
-    source payloads. Failed decodes null out, same error-row contract
-    as image_features."""
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            out = []
-            for mid, content in zip(pdf["media_id"], pdf["content"]):
-                blob = bytes(content) if content is not None else b""
-                try:
-                    px = _decode_image(blob)
-                    rz = _resize_pixels(px, out_w, out_h)
-                    row = {"media_id": mid,
-                           "src_w": int(px.shape[1]), "src_h": int(px.shape[0]),
-                           "out_w": out_w, "out_h": out_h,
-                           "pixels": rz.tobytes()}
-                except NotImplementedError:
-                    row = {"media_id": mid, "src_w": None, "src_h": None,
-                           "out_w": None, "out_h": None, "pixels": None}
-                out.append(row)
-            yield pd.DataFrame(out, columns=[f.name for f in RESIZED_SCHEMA])
-
-    return (media.filter(F.col("modality") == "image")
-            .select("media_id", "content")
-            .mapInPandas(run, schema=RESIZED_SCHEMA))

@@ -251,12 +251,22 @@ def quantize_int8(emb: DataFrame, id_col: str = "vec_id",
     billion-scale ANN corpora (reconstruction x' = codes·s/127, error
     ≤ s/254 per component). Pure narrow map, exact integer codes that a
     SQL oracle replicates bit-for-bit; `scale` rides along for
-    dequantization. Zero vectors quantize to all-zero codes."""
-    v = _dvec(F.col(vec_col))
-    s = F.greatest(F.array_max(F.transform(v, F.abs)), F.lit(1e-30))
-    codes = F.transform(v, lambda x: F.round(x / s * 127).cast("int"))
-    return emb.select(
+    dequantization. Zero vectors quantize to all-zero codes.
+
+    codes are array<tinyint> — values are guaranteed in [-127, 127], and
+    anything wider would silently forfeit the storage reduction this
+    operator exists for. v and scale are materialized as columns first
+    (the with_norm pattern) so the per-element lambda references
+    attributes instead of re-evaluating the O(d) max per element."""
+    staged = (emb
+              .withColumn("__v", _dvec(F.col(vec_col)))
+              .withColumn("__s", F.greatest(
+                  F.array_max(F.transform(F.col("__v"), F.abs)),
+                  F.lit(1e-30))))
+    codes = F.transform(
+        F.col("__v"), lambda x: F.round(x / F.col("__s") * 127).cast("byte"))
+    return staged.select(
         id_col,
         codes.alias("codes"),
-        s.alias("scale"),
+        F.col("__s").alias("scale"),
     )

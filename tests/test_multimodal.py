@@ -83,3 +83,21 @@ def test_resize_images_shape_and_determinism(spark):
     assert all(len(p) == 8 * 4 * 3 for p in out["pixels"])
     again = resize_images(media, out_w=8, out_h=4).toPandas().sort_values("media_id")
     assert [bytes(p) for p in out["pixels"]] == [bytes(p) for p in again["pixels"]]
+
+
+def test_error_rows_null_out_never_fail(spark):
+    """The error-row contract across all three per-row kernels: an
+    empty payload yields a null row, never a task failure."""
+    import pyspark.sql.types as T
+
+    from curator_spark.operators.multimodal import (
+        MEDIA_SCHEMA, audio_features, image_features, resize_images)
+    rows = [("bad-img", "image", "image/png", bytearray(b""), 8, 8, None),
+            ("bad-aud", "audio", "audio/wav", None, None, None, 1000)]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    img = image_features(media.filter("modality = 'image'")).collect()
+    assert len(img) == 1 and img[0].feature is None and img[0].n_bytes == 0
+    rz = resize_images(media).collect()
+    assert len(rz) == 1 and rz[0].pixels is None and rz[0].src_w is None
+    aud = audio_features(media).collect()
+    assert len(aud) == 1 and aud[0].rms is None
