@@ -411,3 +411,24 @@ def run_checkpointed(spark: SparkSession, input_path: str, out_dir: str,
             "parts_skipped": len(done),
             "parts_invalidated": len(invalidated),
             "wall_ms": int((time.monotonic() - t0) * 1000), "memoized": False}
+
+
+def run_cost(spark: SparkSession, out_dir: str,
+             usd_per_1k_tokens: float = 0.002) -> DataFrame:
+    """Cost accounting over the run's usage counters (reference: per-row
+    litellm.completion_cost summed by the status tracker,
+    base_online_request_processor.py:182-201 /
+    online_status_tracker.py:124-126). The deterministic local analogue
+    prices the recorded token volume: one row per run_id with token
+    totals and derived USD cost — computed at read time from the
+    metrics table, so historical runs get priced retroactively under
+    any rate."""
+    m = spark.read.parquet(os.path.join(out_dir, "_metrics"))
+    return (
+        m.groupBy("run_id")
+        .agg(F.sum("n_in").alias("n_rows"),
+             F.sum("n_tokens").alias("n_tokens"))
+        .withColumn("cost_usd",
+                    F.round(F.col("n_tokens") / 1000.0
+                            * F.lit(float(usd_per_1k_tokens)), 6))
+    )

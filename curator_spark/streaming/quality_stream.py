@@ -75,15 +75,24 @@ def dedup_stream(stream: DataFrame, id_cols: tuple[str, ...] = ("conv_id", "turn
 
 
 def run_quality_stream(spark: SparkSession, input_dir: str, output_dir: str,
-                       checkpoint_dir: str, available_now: bool = True):
+                       checkpoint_dir: str, available_now: bool = True,
+                       max_files_per_trigger: int | None = None,
+                       trigger_interval: str | None = None):
     """Score the stream and append keep/scrub columns to a parquet sink.
 
     available_now=True drains everything currently in the source then
     stops (used by tests and backfills); False runs continuously.
     Exactly-once via the sink's file-commit log + source offsets in
     `checkpoint_dir` — the streaming analogue of the batch ledger.
+
+    max_files_per_trigger + trigger_interval are the engine's admission
+    control (reference: the token-bucket rate limiter,
+    online_status_tracker.py:290-388): ingestion rate is bounded to
+    ≤ max_files_per_trigger source files per trigger, one trigger per
+    interval — backpressure by construction rather than by spin-wait.
     """
-    out = scored_stream(read_transcript_stream(spark, input_dir))
+    out = scored_stream(read_transcript_stream(
+        spark, input_dir, max_files_per_trigger=max_files_per_trigger))
     writer = (
         out.writeStream.format("parquet")
         .option("path", output_dir)
@@ -92,6 +101,8 @@ def run_quality_stream(spark: SparkSession, input_dir: str, output_dir: str,
     )
     if available_now:
         writer = writer.trigger(availableNow=True)
+    elif trigger_interval is not None:
+        writer = writer.trigger(processingTime=trigger_interval)
     return writer.start()
 
 

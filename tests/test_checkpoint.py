@@ -208,3 +208,14 @@ def test_renamed_file_detected_by_manifest(spark, small_input, tmp_path):
     r = run_checkpointed(spark, small_input, out)
     assert r["parts_invalidated"] == 1
     assert committed_parts(out) == {0, 1, 2, 3}
+
+
+def test_run_cost_prices_token_volume(spark, small_input, tmp_path):
+    from curator_spark.checkpoint import run_cost
+    out = str(tmp_path / "cost")
+    run_checkpointed(spark, small_input, out)
+    c = run_cost(spark, out, usd_per_1k_tokens=0.5).collect()
+    assert len(c) == 1
+    m = spark.read.parquet(os.path.join(out, "_metrics")).toPandas()
+    assert c[0].n_tokens == m["n_tokens"].sum()
+    assert abs(c[0].cost_usd - round(c[0].n_tokens / 1000 * 0.5, 6)) < 1e-9
