@@ -36,14 +36,20 @@ class QualityFilter:
     def __init__(self, cache_dir: str | None = None,
                  broadcast_conv_aggs: bool | None = None,
                  params: dict | None = None,
-                 strict: bool = False) -> None:
+                 strict: bool = False,
+                 ledger_backend: str = "markers") -> None:
         """strict: fail-all policy — a durable run raises instead of
         committing when error rows are present (reference
-        require_all_responses, base_request_processor.py:398-426)."""
+        require_all_responses, base_request_processor.py:398-426).
+        ledger_backend: 'markers' (POSIX-rename marker files) or
+        'commitlog' (put-if-absent versioned transaction log with
+        log-defined data visibility — the object-store-safe protocol;
+        durable reads then go through the snapshot reader)."""
         self.cache_dir = cache_dir
         self.broadcast_conv_aggs = broadcast_conv_aggs
         self.params = params or {}
         self.strict = strict
+        self.ledger_backend = ledger_backend
         self.last_run: dict | None = None  # summary of the last durable run
 
     def __call__(self, dataset=None, *,
@@ -72,13 +78,21 @@ class QualityFilter:
         self.last_run = run_checkpointed(
             spark, input_path, out_dir, params=self.params,
             broadcast_conv_aggs=self.broadcast_conv_aggs,
-            strict=self.strict)
+            strict=self.strict, ledger_backend=self.ledger_backend)
+        if self.ledger_backend == "commitlog":
+            from .checkpoint import read_committed
+            return read_committed(spark, out_dir, self.ledger_backend)
         return spark.read.parquet(os.path.join(out_dir, "data"))
 
     def metrics(self, spark: SparkSession) -> DataFrame | None:
         """Counter metrics of the last durable run (reference:
-        online_status_tracker.py:40-78 as a table)."""
+        online_status_tracker.py:40-78 as a table). Reads through
+        checkpoint.read_metrics — one row per (run_id, part), with
+        recomputed partitions superseding their stale rows."""
         if not (self.cache_dir and self.last_run):
             return None
-        p = os.path.join(self.cache_dir, self.last_run["run_id"], "_metrics")
-        return spark.read.parquet(p) if os.path.isdir(p) else None
+        out_dir = os.path.join(self.cache_dir, self.last_run["run_id"])
+        if not os.path.isdir(os.path.join(out_dir, "_metrics")):
+            return None
+        from .checkpoint import read_metrics
+        return read_metrics(spark, out_dir)

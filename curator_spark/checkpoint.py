@@ -17,8 +17,7 @@ Reference parity:
   per-(run, part) metrics parquet table;
 * lineage rows in SQLite (reference: db.py:78-131) → _meta/run_*.json.
 
-Output layout (an Iceberg-commit stand-in; swap for a real catalog by
-replacing _write_partitions + marker files with table.append snapshots):
+Output layout (an Iceberg-commit stand-in):
 
   out_dir/
     data/part=K/*.parquet     scored+filtered turns
@@ -31,9 +30,19 @@ replacing _write_partitions + marker files with table.append snapshots):
                               after the shard's commits land)
     _SUCCESS_RUN              whole-run completion marker (memoization)
 
+The ledger is PLUGGABLE (ledger_backend=): `markers` is the layout
+above (one POSIX-rename'd JSON marker per partition); `commitlog` is a
+Delta-protocol-style versioned transaction log (_commitlog/vNNN.json,
+put-if-absent commits) whose atomicity story transfers to object
+stores, where rename is not atomic — see CommitLogLedger. Both
+backends pass the identical kill/resume/corruption/concurrency suite
+(tests/test_checkpoint.py is parametrized over them).
+
 Resume re-validates every committed partition (footer row counts vs
-ledger n_rows) before trusting its marker; mismatches recompute that
-partition (reference: base_request_processor.py:120-167).
+ledger n_rows) before trusting its marker — including before honoring
+the whole-run memo marker, so corruption introduced after a completed
+run is still detected on the next invocation; mismatches recompute
+that partition (reference: base_request_processor.py:120-167).
 """
 
 from __future__ import annotations
@@ -68,25 +77,209 @@ def run_fingerprint(input_path: str, params: dict | None = None) -> str:
     return hashlib.md5(json.dumps(basis, sort_keys=True, default=str).encode()).hexdigest()[:16]
 
 
-def _ledger_dir(out_dir: str) -> str:
-    return os.path.join(out_dir, "_ledger")
+class MarkerLedger:
+    """Commit ledger as one JSON marker file per partition plus a
+    whole-run _SUCCESS_RUN marker, each published with a POSIX
+    tmp-write + os.replace. Correct wherever rename is atomic (POSIX
+    filesystems, driver-attached storage); on object stores use
+    CommitLogLedger instead."""
+
+    name = "markers"
+    # markers backend: a partition's dir content IS its committed state
+    # (atomic dir swap at publish), so validation demands exact equality
+    # between manifest and on-disk file set
+    log_defined_visibility = False
+
+    def __init__(self, out_dir: str) -> None:
+        self.out_dir = out_dir
+        self.dir = os.path.join(out_dir, "_ledger")
+        self._success = os.path.join(out_dir, "_SUCCESS_RUN")
+
+    def committed(self) -> dict[int, dict | None]:
+        """{part: marker} for every committed partition; an unreadable
+        marker maps to None (revalidation treats it as invalid)."""
+        if not os.path.isdir(self.dir):
+            return {}
+        out: dict[int, dict | None] = {}
+        for fn in os.listdir(self.dir):
+            if fn.startswith("part-") and fn.endswith(".json"):
+                part = int(fn[len("part-"):-len(".json")])
+                try:
+                    with open(os.path.join(self.dir, fn)) as f:
+                        out[part] = json.load(f)
+                except Exception:
+                    out[part] = None
+        return out
+
+    def commit_part(self, marker: dict) -> None:
+        os.makedirs(self.dir, exist_ok=True)
+        part = int(marker["part"])
+        tmp = os.path.join(self.dir, f".part-{part}.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(marker, f)
+        os.replace(tmp, os.path.join(self.dir, f"part-{part}.json"))
+
+    def drop_part(self, part: int) -> None:
+        try:
+            os.remove(os.path.join(self.dir, f"part-{part}.json"))
+        except FileNotFoundError:
+            pass
+
+    def run_success(self) -> dict | None:
+        try:
+            with open(self._success) as f:
+                return json.load(f)
+        except (OSError, ValueError):
+            return None
+
+    def mark_run_success(self, run_id: str, n_parts: int) -> None:
+        tmp = self._success + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"run_id": run_id, "n_parts": int(n_parts)}, f)
+        os.replace(tmp, self._success)
+
+    def drop_run_success(self) -> None:
+        try:
+            os.remove(self._success)
+        except FileNotFoundError:
+            pass
 
 
-def committed_parts(out_dir: str) -> set[int]:
-    d = _ledger_dir(out_dir)
-    if not os.path.isdir(d):
-        return set()
-    parts = set()
-    for fn in os.listdir(d):
-        if fn.startswith("part-") and fn.endswith(".json"):
-            parts.add(int(fn[len("part-"):-len(".json")]))
-    return parts
+class CommitLogLedger:
+    """Versioned transactional commit log — the Delta/Iceberg commit
+    protocol re-expressed minimally, replacing per-partition rename
+    atomicity with put-if-absent (reference analogue: the durable
+    batch_objects.jsonl state machine persisted after every transition,
+    base_batch_request_processor.py:300-309).
+
+    Committed state is the REPLAY of an append-only sequence of
+    numbered immutable version files (_commitlog/v<N>.json, each a list
+    of actions: add/remove partition, run-success). A writer commits by
+    publishing version N+1 via `os.link` (atomic create-with-content
+    that FAILS if the name exists); losing a race means re-list and
+    retry at the next number — optimistic concurrency, no lost
+    updates. Put-if-absent is the one primitive every object store
+    exposes (S3 If-None-Match, GCS if-generation-match:0, Azure ETag),
+    so unlike `os.replace` this protocol's atomicity transfers to
+    100 TB object-store deployments. At real scale the replay would be
+    bounded by periodic snapshot/checkpoint files exactly as Delta
+    does; at 10^5 partitions the raw replay is already driver-trivial.
+
+    Data visibility is LOG-DEFINED under this backend: publish never
+    renames or displaces existing data — each shard's files land under
+    data/part=K/ with shard-unique names (one put per file, no
+    copy-based "rename" of old data on an object store), and the commit
+    action's file manifest defines which files constitute the
+    partition. Read through `read_committed` (the snapshot reader);
+    files orphaned by recomputed/invalidated commits are invisible to
+    it and reclaimed by `vacuum` — exactly Delta's add/remove +
+    VACUUM semantics.
+    """
+
+    name = "commitlog"
+    log_defined_visibility = True
+
+    def __init__(self, out_dir: str) -> None:
+        self.out_dir = out_dir
+        self.dir = os.path.join(out_dir, "_commitlog")
+
+    # -- log primitives ----------------------------------------------
+    def _versions(self) -> list[str]:
+        if not os.path.isdir(self.dir):
+            return []
+        return sorted(fn for fn in os.listdir(self.dir)
+                      if fn.startswith("v") and fn.endswith(".json"))
+
+    def _append(self, actions: list[dict]) -> int:
+        """Publish one commit containing `actions`; returns its version."""
+        import uuid
+        os.makedirs(self.dir, exist_ok=True)
+        vs = self._versions()
+        n = 1 + (int(vs[-1][1:-5]) if vs else 0)
+        tmp = os.path.join(self.dir, f".tx-{uuid.uuid4().hex}.tmp")
+        with open(tmp, "w") as f:
+            json.dump({"actions": actions,
+                       "writer_pid": os.getpid(),
+                       "ts": datetime.now(timezone.utc).isoformat()}, f)
+            f.flush()
+            os.fsync(f.fileno())
+        try:
+            while True:
+                target = os.path.join(self.dir, f"v{n:012d}.json")
+                try:
+                    os.link(tmp, target)  # atomic put-if-absent, full content
+                    return n
+                except FileExistsError:
+                    n += 1                # lost the race: retry next version
+        finally:
+            os.unlink(tmp)
+
+    def _replay(self) -> tuple[dict[int, dict | None], dict | None]:
+        parts: dict[int, dict | None] = {}
+        success: dict | None = None
+        for fn in self._versions():
+            try:
+                with open(os.path.join(self.dir, fn)) as f:
+                    commit = json.load(f)
+            except Exception:
+                continue  # unreadable version: skip (never half-written
+                # — os.link publishes complete content or nothing)
+            for a in commit.get("actions", []):
+                t = a.get("type")
+                if t == "add":
+                    parts[int(a["part"])] = a.get("marker")
+                elif t == "remove":
+                    parts.pop(int(a["part"]), None)
+                elif t == "run_success":
+                    success = {"run_id": a["run_id"],
+                               "n_parts": a["n_parts"]}
+                elif t == "clear_run_success":
+                    success = None
+        return parts, success
+
+    # -- ledger interface --------------------------------------------
+    def committed(self) -> dict[int, dict | None]:
+        return self._replay()[0]
+
+    def commit_part(self, marker: dict) -> None:
+        self._append([{"type": "add", "part": int(marker["part"]),
+                       "marker": marker}])
+
+    def drop_part(self, part: int) -> None:
+        self._append([{"type": "remove", "part": int(part)}])
+
+    def run_success(self) -> dict | None:
+        return self._replay()[1]
+
+    def mark_run_success(self, run_id: str, n_parts: int) -> None:
+        self._append([{"type": "run_success", "run_id": run_id,
+                       "n_parts": int(n_parts)}])
+
+    def drop_run_success(self) -> None:
+        self._append([{"type": "clear_run_success"}])
 
 
-def part_manifest(out_dir: str, part: int) -> dict | None:
+LEDGER_BACKENDS = {"markers": MarkerLedger, "commitlog": CommitLogLedger}
+
+
+def make_ledger(out_dir: str, backend: str = "markers"):
+    return LEDGER_BACKENDS[backend](out_dir)
+
+
+def committed_parts(out_dir: str, backend: str = "markers") -> set[int]:
+    return set(make_ledger(out_dir, backend).committed())
+
+
+def part_manifest(out_dir: str, part: int,
+                  lenient: bool = False) -> dict | None:
     """{file name: {n_rows, n_bytes}} for a committed partition, read
     from parquet footers + stat — no data I/O. None if the partition
-    dir is missing or any file is unreadable/truncated."""
+    dir is missing or (strict mode) any file is unreadable/truncated.
+    lenient=True instead SKIPS unreadable files — used by the
+    log-defined-visibility backend, where a corrupt ORPHAN (a file no
+    manifest references) must not invalidate the partition forever (a
+    referenced-but-corrupt file still fails validation, because its
+    manifest entry finds no on-disk match)."""
     import pyarrow.parquet as pq
     d = os.path.join(out_dir, "data", f"part={part}")
     if not os.path.isdir(d):
@@ -98,64 +291,79 @@ def part_manifest(out_dir: str, part: int) -> dict | None:
             try:
                 out[fn] = {"n_rows": pq.ParquetFile(fp).metadata.num_rows,
                            "n_bytes": os.path.getsize(fp)}
-            except Exception:  # truncated/corrupt file → fail validation
-                return None
+            except Exception:  # truncated/corrupt file
+                if not lenient:
+                    return None
     return out
 
 
-def revalidate_committed(out_dir: str) -> tuple[set[int], set[int]]:
+def revalidate_committed(out_dir: str, ledger=None) -> tuple[set[int], set[int]]:
     """Cache-integrity verification on resume (reference:
     base_request_processor.py:120-167 — per chunk: files exist, counts
     reconcile, else regenerate THAT chunk). For each ledger marker,
-    compare its recorded n_rows against the partition's on-disk footer
-    row count; on mismatch/corruption delete the marker so the part is
-    recomputed. Returns (valid, invalidated)."""
-    ld = _ledger_dir(out_dir)
+    compare its recorded file manifest against the partition's on-disk
+    parquet footers; on mismatch/corruption drop the marker so the part
+    is recomputed. A committed ZERO-row partition legitimately has no
+    data directory — its marker records n_rows=0 with an empty
+    manifest and validates against a missing dir. Returns
+    (valid, invalidated)."""
+    ledger = ledger or MarkerLedger(out_dir)
+    log_vis = getattr(ledger, "log_defined_visibility", False)
     valid: set[int] = set()
     invalid: set[int] = set()
-    for part in sorted(committed_parts(out_dir)):
-        marker = None
-        try:
-            with open(os.path.join(ld, f"part-{part}.json")) as f:
-                marker = json.load(f)
-        except Exception:
-            pass  # unreadable marker → recompute
-        on_disk = part_manifest(out_dir, part)
+    for part, marker in sorted(ledger.committed().items()):
+        on_disk = part_manifest(out_dir, part, lenient=log_vis)
         ok = False
-        if marker is not None and on_disk is not None:
-            if "files" in marker:
-                # file-level check: exact file set + per-file row counts
-                # and sizes — catches a same-rowcount file swap that a
-                # bare partition total would miss
-                ok = marker["files"] == on_disk
-            else:  # marker from an older layout: row-count reconcile
-                ok = (int(marker.get("n_rows", -1))
-                      == sum(f["n_rows"] for f in on_disk.values()))
+        if marker is not None:
+            files = marker.get("files")
+            if log_vis:
+                # log-defined visibility: the manifest's files must each
+                # exist with matching footer rows + size; EXTRA on-disk
+                # files are orphans of superseded commits, not
+                # corruption (vacuum reclaims them). An empty manifest
+                # (zero-row commit) is trivially satisfied.
+                on = on_disk or {}
+                ok = (files is not None
+                      and all(on.get(name) == meta
+                              for name, meta in files.items()))
+            elif int(marker.get("n_rows", -1)) == 0 and not files:
+                # empty partition: valid with no dir (or an empty one)
+                ok = not on_disk
+            elif on_disk is not None:
+                if "files" in marker:
+                    # file-level check: exact file set + per-file row
+                    # counts and sizes — catches a same-rowcount file
+                    # swap that a bare partition total would miss
+                    ok = files == on_disk
+                else:  # marker from an older layout: row-count reconcile
+                    ok = (int(marker.get("n_rows", -1))
+                          == sum(f["n_rows"] for f in on_disk.values()))
         if ok:
             valid.add(part)
         else:
-            os.remove(os.path.join(ld, f"part-{part}.json"))
+            ledger.drop_part(part)
             invalid.add(part)
     return valid, invalid
 
 
-def _commit_part(out_dir: str, run_id: str, part: int, n_rows: int) -> None:
-    marker = {
+def _commit_part(out_dir: str, run_id: str, part: int, n_rows: int,
+                 ledger=None, files: dict | None = None) -> None:
+    ledger = ledger or MarkerLedger(out_dir)
+    if files is None:
+        files = (part_manifest(out_dir, part) or {}) if n_rows else {}
+    ledger.commit_part({
         "run_id": run_id, "part": int(part), "status": "COMMITTED",
         "n_rows": int(n_rows),
         # file-level manifest (name → rows/bytes from footers): the
         # commit records exactly which files constitute the partition,
         # so resume validation detects swapped/extra/missing files even
-        # when totals happen to agree
-        "files": part_manifest(out_dir, part),
+        # when totals happen to agree. A zero-row partition commits an
+        # empty manifest (no data dir is its valid on-disk state).
+        # Under log-defined visibility the manifest is passed in
+        # explicitly (this shard's files only) and IS the partition.
+        "files": files,
         "updated_at": datetime.now(timezone.utc).isoformat(),
-    }
-    d = _ledger_dir(out_dir)
-    os.makedirs(d, exist_ok=True)
-    tmp = os.path.join(d, f".part-{part}.json.tmp")
-    with open(tmp, "w") as f:
-        json.dump(marker, f)
-    os.replace(tmp, os.path.join(d, f"part-{part}.json"))  # atomic commit
+    })
 
 
 def _gc_stale_scratch(out_dir: str) -> None:
@@ -198,6 +406,7 @@ def _append_metrics(out_dir: str, run_id: str, shard: str,
     import pyarrow.parquet as pq
     mdir = os.path.join(out_dir, "_metrics")
     os.makedirs(mdir, exist_ok=True)
+    created_us = int(time.time() * 1_000_000)
     tbl = pa.table({
         "run_id": pa.array([run_id] * len(mrows), pa.string()),
         "part": pa.array([int(r.part) for r in mrows], pa.int32()),
@@ -207,6 +416,13 @@ def _append_metrics(out_dir: str, run_id: str, shard: str,
         "n_errors": pa.array([int(r.n_errors) for r in mrows], pa.int64()),
         "n_tokens": pa.array([int(r.n_tokens) for r in mrows], pa.int64()),
         "wall_ms": pa.array([wall_ms] * len(mrows), pa.int64()),
+        # supersede key: when an invalidated partition recomputes, its
+        # fresh metrics row REPLACES the stale one at read time (latest
+        # (created_us, shard) per (run_id, part) wins in read_metrics) —
+        # without this, recomputed parts double-count in run_cost and
+        # break the n_kept-sum == kept-rows reconciliation
+        "shard": pa.array([shard] * len(mrows), pa.string()),
+        "created_us": pa.array([created_us] * len(mrows), pa.int64()),
     })
     final = os.path.join(mdir, f"metrics-{run_id}-{shard}.parquet")
     # dot-prefixed tmp: hidden from Spark's file listing, so a crash
@@ -216,12 +432,34 @@ def _append_metrics(out_dir: str, run_id: str, shard: str,
     os.replace(tmp, final)
 
 
+def _list_input_parts(input_path: str) -> list[int] | None:
+    """Partition list from the input's directory layout (part=K dirs) —
+    no Spark job, no data scan. None when the input is not
+    bucket-partitioned on disk (single-file fixtures), in which case
+    the caller falls back to a column-pruned distinct scan. At 10^5
+    partitions this saves one full-input job per invocation; on a real
+    catalog it is the metadata listing Iceberg gives for free."""
+    try:
+        entries = [e.name for e in os.scandir(input_path)
+                   if e.is_dir() and e.name.startswith("part=")]
+    except OSError:
+        return None
+    parts = []
+    for name in entries:
+        try:
+            parts.append(int(name.split("=", 1)[1]))
+        except ValueError:
+            return None  # value-partitioned some other way: fall back
+    return sorted(parts) or None
+
+
 def run_checkpointed(spark: SparkSession, input_path: str, out_dir: str,
                      params: dict | None = None,
                      only_parts: list[int] | None = None,
                      broadcast_conv_aggs: bool | None = None,
                      staged: bool = True,
-                     strict: bool = False) -> dict:
+                     strict: bool = False,
+                     ledger_backend: str = "markers") -> dict:
     """Execute the pipeline with per-partition commit + resume.
 
     only_parts limits this invocation to a subset of partitions — used
@@ -243,28 +481,37 @@ def run_checkpointed(spark: SparkSession, input_path: str, out_dir: str,
     t0 = time.monotonic()
     run_id = run_fingerprint(input_path, params)
     os.makedirs(out_dir, exist_ok=True)
-    success_marker = os.path.join(out_dir, "_SUCCESS_RUN")
+    ledger = make_ledger(out_dir, ledger_backend)
 
-    # Whole-run memoization: same fingerprint + completed marker → no-op.
-    if os.path.exists(success_marker):
-        with open(success_marker) as f:
-            prev = json.load(f)
-        if prev.get("run_id") == run_id:
+    # Resume trusts no marker blindly: each committed partition's footer
+    # manifest must reconcile with its ledger entry, else its marker is
+    # dropped and the partition recomputes (reference cache-integrity
+    # verifier, base_request_processor.py:120-167). This runs BEFORE the
+    # whole-run memo short-circuit, so corruption introduced after a
+    # completed run is detected on every later invocation too — the
+    # per-reuse contract of the reference's
+    # _verify_existing_request_files.
+    done, invalidated = revalidate_committed(out_dir, ledger)
+
+    # Whole-run memoization: same fingerprint + completed marker + every
+    # committed partition still validating → no-op.
+    prev = ledger.run_success()
+    if prev is not None and prev.get("run_id") == run_id:
+        if not invalidated:
             return {"run_id": run_id, "parts_committed": 0,
                     "parts_skipped": prev.get("n_parts", 0),
                     "parts_invalidated": 0,
                     "wall_ms": 0, "memoized": True}
+        ledger.drop_run_success()  # stale memo: data no longer reconciles
 
     transcripts = spark.read.schema(schema.TRANSCRIPTS_SCHEMA).parquet(input_path)
 
-    all_parts = sorted(
+    # Partition inventory from the input's directory layout when it is
+    # bucket-partitioned on disk (no Spark job); single-file inputs fall
+    # back to a column-pruned distinct scan.
+    all_parts = _list_input_parts(input_path) or sorted(
         r.part for r in transcripts.select("part").distinct().collect()
     )
-    # Resume trusts no marker blindly: each committed partition's footer
-    # row count must reconcile with its ledger n_rows, else its marker
-    # is dropped and the partition recomputes (reference cache-integrity
-    # verifier, base_request_processor.py:120-167).
-    done, invalidated = revalidate_committed(out_dir)
     todo = [p for p in all_parts if p not in done]
     if only_parts is not None:
         todo = [p for p in todo if p in set(only_parts)]
@@ -361,23 +608,62 @@ def run_checkpointed(spark: SparkSession, input_path: str, out_dir: str,
             data_dir = os.path.join(out_dir, "data")
             os.makedirs(data_dir, exist_ok=True)
             keep_scratch = True  # publish started: scratch holds new data
-            for p in todo:
-                src = os.path.join(stage_out, f"part={int(p)}")
-                if not os.path.isdir(src):
-                    continue  # partition had zero rows this run
-                dst = os.path.join(data_dir, f"part={int(p)}")
-                tmp_old = os.path.join(data_dir, f".old-part={int(p)}")
-                shutil.rmtree(tmp_old, ignore_errors=True)  # stale crash debris
-                if os.path.isdir(dst):
-                    os.replace(dst, tmp_old)
-                os.replace(src, dst)
-                shutil.rmtree(tmp_old, ignore_errors=True)
+            shard_files: dict[int, dict] = {}  # log-defined publish only
+            if getattr(ledger, "log_defined_visibility", False):
+                # Log-defined publish: each staged file lands under its
+                # final partition dir with a shard-unique name — one put
+                # per NEW file, never a rename/copy of existing data (the
+                # object-store-safe shape) — and the commit's manifest
+                # defines the partition. A crash between file placement
+                # and marker commit leaves only invisible orphans
+                # (read_committed ignores them; vacuum reclaims them).
+                import pyarrow.parquet as pq
+                for p in todo:
+                    src = os.path.join(stage_out, f"part={int(p)}")
+                    if not os.path.isdir(src):
+                        continue  # partition had zero rows this run
+                    dst = os.path.join(data_dir, f"part={int(p)}")
+                    os.makedirs(dst, exist_ok=True)
+                    man: dict = {}
+                    for fn in sorted(os.listdir(src)):
+                        if not fn.endswith(".parquet"):
+                            continue
+                        newname = f"{shard}-{fn}"
+                        fsrc = os.path.join(src, fn)
+                        man[newname] = {
+                            "n_rows": pq.ParquetFile(fsrc).metadata.num_rows,
+                            "n_bytes": os.path.getsize(fsrc)}
+                        os.replace(fsrc, os.path.join(dst, newname))
+                    shard_files[int(p)] = man
+            else:
+                for p in todo:
+                    src = os.path.join(stage_out, f"part={int(p)}")
+                    if not os.path.isdir(src):
+                        continue  # partition had zero rows this run
+                    dst = os.path.join(data_dir, f"part={int(p)}")
+                    tmp_old = os.path.join(data_dir, f".old-part={int(p)}")
+                    shutil.rmtree(tmp_old, ignore_errors=True)  # stale crash debris
+                    if os.path.isdir(dst):
+                        os.replace(dst, tmp_old)
+                    os.replace(src, dst)
+                    shutil.rmtree(tmp_old, ignore_errors=True)
 
             wall_ms = int((time.monotonic() - t0) * 1000)
             _append_metrics(out_dir, run_id, shard, mrows, wall_ms)
 
+            staged_parts = set()
             for r in mrows:
-                _commit_part(out_dir, run_id, int(r.part), int(r.n_in))
+                _commit_part(out_dir, run_id, int(r.part), int(r.n_in),
+                             ledger, files=shard_files.get(int(r.part)))
+                staged_parts.add(int(r.part))
+            # A todo partition that produced ZERO output rows still gets
+            # a commit marker (n_rows=0, empty manifest) — without one
+            # it would re-enter todo on every rerun and the whole-run
+            # marker could never be written
+            for p in todo:
+                if int(p) not in staged_parts:
+                    _commit_part(out_dir, run_id, int(p), 0, ledger,
+                                 files={})
             keep_scratch = False  # fully published + committed
         finally:
             # scratch is removed on full success and on pre-publish
@@ -403,14 +689,83 @@ def run_checkpointed(spark: SparkSession, input_path: str, out_dir: str,
     # Whole-run marker whenever ALL parts are committed — including when
     # the final commit arrived via a sharded only_parts invocation, so
     # the production sharding path still gets run-level memoization.
-    if set(all_parts) <= committed_parts(out_dir):
-        with open(success_marker, "w") as f:
-            json.dump({"run_id": run_id, "n_parts": len(all_parts)}, f)
+    if set(all_parts) <= set(ledger.committed()):
+        ledger.mark_run_success(run_id, len(all_parts))
 
     return {"run_id": run_id, "parts_committed": len(todo),
             "parts_skipped": len(done),
             "parts_invalidated": len(invalidated),
             "wall_ms": int((time.monotonic() - t0) * 1000), "memoized": False}
+
+
+def read_committed(spark: SparkSession, out_dir: str,
+                   backend: str = "commitlog") -> DataFrame:
+    """Snapshot read: exactly the files the ledger's current commit
+    manifests reference — the reader half of log-defined visibility
+    (Delta's snapshot scan). Orphan files from superseded or crashed
+    commits are invisible here even before `vacuum` reclaims them.
+    basePath keeps `part` a real partition column, so downstream
+    partition pruning still works."""
+    from . import schema as _schema
+    ledger = make_ledger(out_dir, backend)
+    data_dir = os.path.join(out_dir, "data")
+    paths = []
+    for part, marker in sorted(ledger.committed().items()):
+        for fn in sorted(((marker or {}).get("files") or {})):
+            paths.append(os.path.join(data_dir, f"part={int(part)}", fn))
+    if not paths:
+        return spark.createDataFrame([], _schema.OUTPUT_SCHEMA)
+    return spark.read.option("basePath", data_dir).parquet(*paths)
+
+
+def vacuum(out_dir: str, backend: str = "commitlog") -> int:
+    """Reclaim data files no current commit manifest references —
+    orphans of invalidated/superseded commits and of crashes between
+    file placement and marker commit (Delta's VACUUM). Returns the
+    number of files removed. Only meaningful for log-defined-visibility
+    backends; the markers backend swaps whole partition dirs and leaves
+    no orphans."""
+    ledger = make_ledger(out_dir, backend)
+    referenced = {(int(part), fn)
+                  for part, marker in ledger.committed().items()
+                  for fn in ((marker or {}).get("files") or {})}
+    data_dir = os.path.join(out_dir, "data")
+    removed = 0
+    if not os.path.isdir(data_dir):
+        return 0
+    for d in os.listdir(data_dir):
+        if not d.startswith("part="):
+            continue
+        try:
+            part = int(d.split("=", 1)[1])
+        except ValueError:
+            continue
+        pd_ = os.path.join(data_dir, d)
+        for fn in os.listdir(pd_):
+            if fn.endswith(".parquet") and (part, fn) not in referenced:
+                os.remove(os.path.join(pd_, fn))
+                removed += 1
+    return removed
+
+
+def read_metrics(spark: SparkSession, out_dir: str) -> DataFrame:
+    """The metrics table with supersede semantics: ONE row per
+    (run_id, part) — the latest (created_us, shard) — so a partition
+    that was invalidated and recomputed contributes only its fresh
+    counters. Raw appended files remain on disk as history; every
+    consumer (run_cost, QualityFilter.metrics) reads through here.
+    Files from the pre-supersede layout (no created_us column) read as
+    created_us=0/shard='' and lose to any recomputation, which is the
+    correct precedence."""
+    from pyspark.sql.window import Window
+    m = spark.read.parquet(os.path.join(out_dir, "_metrics"))
+    if "created_us" not in m.columns:  # pre-supersede layout only
+        m = (m.withColumn("created_us", F.lit(0).cast("long"))
+             .withColumn("shard", F.lit("")))
+    w = (Window.partitionBy("run_id", "part")
+         .orderBy(F.col("created_us").desc(), F.col("shard").desc()))
+    return (m.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1).drop("__rn"))
 
 
 def run_cost(spark: SparkSession, out_dir: str,
@@ -422,8 +777,9 @@ def run_cost(spark: SparkSession, out_dir: str,
     prices the recorded token volume: one row per run_id with token
     totals and derived USD cost — computed at read time from the
     metrics table, so historical runs get priced retroactively under
-    any rate."""
-    m = spark.read.parquet(os.path.join(out_dir, "_metrics"))
+    any rate. Reads through read_metrics so recomputed partitions are
+    never double-counted."""
+    m = read_metrics(spark, out_dir)
     return (
         m.groupBy("run_id")
         .agg(F.sum("n_in").alias("n_rows"),

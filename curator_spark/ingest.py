@@ -94,12 +94,31 @@ def coerce_to_transcripts(spark: SparkSession, data,
     ("row-%010d" by input position), timestamps, and part assignment
     are deterministic, so coercion is memoization-stable."""
     if isinstance(data, DataFrame):
+        from .schema import TRANSCRIPTS_SCHEMA  # noqa: PLC0415
         cols = set(data.columns)
         if {"conv_id", "turn_idx", "role", "text"} <= cols:
+            # exact schema (names + types) → untouched passthrough
+            if [(f.name, f.dataType) for f in data.schema.fields] == \
+                    [(f.name, f.dataType) for f in TRANSCRIPTS_SCHEMA.fields]:
+                return data
+            # NOT a bare passthrough: missing nullable columns (ts, tool)
+            # are added and every present column is cast to its declared
+            # type, so this path emits exactly TRANSCRIPTS_SCHEMA like
+            # every other ingest route — a frame with e.g. a long
+            # turn_idx can't silently propagate a deviant schema
             out = data
-            if "part" not in cols:
-                out = out.withColumn("part", part_expr("conv_id", n_parts))
-            return out
+            for f in TRANSCRIPTS_SCHEMA.fields:
+                if f.name == "part":
+                    continue
+                if f.name in cols:
+                    out = out.withColumn(f.name, F.col(f.name).cast(f.dataType))
+                else:
+                    out = out.withColumn(f.name, F.lit(None).cast(f.dataType))
+            out = out.withColumn(
+                "part",
+                F.col("part").cast("int") if "part" in cols
+                else part_expr("conv_id", n_parts))
+            return out.select([f.name for f in TRANSCRIPTS_SCHEMA.fields])
         if {"doc_id", "text"} <= cols:
             return docs_to_transcripts(data, n_parts)
         raise TypeError(f"cannot coerce DataFrame with columns {sorted(cols)}")

@@ -61,6 +61,11 @@ METRICS_SCHEMA = T.StructType([
     T.StructField("n_errors", T.LongType(), False),
     T.StructField("n_tokens", T.LongType(), False),
     T.StructField("wall_ms", T.LongType(), False),
+    # supersede key: latest (created_us, shard) per (run_id, part) wins
+    # at read time (checkpoint.read_metrics), so recomputed partitions
+    # replace — never double-count with — their stale rows
+    T.StructField("shard", T.StringType(), False),
+    T.StructField("created_us", T.LongType(), False),
 ])
 
 # Ledger/checkpoint table: one row per committed partition — the analogue

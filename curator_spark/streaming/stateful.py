@@ -104,7 +104,18 @@ def _session_update(key: Tuple[Any, ...], pdfs: Iterator[pd.DataFrame],
     an idle user's final session is emitted (and its state freed) once
     the WATERMARK passes that point — bounded state without ever
     scanning for stale keys. Exactly the cross-trigger generalization
-    of q11's lag-based gaps-and-islands."""
+    of q11's lag-based gaps-and-islands.
+
+    Late-event semantics (cross-batch, inside the watermark): an event
+    older than the open session's `last` but within SESSION_GAP_US of
+    its `start` MERGES into it, extending start downward
+    (start = min(start, ts)) — matching what batch q11 computes for
+    that ordering. An event more than a gap OLDER than `start` cannot
+    belong to the open session and its true session may already have
+    been emitted; it is emitted as a best-effort singleton session (the
+    one documented divergence from batch: batch would have merged it
+    into that earlier session). Events later than the watermark never
+    reach this function at all."""
     user = key[0]
 
     def row(start, last, n):
@@ -128,8 +139,13 @@ def _session_update(key: Tuple[Any, ...], pdfs: Iterator[pd.DataFrame],
         elif ts - last > SESSION_GAP_US:
             closed.append(row(start, last, n))
             start, last, n = ts, ts, 1
+        elif ts < start - SESSION_GAP_US:
+            # late event beyond the open session's backward reach: its
+            # true session was already closed — emit it as a singleton
+            # rather than gluing it onto a session it can't belong to
+            closed.append(row(ts, ts, 1))
         else:
-            last, n = max(last, ts), n + 1
+            start, last, n = min(start, ts), max(last, ts), n + 1
     state.update((int(start), int(last), int(n)))
     # event-time timeout takes ms; fires once the watermark passes it
     state.setTimeoutTimestamp(last // 1000 + SESSION_GAP_US // 1000)

@@ -4,6 +4,10 @@ table identical to a clean single run, and a completed run must
 short-circuit (mirrors reference cache-hit semantics,
 tests/unittests/test_caching.py:12-26 and resume test
 tests/integrations/test_all.py:180-192).
+
+The core suite is parametrized over BOTH ledger backends: `markers`
+(POSIX-rename marker files) and `commitlog` (put-if-absent versioned
+transaction log — the object-store-safe protocol).
 """
 
 from __future__ import annotations
@@ -13,7 +17,10 @@ import os
 import pytest
 
 from curator_spark import fixtures
-from curator_spark.checkpoint import committed_parts, run_checkpointed
+from curator_spark.checkpoint import (CommitLogLedger, committed_parts,
+                                      make_ledger, run_checkpointed)
+
+BACKENDS = ["markers", "commitlog"]
 
 
 @pytest.fixture(scope="module")
@@ -23,41 +30,55 @@ def small_input(tmp_path_factory):
     return str(p)
 
 
-def _read_sorted(spark, out_dir):
+def _read_sorted(spark, out_dir, backend="markers"):
+    # commitlog defines visibility through the log: read the snapshot,
+    # not the raw directory (which may hold invisible orphans)
+    if backend == "commitlog":
+        from curator_spark.checkpoint import read_committed
+        df = read_committed(spark, out_dir, backend)
+    else:
+        df = spark.read.parquet(os.path.join(out_dir, "data"))
     return (
-        spark.read.parquet(os.path.join(out_dir, "data"))
-        .orderBy("conv_id", "turn_idx")
+        df.orderBy("conv_id", "turn_idx")
         .drop("part")  # partition column ordering differs; value-compared via sort
         .toPandas()
     )
 
 
-def test_kill_and_resume_identical(spark, small_input, tmp_path):
+def _run_success(out_dir, backend):
+    return make_ledger(out_dir, backend).run_success() is not None
+
+
+@pytest.mark.parametrize("backend", BACKENDS)
+def test_kill_and_resume_identical(spark, small_input, tmp_path, backend):
     crashed = str(tmp_path / "crashed")
     clean = str(tmp_path / "clean")
 
     # simulated crash: only partitions 0,1 commit
-    r1 = run_checkpointed(spark, small_input, crashed, only_parts=[0, 1])
+    r1 = run_checkpointed(spark, small_input, crashed, only_parts=[0, 1],
+                          ledger_backend=backend)
     assert r1["parts_committed"] == 2
-    assert committed_parts(crashed) == {0, 1}
-    assert not os.path.exists(os.path.join(crashed, "_SUCCESS_RUN"))
+    assert committed_parts(crashed, backend) == {0, 1}
+    assert not _run_success(crashed, backend)
 
     # resume: skips committed, finishes the rest
-    r2 = run_checkpointed(spark, small_input, crashed)
+    r2 = run_checkpointed(spark, small_input, crashed, ledger_backend=backend)
     assert r2["parts_skipped"] == 2 and r2["parts_committed"] == 2
-    assert os.path.exists(os.path.join(crashed, "_SUCCESS_RUN"))
+    assert _run_success(crashed, backend)
 
     # clean single run for comparison
-    run_checkpointed(spark, small_input, clean)
-    a, b = _read_sorted(spark, crashed), _read_sorted(spark, clean)
+    run_checkpointed(spark, small_input, clean, ledger_backend=backend)
+    a, b = (_read_sorted(spark, crashed, backend),
+           _read_sorted(spark, clean, backend))
     assert a.equals(b), "resumed output != clean-run output"
 
 
-def test_memoization_short_circuit(spark, small_input, tmp_path):
+@pytest.mark.parametrize("backend", BACKENDS)
+def test_memoization_short_circuit(spark, small_input, tmp_path, backend):
     out = str(tmp_path / "memo")
-    r1 = run_checkpointed(spark, small_input, out)
+    r1 = run_checkpointed(spark, small_input, out, ledger_backend=backend)
     assert not r1["memoized"]
-    r2 = run_checkpointed(spark, small_input, out)
+    r2 = run_checkpointed(spark, small_input, out, ledger_backend=backend)
     assert r2["memoized"] and r2["parts_committed"] == 0
 
 
@@ -71,7 +92,8 @@ def test_param_change_invalidates_memo(spark, small_input, tmp_path):
     assert not r2["memoized"]
 
 
-def test_corrupted_partition_recomputed(spark, small_input, tmp_path):
+@pytest.mark.parametrize("backend", BACKENDS)
+def test_corrupted_partition_recomputed(spark, small_input, tmp_path, backend):
     """Resume must not trust a commit marker whose partition data no
     longer reconciles (reference cache-integrity verifier,
     base_request_processor.py:120-167): the marker is dropped and the
@@ -80,34 +102,71 @@ def test_corrupted_partition_recomputed(spark, small_input, tmp_path):
 
     crashed = str(tmp_path / "corrupt")
     clean = str(tmp_path / "clean_for_corrupt")
-    run_checkpointed(spark, small_input, crashed, only_parts=[0, 1, 2])
-    assert committed_parts(crashed) == {0, 1, 2}
+    run_checkpointed(spark, small_input, crashed, only_parts=[0, 1, 2],
+                     ledger_backend=backend)
+    assert committed_parts(crashed, backend) == {0, 1, 2}
 
     # corrupt committed part 1: remove one of its data files
     files = glob.glob(os.path.join(crashed, "data", "part=1", "*.parquet"))
     assert files
     os.remove(files[0])
 
-    r = run_checkpointed(spark, small_input, crashed)
+    r = run_checkpointed(spark, small_input, crashed, ledger_backend=backend)
     assert r["parts_invalidated"] == 1
     assert r["parts_committed"] == 2  # part 3 (pending) + part 1 (recomputed)
     assert r["parts_skipped"] == 2
 
-    run_checkpointed(spark, small_input, clean)
-    a, b = _read_sorted(spark, crashed), _read_sorted(spark, clean)
+    run_checkpointed(spark, small_input, clean, ledger_backend=backend)
+    a, b = (_read_sorted(spark, crashed, backend),
+           _read_sorted(spark, clean, backend))
     assert a.equals(b), "recomputed output != clean-run output"
 
 
-def test_sharded_completion_writes_success_marker(spark, small_input, tmp_path):
+@pytest.mark.parametrize("backend", BACKENDS)
+def test_memoized_run_still_revalidated(spark, small_input, tmp_path, backend):
+    """Integrity checking does NOT stop once a run is memoized: data
+    corrupted AFTER full completion is detected on the next invocation —
+    the run-success marker is dropped, the partition recomputes, and the
+    table again equals a clean run (per-reuse contract of the
+    reference's _verify_existing_request_files)."""
+    import glob
+
+    out = str(tmp_path / "memo_corrupt")
+    clean = str(tmp_path / "memo_corrupt_clean")
+    r1 = run_checkpointed(spark, small_input, out, ledger_backend=backend)
+    assert not r1["memoized"] and _run_success(out, backend)
+
+    files = glob.glob(os.path.join(out, "data", "part=2", "*.parquet"))
+    os.remove(files[0])
+
+    r2 = run_checkpointed(spark, small_input, out, ledger_backend=backend)
+    assert not r2["memoized"]
+    assert r2["parts_invalidated"] == 1 and r2["parts_committed"] == 1
+    assert _run_success(out, backend)  # re-marked after the recompute
+
+    r3 = run_checkpointed(spark, small_input, out, ledger_backend=backend)
+    assert r3["memoized"]
+
+    run_checkpointed(spark, small_input, clean, ledger_backend=backend)
+    a, b = (_read_sorted(spark, out, backend),
+           _read_sorted(spark, clean, backend))
+    assert a.equals(b), "post-memo recompute != clean-run output"
+
+
+@pytest.mark.parametrize("backend", BACKENDS)
+def test_sharded_completion_writes_success_marker(spark, small_input,
+                                                  tmp_path, backend):
     """A run completed entirely via only_parts shards still gets the
     whole-run marker, so run-level memoization engages for the
     production sharding path."""
     out = str(tmp_path / "sharded")
-    run_checkpointed(spark, small_input, out, only_parts=[0, 1])
-    assert not os.path.exists(os.path.join(out, "_SUCCESS_RUN"))
-    run_checkpointed(spark, small_input, out, only_parts=[2, 3])
-    assert os.path.exists(os.path.join(out, "_SUCCESS_RUN"))
-    r3 = run_checkpointed(spark, small_input, out)
+    run_checkpointed(spark, small_input, out, only_parts=[0, 1],
+                     ledger_backend=backend)
+    assert not _run_success(out, backend)
+    run_checkpointed(spark, small_input, out, only_parts=[2, 3],
+                     ledger_backend=backend)
+    assert _run_success(out, backend)
+    r3 = run_checkpointed(spark, small_input, out, ledger_backend=backend)
     assert r3["memoized"]
 
 
@@ -128,7 +187,7 @@ def test_strict_mode_fails_all_on_error_rows(spark, small_input, tmp_path):
     with pytest.raises(RuntimeError, match="strict mode"):
         run_checkpointed(spark, small_input, out, strict=True)
     assert committed_parts(out) == set()
-    assert not os.path.exists(os.path.join(out, "_SUCCESS_RUN"))
+    assert not _run_success(out, "markers")
     # nothing published, no metrics appended (rerun must not double-count);
     # the staged output is deliberately kept for inspection
     assert not os.path.exists(os.path.join(out, "data"))
@@ -141,28 +200,90 @@ def test_strict_mode_fails_all_on_error_rows(spark, small_input, tmp_path):
     assert len(m) == 4  # exactly one metrics row per (run, part)
 
 
-def test_concurrent_shards_do_not_clobber(spark, small_input, tmp_path):
+@pytest.mark.parametrize("backend", BACKENDS)
+def test_concurrent_shards_do_not_clobber(spark, small_input, tmp_path,
+                                          backend):
     """Two only_parts shards of one run executing CONCURRENTLY (the
     documented production sharding) must not corrupt each other: each
     stages under its own scratch root and publishes disjoint partition
-    directories with atomic renames — no shared Hadoop committer
-    staging, no shared scratch."""
+    directories; commitlog additionally exercises the optimistic-
+    concurrency retry (two writers racing for the same log version)."""
     from concurrent.futures import ThreadPoolExecutor
 
     crashed = str(tmp_path / "conc")
     clean = str(tmp_path / "conc_clean")
     with ThreadPoolExecutor(2) as ex:
         f1 = ex.submit(run_checkpointed, spark, small_input, crashed,
-                       None, [0, 1])
+                       None, [0, 1], None, True, False, backend)
         f2 = ex.submit(run_checkpointed, spark, small_input, crashed,
-                       None, [2, 3])
+                       None, [2, 3], None, True, False, backend)
         r1, r2 = f1.result(timeout=300), f2.result(timeout=300)
     assert r1["parts_committed"] == 2 and r2["parts_committed"] == 2
-    assert committed_parts(crashed) == {0, 1, 2, 3}
-    assert os.path.exists(os.path.join(crashed, "_SUCCESS_RUN"))
-    run_checkpointed(spark, small_input, clean)
-    a, b = _read_sorted(spark, crashed), _read_sorted(spark, clean)
+    assert committed_parts(crashed, backend) == {0, 1, 2, 3}
+    assert _run_success(crashed, backend)
+    run_checkpointed(spark, small_input, clean, ledger_backend=backend)
+    a, b = (_read_sorted(spark, crashed, backend),
+           _read_sorted(spark, clean, backend))
     assert a.equals(b), "concurrent-shard output != clean-run output"
+
+
+def test_commitlog_versions_are_immutable_and_ordered(tmp_path):
+    """Protocol-level check without Spark: concurrent appends from many
+    threads produce a gapless version sequence with no lost updates."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    led = CommitLogLedger(str(tmp_path / "log"))
+    with ThreadPoolExecutor(8) as ex:
+        list(ex.map(lambda i: led.commit_part(
+            {"part": i, "run_id": "r", "n_rows": i, "files": {}}), range(40)))
+    vs = led._versions()
+    assert [int(v[1:-5]) for v in vs] == list(range(1, 41))  # gapless
+    assert set(led.committed()) == set(range(40))  # no lost updates
+    led.drop_part(7)
+    led.mark_run_success("r", 39)
+    assert 7 not in led.committed()
+    assert led.run_success() == {"run_id": "r", "n_parts": 39}
+    led.drop_run_success()
+    assert led.run_success() is None
+
+
+def test_commitlog_orphans_invisible_until_vacuum(spark, small_input,
+                                                  tmp_path):
+    """Recomputing an invalidated partition under commitlog leaves the
+    superseded commit's intact files on disk as ORPHANS: the snapshot
+    reader never sees them, and vacuum() reclaims exactly them."""
+    import glob
+
+    from curator_spark.checkpoint import read_committed, vacuum
+
+    out = str(tmp_path / "vac")
+    run_checkpointed(spark, small_input, out, ledger_backend="commitlog")
+    before = read_committed(spark, out).orderBy("conv_id", "turn_idx").toPandas()
+
+    # delete ONE of part 0's files; its siblings become orphans after
+    # the recompute (their commit is superseded, files remain on disk)
+    part0 = sorted(glob.glob(os.path.join(out, "data", "part=0", "*.parquet")))
+    assert len(part0) > 1
+    os.remove(part0[0])
+    survivors = len(part0) - 1
+
+    r = run_checkpointed(spark, small_input, out, ledger_backend="commitlog")
+    assert r["parts_invalidated"] == 1
+
+    after = read_committed(spark, out).orderBy("conv_id", "turn_idx").toPandas()
+    assert after.equals(before), "snapshot changed across recompute"
+
+    n_files_before_vac = len(glob.glob(
+        os.path.join(out, "data", "part=0", "*.parquet")))
+    removed = vacuum(out)
+    assert removed == survivors  # exactly the superseded commit's files
+    assert len(glob.glob(os.path.join(out, "data", "part=0", "*.parquet"))) \
+        == n_files_before_vac - survivors
+    # post-vacuum snapshot still identical, and still validates
+    r2 = run_checkpointed(spark, small_input, out, ledger_backend="commitlog")
+    assert r2["memoized"]
+    post = read_committed(spark, out).orderBy("conv_id", "turn_idx").toPandas()
+    assert post.equals(before)
 
 
 def test_metrics_and_lineage_written(spark, small_input, tmp_path):
@@ -176,6 +297,35 @@ def test_metrics_and_lineage_written(spark, small_input, tmp_path):
     assert m["n_kept"].sum() == data.filter("keep").count()
     metas = os.listdir(os.path.join(out, "_meta"))
     assert any(f.startswith("run_") for f in metas)
+
+
+def test_recomputed_part_metrics_supersede(spark, small_input, tmp_path):
+    """An invalidated+recomputed partition must not double-count: the
+    raw _metrics table keeps both rows (history), but read_metrics —
+    the path run_cost and QualityFilter.metrics consume — returns ONE
+    row per (run_id, part) with the n_kept-sum == kept-rows
+    reconciliation intact."""
+    import glob
+
+    from curator_spark.checkpoint import read_metrics, run_cost
+
+    out = str(tmp_path / "supersede")
+    run_checkpointed(spark, small_input, out)
+    os.remove(glob.glob(os.path.join(out, "data", "part=1", "*.parquet"))[0])
+    r = run_checkpointed(spark, small_input, out)
+    assert r["parts_invalidated"] == 1
+
+    raw = spark.read.parquet(os.path.join(out, "_metrics")).toPandas()
+    assert len(raw) == 5  # 4 original + 1 recompute appended as history
+
+    m = read_metrics(spark, out).toPandas()
+    assert len(m) == 4
+    data = spark.read.parquet(os.path.join(out, "data"))
+    assert m["n_in"].sum() == data.count()
+    assert m["n_kept"].sum() == data.filter("keep").count()
+
+    c = run_cost(spark, out).collect()
+    assert len(c) == 1 and c[0].n_tokens == m["n_tokens"].sum()
 
 
 def test_stale_scratch_swept_on_next_invocation(spark, small_input, tmp_path):
@@ -219,3 +369,38 @@ def test_run_cost_prices_token_volume(spark, small_input, tmp_path):
     m = spark.read.parquet(os.path.join(out, "_metrics")).toPandas()
     assert c[0].n_tokens == m["n_tokens"].sum()
     assert abs(c[0].cost_usd - round(c[0].n_tokens / 1000 * 0.5, 6)) < 1e-9
+
+
+def test_partitioned_input_lists_parts_without_scan(spark, small_input,
+                                                    tmp_path):
+    """A bucket-partitioned input (part=K dirs — the on-disk face of the
+    Iceberg bucket partitioning) yields its partition inventory from
+    directory listing, not a data scan, and produces the identical
+    table. An EMPTY partition directory exercises the zero-row commit
+    path: it gets an n_rows=0 marker (else it would re-enter todo
+    forever and block the whole-run marker)."""
+    from curator_spark.checkpoint import _list_input_parts
+
+    part_in = str(tmp_path / "hive_in")
+    (spark.read.parquet(small_input)
+     .write.mode("overwrite").partitionBy("part").parquet(part_in))
+    # an empty partition dir: present in the inventory, zero rows
+    os.makedirs(os.path.join(part_in, "part=9"))
+
+    assert _list_input_parts(part_in) == [0, 1, 2, 3, 9]
+    assert _list_input_parts(small_input) is None  # single-file: fall back
+
+    out = str(tmp_path / "hive_out")
+    r = run_checkpointed(spark, part_in, out)
+    assert r["parts_committed"] == 5
+    assert committed_parts(out) == {0, 1, 2, 3, 9}
+    led = make_ledger(out, "markers")
+    assert led.committed()[9]["n_rows"] == 0
+    assert led.run_success() is not None
+    r2 = run_checkpointed(spark, part_in, out)
+    assert r2["memoized"]
+
+    clean = str(tmp_path / "hive_clean")
+    run_checkpointed(spark, small_input, clean)
+    a, b = _read_sorted(spark, out), _read_sorted(spark, clean)
+    assert a.equals(b), "partitioned-input output != single-file output"

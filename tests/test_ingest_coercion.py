@@ -113,3 +113,25 @@ def test_jsonl_roundtrip_and_quarantine(spark, tmp_path):
     # column straight off a raw JSON scan)
     kept = read_transcripts_jsonl(spark, p, keep_corrupt=True).toPandas()
     assert kept["_corrupt"].notna().sum() == 1
+
+
+def test_dataframe_passthrough_normalizes_schema(spark):
+    """The DataFrame passthrough is schema-normalizing, not bare: missing
+    nullable columns (ts, tool) are added, present columns are cast to
+    declared types (long turn_idx → int), extras dropped — every ingest
+    route emits exactly TRANSCRIPTS_SCHEMA."""
+    from curator_spark.ingest import coerce_to_transcripts
+    from curator_spark.schema import TRANSCRIPTS_SCHEMA
+
+    df = spark.createDataFrame(
+        [("c1", 0, "user", "hello", "junk")],
+        "conv_id string, turn_idx long, role string, text string, extra string")
+    out = coerce_to_transcripts(spark, df)
+    assert [f.name for f in out.schema.fields] == \
+        [f.name for f in TRANSCRIPTS_SCHEMA.fields]
+    got = {f.name: f.dataType for f in out.schema.fields}
+    want = {f.name: f.dataType for f in TRANSCRIPTS_SCHEMA.fields}
+    assert got == want
+    r = out.collect()[0]
+    assert (r.conv_id, r.turn_idx, r.role, r.text, r.tool, r.ts) == \
+        ("c1", 0, "user", "hello", None, None)

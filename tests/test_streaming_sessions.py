@@ -73,3 +73,72 @@ def test_streaming_sessions(spark, tmp_path):
     assert u1.iloc[1].n_events == 1
     # u2's session is still open — not emitted
     assert (got.user_id == "u2").sum() == 0
+
+
+class _FakeState:
+    """Minimal GroupState stand-in for unit-testing _session_update."""
+
+    def __init__(self, tup=None):
+        self._t = tup
+        self.hasTimedOut = False
+        self.timeout = None
+
+    @property
+    def exists(self):
+        return self._t is not None
+
+    @property
+    def get(self):
+        return self._t
+
+    def update(self, t):
+        self._t = t
+
+    def setTimeoutTimestamp(self, ms):
+        self.timeout = ms
+
+    def remove(self):
+        self._t = None
+
+
+def _apply(state, ts_list_s):
+    import pandas as pd
+
+    from curator_spark.streaming.stateful import _session_update
+    pdf = pd.DataFrame({"ts_us": [BASE_US + int(s * 1e6) for s in ts_list_s]})
+    out = list(_session_update(("u1",), iter([pdf]), state))
+    import itertools
+    rows = list(itertools.chain.from_iterable(
+        o.to_dict("records") for o in out))
+    return rows, state
+
+
+def test_late_event_merges_and_lowers_start():
+    """A cross-batch late event within SESSION_GAP_US of the open
+    session's start MERGES and extends start downward — previously
+    start was never min'd down (sessions diverged from batch q11)."""
+    st = _FakeState((BASE_US + int(1000e6), BASE_US + int(2000e6), 5))
+    rows, st = _apply(st, [500])  # 500s: older than start, gap 500s < 1800s
+    assert rows == []
+    start, last, n = st.get
+    assert (start, last, n) == (BASE_US + int(500e6), BASE_US + int(2000e6), 6)
+
+
+def test_intra_session_late_event_merges_without_boundary_change():
+    st = _FakeState((BASE_US + int(1000e6), BASE_US + int(2000e6), 5))
+    rows, st = _apply(st, [1500])
+    assert rows == []
+    assert st.get == (BASE_US + int(1000e6), BASE_US + int(2000e6), 6)
+
+
+def test_too_old_late_event_emits_singleton_not_merge():
+    """An event more than a gap older than the open session's start
+    cannot belong to it: it emits as a best-effort singleton (documented
+    divergence) instead of being glued onto the wrong session."""
+    st = _FakeState((BASE_US + int(10000e6), BASE_US + int(11000e6), 3))
+    rows, st = _apply(st, [100])  # 9900s older than start ≫ 1800s gap
+    assert len(rows) == 1
+    assert (rows[0]["start_us"], rows[0]["end_us"], rows[0]["n_events"]) == \
+        (BASE_US + int(100e6), BASE_US + int(100e6), 1)
+    # the open session is untouched
+    assert st.get == (BASE_US + int(10000e6), BASE_US + int(11000e6), 3)
