@@ -4,15 +4,24 @@ entry()      — flagship quality-filter pipeline over sf0.001 documents
                re-shaped into the transcripts table.
 queries()    — the full operator battery (relational surface, text
                analysis, dedup, similarity, plus the flagship pipeline).
-oracle_sql() — DuckDB oracles for every SQL-expressible query; the
-               flagship pipeline (Python langid/perplexity models) is
-               deliberately oracle-less here — its correctness gate is
-               the exact-match pandas-oracle pytest suite
-               (tests/test_pipeline_exact.py, BASELINE.md targets).
+oracle_sql() — DuckDB oracles for every SQL-expressible query. The
+               flagship (q00) and multimodal (q30) payloads are
+               Python-side, so their oracles are committed GOLDEN
+               PARQUETS produced by the independent pandas oracle
+               (tools/make_golden.py; regenerate with
+               `python tools/make_golden.py`) served to DuckDB via
+               read_parquet — the driver hash-compares the distributed
+               Spark plan against them like any SQL oracle (mirrors the
+               reference's golden-hash gate,
+               tests/integrations/test_all.py:55-58). The q00 golden is
+               per-scale-factor; the committed SQL targets the driver's
+               sf0.01 (tools/selfcheck.py swaps the tag when checking
+               other SFs).
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -73,8 +82,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return out
 
 
+GOLDEN_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "curator_spark", "oracle", "golden")
+
+
 def oracle_sql() -> dict[str, str]:
     out: dict[str, str] = {}
     out.update(_q.ORACLES)
     out.update(_qd.ORACLES)
+    out["q00_quality_filter"] = (
+        "SELECT conv_id, turn_idx, role, lang, ppl, scrubbed_text, "
+        "turn_pass, conv_lang, conv_pass, keep "
+        f"FROM read_parquet('{GOLDEN_DIR}/q00_sf0.01.parquet')")
+    out["q30_multimodal_features"] = (
+        "SELECT media_id, n_bytes, sha256, entropy_proxy, thumb_w, "
+        f"thumb_h, feature_fp FROM read_parquet('{GOLDEN_DIR}/q30.parquet')")
     return out

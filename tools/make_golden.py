@@ -1,0 +1,152 @@
+#!/usr/bin/env python
+"""Generate the committed golden-parquet oracles for the two queries
+whose payloads are Python-side (no SQL re-expression): q00 (flagship
+quality filter) and q30 (multimodal features).
+
+This is the rebuild's analogue of the reference's golden-hash gate
+(reference: tests/integrations/test_all.py:55-58 — pipeline output
+hashed against a committed fixture hash): the INDEPENDENT
+single-threaded pandas oracle (curator_spark/oracle/pipeline_pandas.py)
+is materialized as a parquet fixture, and `oracle_sql()` points DuckDB
+at it with read_parquet, so the driver's side-by-side gate
+hash-compares the distributed Spark plan against the committed golden —
+q00/q30 get the same rows+schema+hash verdict as every SQL query.
+
+Everything here is computed WITHOUT Spark:
+* docs→transcripts chunking is re-implemented in pure pandas (checked
+  against ingest.docs_to_transcripts only through the final hash);
+* conversation orchestration is the pandas oracle (groupby/transform —
+  independent of Spark's salted two-phase aggregation);
+* q30 features reuse only the leaf decode/entropy helpers (shared by
+  design, like the scorer models) with row assembly + fingerprinting
+  re-done in plain Python.
+
+Usage: python tools/make_golden.py   (rewrites curator_spark/oracle/golden/)
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import sys
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from curator_spark.ingest import TURN_TOKENS  # noqa: E402
+from curator_spark.oracle.pipeline_pandas import run_oracle  # noqa: E402
+
+GOLDEN_DIR = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "curator_spark", "oracle", "golden")
+SF_DIRS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01",
+           "/root/testdata/sf0.1"]
+
+
+def _round_half_away(x: float, nd: int) -> float:
+    """Spark-identical double rounding: F.round goes through
+    BigDecimal.valueOf(x) = new BigDecimal(Double.toString(x)) — the
+    SHORTEST round-trip decimal repr — then setScale(nd, HALF_UP).
+    Python's repr() is the same shortest-round-trip string, so
+    Decimal(repr(x)) + ROUND_HALF_UP reproduces it bit-for-bit.
+    (Formatting with '%.4f' instead rounds the exact binary expansion,
+    which disagrees whenever the shortest repr sits exactly on a tie —
+    ~0.6% of ppl values.)"""
+    from decimal import ROUND_HALF_UP, Decimal
+    q = Decimal(1).scaleb(-nd)
+    return float(Decimal(repr(float(x))).quantize(q, rounding=ROUND_HALF_UP))
+
+
+def docs_to_transcripts_pandas(docs: pd.DataFrame) -> pd.DataFrame:
+    """Pure-pandas re-implementation of ingest.docs_to_transcripts:
+    whitespace-token stream chunked into TURN_TOKENS-token turns
+    alternating user/assistant, one conversation per document."""
+    rows = []
+    for doc_id, text in zip(docs["doc_id"], docs["text"]):
+        toks = [t for t in (text or "").split(" ") if t != ""]
+        n_turns = max(-(-len(toks) // TURN_TOKENS), 1)
+        conv_id = f"doc-{int(doc_id):010d}"
+        for pos in range(n_turns):
+            chunk = " ".join(toks[pos * TURN_TOKENS:(pos + 1) * TURN_TOKENS])
+            rows.append((conv_id, pos,
+                         "user" if pos % 2 == 0 else "assistant", chunk))
+    return pd.DataFrame(rows, columns=["conv_id", "turn_idx", "role", "text"])
+
+
+def golden_q00(sf_dir: str) -> pa.Table:
+    docs = pd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text"])
+    out = run_oracle(docs_to_transcripts_pandas(docs))
+    ppl = out["ppl"].map(lambda x: _round_half_away(x, 4))
+    return pa.table({
+        "conv_id": pa.array(out["conv_id"], pa.string()),
+        "turn_idx": pa.array(out["turn_idx"], pa.int32()),
+        "role": pa.array(out["role"], pa.string()),
+        "lang": pa.array(out["lang"], pa.string()),
+        "ppl": pa.array(ppl, pa.float64()),
+        "scrubbed_text": pa.array(out["scrubbed_text"], pa.string()),
+        "turn_pass": pa.array(out["turn_pass"], pa.bool_()),
+        "conv_lang": pa.array(out["conv_lang"], pa.string()),
+        "conv_pass": pa.array(out["conv_pass"], pa.bool_()),
+        "keep": pa.array(out["keep"], pa.bool_()),
+    })
+
+
+def golden_q30(n: int = 96, seed: int = 5) -> pa.Table:
+    """q30's expected output, assembled row-by-row in plain Python over
+    the same deterministic fixture parameters __spark_entry__ uses."""
+    from curator_spark.operators.multimodal import (FEATURE_DIM, THUMB_MAX,
+                                                    _decode_image,
+                                                    _entropy_proxy)
+    rows = []
+    for i in range(n):
+        if i % 3 != 0:          # media_fixture modality cycle: image @ i%3==0
+            continue
+        h = hashlib.sha256(f"media-{seed}-{i}".encode()).digest()
+        blob = bytes(h * (1 + i % 7))
+        w, hh = 32 + i % 64, 32 + (i * 7) % 64
+        px = _decode_image(blob)
+        flat = px.astype(np.float32).ravel()
+        pads = -len(flat) % FEATURE_DIM
+        feat = np.pad(flat, (0, pads)).reshape(FEATURE_DIM, -1).mean(axis=1)
+        feat = (feat / 255.0).astype(np.float32)
+        fp = hashlib.md5(
+            ",".join(f"{float(x):.6f}" for x in feat).encode()).hexdigest()
+        rows.append({
+            "media_id": f"m-{i:05d}", "n_bytes": len(blob),
+            "sha256": hashlib.sha256(blob).hexdigest(),
+            "entropy_proxy": _entropy_proxy(blob),
+            "thumb_w": min(w, THUMB_MAX), "thumb_h": min(hh, THUMB_MAX),
+            "feature_fp": fp,
+        })
+    pdf = pd.DataFrame(rows)
+    return pa.table({
+        "media_id": pa.array(pdf["media_id"], pa.string()),
+        "n_bytes": pa.array(pdf["n_bytes"], pa.int64()),
+        "sha256": pa.array(pdf["sha256"], pa.string()),
+        "entropy_proxy": pa.array(pdf["entropy_proxy"], pa.float64()),
+        "thumb_w": pa.array(pdf["thumb_w"], pa.int32()),
+        "thumb_h": pa.array(pdf["thumb_h"], pa.int32()),
+        "feature_fp": pa.array(pdf["feature_fp"], pa.string()),
+    })
+
+
+def main() -> None:
+    os.makedirs(GOLDEN_DIR, exist_ok=True)
+    for sf_dir in SF_DIRS:
+        tag = os.path.basename(sf_dir.rstrip("/"))
+        tbl = golden_q00(sf_dir)
+        out = os.path.join(GOLDEN_DIR, f"q00_{tag}.parquet")
+        pq.write_table(tbl, out, compression="zstd")
+        print(f"{out}: {tbl.num_rows} rows")
+    tbl = golden_q30()
+    out = os.path.join(GOLDEN_DIR, "q30.parquet")
+    pq.write_table(tbl, out, compression="zstd")
+    print(f"{out}: {tbl.num_rows} rows")
+
+
+if __name__ == "__main__":
+    main()

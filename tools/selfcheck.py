@@ -65,6 +65,12 @@ def main() -> int:
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    # golden-parquet oracles are per-scale-factor: the committed SQL
+    # targets the driver's sf0.01; retarget when checking another SF
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    if tag != "sf0.01":
+        oracles = {k: v.replace("/q00_sf0.01.parquet", f"/q00_{tag}.parquet")
+                   for k, v in oracles.items()}
     failures = 0
     for name, fn in qs.items():
         if only and name not in only:
