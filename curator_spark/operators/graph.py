@@ -4,27 +4,45 @@ dedup clustering.
 dedup_decisions (operators/dedup.py) uses keep-first pair semantics — a
 linear-time approximation that can split a duplicate cluster when A~B
 and B~C but A̸~C. Web-scale dedup (the Kiveris et al. "Connected
-Components in MapReduce" setting) instead clusters the near-dup GRAPH
-and keeps one canonical doc per component. Spark has no native
-iterative operator, so this is a driver loop of DataFrame steps —
-min-label propagation:
+Components in MapReduce and Beyond" setting) instead clusters the
+near-dup GRAPH and keeps one canonical doc per component. Spark has no
+native iterative operator, so both algorithms here are driver loops of
+DataFrame steps with localCheckpoint truncating lineage each round (the
+standard Spark iterative pattern):
 
-  label(v) ← min(label(v), min over neighbors u of label(u))
+* min-label propagation — label(v) ← min over Γ(v)∪{v} of label(u);
+  one equi-join + one groupBy per round, rounds = graph DIAMETER.
+  Cheapest per round; right for near-dup clusters (diameter ≤ a few).
+* large-star/small-star contraction (Kiveris et al., the paper this
+  module's round-1 error message recommended) — alternating
+  neighborhood rewrites that converge in O(log² n) ROUNDS on ANY
+  graph, diameter-independent; the scale path for pathological shapes
+  (chains of overlapping near-dups, template graphs).
 
-repeated to fixpoint. Each round is one equi-join + one groupBy on
-uniform keys (shuffle volume ∝ |E|); rounds needed = graph diameter,
-and near-dup clusters are tiny (diameter ≤ a few hops), so the loop
-terminates in 2–4 rounds in practice with a hard cap. localCheckpoint
-truncates the lineage each round so the plan doesn't grow with the
-iteration count (the standard Spark iterative-algorithm pattern).
+connected_components runs propagation and FALLS BACK to star
+contraction if the diameter exceeds the round budget, so callers never
+see a non-convergence error for a legal graph.
 
-The per-round convergence test is one count() action — an O(|V|)
-aggregate, not a collect of the data.
+Each round costs exactly ONE Spark job: the new state is
+localCheckpoint(eager=False)'d and the convergence statistic (changed
+count / edge digest) is aggregated from that same lazily-materialized
+checkpoint, so the action that computes the statistic is the action
+that persists the round's state — no separate count() job (round-2
+review note).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
+
+
+def _sym(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    """(src,dst) list → symmetric neighbor pairs (a,b), b ∈ Γ(a), no
+    self-loops, distinct."""
+    fwd = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    return (fwd.unionByName(
+        edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .filter(F.col("a") != F.col("b")).distinct())
 
 
 def connected_components(edges: DataFrame, src: str = "id_a",
@@ -34,11 +52,10 @@ def connected_components(edges: DataFrame, src: str = "id_a",
     component = min node id in the connected component.
 
     Deterministic (pure min semilattice — no ordering sensitivity),
-    exactly replicable by a recursive-CTE oracle."""
-    fwd = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-    und = fwd.unionByName(
-        edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
-    ).distinct().localCheckpoint()
+    exactly replicable by a recursive-CTE oracle. Diameter > max_iter
+    falls back to connected_components_star (same result, O(log² n)
+    rounds)."""
+    und = _sym(edges, src, dst).localCheckpoint()
 
     labels = (und.select(F.col("a").alias("id")).distinct()
               .withColumn("component", F.col("id"))
@@ -46,40 +63,104 @@ def connected_components(edges: DataFrame, src: str = "id_a",
 
     # max_iter + 1 rounds: a graph whose labels settle exactly on round
     # max_iter still gets its zero-change confirmation round instead of
-    # a spurious non-convergence error
-    changed = -1  # sentinel for degenerate max_iter < 0 (zero rounds)
+    # a spurious fallback
     for _ in range(max_iter + 1):
         neigh_min = (
             und.join(labels, und["a"] == labels["id"])
             .groupBy(F.col("b").alias("id"))
             .agg(F.min("component").alias("neigh_component"))
         )
-        new_labels = (
+        new = F.least(F.col("component"),
+                      F.coalesce("neigh_component", "component"))
+        staged = (
             labels.join(neigh_min, "id", "left")
-            .select("id",
-                    F.least("component",
-                            F.coalesce("neigh_component", "component"))
-                    .alias("component"))
-            .localCheckpoint()
+            .select("id", new.alias("new_component"),
+                    # min semilattice: new ≤ old, so changed ⇔ strictly less
+                    (new < F.col("component")).alias("changed"))
+            .localCheckpoint(eager=False)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
-        labels = new_labels
+        # ONE action: materializes the round's checkpoint AND returns
+        # the convergence statistic from the same blocks
+        changed = staged.agg(
+            F.sum(F.col("changed").cast("long"))).first()[0] or 0
+        labels = staged.select("id",
+                               F.col("new_component").alias("component"))
         if changed == 0:
+            return labels
+    # diameter exceeds the propagation budget: hand the (already
+    # symmetric, checkpointed) graph to the diameter-independent
+    # contraction instead of failing
+    return connected_components_star(und, "a", "b")
+
+
+def _large_star(und: DataFrame) -> DataFrame:
+    """Connect every neighbor LARGER than u to min(Γ(u) ∪ {u}).
+    In: symmetric pairs (a,b). Out: directed edges (a,b) with a > b."""
+    m = (und.groupBy("a").agg(F.min("b").alias("mn"))
+         .select("a", F.least("mn", F.col("a")).alias("m")))
+    return (und.join(m, "a")
+            .filter(F.col("b") > F.col("a"))
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+            .filter(F.col("a") != F.col("b")).distinct())
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Connect every neighbor ≤ u (and u itself) to the minimum of
+    u's smaller neighborhood. In/out: directed edges (a,b), a > b."""
+    m = edges.groupBy("a").agg(F.min("b").alias("m"))
+    moved = (edges.join(m, "a")
+             .filter(F.col("b") != F.col("m"))
+             .select(F.col("b").alias("a"), F.col("m").alias("b")))
+    kept = m.select("a", F.col("m").alias("b"))
+    return (moved.unionByName(kept)
+            .filter(F.col("a") != F.col("b")).distinct())
+
+
+def connected_components_star(edges: DataFrame, src: str = "id_a",
+                              dst: str = "id_b",
+                              max_iter: int = 60) -> DataFrame:
+    """Large-star/small-star contraction (Kiveris et al. 2014, §3):
+    alternate the two neighborhood rewrites until the edge set is
+    stable — O(log² n) rounds regardless of diameter, each round two
+    shuffles on uniform keys. At the fixpoint the graph is a star
+    forest (v, root); labels read directly off the edges.
+
+    Convergence is detected by an order-insensitive edge digest
+    (count + bit_xor of xxhash64) aggregated from the round's lazily
+    materialized checkpoint — one action per round, and a digest match
+    IS a fixpoint match because both rewrites are deterministic
+    functions of the edge set."""
+    cur = (_sym(edges, src, dst)
+           # canonical big→small orientation = one large-star pass
+           .transform(_large_star).localCheckpoint())
+    nodes = (_sym(edges, src, dst).select(F.col("a").alias("id"))
+             .distinct().localCheckpoint())
+
+    def digest(df: DataFrame):
+        row = df.agg(F.count(F.lit(1)).alias("n"),
+                     F.bit_xor(F.xxhash64("a", "b")).alias("h")).first()
+        return (row["n"], row["h"])
+
+    prev = digest(cur)
+    for _ in range(max_iter):
+        sym = cur.unionByName(
+            cur.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        nxt = _small_star(_large_star(sym)).localCheckpoint(eager=False)
+        d = digest(nxt)  # the ONE action: materializes nxt + digests it
+        cur = nxt
+        if d == prev:
             break
+        prev = d
     else:
-        # silently returning a non-fixpoint would split components —
-        # wrong labels with no signal; diameter > max_iter means the
-        # caller's graph is not the small-cluster shape this targets
         raise RuntimeError(
-            f"connected_components did not converge in {max_iter + 1} "
-            f"rounds ({changed} labels still changing); raise max_iter or "
-            "use a large-star/small-star contraction for high-diameter graphs")
-    return labels
+            f"star contraction did not converge in {max_iter} rounds — "
+            "not expected for any finite graph; raise max_iter")
+
+    labels = cur.select(F.col("a").alias("id"),
+                        F.col("b").alias("component"))
+    return (nodes.join(labels, "id", "left")
+            .select("id", F.coalesce("component", F.col("id"))
+                    .alias("component")))
 
 
 def dedup_components(docs: DataFrame, pairs: DataFrame,

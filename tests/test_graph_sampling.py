@@ -94,18 +94,19 @@ def test_components_match_union_find_reference(spark):
 
 
 def test_components_convergence_edge_cases(spark):
-    import pytest
     # a 5-node path needs exactly max_iter=4 label rounds + the
-    # confirmation round — must succeed, not spuriously raise
+    # confirmation round — must succeed within propagation alone
     path5 = spark.createDataFrame(
         [(i, i + 1) for i in range(4)], "id_a long, id_b long")
     comp = {r.id: r.component
             for r in connected_components(path5, max_iter=4).collect()}
     assert all(comp[i] == 0 for i in range(5))
-    # but an insufficient round budget must raise, never return a
-    # silently split component
-    with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(path5, max_iter=2)
+    # an insufficient propagation budget must never return silently
+    # split components — it falls back to star contraction and still
+    # produces the correct labels
+    comp2 = {r.id: r.component
+             for r in connected_components(path5, max_iter=2).collect()}
+    assert comp2 == comp
 
 
 def test_mixture_sample_rates_and_nesting(spark):
@@ -139,3 +140,62 @@ def test_decontaminate_flags_ngram_overlap(spark):
     out = {r.doc_id: r.contaminated
            for r in decontaminate(train, bench, n=3).collect()}
     assert out == {1: True, 2: False, 3: False}
+
+
+def test_high_diameter_falls_back_to_star_contraction(spark):
+    """A 120-node path (diameter 119 ≫ the 25-round propagation budget)
+    previously raised; connected_components now hands the graph to
+    large-star/small-star contraction and returns correct labels."""
+    from curator_spark.operators.graph import connected_components_star
+
+    edges = spark.createDataFrame([(i, i + 1) for i in range(119)],
+                                  "id_a long, id_b long")
+    comp = {r.id: r.component
+            for r in connected_components(edges, max_iter=5).collect()}
+    assert comp == {i: 0 for i in range(120)}
+
+    # and the contraction used directly agrees
+    comp2 = {r.id: r.component
+             for r in connected_components_star(edges).collect()}
+    assert comp2 == comp
+
+
+def test_star_contraction_matches_union_find(spark):
+    """Seeded random graph: star contraction vs pure-python union-find
+    (and vs min-label propagation)."""
+    import random
+
+    from curator_spark.operators.graph import connected_components_star
+
+    rng = random.Random(99)
+    edges = [(rng.randrange(150), rng.randrange(150)) for _ in range(120)]
+    edges = [(a, b) for a, b in edges if a != b]
+
+    parent = {}
+    for a, b in edges:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {n: find(n) for n in parent}
+    # canonicalize union-find labels to component minima
+    mins = {}
+    for n, r in want.items():
+        mins[r] = min(mins.get(r, n), n)
+    want = {n: mins[r] for n, r in want.items()}
+
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got_star = {r.id: r.component
+                for r in connected_components_star(df).collect()}
+    got_prop = {r.id: r.component for r in connected_components(df).collect()}
+    assert got_star == want
+    assert got_prop == want
