@@ -225,3 +225,64 @@ def test_jaccard_stop_shingle_cap(spark):
     pairs = set(zip(capped.id_a, capped.id_b))
     assert (100, 101) in pairs
     assert not any(a < 20 and b < 20 for a, b in pairs)
+
+
+def test_multiprobe_recall_floor(spark):
+    """ANN recall, measured: plant near-dup pairs whose sign sketches
+    differ in exactly one bit (a coordinate close to the hyperplane
+    flips) — single-bucket LSH loses them, radius-1 multi-probe
+    recovers them. The recall numbers are deterministic (seeded
+    fixture) and gated: multi-probe ≥ 0.9 and ≥ single-probe."""
+    import numpy as np
+
+    from curator_spark.operators.similarity import (
+        embedding_neardup_bucketed, embedding_neardup_multiprobe,
+        embedding_neardup_pairs, signbucket_ann, signbucket_ann_multiprobe)
+
+    rng = np.random.default_rng(20260817)
+    rows = []
+    vid = 0
+    flip_queries = []
+    for i in range(24):
+        base = rng.normal(size=16)
+        base /= np.linalg.norm(base)
+        rows.append((vid, [float(x) for x in base]))
+        base_id = vid
+        vid += 1
+        dup = base.copy()
+        j = int(np.argmin(np.abs(base[:8])))
+        if i % 2 == 0:
+            # flip the near-hyperplane coordinate: 1-bit sketch change
+            dup[j] = -np.sign(base[j]) * 0.01 if base[j] != 0 else -0.01
+            flip_queries.append((base_id, vid))
+        else:
+            dup[j] = np.sign(base[j]) * max(abs(base[j]), 0.01)
+        dup = dup + rng.normal(size=16) * 0.003
+        rows.append((vid, [float(x) for x in dup]))
+        vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    thr = 0.85
+    exact = {(r.id_a, r.id_b)
+             for r in embedding_neardup_pairs(emb, thr).collect()}
+    single = {(r.id_a, r.id_b)
+              for r in embedding_neardup_bucketed(emb, thr).collect()}
+    multi = {(r.id_a, r.id_b)
+             for r in embedding_neardup_multiprobe(emb, thr).collect()}
+    assert exact, "fixture degenerate: no true near-dup pairs"
+    assert multi <= exact and single <= exact  # LSH never invents pairs
+    recall_single = len(single & exact) / len(exact)
+    recall_multi = len(multi & exact) / len(exact)
+    # the planted 1-bit flips are invisible to single-probe by design
+    assert recall_single < 1.0
+    assert recall_multi >= recall_single
+    assert recall_multi >= 0.9
+
+    # top-k face: the 1-bit-flipped dup is missed by the plain bucket
+    # probe but found by magnitude-ranked multi-probe
+    qid, dup_id = flip_queries[0]
+    plain = {r.vec_id for r in signbucket_ann(emb, qid, k=3).collect()}
+    probed = {r.vec_id
+              for r in signbucket_ann_multiprobe(emb, qid, k=3).collect()}
+    assert dup_id not in plain
+    assert dup_id in probed
