@@ -2,11 +2,16 @@
 columns with typed metadata, processed by Arrow-batched pandas UDFs via
 mapInPandas.
 
-The decode kernels are STUBBED with deterministic fakes (the sandbox
-has no image/audio codecs) behind `_decode_image` / `_decode_audio`;
-the Spark-side plumbing — schema, batch iteration, partition behavior,
-UDF signatures — is real and tested. Swapping in Pillow/torchaudio is a
-one-function change per modality.
+Decode kernels dispatch on the PAYLOAD, not on configuration: a real
+container signature (PNG/JPEG/GIF/BMP magic; RIFF/WAVE header) routes
+to a real codec — Pillow when importable for images, stdlib `wave` +
+numpy for PCM WAV audio (always available) — while synthetic payloads
+take the deterministic stub, so tests and goldens are stable whether or
+not Pillow is installed. A real image payload with no Pillow present
+raises NotImplementedError inside the kernel, which the shared
+error-row contract turns into a null row, never a task failure. The
+Spark-side plumbing — schema, batch iteration, partition behavior, UDF
+signatures — is identical on both paths.
 
 All operators share ONE scaffold (`_map_rows`): batch loop, column
 iteration, and output-frame assembly live in a single place, so the
@@ -103,14 +108,42 @@ def _map_rows(media: DataFrame, cols: list[str], schema: T.StructType,
     return df.select(*cols).mapInPandas(run, schema=schema)
 
 
-def _decode_image(content: bytes) -> np.ndarray:
-    """STUB decoder — deterministic fake pixels from the payload hash.
+try:  # real image codec — optional, guard-imported once per worker
+    from PIL import Image as _PILImage
+except ImportError:
+    _PILImage = None
 
-    Real implementation: `PIL.Image.open(io.BytesIO(content))`. The fake
-    preserves the contract: bytes → HxWx3 uint8 array, stable per input.
-    """
+_IMAGE_MAGICS = (b"\x89PNG\r\n\x1a\n", b"\xff\xd8\xff", b"GIF87a",
+                 b"GIF89a", b"BM")
+
+
+def _is_real_image(content: bytes) -> bool:
+    return any(content.startswith(m) for m in _IMAGE_MAGICS)
+
+
+def _is_real_wav(content: bytes) -> bool:
+    return content[:4] == b"RIFF" and content[8:12] == b"WAVE"
+
+
+def _decode_image(content: bytes) -> np.ndarray:
+    """bytes → HxWx3 uint8 pixels.
+
+    Payload-dispatched: a real container signature decodes with Pillow
+    (NotImplementedError → null row when Pillow is absent); synthetic
+    payloads take the deterministic hash-derived stub, keeping fixture
+    and golden outputs identical on every install."""
     if content is None or len(content) == 0:
-        raise NotImplementedError("empty payload; real codec not available")
+        raise NotImplementedError("empty payload")
+    if _is_real_image(content):
+        if _PILImage is None:
+            raise NotImplementedError(
+                "real image payload but Pillow is not installed")
+        import io
+        try:
+            img = _PILImage.open(io.BytesIO(content)).convert("RGB")
+        except Exception as e:  # corrupt container → error-row contract
+            raise NotImplementedError(f"undecodable image: {e}") from e
+        return np.asarray(img, dtype=np.uint8)
     h = hashlib.sha256(content).digest()
     side = 8 + h[0] % 8
     rng = np.frombuffer((h * ((side * side * 3) // len(h) + 1))[: side * side * 3],
@@ -119,13 +152,33 @@ def _decode_image(content: bytes) -> np.ndarray:
 
 
 def _decode_audio(content: bytes) -> np.ndarray:
-    """STUB decoder — deterministic fake waveform from the payload hash.
+    """bytes → float32 mono samples in [-1, 1].
 
-    Real implementation: `torchaudio.load(io.BytesIO(content))` or
-    `soundfile.read`. Contract preserved: bytes → float32 mono samples
-    in [-1, 1], stable per input."""
+    Payload-dispatched: RIFF/WAVE containers decode for real via stdlib
+    `wave` (8/16-bit PCM, multi-channel averaged to mono — no optional
+    dependency needed); synthetic payloads take the deterministic
+    hash-derived stub."""
     if content is None or len(content) == 0:
-        raise NotImplementedError("empty payload; real codec not available")
+        raise NotImplementedError("empty payload")
+    if _is_real_wav(content):
+        import io
+        import wave
+        try:
+            with wave.open(io.BytesIO(content)) as w:
+                sw, nch = w.getsampwidth(), w.getnchannels()
+                raw = w.readframes(w.getnframes())
+        except wave.Error as e:
+            raise NotImplementedError(f"undecodable WAV: {e}") from e
+        if sw == 2:
+            x = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
+        elif sw == 1:
+            x = (np.frombuffer(raw, dtype=np.uint8)
+                 .astype(np.float32) - 128.0) / 128.0
+        else:
+            raise NotImplementedError(f"unsupported WAV sample width {sw}")
+        if nch > 1:
+            x = x[: len(x) - len(x) % nch].reshape(-1, nch).mean(axis=1)
+        return x
     h = hashlib.sha256(content).digest()
     n = 256 + h[0] * 4
     raw = np.frombuffer((h * (n // len(h) + 1))[:n], dtype=np.uint8)
