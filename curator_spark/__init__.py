@@ -20,14 +20,18 @@ __version__ = "0.1.0"
 # (pipeline stages, checkpoint internals, query batteries) are
 # importable from their modules but may change shape between versions.
 from .api import QualityFilter                          # noqa: E402,F401
-from .checkpoint import run_checkpointed                # noqa: E402,F401
+from .checkpoint import (                               # noqa: E402,F401
+    read_committed, run_checkpointed, vacuum,
+)
 from .ingest import (                                   # noqa: E402,F401
     coerce_to_transcripts, docs_to_transcripts,
     read_jsonl, read_transcripts_jsonl, write_transcripts_jsonl,
 )
+from .status import format_run_status, run_status       # noqa: E402,F401
 
 __all__ = [
-    "QualityFilter", "run_checkpointed",
+    "QualityFilter", "run_checkpointed", "read_committed", "vacuum",
     "coerce_to_transcripts", "docs_to_transcripts",
     "read_jsonl", "read_transcripts_jsonl", "write_transcripts_jsonl",
+    "run_status", "format_run_status",
 ]

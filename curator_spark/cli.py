@@ -37,8 +37,14 @@ def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="curator-spark",
         description="PySpark quality-filter pipeline over conversation transcripts")
-    p.add_argument("--input", required=True,
-                   help="transcripts table path (parquet/Iceberg dir)")
+    p.add_argument("--input", default=None,
+                   help="transcripts table path (parquet/Iceberg dir); "
+                        "required unless --status")
+    p.add_argument("--status", action="store_true",
+                   help="print the run-status tracker table for --output "
+                        "(ledger commit state + counter totals; reads the "
+                        "durable artifacts directly, no Spark session) "
+                        "and exit")
     p.add_argument("--output", required=True,
                    help="output dir (data/ + _ledger/ + _metrics/ + _meta/)")
     p.add_argument("--partitions", type=int, default=None,
@@ -54,11 +60,28 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--strict", action="store_true",
                    help="fail the run (committing nothing) if any error "
                         "rows are produced — require_all_responses analogue")
+    p.add_argument("--ledger", choices=["markers", "commitlog"],
+                   default="markers",
+                   help="commit protocol: 'markers' = per-partition JSON "
+                        "markers via atomic rename (POSIX filesystems); "
+                        "'commitlog' = versioned put-if-absent transaction "
+                        "log with log-defined data visibility (object "
+                        "stores; read results via checkpoint.read_committed)")
+    p.add_argument("--vacuum", action="store_true",
+                   help="after the run, reclaim data files no commit "
+                        "manifest references (commitlog backend only)")
     return p
 
 
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
+
+    if args.status:
+        from curator_spark.status import format_run_status
+        print(format_run_status(args.output, args.ledger))
+        return 0
+    if not args.input:
+        build_parser().error("--input is required unless --status")
 
     if args.local_cores:
         from curator_spark.session import get_spark
@@ -73,7 +96,7 @@ def main(argv: list[str] | None = None) -> int:
 
     # absolute import: under `spark-submit cli.py` this file runs as a
     # top-level script; the package itself ships via --py-files
-    from curator_spark.checkpoint import run_checkpointed
+    from curator_spark.checkpoint import run_checkpointed, vacuum
     only_parts = ([int(x) for x in args.only_parts.split(",")]
                   if args.only_parts else None)
     summary = run_checkpointed(
@@ -82,7 +105,10 @@ def main(argv: list[str] | None = None) -> int:
         only_parts=only_parts,
         broadcast_conv_aggs=args.broadcast,
         strict=args.strict,
+        ledger_backend=args.ledger,
     )
+    if args.vacuum and args.ledger == "commitlog":
+        summary["files_vacuumed"] = vacuum(args.output, args.ledger)
     print(json.dumps(summary))
     return 0
 

@@ -1,0 +1,119 @@
+"""Run-status surface: the reference's live status tracker re-expressed
+over the durable run artifacts.
+
+The reference renders an in-terminal table of request counts, token
+usage, cost, and rate while a run executes (reference:
+src/bespokelabs/curator/status_tracker/online_status_tracker.py:129-218
+`display` rich table; install_ui.py). This engine's runs are Spark jobs
+whose live view is the Spark UI; what the tracker ADDS there is the
+curation-ledger view — per-partition commit state, counter totals,
+token volume, derived cost — which here reads STRAIGHT off the durable
+artifacts (_ledger or _commitlog + _metrics), driver-side via pyarrow,
+no Spark session required. That makes the same report available while a
+run is in flight (partial ledger), after a crash (what resumes?), and
+long after completion (lineage), from any process that can see the
+output directory:
+
+    python -m curator_spark.cli --status --output /data/curated/run1
+    # or: print(format_run_status(out_dir))
+
+Counters honor the metrics supersede rule (latest (created_us, shard)
+row per (run_id, part)) so recomputed partitions never double-count —
+the same read path as checkpoint.read_metrics, minus Spark.
+"""
+
+from __future__ import annotations
+
+import os
+from datetime import datetime, timezone
+
+from .checkpoint import make_ledger
+
+COUNTER_COLS = ("n_in", "n_kept", "n_scrubbed", "n_errors", "n_tokens")
+
+
+def _read_metrics_pandas(out_dir: str):
+    """_metrics with supersede semantics, driver-side (pyarrow→pandas)."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+    mdir = os.path.join(out_dir, "_metrics")
+    if not os.path.isdir(mdir):
+        return None
+    frames = [pq.read_table(os.path.join(mdir, f)).to_pandas()
+              for f in sorted(os.listdir(mdir)) if f.endswith(".parquet")]
+    if not frames:
+        return None
+    m = pd.concat(frames, ignore_index=True)
+    if "created_us" not in m.columns:  # pre-supersede layout
+        m["created_us"], m["shard"] = 0, ""
+    m = m.sort_values(["created_us", "shard"], kind="mergesort")
+    return m.groupby(["run_id", "part"], as_index=False).last()
+
+
+def run_status(out_dir: str, backend: str = "markers") -> dict:
+    """Machine-readable status snapshot of a (possibly in-flight) run
+    directory: ledger commit state + superseded counter totals."""
+    ledger = make_ledger(out_dir, backend)
+    committed = ledger.committed()
+    success = ledger.run_success()
+    m = _read_metrics_pandas(out_dir)
+    totals = ({c: int(m[c].sum()) for c in COUNTER_COLS}
+              if m is not None else {c: 0 for c in COUNTER_COLS})
+    per_part = []
+    for part in sorted(committed):
+        marker = committed[part] or {}
+        row = {"part": int(part), "status": marker.get("status", "?"),
+               "n_rows": int(marker.get("n_rows", -1)),
+               "run_id": marker.get("run_id"),
+               "updated_at": marker.get("updated_at")}
+        per_part.append(row)
+    keep_rate = (totals["n_kept"] / totals["n_in"]) if totals["n_in"] else None
+    return {
+        "out_dir": out_dir,
+        "backend": backend,
+        "parts_committed": len(committed),
+        "run_success": success,
+        "complete": success is not None,
+        "totals": totals,
+        "keep_rate": keep_rate,
+        "per_part": per_part,
+        "as_of": datetime.now(timezone.utc).isoformat(timespec="seconds"),
+    }
+
+
+def format_run_status(out_dir: str, backend: str = "markers",
+                      usd_per_1k_tokens: float = 0.002,
+                      max_parts: int = 24) -> str:
+    """Human-readable render of run_status — the tracker table
+    (reference: online_status_tracker.py:129-218, sections for request
+    counts / token usage / cost / rate limits, rendered as one table)."""
+    s = run_status(out_dir, backend)
+    t = s["totals"]
+    cost = t["n_tokens"] / 1000.0 * usd_per_1k_tokens
+    lines = [
+        f"Run status — {s['out_dir']}  [{s['backend']} ledger, "
+        f"as of {s['as_of']}]",
+        f"  state: {'COMPLETE' if s['complete'] else 'IN PROGRESS / resumable'}"
+        + (f" (run {s['run_success']['run_id']}, "
+           f"{s['run_success']['n_parts']} parts)" if s["complete"] else
+           f" — {s['parts_committed']} partition(s) committed"),
+        "",
+        "  turns in      kept        scrubbed    errors      tokens"
+        "        est. cost",
+        f"  {t['n_in']:<13,}{t['n_kept']:<12,}{t['n_scrubbed']:<12,}"
+        f"{t['n_errors']:<12,}{t['n_tokens']:<14,}${cost:,.4f}",
+    ]
+    if s["keep_rate"] is not None:
+        lines.append(f"  keep rate: {100 * s['keep_rate']:.2f}%")
+    lines += ["", "  part   status      rows       committed at"]
+    shown = s["per_part"][:max_parts]
+    for r in shown:
+        ts = (r["updated_at"] or "")[:19]
+        lines.append(f"  {r['part']:<7}{r['status']:<12}"
+                     f"{r['n_rows']:<11,}{ts}")
+    hidden = len(s["per_part"]) - len(shown)
+    if hidden > 0:
+        lines.append(f"  ... {hidden} more partition(s)")
+    if not s["per_part"]:
+        lines.append("  (no partitions committed yet)")
+    return "\n".join(lines)

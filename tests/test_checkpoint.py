@@ -404,3 +404,25 @@ def test_partitioned_input_lists_parts_without_scan(spark, small_input,
     run_checkpointed(spark, small_input, clean)
     a, b = _read_sorted(spark, out), _read_sorted(spark, clean)
     assert a.equals(b), "partitioned-input output != single-file output"
+
+
+def test_run_status_surface(spark, small_input, tmp_path):
+    """The tracker analogue (reference online_status_tracker table):
+    readable mid-run (partial ledger, resumable) and after completion,
+    with supersede-correct counter totals — no Spark session needed."""
+    from curator_spark.status import format_run_status, run_status
+
+    out = str(tmp_path / "status")
+    run_checkpointed(spark, small_input, out, only_parts=[0, 1])
+    s = run_status(out)
+    assert not s["complete"] and s["parts_committed"] == 2
+    assert s["totals"]["n_in"] > 0
+
+    run_checkpointed(spark, small_input, out)
+    s = run_status(out)
+    assert s["complete"] and s["parts_committed"] == 4
+    data = spark.read.parquet(os.path.join(out, "data"))
+    assert s["totals"]["n_in"] == data.count()
+    assert s["totals"]["n_kept"] == data.filter("keep").count()
+    txt = format_run_status(out)
+    assert "COMPLETE" in txt and "keep rate" in txt and "COMMITTED" in txt
