@@ -108,6 +108,17 @@ def q39_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_components(docs, edges)
 
 
+def q49_multiprobe_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs with radius-1 multi-probe recall
+    (operators/similarity.embedding_neardup_multiprobe): side A explodes
+    into its Hamming-ball probe buckets so pairs whose sign sketches
+    differ in one bit — lost by q23's single-bucket join — are found.
+    Oracle replays the probe expansion in SQL (base bucket UNION ALL
+    the 8 one-bit flips) with DISTINCT pair dedup."""
+    return similarity.embedding_neardup_multiprobe(_emb(spark, sf_dir),
+                                                   threshold=NEARDUP_COS)
+
+
 MIX_FRACTIONS = {"en": 0.5, "zh": 0.25}
 MIX_DEFAULT = 1.0
 BENCH_BUCKETS = 1000  # 10% of documents act as the benchmark set
@@ -330,6 +341,33 @@ _NEARDUP_SQL = f"""
     ) WHERE cos_sim >= {NEARDUP_COS}
 """
 
+_MULTIPROBE_SQL = f"""
+    WITH base AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+               sqrt(list_sum(list_transform(embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm,
+               {_BUCKET_BITS} AS bucket
+        FROM embeddings
+    ),
+    probes AS (
+        SELECT vec_id, v, nrm, bucket AS probe FROM base
+        UNION ALL
+        SELECT vec_id, v, nrm,
+               substr(bucket, 1, CAST(r.i AS INTEGER))
+               || (CASE WHEN substr(bucket, CAST(r.i AS INTEGER) + 1, 1) = '1'
+                        THEN '0' ELSE '1' END)
+               || substr(bucket, CAST(r.i AS INTEGER) + 2) AS probe
+        FROM base, range(0, {similarity.N_SIGN_BITS}) AS r(i)
+    )
+    SELECT id_a, id_b, cos_sim FROM (
+        SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i]))
+                     / (a.nrm * b.nrm), 6) AS cos_sim
+        FROM probes a JOIN base b
+          ON a.probe = b.bucket AND a.vec_id < b.vec_id
+    ) WHERE cos_sim >= {NEARDUP_COS}
+"""
+
 _DEDUP_PIPELINE_SQL = dedup_pipeline_sql("documents", "doc_id", "text")
 
 
@@ -480,6 +518,7 @@ ORACLES: dict[str, str] = {
     "q31_conv_dedup": _CONV_DEDUP_SQL,
     "q32_ivf_ann": _IVF_SQL,
     "q39_dedup_components": _COMPONENTS_SQL,
+    "q49_multiprobe_neardup": _MULTIPROBE_SQL,
 }
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -493,6 +532,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q31_conv_dedup": q31_conv_dedup,
     "q32_ivf_ann": q32_ivf_ann,
     "q39_dedup_components": q39_dedup_components,
+    "q49_multiprobe_neardup": q49_multiprobe_neardup,
     "q46_mixture_sample": q46_mixture_sample,
     "q47_decontaminate": q47_decontaminate,
     "q48_quantize_embeddings": q48_quantize_embeddings,
