@@ -266,6 +266,18 @@ def make_ledger(out_dir: str, backend: str = "markers"):
     return LEDGER_BACKENDS[backend](out_dir)
 
 
+def detect_backend(out_dir: str) -> str:
+    """Which ledger governs this output dir: 'commitlog' iff a
+    transaction log exists. Used as the default by the read-side
+    surfaces (read_committed, vacuum, run_status) so a caller can't
+    accidentally interrogate a run through the wrong backend — e.g.
+    vacuum'ing a markers-ledger table through an empty commit log,
+    which would classify every committed file as an orphan."""
+    return ("commitlog"
+            if os.path.isdir(os.path.join(out_dir, "_commitlog"))
+            else "markers")
+
+
 def committed_parts(out_dir: str, backend: str = "markers") -> set[int]:
     return set(make_ledger(out_dir, backend).committed())
 
@@ -699,15 +711,17 @@ def run_checkpointed(spark: SparkSession, input_path: str, out_dir: str,
 
 
 def read_committed(spark: SparkSession, out_dir: str,
-                   backend: str = "commitlog") -> DataFrame:
+                   backend: str | None = None) -> DataFrame:
     """Snapshot read: exactly the files the ledger's current commit
     manifests reference — the reader half of log-defined visibility
     (Delta's snapshot scan). Orphan files from superseded or crashed
     commits are invisible here even before `vacuum` reclaims them.
     basePath keeps `part` a real partition column, so downstream
-    partition pruning still works."""
+    partition pruning still works. backend=None auto-detects which
+    ledger governs the dir (works for markers tables too — their
+    manifests carry the same file lists)."""
     from . import schema as _schema
-    ledger = make_ledger(out_dir, backend)
+    ledger = make_ledger(out_dir, backend or detect_backend(out_dir))
     data_dir = os.path.join(out_dir, "data")
     paths = []
     for part, marker in sorted(ledger.committed().items()):
@@ -718,21 +732,42 @@ def read_committed(spark: SparkSession, out_dir: str,
     return spark.read.option("basePath", data_dir).parquet(*paths)
 
 
-def vacuum(out_dir: str, backend: str = "commitlog") -> int:
+def vacuum(out_dir: str, backend: str | None = None,
+           min_age_s: float = 3600.0) -> int:
     """Reclaim data files no current commit manifest references —
     orphans of invalidated/superseded commits and of crashes between
     file placement and marker commit (Delta's VACUUM). Returns the
-    number of files removed. Only meaningful for log-defined-visibility
-    backends; the markers backend swaps whole partition dirs and leaves
-    no orphans."""
+    number of files removed.
+
+    Safety rails (each one guards a way to destroy live data):
+    * only log-defined-visibility backends — the markers backend swaps
+      whole partition dirs, leaves no orphans, and its files are ALL
+      live (raises ValueError); backend=None auto-detects;
+    * a missing/empty transaction log means NOTHING was committed under
+      this backend — refuse to classify the world as orphans (no-op);
+    * min_age_s retention (Delta's deletedFileRetentionDuration): a
+      file younger than the window is skipped, because a concurrent
+      in-flight shard may have placed it ahead of its commit landing —
+      deleting it would break that shard's about-to-publish manifest.
+      Pass 0 only when no writer can be concurrent (tests, quiesced
+      maintenance windows)."""
+    backend = backend or detect_backend(out_dir)
     ledger = make_ledger(out_dir, backend)
+    if not getattr(ledger, "log_defined_visibility", False):
+        raise ValueError(
+            f"vacuum is not applicable to the '{backend}' ledger: every "
+            "file in a markers-managed data dir is live")
+    committed = ledger.committed()
+    if not committed and ledger.run_success() is None:
+        return 0  # empty/absent log: nothing was ever committed here
     referenced = {(int(part), fn)
-                  for part, marker in ledger.committed().items()
+                  for part, marker in committed.items()
                   for fn in ((marker or {}).get("files") or {})}
     data_dir = os.path.join(out_dir, "data")
     removed = 0
     if not os.path.isdir(data_dir):
         return 0
+    now = time.time()
     for d in os.listdir(data_dir):
         if not d.startswith("part="):
             continue
@@ -742,8 +777,11 @@ def vacuum(out_dir: str, backend: str = "commitlog") -> int:
             continue
         pd_ = os.path.join(data_dir, d)
         for fn in os.listdir(pd_):
-            if fn.endswith(".parquet") and (part, fn) not in referenced:
-                os.remove(os.path.join(pd_, fn))
+            fp = os.path.join(pd_, fn)
+            if (fn.endswith(".parquet")
+                    and (part, fn) not in referenced
+                    and now - os.path.getmtime(fp) >= min_age_s):
+                os.remove(fp)
                 removed += 1
     return removed
 
@@ -758,10 +796,20 @@ def read_metrics(spark: SparkSession, out_dir: str) -> DataFrame:
     created_us=0/shard='' and lose to any recomputation, which is the
     correct precedence."""
     from pyspark.sql.window import Window
-    m = spark.read.parquet(os.path.join(out_dir, "_metrics"))
+    # mergeSchema: a dir holding BOTH pre-supersede files (no
+    # created_us/shard) and new ones must surface the new columns —
+    # without it Spark may infer the old file's schema and the
+    # precedence silently inverts; old rows' nulls coalesce to the
+    # losing (0, '') key
+    m = (spark.read.option("mergeSchema", "true")
+         .parquet(os.path.join(out_dir, "_metrics")))
     if "created_us" not in m.columns:  # pre-supersede layout only
         m = (m.withColumn("created_us", F.lit(0).cast("long"))
              .withColumn("shard", F.lit("")))
+    else:
+        m = (m.withColumn("created_us",
+                          F.coalesce("created_us", F.lit(0).cast("long")))
+             .withColumn("shard", F.coalesce("shard", F.lit(""))))
     w = (Window.partitionBy("run_id", "part")
          .orderBy(F.col("created_us").desc(), F.col("shard").desc()))
     return (m.withColumn("__rn", F.row_number().over(w))

@@ -61,8 +61,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="fail the run (committing nothing) if any error "
                         "rows are produced — require_all_responses analogue")
     p.add_argument("--ledger", choices=["markers", "commitlog"],
-                   default="markers",
-                   help="commit protocol: 'markers' = per-partition JSON "
+                   default=None,
+                   help="commit protocol (default: markers for runs; "
+                        "auto-detected for --status): 'markers' = "
+                        "per-partition JSON "
                         "markers via atomic rename (POSIX filesystems); "
                         "'commitlog' = versioned put-if-absent transaction "
                         "log with log-defined data visibility (object "
@@ -78,10 +80,11 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.status:
         from curator_spark.status import format_run_status
-        print(format_run_status(args.output, args.ledger))
+        print(format_run_status(args.output, args.ledger))  # None = detect
         return 0
     if not args.input:
         build_parser().error("--input is required unless --status")
+    ledger_backend = args.ledger or "markers"
 
     if args.local_cores:
         from curator_spark.session import get_spark
@@ -105,10 +108,10 @@ def main(argv: list[str] | None = None) -> int:
         only_parts=only_parts,
         broadcast_conv_aggs=args.broadcast,
         strict=args.strict,
-        ledger_backend=args.ledger,
+        ledger_backend=ledger_backend,
     )
-    if args.vacuum and args.ledger == "commitlog":
-        summary["files_vacuumed"] = vacuum(args.output, args.ledger)
+    if args.vacuum and ledger_backend == "commitlog":
+        summary["files_vacuumed"] = vacuum(args.output, ledger_backend)
     print(json.dumps(summary))
     return 0
 

@@ -87,10 +87,21 @@ def connected_components(edges: DataFrame, src: str = "id_a",
                                F.col("new_component").alias("component"))
         if changed == 0:
             return labels
-    # diameter exceeds the propagation budget: hand the (already
-    # symmetric, checkpointed) graph to the diameter-independent
-    # contraction instead of failing
-    return connected_components_star(und, "a", "b")
+    # Diameter exceeds the propagation budget: fall back to the
+    # diameter-independent contraction WITHOUT discarding the work done —
+    # the partial labels become shortcut edges (id, component) unioned
+    # onto the graph (same components: a label edge only ever links two
+    # nodes already connected), collapsing every ≤max_iter-hop stretch
+    # to one hop before the star rounds start.
+    shortcut = (labels.filter(F.col("id") != F.col("component"))
+                .select(F.col("id").alias("a"),
+                        F.col("component").alias("b")))
+    sym = (und.unionByName(shortcut)
+           .unionByName(shortcut.select(F.col("b").alias("a"),
+                                        F.col("a").alias("b")))
+           .distinct().localCheckpoint())
+    nodes = labels.select("id")
+    return _star_rounds(sym, nodes)
 
 
 def _large_star(und: DataFrame) -> DataFrame:
@@ -130,11 +141,17 @@ def connected_components_star(edges: DataFrame, src: str = "id_a",
     materialized checkpoint — one action per round, and a digest match
     IS a fixpoint match because both rewrites are deterministic
     functions of the edge set."""
-    cur = (_sym(edges, src, dst)
-           # canonical big→small orientation = one large-star pass
-           .transform(_large_star).localCheckpoint())
-    nodes = (_sym(edges, src, dst).select(F.col("a").alias("id"))
-             .distinct().localCheckpoint())
+    sym = _sym(edges, src, dst).localCheckpoint()
+    nodes = sym.select(F.col("a").alias("id")).distinct().localCheckpoint()
+    return _star_rounds(sym, nodes, max_iter)
+
+
+def _star_rounds(sym: DataFrame, nodes: DataFrame,
+                 max_iter: int = 60) -> DataFrame:
+    """The star-contraction loop over an already-symmetric, distinct,
+    self-loop-free pair set. nodes: DataFrame with column `id`."""
+    # canonical big→small orientation = one large-star pass
+    cur = _large_star(sym).localCheckpoint()
 
     def digest(df: DataFrame):
         row = df.agg(F.count(F.lit(1)).alias("n"),
@@ -143,9 +160,9 @@ def connected_components_star(edges: DataFrame, src: str = "id_a",
 
     prev = digest(cur)
     for _ in range(max_iter):
-        sym = cur.unionByName(
+        both = cur.unionByName(
             cur.select(F.col("b").alias("a"), F.col("a").alias("b")))
-        nxt = _small_star(_large_star(sym)).localCheckpoint(eager=False)
+        nxt = _small_star(_large_star(both)).localCheckpoint(eager=False)
         d = digest(nxt)  # the ONE action: materializes nxt + digests it
         cur = nxt
         if d == prev:

@@ -163,22 +163,29 @@ def _decode_audio(content: bytes) -> np.ndarray:
     if _is_real_wav(content):
         import io
         import wave
+        # catch-all around the whole parse: a truncated header raises
+        # EOFError (not wave.Error) and an odd-length data chunk makes
+        # frombuffer raise ValueError — every malformed container must
+        # land in the error-row contract, never crash the task
         try:
             with wave.open(io.BytesIO(content)) as w:
                 sw, nch = w.getsampwidth(), w.getnchannels()
                 raw = w.readframes(w.getnframes())
-        except wave.Error as e:
+            if sw == 2:
+                raw = raw[: len(raw) - len(raw) % 2]
+                x = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
+            elif sw == 1:
+                x = (np.frombuffer(raw, dtype=np.uint8)
+                     .astype(np.float32) - 128.0) / 128.0
+            else:
+                raise NotImplementedError(f"unsupported WAV sample width {sw}")
+            if nch > 1:
+                x = x[: len(x) - len(x) % nch].reshape(-1, nch).mean(axis=1)
+            return x
+        except NotImplementedError:
+            raise
+        except Exception as e:
             raise NotImplementedError(f"undecodable WAV: {e}") from e
-        if sw == 2:
-            x = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
-        elif sw == 1:
-            x = (np.frombuffer(raw, dtype=np.uint8)
-                 .astype(np.float32) - 128.0) / 128.0
-        else:
-            raise NotImplementedError(f"unsupported WAV sample width {sw}")
-        if nch > 1:
-            x = x[: len(x) - len(x) % nch].reshape(-1, nch).mean(axis=1)
-        return x
     h = hashlib.sha256(content).digest()
     n = 256 + h[0] * 4
     raw = np.frombuffer((h * (n // len(h) + 1))[:n], dtype=np.uint8)

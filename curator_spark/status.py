@@ -27,7 +27,7 @@ from __future__ import annotations
 import os
 from datetime import datetime, timezone
 
-from .checkpoint import make_ledger
+from .checkpoint import detect_backend, make_ledger
 
 COUNTER_COLS = ("n_in", "n_kept", "n_scrubbed", "n_errors", "n_tokens")
 
@@ -46,17 +46,33 @@ def _read_metrics_pandas(out_dir: str):
     m = pd.concat(frames, ignore_index=True)
     if "created_us" not in m.columns:  # pre-supersede layout
         m["created_us"], m["shard"] = 0, ""
+    # mixed old/new layouts: pre-supersede rows have NaN created_us
+    # after the concat — they must sort FIRST (losing to any
+    # recomputation), so fill with the minimal key, never let NaN
+    # float to the end
+    m["created_us"] = m["created_us"].fillna(0).astype("int64")
+    m["shard"] = m["shard"].fillna("")
     m = m.sort_values(["created_us", "shard"], kind="mergesort")
     return m.groupby(["run_id", "part"], as_index=False).last()
 
 
-def run_status(out_dir: str, backend: str = "markers") -> dict:
+def run_status(out_dir: str, backend: str | None = None) -> dict:
     """Machine-readable status snapshot of a (possibly in-flight) run
-    directory: ledger commit state + superseded counter totals."""
+    directory: ledger commit state + counter totals. backend=None
+    auto-detects the governing ledger. Totals are scoped to the rows
+    whose (run_id, part) the CURRENT ledger markers reference — a
+    partition recomputed under a different run fingerprint contributes
+    once, through the marker that owns it, never per historic run."""
+    backend = backend or detect_backend(out_dir)
     ledger = make_ledger(out_dir, backend)
     committed = ledger.committed()
     success = ledger.run_success()
     m = _read_metrics_pandas(out_dir)
+    if m is not None and committed:
+        live = {(marker.get("run_id"), int(part))
+                for part, marker in committed.items() if marker}
+        keys = list(zip(m["run_id"], m["part"].astype(int)))
+        m = m[[k in live for k in keys]]
     totals = ({c: int(m[c].sum()) for c in COUNTER_COLS}
               if m is not None else {c: 0 for c in COUNTER_COLS})
     per_part = []
@@ -81,7 +97,7 @@ def run_status(out_dir: str, backend: str = "markers") -> dict:
     }
 
 
-def format_run_status(out_dir: str, backend: str = "markers",
+def format_run_status(out_dir: str, backend: str | None = None,
                       usd_per_1k_tokens: float = 0.002,
                       max_parts: int = 24) -> str:
     """Human-readable render of run_status — the tracker table

@@ -110,12 +110,13 @@ def _session_update(key: Tuple[Any, ...], pdfs: Iterator[pd.DataFrame],
     older than the open session's `last` but within SESSION_GAP_US of
     its `start` MERGES into it, extending start downward
     (start = min(start, ts)) — matching what batch q11 computes for
-    that ordering. An event more than a gap OLDER than `start` cannot
-    belong to the open session and its true session may already have
-    been emitted; it is emitted as a best-effort singleton session (the
-    one documented divergence from batch: batch would have merged it
-    into that earlier session). Events later than the watermark never
-    reach this function at all."""
+    that ordering. Events more than a gap OLDER than `start` cannot
+    belong to the open session and their true session may already have
+    been emitted; the batch's too-late events are sessionized among
+    themselves by the same gap rule and emitted best-effort (the one
+    documented divergence from batch: batch would have merged them into
+    that earlier, already-emitted session). Events later than the
+    watermark never reach this function at all."""
     user = key[0]
 
     def row(start, last, n):
@@ -131,6 +132,7 @@ def _session_update(key: Tuple[Any, ...], pdfs: Iterator[pd.DataFrame],
 
     start, last, n = state.get if state.exists else (None, None, 0)
     closed = []
+    late = []  # events older than the open session's backward reach
     ts_all = sorted(
         int(t) for pdf in pdfs for t in pdf["ts_us"].tolist())
     for ts in ts_all:
@@ -141,11 +143,24 @@ def _session_update(key: Tuple[Any, ...], pdfs: Iterator[pd.DataFrame],
             start, last, n = ts, ts, 1
         elif ts < start - SESSION_GAP_US:
             # late event beyond the open session's backward reach: its
-            # true session was already closed — emit it as a singleton
-            # rather than gluing it onto a session it can't belong to
-            closed.append(row(ts, ts, 1))
+            # true session was already closed — buffer it; the batch's
+            # too-late events are sessionized AMONG THEMSELVES below
+            # rather than glued onto a session they can't belong to
+            late.append(ts)
         else:
             start, last, n = min(start, ts), max(last, ts), n + 1
+    # gap rule over the buffered too-late events (they arrive sorted):
+    # consecutive late events within a gap form ONE session, matching
+    # what batch q11 computes for them in isolation
+    if late:
+        ls, ll, ln = late[0], late[0], 1
+        for ts in late[1:]:
+            if ts - ll > SESSION_GAP_US:
+                closed.append(row(ls, ll, ln))
+                ls, ll, ln = ts, ts, 1
+            else:
+                ll, ln = ts, ln + 1
+        closed.append(row(ls, ll, ln))
     state.update((int(start), int(last), int(n)))
     # event-time timeout takes ms; fires once the watermark passes it
     state.setTimeoutTimestamp(last // 1000 + SESSION_GAP_US // 1000)

@@ -275,7 +275,10 @@ def test_commitlog_orphans_invisible_until_vacuum(spark, small_input,
 
     n_files_before_vac = len(glob.glob(
         os.path.join(out, "data", "part=0", "*.parquet")))
-    removed = vacuum(out)
+    # default retention window protects files a concurrent in-flight
+    # shard may have just placed: freshly-written orphans survive
+    assert vacuum(out) == 0
+    removed = vacuum(out, min_age_s=0)  # quiesced maintenance: reclaim
     assert removed == survivors  # exactly the superseded commit's files
     assert len(glob.glob(os.path.join(out, "data", "part=0", "*.parquet"))) \
         == n_files_before_vac - survivors
@@ -426,3 +429,43 @@ def test_run_status_surface(spark, small_input, tmp_path):
     assert s["totals"]["n_kept"] == data.filter("keep").count()
     txt = format_run_status(out)
     assert "COMPLETE" in txt and "keep rate" in txt and "COMMITTED" in txt
+
+
+def test_vacuum_safety_rails(tmp_path):
+    """vacuum must never classify live data as orphans: it raises on a
+    markers-governed dir and no-ops on an empty/absent commit log."""
+    from curator_spark.checkpoint import vacuum
+
+    out = str(tmp_path / "rails")
+    d = os.path.join(out, "data", "part=0")
+    os.makedirs(d)
+    with open(os.path.join(d, "f.parquet"), "wb") as f:
+        f.write(b"x")
+    os.makedirs(os.path.join(out, "_ledger"))
+    # auto-detect → markers → not applicable
+    with pytest.raises(ValueError, match="not applicable"):
+        vacuum(out)
+    # explicit commitlog with no log: nothing was committed → no-op,
+    # the file survives
+    assert vacuum(out, "commitlog", min_age_s=0) == 0
+    assert os.path.exists(os.path.join(d, "f.parquet"))
+
+
+def test_status_totals_scoped_to_ledger_across_run_ids(spark, small_input,
+                                                       tmp_path):
+    """A partition recomputed under a DIFFERENT run fingerprint counts
+    once in status totals — through the marker that owns it."""
+    import glob
+
+    from curator_spark.status import run_status
+
+    out = str(tmp_path / "multi_run")
+    run_checkpointed(spark, small_input, out, params={"v": 1})
+    os.remove(glob.glob(os.path.join(out, "data", "part=1", "*.parquet"))[0])
+    r = run_checkpointed(spark, small_input, out, params={"v": 2})
+    assert r["parts_invalidated"] == 1  # part 1 recomputed under run B
+
+    s = run_status(out)
+    data = spark.read.parquet(os.path.join(out, "data"))
+    assert s["totals"]["n_in"] == data.count()
+    assert s["totals"]["n_kept"] == data.filter("keep").count()

@@ -168,3 +168,19 @@ def test_synthetic_payloads_never_hit_real_codec_paths():
             h = hashlib.sha256(f"media-{seed}-{i}".encode()).digest()
             blob = bytes(h * (1 + i % 7))
             assert not _is_real_image(blob) and not _is_real_wav(blob)
+
+
+def test_truncated_wav_payload_yields_null_row(spark):
+    """RIFF/WAVE payloads that fail mid-parse (truncated header, odd
+    data length) must honor the error-row contract — null stats, never
+    a task failure."""
+    from curator_spark.operators.multimodal import (MEDIA_SCHEMA,
+                                                    audio_features)
+
+    truncated = b"RIFF\x24\x00\x00\x00WAVEfmt \x10\x00"
+    media = spark.createDataFrame(
+        [("bad-wav", "audio", "audio/wav", bytearray(truncated),
+          None, None, 100)], MEDIA_SCHEMA)
+    row = audio_features(media).collect()[0]
+    assert row.n_bytes == len(truncated)
+    assert row.n_samples is None and row.rms is None

@@ -142,3 +142,14 @@ def test_too_old_late_event_emits_singleton_not_merge():
         (BASE_US + int(100e6), BASE_US + int(100e6), 1)
     # the open session is untouched
     assert st.get == (BASE_US + int(10000e6), BASE_US + int(11000e6), 3)
+
+
+def test_consecutive_late_events_form_one_session():
+    """Two too-late events within a gap of EACH OTHER merge into one
+    emitted session (as batch would), not two singletons."""
+    st = _FakeState((BASE_US + int(10000e6), BASE_US + int(11000e6), 3))
+    rows, st = _apply(st, [100, 150])
+    assert len(rows) == 1
+    assert (rows[0]["start_us"], rows[0]["end_us"], rows[0]["n_events"]) == \
+        (BASE_US + int(100e6), BASE_US + int(150e6), 2)
+    assert st.get == (BASE_US + int(10000e6), BASE_US + int(11000e6), 3)
