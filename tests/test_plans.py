@@ -129,3 +129,16 @@ def test_cobucketed_join_has_no_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS li_bkt")
         spark.sql("DROP TABLE IF EXISTS o_bkt")
+
+
+def test_multiprobe_neardup_is_equijoin(spark):
+    """Multi-probe fan-out must stay an equi-join on the probe/bucket
+    key: the (1+n_bits)× explode lives on ONE side, never as a
+    cross join or nested-loop over the corpus."""
+    from curator_spark.operators import similarity
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    plan = plan_of(similarity.embedding_neardup_multiprobe(emb, threshold=0.4))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert ("SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+            or "BroadcastHashJoin" in plan)
