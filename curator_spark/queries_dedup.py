@@ -108,6 +108,23 @@ def q39_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_components(docs, edges)
 
 
+def q50_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space transitive dedup, end to end: multi-probe LSH
+    near-dup pairs (q49's operator) become the edge set of a
+    connected-components clustering (q39's operator), every vector is
+    labeled with its semantic cluster's minimum id, keep ⇔ canonical.
+    This is the semantic twin of q39's lexical pipeline — the two
+    compose the same way at 100 TB (bucketed pair generation feeds the
+    O(log n) clustering; no stage touches an all-pairs product).
+    Oracle = the multi-probe pair SQL feeding a recursive-CTE min-label
+    reachability."""
+    from .operators.graph import dedup_components
+    emb = _emb(spark, sf_dir)
+    pairs = similarity.embedding_neardup_multiprobe(emb,
+                                                    threshold=NEARDUP_COS)
+    return dedup_components(emb, pairs, id_col="vec_id")
+
+
 def q49_multiprobe_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs with radius-1 multi-probe recall
     (operators/similarity.embedding_neardup_multiprobe): side A explodes
@@ -368,6 +385,49 @@ _MULTIPROBE_SQL = f"""
     ) WHERE cos_sim >= {NEARDUP_COS}
 """
 
+_SEMANTIC_DEDUP_SQL = f"""
+    WITH RECURSIVE base AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+               sqrt(list_sum(list_transform(embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm,
+               {{bucket_bits}} AS bucket
+        FROM embeddings
+    ),
+    probes AS (
+        SELECT vec_id, v, nrm, bucket AS probe FROM base
+        UNION ALL
+        SELECT vec_id, v, nrm,
+               substr(bucket, 1, CAST(r.i AS INTEGER))
+               || (CASE WHEN substr(bucket, CAST(r.i AS INTEGER) + 1, 1) = '1'
+                        THEN '0' ELSE '1' END)
+               || substr(bucket, CAST(r.i AS INTEGER) + 2) AS probe
+        FROM base, range(0, {similarity.N_SIGN_BITS}) AS r(i)
+    ),
+    pairs AS (
+        SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i]))
+                     / (a.nrm * b.nrm), 6) AS cos_sim
+        FROM probes a JOIN base b
+          ON a.probe = b.bucket AND a.vec_id < b.vec_id
+    ),
+    edges AS (SELECT id_a, id_b FROM pairs WHERE cos_sim >= {NEARDUP_COS}),
+    und AS (
+        SELECT id_a AS a, id_b AS b FROM edges
+        UNION
+        SELECT id_b AS a, id_a AS b FROM edges
+    ),
+    reach(id, lbl) AS (
+        SELECT a, a FROM (SELECT DISTINCT a FROM und)
+        UNION
+        SELECT u.b, r.lbl FROM reach r JOIN und u ON u.a = r.id
+    ),
+    comp AS (SELECT id, min(lbl) AS component FROM reach GROUP BY id)
+    SELECT e.vec_id,
+           coalesce(c.component, e.vec_id) AS component,
+           e.vec_id = coalesce(c.component, e.vec_id) AS keep_canonical
+    FROM embeddings e LEFT JOIN comp c ON e.vec_id = c.id
+""".format(bucket_bits=_BUCKET_BITS)
+
 _DEDUP_PIPELINE_SQL = dedup_pipeline_sql("documents", "doc_id", "text")
 
 
@@ -519,6 +579,7 @@ ORACLES: dict[str, str] = {
     "q32_ivf_ann": _IVF_SQL,
     "q39_dedup_components": _COMPONENTS_SQL,
     "q49_multiprobe_neardup": _MULTIPROBE_SQL,
+    "q50_semantic_dedup": _SEMANTIC_DEDUP_SQL,
 }
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -533,6 +594,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q32_ivf_ann": q32_ivf_ann,
     "q39_dedup_components": q39_dedup_components,
     "q49_multiprobe_neardup": q49_multiprobe_neardup,
+    "q50_semantic_dedup": q50_semantic_dedup,
     "q46_mixture_sample": q46_mixture_sample,
     "q47_decontaminate": q47_decontaminate,
     "q48_quantize_embeddings": q48_quantize_embeddings,
