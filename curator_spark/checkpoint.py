@@ -495,6 +495,20 @@ def run_checkpointed(spark: SparkSession, input_path: str, out_dir: str,
     os.makedirs(out_dir, exist_ok=True)
     ledger = make_ledger(out_dir, ledger_backend)
 
+    # Every Spark job this invocation schedules carries the run's job
+    # group, so cancel_run(spark, run_id) can abort the run from any
+    # other thread (reference: cancel_batches,
+    # base_batch_request_processor.py — cancel all of a run's submitted
+    # batch jobs). Job groups are thread-local: concurrent only_parts
+    # shards in separate threads each tag their own jobs. A cancelled
+    # run raises out of the action mid-flight; the write-data-then-
+    # marker ordering makes that indistinguishable from a crash, so the
+    # next invocation simply resumes.
+    spark.sparkContext.setJobGroup(f"curator-run-{run_id}",
+                                   f"curator_spark checkpointed run "
+                                   f"{run_id} → {out_dir}",
+                                   interruptOnCancel=True)
+
     # Resume trusts no marker blindly: each committed partition's footer
     # manifest must reconcile with its ledger entry, else its marker is
     # dropped and the partition recomputes (reference cache-integrity
@@ -708,6 +722,15 @@ def run_checkpointed(spark: SparkSession, input_path: str, out_dir: str,
             "parts_skipped": len(done),
             "parts_invalidated": len(invalidated),
             "wall_ms": int((time.monotonic() - t0) * 1000), "memoized": False}
+
+
+def cancel_run(spark: SparkSession, run_id: str) -> None:
+    """Abort every in-flight Spark job of a checkpointed run (reference
+    A34 batch cancel: cancel_batches over a run's submitted batch jobs).
+    Safe at any moment: committed partitions keep their markers, the
+    interrupted shard's staged work is markerless scratch, and the next
+    run_checkpointed invocation resumes exactly the uncommitted parts."""
+    spark.sparkContext.cancelJobGroup(f"curator-run-{run_id}")
 
 
 def read_committed(spark: SparkSession, out_dir: str,

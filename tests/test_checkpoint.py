@@ -469,3 +469,87 @@ def test_status_totals_scoped_to_ledger_across_run_ids(spark, small_input,
     data = spark.read.parquet(os.path.join(out, "data"))
     assert s["totals"]["n_in"] == data.count()
     assert s["totals"]["n_kept"] == data.filter("keep").count()
+
+
+def test_cancel_run_aborts_and_resumes(spark, tmp_path):
+    """A34 batch cancel: cancel_run aborts the run's in-flight Spark
+    jobs from another thread; the interruption is crash-equivalent, so
+    a rerun resumes to a table identical to a clean run."""
+    import threading
+    import time as _time
+
+    from curator_spark.checkpoint import cancel_run, run_fingerprint
+
+    big = str(tmp_path / "big.parquet")
+    fixtures.write_transcripts_parquet(big, 12000, seed=31, n_parts=4)
+    out = str(tmp_path / "cancelled")
+    result: dict = {}
+
+    def work():
+        try:
+            run_checkpointed(spark, big, out)
+            result["done"] = True
+        except Exception as e:  # noqa: BLE001 — cancellation surfaces here
+            result["err"] = e
+
+    t = threading.Thread(target=work)
+    t.start()
+    _time.sleep(3)  # let the scoring jobs get airborne
+    cancel_run(spark, run_fingerprint(big, None))
+    t.join(300)
+    if result.get("done"):
+        pytest.skip("run outpaced the cancel on this host")
+    assert "err" in result and "cancel" in str(result["err"]).lower()
+
+    # crash-equivalence: rerun completes the remaining parts and the
+    # table equals a clean single run
+    r = run_checkpointed(spark, big, out)
+    assert r["parts_committed"] + r["parts_skipped"] == 4
+    clean = str(tmp_path / "clean")
+    run_checkpointed(spark, big, clean)
+    a, b = _read_sorted(spark, out), _read_sorted(spark, clean)
+    assert a.equals(b), "post-cancel resume != clean-run output"
+
+
+def test_commitlog_replay_matches_model_under_random_histories():
+    """Property: for ANY action history, the commit log's replayed
+    state equals a trivial in-memory model — the protocol has no
+    order/visibility surprises."""
+    import tempfile
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    action = st.one_of(
+        st.tuples(st.just("add"), st.integers(0, 5), st.integers(0, 99)),
+        st.tuples(st.just("remove"), st.integers(0, 5)),
+        st.tuples(st.just("success"), st.integers(0, 5)),
+        st.tuples(st.just("clear")),
+    )
+
+    @settings(max_examples=40, deadline=None)
+    @given(st.lists(action, max_size=25))
+    def run(history):
+        with tempfile.TemporaryDirectory() as d:
+            led = CommitLogLedger(d)
+            model: dict = {}
+            success = None
+            for a in history:
+                if a[0] == "add":
+                    marker = {"part": a[1], "run_id": "r",
+                              "n_rows": a[2], "files": {}}
+                    led.commit_part(marker)
+                    model[a[1]] = marker
+                elif a[0] == "remove":
+                    led.drop_part(a[1])
+                    model.pop(a[1], None)
+                elif a[0] == "success":
+                    led.mark_run_success("r", a[1])
+                    success = {"run_id": "r", "n_parts": a[1]}
+                else:
+                    led.drop_run_success()
+                    success = None
+            assert led.committed() == model
+            assert led.run_success() == success
+
+    run()
