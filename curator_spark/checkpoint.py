@@ -272,10 +272,15 @@ def detect_backend(out_dir: str) -> str:
     surfaces (read_committed, vacuum, run_status) so a caller can't
     accidentally interrogate a run through the wrong backend — e.g.
     vacuum'ing a markers-ledger table through an empty commit log,
-    which would classify every committed file as an orphan."""
-    return ("commitlog"
-            if os.path.isdir(os.path.join(out_dir, "_commitlog"))
-            else "markers")
+    which would classify every committed file as an orphan. A commit
+    log counts only when it holds at least one version (an empty
+    _commitlog dir is debris, not governance); true mixed dirs cannot
+    arise — run_checkpointed refuses to commit under a second backend."""
+    d = os.path.join(out_dir, "_commitlog")
+    if os.path.isdir(d) and any(f.startswith("v") and f.endswith(".json")
+                                for f in os.listdir(d)):
+        return "commitlog"
+    return "markers"
 
 
 def committed_parts(out_dir: str, backend: str = "markers") -> set[int]:
@@ -495,6 +500,18 @@ def run_checkpointed(spark: SparkSession, input_path: str, out_dir: str,
     os.makedirs(out_dir, exist_ok=True)
     ledger = make_ledger(out_dir, ledger_backend)
 
+    # One out_dir is governed by ONE ledger protocol: committing under
+    # a second backend would fork the source of truth and leave every
+    # auto-detecting read surface (read_committed, run_status, --status)
+    # reporting whichever half it finds. Refuse up front.
+    other = "commitlog" if ledger_backend == "markers" else "markers"
+    other_ledger = make_ledger(out_dir, other)
+    if other_ledger.committed() or other_ledger.run_success() is not None:
+        raise ValueError(
+            f"{out_dir} already has commits under the '{other}' ledger; "
+            f"pass ledger_backend='{other}' (mixing backends in one "
+            "output dir is not supported)")
+
     # Every Spark job this invocation schedules carries the run's job
     # group, so cancel_run(spark, run_id) can abort the run from any
     # other thread (reference: cancel_batches,
@@ -503,11 +520,26 @@ def run_checkpointed(spark: SparkSession, input_path: str, out_dir: str,
     # shards in separate threads each tag their own jobs. A cancelled
     # run raises out of the action mid-flight; the write-data-then-
     # marker ordering makes that indistinguishable from a crash, so the
-    # next invocation simply resumes.
+    # next invocation simply resumes. The group is CLEARED on every
+    # exit path — left sticky, the caller's next unrelated action on
+    # this thread would inherit it and be killable by a late cancel.
     spark.sparkContext.setJobGroup(f"curator-run-{run_id}",
                                    f"curator_spark checkpointed run "
                                    f"{run_id} → {out_dir}",
                                    interruptOnCancel=True)
+    try:
+        return _run_checkpointed_grouped(
+            spark, input_path, out_dir, params, only_parts,
+            broadcast_conv_aggs, staged, strict, ledger, run_id, t0)
+    finally:
+        for prop in ("spark.jobGroup.id", "spark.job.description",
+                     "spark.job.interruptOnCancel"):
+            spark.sparkContext.setLocalProperty(prop, None)
+
+
+def _run_checkpointed_grouped(spark, input_path, out_dir, params,
+                              only_parts, broadcast_conv_aggs, staged,
+                              strict, ledger, run_id, t0) -> dict:
 
     # Resume trusts no marker blindly: each committed partition's footer
     # manifest must reconcile with its ledger entry, else its marker is

@@ -72,6 +72,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--vacuum", action="store_true",
                    help="after the run, reclaim data files no commit "
                         "manifest references (commitlog backend only)")
+    p.add_argument("--vacuum-min-age-sec", type=float, default=3600.0,
+                   help="vacuum retention window: only orphans older "
+                        "than this are reclaimed (protects files a "
+                        "concurrent shard placed ahead of its commit). "
+                        "Pass 0 when no writer can be concurrent — e.g. "
+                        "this single-writer invocation just finished")
     return p
 
 
@@ -111,7 +117,8 @@ def main(argv: list[str] | None = None) -> int:
         ledger_backend=ledger_backend,
     )
     if args.vacuum and ledger_backend == "commitlog":
-        summary["files_vacuumed"] = vacuum(args.output, ledger_backend)
+        summary["files_vacuumed"] = vacuum(args.output, ledger_backend,
+                                           min_age_s=args.vacuum_min_age_sec)
     print(json.dumps(summary))
     return 0
 

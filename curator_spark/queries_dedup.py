@@ -358,39 +358,15 @@ _NEARDUP_SQL = f"""
     ) WHERE cos_sim >= {NEARDUP_COS}
 """
 
-_MULTIPROBE_SQL = f"""
-    WITH base AS (
+# shared CTE fragment: sign buckets → radius-1 probe expansion →
+# DISTINCT candidate pairs with exact cosine. Composed into BOTH the
+# q49 oracle and q50's clustering oracle so the probe semantics (flip
+# rule, id_a < id_b convention, rounding) cannot silently diverge.
+_PROBE_PAIRS_CTES = f"""base AS (
         SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
                sqrt(list_sum(list_transform(embedding,
                     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm,
                {_BUCKET_BITS} AS bucket
-        FROM embeddings
-    ),
-    probes AS (
-        SELECT vec_id, v, nrm, bucket AS probe FROM base
-        UNION ALL
-        SELECT vec_id, v, nrm,
-               substr(bucket, 1, CAST(r.i AS INTEGER))
-               || (CASE WHEN substr(bucket, CAST(r.i AS INTEGER) + 1, 1) = '1'
-                        THEN '0' ELSE '1' END)
-               || substr(bucket, CAST(r.i AS INTEGER) + 2) AS probe
-        FROM base, range(0, {similarity.N_SIGN_BITS}) AS r(i)
-    )
-    SELECT id_a, id_b, cos_sim FROM (
-        SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
-               round(list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i]))
-                     / (a.nrm * b.nrm), 6) AS cos_sim
-        FROM probes a JOIN base b
-          ON a.probe = b.bucket AND a.vec_id < b.vec_id
-    ) WHERE cos_sim >= {NEARDUP_COS}
-"""
-
-_SEMANTIC_DEDUP_SQL = f"""
-    WITH RECURSIVE base AS (
-        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
-               sqrt(list_sum(list_transform(embedding,
-                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm,
-               {{bucket_bits}} AS bucket
         FROM embeddings
     ),
     probes AS (
@@ -409,7 +385,15 @@ _SEMANTIC_DEDUP_SQL = f"""
                      / (a.nrm * b.nrm), 6) AS cos_sim
         FROM probes a JOIN base b
           ON a.probe = b.bucket AND a.vec_id < b.vec_id
-    ),
+    )"""
+
+_MULTIPROBE_SQL = f"""
+    WITH {_PROBE_PAIRS_CTES}
+    SELECT id_a, id_b, cos_sim FROM pairs WHERE cos_sim >= {NEARDUP_COS}
+"""
+
+_SEMANTIC_DEDUP_SQL = f"""
+    WITH RECURSIVE {_PROBE_PAIRS_CTES},
     edges AS (SELECT id_a, id_b FROM pairs WHERE cos_sim >= {NEARDUP_COS}),
     und AS (
         SELECT id_a AS a, id_b AS b FROM edges
@@ -426,7 +410,7 @@ _SEMANTIC_DEDUP_SQL = f"""
            coalesce(c.component, e.vec_id) AS component,
            e.vec_id = coalesce(c.component, e.vec_id) AS keep_canonical
     FROM embeddings e LEFT JOIN comp c ON e.vec_id = c.id
-""".format(bucket_bits=_BUCKET_BITS)
+"""
 
 _DEDUP_PIPELINE_SQL = dedup_pipeline_sql("documents", "doc_id", "text")
 

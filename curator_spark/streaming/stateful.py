@@ -106,17 +106,19 @@ def _session_update(key: Tuple[Any, ...], pdfs: Iterator[pd.DataFrame],
     scanning for stale keys. Exactly the cross-trigger generalization
     of q11's lag-based gaps-and-islands.
 
-    Late-event semantics (cross-batch, inside the watermark): an event
-    older than the open session's `last` but within SESSION_GAP_US of
-    its `start` MERGES into it, extending start downward
-    (start = min(start, ts)) — matching what batch q11 computes for
-    that ordering. Events more than a gap OLDER than `start` cannot
-    belong to the open session and their true session may already have
-    been emitted; the batch's too-late events are sessionized among
-    themselves by the same gap rule and emitted best-effort (the one
-    documented divergence from batch: batch would have merged them into
-    that earlier, already-emitted session). Events later than the
-    watermark never reach this function at all."""
+    Late-event semantics (cross-batch, inside the watermark): each
+    trigger computes EXACTLY what batch q11 would on (open-session
+    state ∪ batch) via island-merge — batch points collapse into
+    gap-separated islands, the open-session interval joins the sorted
+    list, one merge pass fuses neighbors within a gap (so a session's
+    start extends downward when late events chain to it, in any
+    arrival order). Sessions that close because they sit more than a
+    gap below everything newer are emitted immediately; the one
+    remaining divergence from batch is inherent to append-mode
+    streaming: an emitted session is final, so a too-late event that
+    batch would have merged into an ALREADY-EMITTED session forms its
+    own session instead. Events later than the watermark never reach
+    this function at all."""
     user = key[0]
 
     def row(start, last, n):
@@ -130,37 +132,40 @@ def _session_update(key: Tuple[Any, ...], pdfs: Iterator[pd.DataFrame],
                            columns=[f.name for f in SESSION_OUTPUT_SCHEMA])
         return
 
-    start, last, n = state.get if state.exists else (None, None, 0)
-    closed = []
-    late = []  # events older than the open session's backward reach
     ts_all = sorted(
         int(t) for pdf in pdfs for t in pdf["ts_us"].tolist())
+    # Island-merge sessionization: the batch's points collapse into
+    # islands (runs separated by ≤ gap), the open-session interval from
+    # state joins the sorted interval list, and one merge pass fuses
+    # any neighbors within a gap. This computes exactly what batch q11
+    # would for (state ∪ batch) — including the order-dependent case an
+    # incremental loop gets wrong, where an apparently-too-late event
+    # becomes reachable only AFTER a later event extends the session's
+    # start downward. All sessions but the chronologically last close;
+    # the last stays open in state.
+    intervals = []
     for ts in ts_all:
-        if last is None:
-            start, last, n = ts, ts, 1
-        elif ts - last > SESSION_GAP_US:
-            closed.append(row(start, last, n))
-            start, last, n = ts, ts, 1
-        elif ts < start - SESSION_GAP_US:
-            # late event beyond the open session's backward reach: its
-            # true session was already closed — buffer it; the batch's
-            # too-late events are sessionized AMONG THEMSELVES below
-            # rather than glued onto a session they can't belong to
-            late.append(ts)
+        if intervals and ts - intervals[-1][1] <= SESSION_GAP_US:
+            s, _e, k = intervals[-1]
+            intervals[-1] = (s, ts, k + 1)
         else:
-            start, last, n = min(start, ts), max(last, ts), n + 1
-    # gap rule over the buffered too-late events (they arrive sorted):
-    # consecutive late events within a gap form ONE session, matching
-    # what batch q11 computes for them in isolation
-    if late:
-        ls, ll, ln = late[0], late[0], 1
-        for ts in late[1:]:
-            if ts - ll > SESSION_GAP_US:
-                closed.append(row(ls, ll, ln))
-                ls, ll, ln = ts, ts, 1
+            intervals.append((ts, ts, 1))
+    if state.exists:
+        import bisect
+        start, last, n = state.get
+        bisect.insort(intervals, (int(start), int(last), int(n)))
+        merged = []
+        for s, e, k in intervals:
+            if merged and s - merged[-1][1] <= SESSION_GAP_US:
+                ps, pe, pk = merged[-1]
+                merged[-1] = (ps, max(pe, e), pk + k)
             else:
-                ll, ln = ts, ln + 1
-        closed.append(row(ls, ll, ln))
+                merged.append((s, e, k))
+        intervals = merged
+    if not intervals:
+        return  # no events and no state: nothing to do
+    closed = [row(s, e, k) for s, e, k in intervals[:-1]]
+    start, last, n = intervals[-1]
     state.update((int(start), int(last), int(n)))
     # event-time timeout takes ms; fires once the watermark passes it
     state.setTimeoutTimestamp(last // 1000 + SESSION_GAP_US // 1000)

@@ -553,3 +553,25 @@ def test_commitlog_replay_matches_model_under_random_histories():
             assert led.run_success() == success
 
     run()
+
+
+def test_mixed_ledger_backends_refused(spark, small_input, tmp_path):
+    """One out_dir, one commit protocol: committing under a second
+    backend would fork the source of truth, so run_checkpointed refuses
+    — and detect_backend ignores empty commit-log debris."""
+    from curator_spark.checkpoint import detect_backend
+
+    out = str(tmp_path / "mixed")
+    run_checkpointed(spark, small_input, out, only_parts=[0],
+                     ledger_backend="commitlog")
+    with pytest.raises(ValueError, match="commitlog"):
+        run_checkpointed(spark, small_input, out)  # markers on same dir
+    assert detect_backend(out) == "commitlog"
+
+    out2 = str(tmp_path / "mixed2")
+    run_checkpointed(spark, small_input, out2, only_parts=[0])
+    with pytest.raises(ValueError, match="markers"):
+        run_checkpointed(spark, small_input, out2,
+                         ledger_backend="commitlog")
+    os.makedirs(os.path.join(out2, "_commitlog"))  # empty debris
+    assert detect_backend(out2) == "markers"

@@ -153,3 +153,17 @@ def test_consecutive_late_events_form_one_session():
     assert (rows[0]["start_us"], rows[0]["end_us"], rows[0]["n_events"]) == \
         (BASE_US + int(100e6), BASE_US + int(150e6), 2)
     assert st.get == (BASE_US + int(10000e6), BASE_US + int(11000e6), 3)
+
+
+def test_late_event_reachable_only_via_later_event_merges():
+    """Order-dependence fix: an event too old relative to the CURRENT
+    start must still merge when a later event in the same batch chains
+    it to the open session (batch q11 computes one session here)."""
+    GAP_S = 1800
+    st = _FakeState((BASE_US + int(10000e6), BASE_US + int(11000e6), 3))
+    # 8150 is > GAP below start=10000, but 8250 bridges: |8250-8150|<GAP
+    # and |10000-8250| < GAP → ALL of it is one session
+    rows, st = _apply(st, [8150, 8250])
+    assert rows == []
+    assert st.get == (BASE_US + int(8150e6), BASE_US + int(11000e6), 5)
+    assert GAP_S * 1e6 < (10000 - 8150) * 1e6  # sanity: 8150 was "too old"
