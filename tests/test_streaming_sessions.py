@@ -167,3 +167,51 @@ def test_late_event_reachable_only_via_later_event_merges():
     assert rows == []
     assert st.get == (BASE_US + int(8150e6), BASE_US + int(11000e6), 5)
     assert GAP_S * 1e6 < (10000 - 8150) * 1e6  # sanity: 8150 was "too old"
+
+
+def test_sessionize_property_chronological_batches_match_batch():
+    """Property: for ANY sorted event sequence cut into chronological
+    micro-batches at ANY points, the closed sessions plus the final
+    open session equal batch q11's gaps-and-islands over the full
+    sequence (exactness of the island-merge update)."""
+    import random
+
+    from curator_spark.streaming.stateful import SESSION_GAP_US
+
+    rng = random.Random(20260817)
+    for trial in range(25):
+        n = rng.randint(1, 60)
+        ts, t = [], 0
+        for _ in range(n):
+            # mix of intra-session steps and > gap jumps
+            t += rng.choice([1, 10, 600, 1700, 1801, 4000]) * 1_000_000
+            ts.append(t)
+        # expected islands (batch semantics)
+        want = []
+        for x in ts:
+            if want and x - want[-1][1] <= SESSION_GAP_US:
+                s, _e, k = want[-1]
+                want[-1] = (s, x, k + 1)
+            else:
+                want.append((x, x, 1))
+
+        # stream: random chronological cuts
+        cuts = sorted(rng.sample(range(1, n), min(rng.randint(0, 5), n - 1))) \
+            if n > 1 else []
+        batches, prev = [], 0
+        for c in cuts + [n]:
+            batches.append(ts[prev:c])
+            prev = c
+        st = _FakeState()
+        got = []
+        for b in batches:
+            if not b:
+                continue
+            rows, st = _apply(st, [x / 1e6 for x in b])
+            got += [(r["start_us"], r["end_us"], r["n_events"])
+                    for r in rows]
+        got.append((st.get[0], st.get[1], st.get[2]))
+        want_us = [(s, e, k) for s, e, k in want]
+        # _apply adds BASE_US; normalize got back
+        got = [(s - BASE_US, e - BASE_US, k) for s, e, k in got]
+        assert got == want_us, (trial, got, want_us)
