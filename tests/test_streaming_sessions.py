@@ -184,7 +184,9 @@ def test_sessionize_property_chronological_batches_match_batch():
         ts, t = [], 0
         for _ in range(n):
             # mix of intra-session steps and > gap jumps
-            t += rng.choice([1, 10, 600, 1700, 1801, 4000]) * 1_000_000
+            # 1800 == SESSION_GAP: exercises the <= merge boundary both
+            # in the stream and in the expected-island comparator
+            t += rng.choice([1, 10, 600, 1700, 1800, 1801, 4000]) * 1_000_000
             ts.append(t)
         # expected islands (batch semantics)
         want = []
@@ -205,13 +207,10 @@ def test_sessionize_property_chronological_batches_match_batch():
         st = _FakeState()
         got = []
         for b in batches:
-            if not b:
-                continue
             rows, st = _apply(st, [x / 1e6 for x in b])
             got += [(r["start_us"], r["end_us"], r["n_events"])
                     for r in rows]
         got.append((st.get[0], st.get[1], st.get[2]))
-        want_us = [(s, e, k) for s, e, k in want]
         # _apply adds BASE_US; normalize got back
         got = [(s - BASE_US, e - BASE_US, k) for s, e, k in got]
-        assert got == want_us, (trial, got, want_us)
+        assert got == want, (trial, got, want)
