@@ -313,3 +313,87 @@ def decontaminate(train: DataFrame, benchmark: DataFrame,
             .join(dirty, id_col, "left")
             .select(id_col, F.coalesce("contaminated", F.lit(False))
                     .alias("contaminated")))
+
+
+def duplicate_span_stats(docs: DataFrame, text_col: str = "text",
+                         id_col: str = "doc_id", n: int = 5,
+                         min_df: int = 2) -> DataFrame:
+    """Per-document duplicated-span statistics: the fraction of a doc's
+    distinct word n-grams that occur in >= min_df documents corpus-wide
+    (the Spark-shaped analogue of suffix-array span dedup, Lee et al.
+    2021 "Deduplicating Training Data Makes Language Models Better" --
+    exact-substring spans become shingle document frequencies).
+
+    Plan shape at 100 TB: explode to distinct shingles per doc, ONE
+    map-side-combined groupBy(shingle) for document frequency, shuffle
+    join back on the same shingle key (co-partitioned -- Catalyst reuses
+    the exchange), groupBy(doc) for the per-doc tallies. No all-pairs
+    product at any stage; the hot-shingle skew defense is the same
+    stop-shingle df cap as jaccard_pairs (a shingle in millions of docs
+    is boilerplate -- it saturates dup_frac either way).
+
+    Returns (id, n_shingles, n_dup_shingles, dup_frac) for every doc;
+    docs shorter than n words have zero shingles and dup_frac 0.0."""
+    sh = doc_shingles(docs, text_col, id_col, n)
+    df_counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    tallies = (
+        sh.join(df_counts, "shingle")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_shingles"),
+             F.sum((F.col("df") >= min_df).cast("long"))
+             .alias("n_dup_shingles"))
+    )
+    return (
+        docs.select(id_col)
+        .join(tallies, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_shingles", F.lit(0).cast("long"))
+            .alias("n_shingles"),
+            F.coalesce("n_dup_shingles", F.lit(0).cast("long"))
+            .alias("n_dup_shingles"),
+        )
+        .withColumn(
+            "dup_frac",
+            F.round(F.col("n_dup_shingles")
+                    / F.greatest("n_shingles", F.lit(1)), 4))
+    )
+
+
+def contamination_stats(train: DataFrame, benchmark: DataFrame,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        n: int = 13) -> DataFrame:
+    """Graded decontamination: per training doc, the FRACTION of its
+    distinct word n-grams shared with the benchmark set (decontaminate
+    is the boolean any-overlap rule; production pipelines also want the
+    Llama-style contamination ratio to threshold, e.g. drop > 0.8).
+
+    Same scale path as decontaminate: benchmark shingles deduplicate to
+    a compact set (broadcastable in practice), the train side is scored
+    by a LEFT SEMI join on the shingle key plus one groupBy(doc) --
+    never a train x benchmark product. Returns (id, n_shingles,
+    n_contaminated, contamination_frac) for every training doc."""
+    tr_sh = doc_shingles(train, text_col, id_col, n)
+    bm_sh = (doc_shingles(benchmark, text_col, id_col, n)
+             .select("shingle").distinct())
+    totals = tr_sh.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_shingles"))
+    hits = (tr_sh.join(bm_sh, "shingle", "left_semi")
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_contaminated")))
+    return (
+        train.select(id_col)
+        .join(totals, id_col, "left")
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_shingles", F.lit(0).cast("long"))
+            .alias("n_shingles"),
+            F.coalesce("n_contaminated", F.lit(0).cast("long"))
+            .alias("n_contaminated"),
+        )
+        .withColumn(
+            "contamination_frac",
+            F.round(F.col("n_contaminated")
+                    / F.greatest("n_shingles", F.lit(1)), 4))
+    )

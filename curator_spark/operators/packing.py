@@ -1,0 +1,77 @@
+"""Sequence packing for training-batch construction.
+
+LLM pretraining/SFT pipelines pack variable-length documents into
+fixed-token-budget training sequences so every batch slot is full.
+Packing is inherently sequential (the next doc's placement depends on
+the current fill), so a single global pass cannot scale; the standard
+device is the same one the reference uses for batching (SURVEY.md §2
+A12, `base_request_processor.py:222-244` chunking): shard the corpus
+into deterministic hash buckets, pack each bucket independently, and
+let the bucket count scale with the corpus. Assignment is a pure
+function of (id, token count, bucket salt) — partitioning-, retry- and
+engine-invariant, so a DuckDB recursive-CTE oracle replays it exactly.
+
+Plan shape at 100 TB: one narrow JVM-side map computes (bucket,
+n_tokens) — the text column is pruned before any shuffle — then ONE
+shuffle on the bucket key into `applyInPandas`, which sees only the
+3-column (id, bucket, n_tokens) frame. Buckets are sized to executor
+memory (rows are 20 bytes each in Arrow — a 10^7-doc bucket is
+~200 MB); `n_buckets` is the scale knob, exactly like the reference's
+`batch_size`.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+
+from .sampling import hash_bucket
+
+PACK_SALT = "pack-v1"
+
+
+def pack_sequences(docs: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text", budget: int = 128,
+                   n_buckets: int = 8,
+                   salt: str = PACK_SALT) -> DataFrame:
+    """Next-fit sequence packing within deterministic hash buckets.
+
+    Within a bucket, docs are taken in ascending `id_col` order; a doc
+    joins the open sequence if it fits the token budget, else it opens
+    the next one (next-fit — the streaming-friendly discipline; docs
+    longer than the budget occupy a sequence alone). Returns one row
+    per doc: (id, bucket, n_tokens, seq_idx, seq_offset) where seq_idx
+    numbers sequences within the bucket and seq_offset is the doc's
+    token start position inside its sequence.
+    """
+    toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+    base = docs.select(
+        F.col(id_col),
+        hash_bucket(id_col, salt, n_buckets).alias("bucket"),
+        F.size(toks).alias("n_tokens"),
+    )
+    out_schema = StructType([
+        base.schema[id_col],
+        StructField("bucket", LongType()),
+        StructField("n_tokens", IntegerType()),
+        StructField("seq_idx", IntegerType()),
+        StructField("seq_offset", IntegerType()),
+    ])
+
+    def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col).reset_index(drop=True)
+        seq_idx, seq_off = [], []
+        seq, fill = 0, 0
+        for i, nt in enumerate(pdf["n_tokens"]):
+            nt = int(nt)
+            if i > 0 and fill + nt > budget:
+                seq, fill = seq + 1, 0
+            seq_idx.append(seq)
+            seq_off.append(fill)
+            fill += nt
+        pdf["seq_idx"] = pd.Series(seq_idx, dtype="int32")
+        pdf["seq_offset"] = pd.Series(seq_off, dtype="int32")
+        return pdf[[f.name for f in out_schema.fields]]
+
+    return base.groupBy("bucket").applyInPandas(_pack, out_schema)

@@ -295,6 +295,45 @@ def q15_lang_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SRC_DENSITY_MIN = 0.06
+
+
+def q54_source_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain/source-level reputation filtering: the pretraining-corpus
+    op of scoring whole domains and dropping every page from a bad one
+    (the domain-blocklist cousin of q14's per-doc rules). The source
+    quality signal is the micro-averaged stopword density — integer
+    token counts summed per source, ONE division at the end, so the
+    score is order-independent and cross-engine exact (a mean of
+    per-doc doubles would depend on fold order). Plan shape: narrow
+    per-doc counts → map-side-combined groupBy(source) over a tiny key
+    domain → the per-source verdict BROADCAST back onto the docs —
+    no second shuffle of the corpus at any scale."""
+    docs = _t(spark, sf_dir, "documents")
+    stop = ("the", "a", "of", "and", "to", "in", "is", "for")
+    toks = F.filter(F.split(F.lower(F.col("text")), " "), lambda t: t != "")
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*stop)))
+    per_doc = docs.select(
+        "doc_id", "source",
+        n_stop.cast("long").alias("n_stop"),
+        F.size(toks).cast("long").alias("n_toks"),
+    )
+    src = (
+        per_doc.groupBy("source")
+        .agg(F.sum("n_stop").alias("src_stop"),
+             F.sum("n_toks").alias("src_tokens"))
+        .select(
+            "source",
+            F.round(F.col("src_stop")
+                    / F.greatest("src_tokens", F.lit(1)), 6)
+            .alias("src_density"))
+        .withColumn("src_ok", F.col("src_density") >= SRC_DENSITY_MIN)
+    )
+    return (per_doc.select("doc_id", "source")
+            .join(F.broadcast(src), "source")
+            .select("doc_id", "source", "src_density", "src_ok"))
+
+
 def q16_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprinting: md5 over the space-collapsed lowercased
     text — the exact-dedup key. Narrow map, hash computed JVM-side."""
@@ -880,6 +919,28 @@ ORACLES: dict[str, str] = {
         SELECT doc_id, md5(replace(lower(text), ' ', '')) AS fp
         FROM documents
     """,
+    "q54_source_filter": """
+        WITH per_doc AS (
+            SELECT doc_id, source,
+                   CAST(len(list_filter(string_split(lower(text), ' '),
+                        t -> t <> '' AND t IN ('the','a','of','and','to',
+                                               'in','is','for')))
+                        AS BIGINT) AS n_stop,
+                   CAST(len(list_filter(string_split(lower(text), ' '),
+                                        t -> t <> '')) AS BIGINT) AS n_toks
+            FROM documents
+        ),
+        src AS (
+            SELECT source,
+                   round(CAST(sum(n_stop) AS BIGINT) * 1.0
+                         / greatest(CAST(sum(n_toks) AS BIGINT), 1), 6)
+                       AS src_density
+            FROM per_doc GROUP BY source
+        )
+        SELECT d.doc_id, d.source, s.src_density,
+               s.src_density >= 0.06 AS src_ok
+        FROM per_doc d JOIN src s USING (source)
+    """,
     "q17_exact_dedup": """
         SELECT md5(text) AS h, min(doc_id) AS canonical_id,
                count(*) AS n_dups
@@ -1148,6 +1209,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q14_doc_quality": q14_doc_quality,
     "q15_lang_guess": q15_lang_guess,
     "q16_fingerprint": q16_fingerprint,
+    "q54_source_filter": q54_source_filter,
     "q17_exact_dedup": q17_exact_dedup,
     "q25_order_history_fp": q25_order_history_fp,
     "q28_asof_join": q28_asof_join,

@@ -136,6 +136,46 @@ def q49_multiprobe_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                                                    threshold=NEARDUP_COS)
 
 
+DUP_SPAN_MIN_DF = 2
+PACK_BUDGET = 128
+PACK_BUCKETS = 8
+
+
+def q51_dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-span statistics (operators/dedup.duplicate_span_stats):
+    per doc, the fraction of its distinct word n-grams occurring in >= 2
+    documents corpus-wide — the shingle-df reformulation of exact
+    substring span dedup (Lee et al. 2021). Two shuffles on uniform
+    keys (shingle, doc), no all-pairs product."""
+    return dedup.duplicate_span_stats(_docs(spark, sf_dir), n=JACCARD_N,
+                                      min_df=DUP_SPAN_MIN_DF)
+
+
+def q52_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sequence packing (operators/packing.pack_sequences):
+    next-fit packing of docs into fixed token-budget sequences within
+    deterministic hash buckets — text pruned to (id, bucket, n_tokens)
+    before the one shuffle; sequential fill runs per bucket inside
+    applyInPandas. Oracle = recursive-CTE replay of the next-fit
+    recurrence per bucket."""
+    from .operators.packing import pack_sequences
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    return pack_sequences(docs, budget=PACK_BUDGET, n_buckets=PACK_BUCKETS)
+
+
+def q53_contamination_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graded decontamination (operators/dedup.contamination_stats):
+    q47's benchmark split, but scoring each training doc with the
+    FRACTION of its shingles shared with the benchmark set (the
+    Llama-style contamination ratio) instead of the boolean
+    any-overlap flag. Same semi-join scale path."""
+    from .operators.sampling import hash_bucket
+    docs = _docs(spark, sf_dir)
+    is_bench = hash_bucket("doc_id", "bench-v1") < BENCH_BUCKETS
+    return dedup.contamination_stats(docs.filter(~is_bench),
+                                     docs.filter(is_bench), n=JACCARD_N)
+
+
 MIX_FRACTIONS = {"en": 0.5, "zh": 0.25}
 MIX_DEFAULT = 1.0
 BENCH_BUCKETS = 1000  # 10% of documents act as the benchmark set
@@ -548,6 +588,84 @@ _QUANT_SQL = """
     FROM scaled
 """
 
+_DUP_SPAN_SQL = f"""
+    WITH sh AS ({shingles_sql("documents", "doc_id", "text")}),
+    dfreq AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),
+    tall AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+               CAST(sum(CASE WHEN df >= {DUP_SPAN_MIN_DF} THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_dup
+        FROM sh JOIN dfreq USING (shingle) GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(t.n_shingles, 0) AS n_shingles,
+           coalesce(t.n_dup, 0) AS n_dup_shingles,
+           round(coalesce(t.n_dup, 0) * 1.0
+                 / greatest(coalesce(t.n_shingles, 0), 1), 4) AS dup_frac
+    FROM documents d LEFT JOIN tall t USING (doc_id)
+"""
+
+# replays pack_sequences' next-fit recurrence: same hash bucket as the
+# Spark side (md5 prefix construction shared with _MIX_SQL), docs in
+# ascending id order per bucket, fill state threaded through a
+# recursive CTE one rank at a time
+_PACK_SQL = f"""
+    WITH RECURSIVE base AS (
+        SELECT doc_id,
+               ('0x' || substr(md5(doc_id::VARCHAR || ':pack-v1'), 1, 8))::BIGINT
+                   % {PACK_BUCKETS} AS bucket,
+               CAST(len(list_filter(string_split(text, ' '), t -> t <> ''))
+                    AS INTEGER) AS n_tokens
+        FROM documents
+    ),
+    ordered AS (
+        SELECT *, row_number() OVER (PARTITION BY bucket ORDER BY doc_id) AS rn
+        FROM base
+    ),
+    pack AS (
+        SELECT bucket, rn, doc_id, n_tokens,
+               0 AS seq_idx, 0 AS seq_offset, n_tokens AS fill
+        FROM ordered WHERE rn = 1
+        UNION ALL
+        SELECT o.bucket, o.rn, o.doc_id, o.n_tokens,
+               CASE WHEN p.fill + o.n_tokens > {PACK_BUDGET}
+                    THEN p.seq_idx + 1 ELSE p.seq_idx END,
+               CASE WHEN p.fill + o.n_tokens > {PACK_BUDGET}
+                    THEN 0 ELSE p.fill END,
+               CASE WHEN p.fill + o.n_tokens > {PACK_BUDGET}
+                    THEN o.n_tokens ELSE p.fill + o.n_tokens END
+        FROM ordered o JOIN pack p ON o.bucket = p.bucket AND o.rn = p.rn + 1
+    )
+    SELECT doc_id, bucket, n_tokens,
+           CAST(seq_idx AS INTEGER) AS seq_idx,
+           CAST(seq_offset AS INTEGER) AS seq_offset
+    FROM pack
+"""
+
+_CONTAM_FRAC_SQL = f"""
+    WITH bucketed AS (
+        SELECT *, ('0x' || substr(md5(doc_id::VARCHAR || ':bench-v1'), 1, 8))::BIGINT
+                      % {_NB} AS bucket
+        FROM documents
+    ),
+    train AS (SELECT doc_id, text FROM bucketed WHERE bucket >= {BENCH_BUCKETS}),
+    bench AS (SELECT doc_id, text FROM bucketed WHERE bucket < {BENCH_BUCKETS}),
+    tr_sh AS ({shingles_sql("train", "doc_id", "text")}),
+    bm_sh AS (SELECT DISTINCT shingle
+              FROM ({shingles_sql("bench", "doc_id", "text")})),
+    tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh
+            FROM tr_sh GROUP BY doc_id),
+    hit AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hit
+            FROM tr_sh WHERE shingle IN (SELECT shingle FROM bm_sh)
+            GROUP BY doc_id)
+    SELECT tr.doc_id,
+           coalesce(tot.n_sh, 0) AS n_shingles,
+           coalesce(hit.n_hit, 0) AS n_contaminated,
+           round(coalesce(hit.n_hit, 0) * 1.0
+                 / greatest(coalesce(tot.n_sh, 0), 1), 4) AS contamination_frac
+    FROM train tr LEFT JOIN tot USING (doc_id) LEFT JOIN hit USING (doc_id)
+"""
+
 ORACLES: dict[str, str] = {
     "q48_quantize_embeddings": _QUANT_SQL,
     "q46_mixture_sample": _MIX_SQL,
@@ -564,6 +682,9 @@ ORACLES: dict[str, str] = {
     "q39_dedup_components": _COMPONENTS_SQL,
     "q49_multiprobe_neardup": _MULTIPROBE_SQL,
     "q50_semantic_dedup": _SEMANTIC_DEDUP_SQL,
+    "q51_dup_span_stats": _DUP_SPAN_SQL,
+    "q52_sequence_pack": _PACK_SQL,
+    "q53_contamination_frac": _CONTAM_FRAC_SQL,
 }
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -582,4 +703,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q46_mixture_sample": q46_mixture_sample,
     "q47_decontaminate": q47_decontaminate,
     "q48_quantize_embeddings": q48_quantize_embeddings,
+    "q51_dup_span_stats": q51_dup_span_stats,
+    "q52_sequence_pack": q52_sequence_pack,
+    "q53_contamination_frac": q53_contamination_frac,
 }

@@ -1,0 +1,105 @@
+"""Sequence packing + duplicated-span / contamination-fraction operators.
+
+Property-style gates for the three round-3 training-pipeline additions
+(operators/packing.py, operators/dedup.duplicate_span_stats,
+operators/dedup.contamination_stats). Their value-level exactness is
+covered by the q51/q52/q53 DuckDB oracles (tools/selfcheck.py); these
+tests pin the SEMANTIC invariants the oracles can't state: budget
+respected, assignment partition-invariant, fractions consistent with
+the boolean decontaminate rule.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from curator_spark.operators import dedup
+from curator_spark.operators.packing import pack_sequences
+
+BUDGET = 50
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+
+
+@pytest.fixture(scope="module")
+def packed(spark):
+    texts = [" ".join(f"w{j}" for j in range(3 + (i * 7) % 40))
+             for i in range(200)]
+    texts[13] = " ".join(f"big{j}" for j in range(BUDGET + 25))  # oversize
+    docs = _docs(spark, texts)
+    out = pack_sequences(docs, budget=BUDGET, n_buckets=4).toPandas()
+    return docs, out
+
+
+def test_pack_assigns_every_doc_once(packed):
+    docs, out = packed
+    assert sorted(out["doc_id"]) == list(range(200))
+
+
+def test_pack_respects_budget_except_oversize_alone(packed):
+    _, out = packed
+    for (_, _), grp in out.groupby(["bucket", "seq_idx"]):
+        total = grp["n_tokens"].sum()
+        if total > BUDGET:  # only a single oversize doc may overflow
+            assert len(grp) == 1 and grp["seq_offset"].iloc[0] == 0
+    big = out[out["doc_id"] == 13]
+    assert big["n_tokens"].iloc[0] == BUDGET + 25
+    assert big["seq_offset"].iloc[0] == 0
+
+
+def test_pack_offsets_are_cumulative_in_id_order(packed):
+    _, out = packed
+    for (_, _), grp in out.groupby(["bucket", "seq_idx"]):
+        grp = grp.sort_values("doc_id")
+        fill = 0
+        for _, r in grp.iterrows():
+            assert r["seq_offset"] == fill
+            fill += r["n_tokens"]
+
+
+def test_pack_partition_invariant(packed):
+    docs, out = packed
+    again = (pack_sequences(docs.repartition(7), budget=BUDGET, n_buckets=4)
+             .toPandas())
+    key = ["doc_id", "bucket", "n_tokens", "seq_idx", "seq_offset"]
+    pd.testing.assert_frame_equal(
+        out[key].sort_values("doc_id").reset_index(drop=True),
+        again[key].sort_values("doc_id").reset_index(drop=True))
+
+
+def test_dup_span_stats_counts_cross_doc_spans(spark):
+    docs = _docs(spark, [
+        "alpha beta gamma delta",   # shares 'alpha beta gamma' with doc 1
+        "alpha beta gamma omega",
+        "zeta eta theta iota",      # unique
+        "wd",                       # shorter than n=3 → zero shingles
+    ])
+    out = {r["doc_id"]: r.asDict()
+           for r in dedup.duplicate_span_stats(docs, n=3).collect()}
+    assert out[0]["n_shingles"] == 2 and out[0]["n_dup_shingles"] == 1
+    assert out[0]["dup_frac"] == 0.5
+    assert out[2]["n_dup_shingles"] == 0 and out[2]["dup_frac"] == 0.0
+    assert out[3]["n_shingles"] == 0 and out[3]["dup_frac"] == 0.0
+
+
+def test_contamination_frac_consistent_with_boolean_rule(spark):
+    train = _docs(spark, [
+        "a b c d e",          # fully covered by bench doc
+        "a b c x y z",        # partially covered
+        "p q r s t",          # disjoint
+    ])
+    bench = _docs(spark, ["a b c d e f"])
+    frac = {r["doc_id"]: r.asDict()
+            for r in dedup.contamination_stats(train, bench, n=3).collect()}
+    assert frac[0]["contamination_frac"] == 1.0
+    assert 0.0 < frac[1]["contamination_frac"] < 1.0
+    assert frac[2]["contamination_frac"] == 0.0
+    flag = {r["doc_id"]: r["contaminated"]
+            for r in dedup.decontaminate(train, bench, n=3).collect()}
+    for i in (0, 1, 2):
+        assert flag[i] == (frac[i]["n_contaminated"] > 0)
