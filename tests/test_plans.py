@@ -131,6 +131,45 @@ def test_cobucketed_join_has_no_exchange(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS o_bkt")
 
 
+def test_pack_shuffles_once_without_text(spark):
+    """Sequence packing's one shuffle must carry only (id, bucket,
+    n_tokens) — the text column is projected away BELOW the Exchange,
+    so the bytes crossing the network are ~20/row regardless of doc
+    size, and there is exactly one shuffle in the whole plan."""
+    from curator_spark.operators.packing import pack_sequences
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text")
+    plan = plan_of(pack_sequences(docs))
+    assert plan.count("Exchange hashpartitioning") == 1
+    exchange_input = plan.split("Exchange hashpartitioning")[1]
+    # everything below the exchange feeds it; text must not appear as an
+    # output attribute there except inside the scan that computes n_tokens
+    first_node = exchange_input.split("\n")[1]
+    assert "text" not in first_node, first_node
+    assert "FlatMapGroupsInPandas" in plan
+
+
+def test_source_filter_broadcasts_verdict(spark):
+    """q54 must broadcast the tiny per-source verdict back onto the
+    corpus — the docs side never reshuffles for the enrich join."""
+    plan = plan_of(queries.q54_source_filter(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # exactly one data-proportional shuffle: the groupBy(source) agg
+    assert plan.count("Exchange hashpartitioning") <= 1
+
+
+def test_dup_span_stats_is_equijoin(spark):
+    """Duplicated-span stats joins shingles to their document
+    frequencies on the shingle key — never an all-pairs product."""
+    from curator_spark.operators import dedup
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text")
+    plan = plan_of(dedup.duplicate_span_stats(docs))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_multiprobe_neardup_is_equijoin(spark):
     """Multi-probe fan-out must stay an equi-join on the probe/bucket
     key: the (1+n_bits)× explode lives on ONE side, never as a
