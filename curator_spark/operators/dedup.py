@@ -317,7 +317,8 @@ def decontaminate(train: DataFrame, benchmark: DataFrame,
 
 def duplicate_span_stats(docs: DataFrame, text_col: str = "text",
                          id_col: str = "doc_id", n: int = 5,
-                         min_df: int = 2) -> DataFrame:
+                         min_df: int = 2,
+                         max_shingle_df: int | None = None) -> DataFrame:
     """Per-document duplicated-span statistics: the fraction of a doc's
     distinct word n-grams that occur in >= min_df documents corpus-wide
     (the Spark-shaped analogue of suffix-array span dedup, Lee et al.
@@ -328,21 +329,60 @@ def duplicate_span_stats(docs: DataFrame, text_col: str = "text",
     map-side-combined groupBy(shingle) for document frequency, shuffle
     join back on the same shingle key (co-partitioned -- Catalyst reuses
     the exchange), groupBy(doc) for the per-doc tallies. No all-pairs
-    product at any stage; the hot-shingle skew defense is the same
-    stop-shingle df cap as jaccard_pairs (a shingle in millions of docs
-    is boilerplate -- it saturates dup_frac either way).
+    product at any stage.
+
+    max_shingle_df: hot-shingle skew defense for the df join -- a
+    boilerplate shingle present in 10^8 docs would land 10^8 rows on
+    one reduce partition. Shingles with df > max_shingle_df are pulled
+    into a small broadcast set and counted per doc with narrow
+    broadcast semi/anti joins instead of the shuffle join; since
+    df > max_shingle_df >= min_df they are duplicated BY DEFINITION,
+    so unlike jaccard_pairs' cap this is EXACT, not an approximation
+    (requires max_shingle_df >= min_df; assumes the over-cap shingle
+    set is driver-small -- bounded by corpus_shingles / cap).
 
     Returns (id, n_shingles, n_dup_shingles, dup_frac) for every doc;
     docs shorter than n words have zero shingles and dup_frac 0.0."""
     sh = doc_shingles(docs, text_col, id_col, n)
     df_counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-    tallies = (
-        sh.join(df_counts, "shingle")
-        .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("n_shingles"),
-             F.sum((F.col("df") >= min_df).cast("long"))
-             .alias("n_dup_shingles"))
-    )
+    if max_shingle_df is None:
+        tallies = (
+            sh.join(df_counts, "shingle")
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_shingles"),
+                 F.sum((F.col("df") >= min_df).cast("long"))
+                 .alias("n_dup_shingles"))
+        )
+    else:
+        if max_shingle_df < min_df:
+            raise ValueError(
+                f"max_shingle_df ({max_shingle_df}) must be >= min_df "
+                f"({min_df}) for the hot-shingle shortcut to stay exact")
+        hot = F.broadcast(df_counts.filter(F.col("df") > max_shingle_df)
+                          .select("shingle"))
+        cold_tallies = (
+            sh.join(hot, "shingle", "left_anti")
+            .join(df_counts, "shingle")
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_cold"),
+                 F.sum((F.col("df") >= min_df).cast("long"))
+                 .alias("n_cold_dup"))
+        )
+        hot_tallies = (
+            sh.join(hot, "shingle", "left_semi")
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_hot"))
+        )
+        tallies = (
+            cold_tallies.join(hot_tallies, id_col, "full_outer")
+            .select(
+                id_col,
+                (F.coalesce("n_cold", F.lit(0))
+                 + F.coalesce("n_hot", F.lit(0))).alias("n_shingles"),
+                (F.coalesce("n_cold_dup", F.lit(0))
+                 + F.coalesce("n_hot", F.lit(0))).alias("n_dup_shingles"),
+            )
+        )
     return (
         docs.select(id_col)
         .join(tallies, id_col, "left")
@@ -369,22 +409,27 @@ def contamination_stats(train: DataFrame, benchmark: DataFrame,
     Llama-style contamination ratio to threshold, e.g. drop > 0.8).
 
     Same scale path as decontaminate: benchmark shingles deduplicate to
-    a compact set (broadcastable in practice), the train side is scored
-    by a LEFT SEMI join on the shingle key plus one groupBy(doc) --
-    never a train x benchmark product. Returns (id, n_shingles,
-    n_contaminated, contamination_frac) for every training doc."""
+    a compact set (broadcastable in practice), joined LEFT onto the
+    train shingles with a hit flag so ONE aggregation pass over the
+    exploded train-shingle table (the largest relation in the plan)
+    computes both the total and the contaminated count -- never a
+    train x benchmark product. bm_sh is distinct, so the left join
+    cannot fan rows out. Returns (id, n_shingles, n_contaminated,
+    contamination_frac) for every training doc."""
     tr_sh = doc_shingles(train, text_col, id_col, n)
     bm_sh = (doc_shingles(benchmark, text_col, id_col, n)
-             .select("shingle").distinct())
-    totals = tr_sh.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("n_shingles"))
-    hits = (tr_sh.join(bm_sh, "shingle", "left_semi")
-            .groupBy(id_col)
-            .agg(F.count(F.lit(1)).alias("n_contaminated")))
+             .select("shingle").distinct()
+             .withColumn("hit", F.lit(1)))
+    tallies = (
+        tr_sh.join(bm_sh, "shingle", "left")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_shingles"),
+             F.sum(F.coalesce("hit", F.lit(0))).cast("long")
+             .alias("n_contaminated"))
+    )
     return (
         train.select(id_col)
-        .join(totals, id_col, "left")
-        .join(hits, id_col, "left")
+        .join(tallies, id_col, "left")
         .select(
             id_col,
             F.coalesce("n_shingles", F.lit(0).cast("long"))

@@ -49,7 +49,9 @@ def pack_sequences(docs: DataFrame, id_col: str = "doc_id",
     base = docs.select(
         F.col(id_col),
         hash_bucket(id_col, salt, n_buckets).alias("bucket"),
-        F.size(toks).alias("n_tokens"),
+        # NULL text → zero tokens (size(split(NULL)) is NULL, which
+        # would reach the pandas kernel as NaN and crash int())
+        F.coalesce(F.size(toks), F.lit(0)).alias("n_tokens"),
     )
     out_schema = StructType([
         base.schema[id_col],

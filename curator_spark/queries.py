@@ -283,9 +283,8 @@ def q15_lang_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
     the char-trigram langid model): English function-word fraction →
     guess_en, compared against the labeled lang column."""
     docs = _t(spark, sf_dir, "documents")
-    stop = ("the", "a", "of", "and", "to", "in", "is", "for")
     toks = F.filter(F.split(F.lower(F.col("text")), " "), lambda t: t != "")
-    n_stop = F.size(F.filter(toks, lambda t: t.isin(*stop)))
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
     frac = n_stop.cast("double") / F.greatest(F.size(toks), F.lit(1))
     return docs.select(
         "doc_id", "lang",
@@ -294,6 +293,11 @@ def q15_lang_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("lang") == "en").alias("is_en"),
     )
 
+
+# the language/quality stop list shared by q15, q54, and their oracles
+# (STOPWORDS_SQL is the DuckDB-literal rendering of the same tuple)
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "for")
+STOPWORDS_SQL = ",".join(f"'{w}'" for w in STOPWORDS)
 
 SRC_DENSITY_MIN = 0.06
 
@@ -310,9 +314,8 @@ def q54_source_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     domain → the per-source verdict BROADCAST back onto the docs —
     no second shuffle of the corpus at any scale."""
     docs = _t(spark, sf_dir, "documents")
-    stop = ("the", "a", "of", "and", "to", "in", "is", "for")
     toks = F.filter(F.split(F.lower(F.col("text")), " "), lambda t: t != "")
-    n_stop = F.size(F.filter(toks, lambda t: t.isin(*stop)))
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
     per_doc = docs.select(
         "doc_id", "source",
         n_stop.cast("long").alias("n_stop"),
@@ -899,7 +902,7 @@ ORACLES: dict[str, str] = {
                  AS keep
         FROM base
     """,
-    "q15_lang_guess": """
+    "q15_lang_guess": f"""
         WITH base AS (
             SELECT doc_id, lang,
                    list_filter(string_split(lower(text), ' '), t -> t <> '') AS toks
@@ -907,10 +910,10 @@ ORACLES: dict[str, str] = {
         )
         SELECT doc_id, lang,
                round(len(list_filter(toks,
-                         t -> t IN ('the','a','of','and','to','in','is','for')))
+                         t -> t IN ({STOPWORDS_SQL})))
                      * 1.0 / greatest(len(toks), 1), 4) AS stopword_frac,
                (len(list_filter(toks,
-                    t -> t IN ('the','a','of','and','to','in','is','for')))
+                    t -> t IN ({STOPWORDS_SQL})))
                 * 1.0 / greatest(len(toks), 1)) >= 0.05 AS guess_en,
                lang = 'en' AS is_en
         FROM base
@@ -919,12 +922,11 @@ ORACLES: dict[str, str] = {
         SELECT doc_id, md5(replace(lower(text), ' ', '')) AS fp
         FROM documents
     """,
-    "q54_source_filter": """
+    "q54_source_filter": f"""
         WITH per_doc AS (
             SELECT doc_id, source,
                    CAST(len(list_filter(string_split(lower(text), ' '),
-                        t -> t <> '' AND t IN ('the','a','of','and','to',
-                                               'in','is','for')))
+                        t -> t <> '' AND t IN ({STOPWORDS_SQL})))
                         AS BIGINT) AS n_stop,
                    CAST(len(list_filter(string_split(lower(text), ' '),
                                         t -> t <> '')) AS BIGINT) AS n_toks
@@ -938,7 +940,7 @@ ORACLES: dict[str, str] = {
             FROM per_doc GROUP BY source
         )
         SELECT d.doc_id, d.source, s.src_density,
-               s.src_density >= 0.06 AS src_ok
+               s.src_density >= {SRC_DENSITY_MIN} AS src_ok
         FROM per_doc d JOIN src s USING (source)
     """,
     "q17_exact_dedup": """

@@ -614,7 +614,8 @@ _PACK_SQL = f"""
         SELECT doc_id,
                ('0x' || substr(md5(doc_id::VARCHAR || ':pack-v1'), 1, 8))::BIGINT
                    % {PACK_BUCKETS} AS bucket,
-               CAST(len(list_filter(string_split(text, ' '), t -> t <> ''))
+               CAST(coalesce(len(list_filter(string_split(text, ' '),
+                                             t -> t <> '')), 0)
                     AS INTEGER) AS n_tokens
         FROM documents
     ),

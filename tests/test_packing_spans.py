@@ -72,6 +72,32 @@ def test_pack_partition_invariant(packed):
         again[key].sort_values("doc_id").reset_index(drop=True))
 
 
+def test_pack_tolerates_null_text(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, None), (3, "d e")], "doc_id long, text string")
+    out = pack_sequences(docs, budget=BUDGET, n_buckets=2).toPandas()
+    assert sorted(out["doc_id"]) == [1, 2, 3]
+    assert out.set_index("doc_id")["n_tokens"][2] == 0
+
+
+def test_dup_span_cap_is_exact(spark):
+    """max_shingle_df reroutes hot shingles through the broadcast
+    shortcut without changing ANY output value (hot ⇒ duplicated by
+    definition), unlike jaccard_pairs' approximating cap."""
+    hot = "common words repeated here"
+    docs = _docs(spark, [f"{hot} tail{i} tx{i} ty{i}" for i in range(30)]
+                 + ["lonely unique phrase entirely"])
+    key = ["doc_id", "n_shingles", "n_dup_shingles", "dup_frac"]
+    exact = (dedup.duplicate_span_stats(docs, n=3).toPandas()[key]
+             .sort_values("doc_id").reset_index(drop=True))
+    capped = (dedup.duplicate_span_stats(docs, n=3, max_shingle_df=5)
+              .toPandas()[key].sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(exact, capped, check_dtype=False)
+    assert exact["n_dup_shingles"].sum() > 0
+    with pytest.raises(ValueError):
+        dedup.duplicate_span_stats(docs, n=3, min_df=4, max_shingle_df=3)
+
+
 def test_dup_span_stats_counts_cross_doc_spans(spark):
     docs = _docs(spark, [
         "alpha beta gamma delta",   # shares 'alpha beta gamma' with doc 1
