@@ -31,6 +31,26 @@ from .sampling import hash_bucket
 PACK_SALT = "pack-v1"
 
 
+def _next_fit(pdf: pd.DataFrame, order_col: str, budget: int,
+              idx_name: str, off_name: str) -> pd.DataFrame:
+    """Shared next-fit kernel: in ascending order_col order, items join
+    the open window while they fit the token budget, else open the next
+    (an over-budget item occupies a window alone)."""
+    pdf = pdf.sort_values(order_col).reset_index(drop=True)
+    win_idx, win_off = [], []
+    win, fill = 0, 0
+    for i, nt in enumerate(pdf["n_tokens"]):
+        nt = int(nt)
+        if i > 0 and fill + nt > budget:
+            win, fill = win + 1, 0
+        win_idx.append(win)
+        win_off.append(fill)
+        fill += nt
+    pdf[idx_name] = pd.Series(win_idx, dtype="int32")
+    pdf[off_name] = pd.Series(win_off, dtype="int32")
+    return pdf
+
+
 def pack_sequences(docs: DataFrame, id_col: str = "doc_id",
                    text_col: str = "text", budget: int = 128,
                    n_buckets: int = 8,
@@ -62,18 +82,51 @@ def pack_sequences(docs: DataFrame, id_col: str = "doc_id",
     ])
 
     def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(id_col).reset_index(drop=True)
-        seq_idx, seq_off = [], []
-        seq, fill = 0, 0
-        for i, nt in enumerate(pdf["n_tokens"]):
-            nt = int(nt)
-            if i > 0 and fill + nt > budget:
-                seq, fill = seq + 1, 0
-            seq_idx.append(seq)
-            seq_off.append(fill)
-            fill += nt
-        pdf["seq_idx"] = pd.Series(seq_idx, dtype="int32")
-        pdf["seq_offset"] = pd.Series(seq_off, dtype="int32")
+        pdf = _next_fit(pdf, id_col, budget, "seq_idx", "seq_offset")
         return pdf[[f.name for f in out_schema.fields]]
 
     return base.groupBy("bucket").applyInPandas(_pack, out_schema)
+
+
+def segment_conversations(turns: DataFrame, conv_col: str = "conv_id",
+                          order_col: str = "turn_idx",
+                          text_col: str = "text",
+                          budget: int = 256) -> DataFrame:
+    """Greedy context-length windowing of multi-turn conversations: in
+    turn order, a turn joins the open window while the window stays
+    within the token budget, else it opens the next (next-fit — turn
+    boundaries are never split; an over-budget turn gets a window
+    alone). The SFT/inference-prep op of slicing long transcripts into
+    model-context-sized windows.
+
+    Same kernel and same plan shape as pack_sequences, but the grouping
+    key is the NATURAL sequential unit (the conversation) instead of a
+    synthetic hash bucket: text is pruned to (conv, turn, n_tokens)
+    before the single shuffle on conv_col, and the per-group state is
+    three small columns, so even a 10^5-turn conversation is a few MB
+    in Arrow. Windowing cannot parallelize inside one conversation (the
+    window index depends on every prior turn); across conversations it
+    scales with the corpus.
+
+    Returns one row per turn: (conv, turn, n_tokens, win_idx,
+    win_offset) with win_idx numbering windows within the conversation
+    and win_offset the turn's token start inside its window."""
+    toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+    base = turns.select(
+        F.col(conv_col),
+        F.col(order_col),
+        F.coalesce(F.size(toks), F.lit(0)).alias("n_tokens"),
+    )
+    out_schema = StructType([
+        base.schema[conv_col],
+        base.schema[order_col],
+        StructField("n_tokens", IntegerType()),
+        StructField("win_idx", IntegerType()),
+        StructField("win_offset", IntegerType()),
+    ])
+
+    def _seg(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = _next_fit(pdf, order_col, budget, "win_idx", "win_offset")
+        return pdf[[f.name for f in out_schema.fields]]
+
+    return base.groupBy(conv_col).applyInPandas(_seg, out_schema)

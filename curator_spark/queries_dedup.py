@@ -163,6 +163,25 @@ def q52_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(docs, budget=PACK_BUDGET, n_buckets=PACK_BUCKETS)
 
 
+SEG_BUDGET = 40
+
+
+def q55_context_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-length windowing (operators/packing.segment_conversations):
+    documents → transcripts derivation, then greedy next-fit slicing of
+    each conversation into token-budget windows in turn order (turn
+    boundaries never split; an over-budget turn sits alone) — the
+    SFT/inference-prep op of fitting long transcripts into a model
+    context. One shuffle on conv_id with text pruned to (conv, turn,
+    n_tokens) below it. Oracle = recursive-CTE replay of the
+    per-conversation next-fit recurrence over the same turns
+    derivation."""
+    from .ingest import docs_to_transcripts
+    from .operators.packing import segment_conversations
+    t = docs_to_transcripts(_docs(spark, sf_dir))
+    return segment_conversations(t, budget=SEG_BUDGET)
+
+
 def q53_contamination_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Graded decontamination (operators/dedup.contamination_stats):
     q47's benchmark split, but scoring each training doc with the
@@ -667,7 +686,48 @@ _CONTAM_FRAC_SQL = f"""
     FROM train tr LEFT JOIN tot USING (doc_id) LEFT JOIN hit USING (doc_id)
 """
 
+_SEG_SQL = f"""
+    WITH RECURSIVE toks AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), t -> t <> '') AS toks
+        FROM documents
+    ),
+    turns AS (
+        SELECT 'doc-' || lpad(doc_id::VARCHAR, 10, '0') AS conv_id,
+               CAST(i - 1 AS INTEGER) AS turn_idx,
+               CAST(len(list_filter(toks[(i-1)*12+1 : i*12],
+                                    t -> t <> '')) AS INTEGER) AS n_tokens
+        FROM toks,
+             unnest(range(1, greatest(CAST(ceil(len(toks) * 1.0 / 12) AS INT),
+                                      1) + 1)) AS u(i)
+    ),
+    ordered AS (
+        SELECT *, row_number() OVER (PARTITION BY conv_id
+                                     ORDER BY turn_idx) AS rn
+        FROM turns
+    ),
+    seg AS (
+        SELECT conv_id, rn, turn_idx, n_tokens,
+               0 AS win_idx, 0 AS win_offset, n_tokens AS fill
+        FROM ordered WHERE rn = 1
+        UNION ALL
+        SELECT o.conv_id, o.rn, o.turn_idx, o.n_tokens,
+               CASE WHEN s.fill + o.n_tokens > {SEG_BUDGET}
+                    THEN s.win_idx + 1 ELSE s.win_idx END,
+               CASE WHEN s.fill + o.n_tokens > {SEG_BUDGET}
+                    THEN 0 ELSE s.fill END,
+               CASE WHEN s.fill + o.n_tokens > {SEG_BUDGET}
+                    THEN o.n_tokens ELSE s.fill + o.n_tokens END
+        FROM ordered o JOIN seg s ON o.conv_id = s.conv_id AND o.rn = s.rn + 1
+    )
+    SELECT conv_id, turn_idx, n_tokens,
+           CAST(win_idx AS INTEGER) AS win_idx,
+           CAST(win_offset AS INTEGER) AS win_offset
+    FROM seg
+"""
+
 ORACLES: dict[str, str] = {
+    "q55_context_windows": _SEG_SQL,
     "q48_quantize_embeddings": _QUANT_SQL,
     "q46_mixture_sample": _MIX_SQL,
     "q47_decontaminate": _DECONTAM_SQL,
@@ -707,4 +767,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q51_dup_span_stats": q51_dup_span_stats,
     "q52_sequence_pack": q52_sequence_pack,
     "q53_contamination_frac": q53_contamination_frac,
+    "q55_context_windows": q55_context_windows,
 }

@@ -129,3 +129,58 @@ def test_contamination_frac_consistent_with_boolean_rule(spark):
             for r in dedup.decontaminate(train, bench, n=3).collect()}
     for i in (0, 1, 2):
         assert flag[i] == (frac[i]["n_contaminated"] > 0)
+
+
+def _turns(spark, convs):
+    """convs: {conv_id: [turn texts in order]} → transcripts-shaped DF."""
+    rows = [(c, i, t) for c, ts in convs.items() for i, t in enumerate(ts)]
+    return spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, text string")
+
+
+def test_segment_respects_budget_and_turn_order(spark):
+    from curator_spark.operators.packing import segment_conversations
+    turns = _turns(spark, {
+        "c1": ["a b c", "d e", "f g h i", "j", "k l m n o p"],
+        "c2": ["one two three four five six seven eight nine ten eleven"],
+    })
+    out = (segment_conversations(turns, budget=6).toPandas()
+           .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True))
+    c1 = out[out["conv_id"] == "c1"]
+    # windows fill greedily in turn order: 3+2 | 4+1 | 6
+    assert list(c1["win_idx"]) == [0, 0, 1, 1, 2]
+    assert list(c1["win_offset"]) == [0, 3, 0, 4, 0]
+    # window index never decreases in turn order (turns are not reordered)
+    assert (c1["win_idx"].diff().dropna() >= 0).all()
+    # an over-budget turn (11 tokens > 6) sits alone at offset 0
+    c2 = out[out["conv_id"] == "c2"]
+    assert list(c2["win_idx"]) == [0] and list(c2["win_offset"]) == [0]
+    assert c2["n_tokens"].iloc[0] == 11
+
+
+def test_segment_windows_respect_budget_property(spark):
+    from curator_spark.operators.packing import segment_conversations
+    convs = {f"c{i}": [" ".join(f"w{j}" for j in range(1 + (i * 5 + k) % 9))
+                       for k in range(1 + i % 13)] for i in range(40)}
+    out = segment_conversations(_turns(spark, convs), budget=12).toPandas()
+    assert len(out) == sum(len(v) for v in convs.values())
+    for (_, _), grp in out.groupby(["conv_id", "win_idx"]):
+        total = grp["n_tokens"].sum()
+        if total > 12:  # only a lone over-budget turn may overflow
+            assert len(grp) == 1 and grp["win_offset"].iloc[0] == 0
+        grp = grp.sort_values("turn_idx")
+        fill = 0
+        for _, r in grp.iterrows():
+            assert r["win_offset"] == fill
+            fill += r["n_tokens"]
+
+
+def test_segment_partition_invariant(spark):
+    from curator_spark.operators.packing import segment_conversations
+    turns = _turns(spark, {f"c{i}": ["x y", "z w v", "u"] for i in range(20)})
+    key = ["conv_id", "turn_idx", "n_tokens", "win_idx", "win_offset"]
+    a = (segment_conversations(turns, budget=4).toPandas()[key]
+         .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True))
+    b = (segment_conversations(turns.repartition(7), budget=4).toPandas()[key]
+         .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)

@@ -149,6 +149,20 @@ def test_pack_shuffles_once_without_text(spark):
     assert "FlatMapGroupsInPandas" in plan
 
 
+def test_segment_shuffles_once_without_text(spark):
+    """Context windowing's one shuffle carries only (conv_id, turn_idx,
+    n_tokens) — text is projected away below the Exchange, so shuffle
+    bytes are ~constant per turn regardless of turn length."""
+    from curator_spark.ingest import docs_to_transcripts
+    from curator_spark.operators.packing import segment_conversations
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = plan_of(segment_conversations(docs_to_transcripts(docs)))
+    assert plan.count("Exchange hashpartitioning") == 1
+    first_node = plan.split("Exchange hashpartitioning")[1].split("\n")[1]
+    assert "text" not in first_node, first_node
+    assert "FlatMapGroupsInPandas" in plan
+
+
 def test_source_filter_broadcasts_verdict(spark):
     """q54 must broadcast the tiny per-source verdict back onto the
     corpus — the docs side never reshuffles for the enrich join."""
