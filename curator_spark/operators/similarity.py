@@ -368,3 +368,83 @@ def quantize_int8(emb: DataFrame, id_col: str = "vec_id",
         codes.alias("codes"),
         F.col("__s").alias("scale"),
     )
+
+
+def knn_join(queries: DataFrame, corpus: DataFrame, k: int = 3,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             n_bits: int = N_SIGN_BITS, radius: int = 1) -> DataFrame:
+    """Batched KNN join: for EVERY query vector, its top-k nearest
+    corpus neighbors by cosine — the RAG-retrieval / hard-negative-
+    mining primitive (cosine_topk serves ONE query; this serves a whole
+    query table against the corpus in a single job).
+
+    Scale path: multi-probe sign-bucket LSH. The query side explodes
+    into its Hamming-ball-≤radius probe buckets ((1+n_bits)× the query
+    table only — never the corpus), the corpus keeps one bucket per
+    row, and candidates come from an EQUI-join on the bucket key: one
+    shuffle per side on a uniform key, never an M×N product. Each
+    (query, neighbor) pair meets at most once (the probe buckets of one
+    query are pairwise distinct and a corpus row has one bucket), so no
+    dedup pass is needed. Per-query top-k is a window over the
+    candidate set — partitioned on query id (uniform by definition)
+    with a total-order tiebreak (cos_sim desc, neighbor id asc) so
+    ranks are deterministic across engines and partitionings.
+
+    Recall is the multi-probe LSH tradeoff, pytest-gated like
+    embedding_neardup_multiprobe; knn_join_exact is the O(M×N) exact
+    baseline. Queries whose probe ball hits no corpus bucket return no
+    rows (top-k of an empty candidate set).
+
+    Reference analogue: the batched per-row payload fan-out
+    (src/bespokelabs/curator/request_processor — every input row gets
+    its own lookup), re-expressed as one distributed join."""
+    from pyspark.sql import Window
+
+    q = (with_norm(queries, vec_col)
+         .select(F.col(id_col).alias("query_id"), F.col("v").alias("qv"),
+                 F.col("nrm").alias("qn"),
+                 F.explode(probe_buckets_expr(vec_col, n_bits, radius))
+                 .alias("bucket")))
+    c = (with_norm(corpus, vec_col)
+         .withColumn("bucket_c", sign_bucket_expr(vec_col, n_bits))
+         .select(F.col(id_col).alias("neighbor_id"), F.col("v").alias("cv"),
+                 F.col("nrm").alias("cn"), "bucket_c"))
+    cand = (
+        q.join(c, F.col("bucket") == F.col("bucket_c"))
+        .withColumn("cos_sim", F.round(
+            dot_expr(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6))
+        .select("query_id", "neighbor_id", "cos_sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc())
+    return (cand.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= k))
+
+
+def knn_join_exact(queries: DataFrame, corpus: DataFrame, k: int = 3,
+                   id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> DataFrame:
+    """Exact batched KNN: broadcast the (small) query table across the
+    corpus — a narrow map per corpus partition, then the same per-query
+    top-k window. O(M×N) similarity evaluations: the exact-recall
+    baseline for knn_join's measured recall gate. Only ever run with a
+    driver-small query side; at scale the broadcast IS the point (zero
+    corpus shuffle before the window)."""
+    from pyspark.sql import Window
+
+    q = (with_norm(queries, vec_col)
+         .select(F.col(id_col).alias("query_id"), F.col("v").alias("qv"),
+                 F.col("nrm").alias("qn")))
+    c = (with_norm(corpus, vec_col)
+         .select(F.col(id_col).alias("neighbor_id"), F.col("v").alias("cv"),
+                 F.col("nrm").alias("cn")))
+    cand = (
+        c.crossJoin(F.broadcast(q))
+        .withColumn("cos_sim", F.round(
+            dot_expr(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6))
+        .select("query_id", "neighbor_id", "cos_sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc())
+    return (cand.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= k))

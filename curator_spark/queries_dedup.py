@@ -10,7 +10,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .operators import dedup, similarity
 
@@ -180,6 +180,25 @@ def q55_context_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.packing import segment_conversations
     t = docs_to_transcripts(_docs(spark, sf_dir))
     return segment_conversations(t, budget=SEG_BUDGET)
+
+
+KNN_K = 3
+KNN_QUERY_MOD = 25  # vec_id % MOD == 0 → query set; else corpus
+
+
+def q56_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched KNN join (operators/similarity.knn_join): every query
+    vector (vec_id % 25 == 0 — a disjoint split of the embeddings
+    table) gets its top-3 cosine neighbors from the corpus remainder —
+    the RAG-retrieval / hard-negative-mining primitive. Multi-probe
+    sign-bucket equi-join (no M×N product; the Hamming-ball fan-out
+    rides the small query side), per-query top-k via a window with a
+    total-order tiebreak. Oracle = the same probe expansion and
+    row_number ranking in DuckDB over identical fold-order doubles."""
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") % KNN_QUERY_MOD == 0)
+    c = emb.filter(F.col("vec_id") % KNN_QUERY_MOD != 0)
+    return similarity.knn_join(q, c, k=KNN_K)
 
 
 def q53_contamination_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -449,6 +468,45 @@ _PROBE_PAIRS_CTES = f"""base AS (
 _MULTIPROBE_SQL = f"""
     WITH {_PROBE_PAIRS_CTES}
     SELECT id_a, id_b, cos_sim FROM pairs WHERE cos_sim >= {NEARDUP_COS}
+"""
+
+# same probe expansion as _PROBE_PAIRS_CTES but asymmetric (queries
+# probe, corpus keeps its base bucket) + a per-query row_number over
+# the 6-decimal-rounded similarity — mirrors knn_join's window exactly.
+_KNN_SQL = f"""
+    WITH base AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+               sqrt(list_sum(list_transform(embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm,
+               {_BUCKET_BITS} AS bucket
+        FROM embeddings
+    ),
+    q AS (SELECT * FROM base WHERE vec_id % {KNN_QUERY_MOD} = 0),
+    c AS (SELECT * FROM base WHERE vec_id % {KNN_QUERY_MOD} <> 0),
+    probes AS (
+        SELECT vec_id, v, nrm, bucket AS probe FROM q
+        UNION ALL
+        SELECT vec_id, v, nrm,
+               substr(bucket, 1, CAST(r.i AS INTEGER))
+               || (CASE WHEN substr(bucket, CAST(r.i AS INTEGER) + 1, 1) = '1'
+                        THEN '0' ELSE '1' END)
+               || substr(bucket, CAST(r.i AS INTEGER) + 2) AS probe
+        FROM q, range(0, {similarity.N_SIGN_BITS}) AS r(i)
+    ),
+    cand AS (
+        SELECT p.vec_id AS query_id, c.vec_id AS neighbor_id,
+               round(list_sum(list_transform(range(1, 65),
+                     i -> p.v[i] * c.v[i])) / (p.nrm * c.nrm), 6) AS cos_sim
+        FROM probes p JOIN c ON p.probe = c.bucket
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, cos_sim,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos_sim DESC, neighbor_id ASC) AS rn
+        FROM cand
+    )
+    SELECT query_id, neighbor_id, cos_sim, CAST(rn AS INTEGER) AS rnk
+    FROM ranked WHERE rn <= {KNN_K}
 """
 
 _SEMANTIC_DEDUP_SQL = f"""
@@ -728,6 +786,7 @@ _SEG_SQL = f"""
 
 ORACLES: dict[str, str] = {
     "q55_context_windows": _SEG_SQL,
+    "q56_knn_join": _KNN_SQL,
     "q48_quantize_embeddings": _QUANT_SQL,
     "q46_mixture_sample": _MIX_SQL,
     "q47_decontaminate": _DECONTAM_SQL,
@@ -768,4 +827,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q52_sequence_pack": q52_sequence_pack,
     "q53_contamination_frac": q53_contamination_frac,
     "q55_context_windows": q55_context_windows,
+    "q56_knn_join": q56_knn_join,
 }

@@ -286,3 +286,69 @@ def test_multiprobe_recall_floor(spark):
               for r in signbucket_ann_multiprobe(emb, qid, k=3).collect()}
     assert dup_id not in plain
     assert dup_id in probed
+
+
+def test_knn_join_exact_matches_numpy(emb_df):
+    """Exact batched KNN vs a per-query numpy brute force, including
+    the (rounded-cos desc, neighbor asc) tiebreak order."""
+    rows = emb_df.limit(120).collect()
+    vecs = {r.vec_id: np.array(r.embedding, dtype="float64") for r in rows}
+    emb = emb_df.limit(120)
+    q = emb.filter("vec_id % 40 = 0")
+    c = emb.filter("vec_id % 40 <> 0")
+    got = similarity.knn_join_exact(q, c, k=3).collect()
+    by_query = {}
+    for r in got:
+        by_query.setdefault(r.query_id, []).append(r)
+    for qid in [v for v in vecs if v % 40 == 0]:
+        qv = vecs[qid]
+        sims = {i: float(v @ qv / (np.linalg.norm(v) * np.linalg.norm(qv)))
+                for i, v in vecs.items() if i % 40 != 0}
+        want = sorted(sims.items(), key=lambda kv: (-round(kv[1], 6), kv[0]))[:3]
+        mine = sorted(by_query[qid], key=lambda r: r.rnk)
+        assert [w[0] for w in want] == [m.neighbor_id for m in mine]
+        assert [m.rnk for m in mine] == [1, 2, 3]
+        for (_, ws), m in zip(want, mine):
+            assert math.isclose(ws, m.cos_sim, abs_tol=1e-5)
+
+
+def test_knn_join_recall_on_planted_neighbors(spark):
+    """The LSH path never invents neighbors, ranks its candidates the
+    same way the exact path does, and recovers planted 1-bit-flip
+    nearest neighbors that single-bucket probing would lose."""
+    import numpy as np
+
+    rng = np.random.default_rng(4242)
+    rows, planted = [], {}
+    vid = 0
+    for i in range(20):
+        base = rng.normal(size=16)
+        base /= np.linalg.norm(base)
+        qid = vid
+        rows.append((vid, [float(x) for x in base])); vid += 1
+        dup = base.copy()
+        j = int(np.argmin(np.abs(base[:8])))
+        dup[j] = -np.sign(base[j]) * 0.01 if base[j] != 0 else -0.01
+        planted[qid] = vid
+        rows.append((vid, [float(x) for x in dup])); vid += 1
+        for _ in range(3):  # background corpus
+            noise = rng.normal(size=16)
+            rows.append((vid, [float(x) for x in noise / np.linalg.norm(noise)]))
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = emb.filter("vec_id % 5 = 0")       # the 20 query/base vectors
+    c = emb.filter("vec_id % 5 <> 0")      # dups + noise
+    approx = similarity.knn_join(q, c, k=1).collect()
+    exact = similarity.knn_join_exact(q, c, k=1).collect()
+    exact_top = {r.query_id: r.neighbor_id for r in exact}
+    # the planted 1-bit-flip dup IS the true nearest neighbor
+    assert all(exact_top[qid] == nid for qid, nid in planted.items())
+    approx_top = {r.query_id: r.neighbor_id for r in approx}
+    hits = sum(approx_top.get(qid) == nid for qid, nid in planted.items())
+    assert hits / len(planted) >= 0.9  # radius-1 probe recovers the flip
+    # LSH similarities are a subset of the exact candidate space
+    exact_all = {(r.query_id, r.neighbor_id): r.cos_sim
+                 for r in similarity.knn_join_exact(q, c, k=10**6).collect()}
+    for r in approx:
+        assert math.isclose(exact_all[(r.query_id, r.neighbor_id)],
+                            r.cos_sim, abs_tol=1e-9)

@@ -195,3 +195,23 @@ def test_multiprobe_neardup_is_equijoin(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert ("SortMergeJoin" in plan or "ShuffledHashJoin" in plan
             or "BroadcastHashJoin" in plan)
+
+
+def test_knn_join_is_equijoin_with_per_query_window(spark):
+    """Batched KNN must meet on the bucket key (equi-join — never an
+    M×N product of queries × corpus) and rank per query in a window;
+    the exact variant broadcasts the small query side so the corpus
+    never shuffles before the window."""
+    from curator_spark.operators import similarity
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = emb.filter("vec_id % 25 = 0")
+    c = emb.filter("vec_id % 25 <> 0")
+    plan = plan_of(similarity.knn_join(q, c, k=3))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert ("SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+            or "BroadcastHashJoin" in plan)
+    assert "Window" in plan
+    exact_plan = plan_of(similarity.knn_join_exact(q, c, k=3))
+    assert "BroadcastNestedLoopJoin" in exact_plan  # broadcast q × corpus map
+    assert "Exchange hashpartitioning(query_id" in exact_plan  # only the window
