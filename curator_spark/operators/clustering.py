@@ -1,0 +1,129 @@
+"""Corpus clustering over embedding columns — integer-exact k-means.
+
+Training-data pipelines cluster embeddings constantly (topic bucketing,
+per-cluster dedup/sampling budgets, SemDeDup-style cluster-then-prune,
+IVF codebook training). The reference has no clustering; this is a
+"beyond the reference" component in the same family as
+operators/similarity.py (IVF assignment there uses a FIXED codebook —
+this module is where such a codebook comes from).
+
+Design for cross-engine exactness at any parallelism: classic k-means
+updates average float vectors, and a float sum's value depends on
+reduction order — non-deterministic across partitionings and engines.
+`kmeans_int8` instead runs Lloyd's algorithm entirely in INTEGER
+arithmetic over the int8-quantized codes (operators/similarity.
+quantize_int8): distances are integer squared-L2 in code space,
+centroid updates are floor(sum/count) per dimension, and every sum is
+a sum of integers — associative, order-free, bit-identical on Spark,
+DuckDB, and numpy regardless of partitioning. Quantized k-means is
+itself standard practice at billion-vector scale (PQ/IVF codebook
+training operates on quantized data for the same bandwidth reasons).
+
+Scale shape (10^10 vectors, k clusters, d dims):
+* assignment is a NARROW map — the codebook is driver-small (k·d ints)
+  and folded into the plan as literal arrays, argmin via array_min over
+  (dist, cid) structs: zero shuffle, zero per-vector window (the same
+  plan shape as similarity.ivf_assign);
+* the update is one posexplode + groupBy(cluster, dim) per iteration —
+  map-side partial aggregation bounds the shuffle at k·d rows per
+  upstream task, independent of corpus size;
+* iterations are a driver loop (like operators/graph.py): k·d ints
+  cross the driver per round, never data.
+
+Reference analogue for the driver-looped refinement pattern: the
+polling loop of base_batch_request_processor.py:538-582 (bounded
+rounds of cheap driver coordination around heavy distributed work).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .similarity import quantize_int8
+
+KMEANS_K = 8
+KMEANS_ITERS = 3
+
+
+def _codes_long(emb: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    q = quantize_int8(emb, id_col=id_col, vec_col=vec_col)
+    return q.select(
+        id_col,
+        F.transform("codes", lambda x: x.cast("long")).alias("codes"))
+
+
+def _assign(codes: DataFrame, cents: list[tuple[int, list[int]]],
+            id_col: str) -> DataFrame:
+    """Nearest centroid per row as ONE narrow map: ||v-c||² = v·v
+    - 2 v·c + c·c with v·v computed once per row, each v·c a
+    sequential integer fold against a literal centroid array, argmin =
+    array_min over (dist, cid) structs (ties → lowest cid)."""
+    vv = F.aggregate(F.col("codes"), F.lit(0).cast("long"),
+                     lambda acc, x: acc + x * x)
+    staged = codes.withColumn("__vv", vv)
+    entries = []
+    for cid, cvec in cents:
+        carr = F.array(*[F.lit(int(c)).cast("long") for c in cvec])
+        dot = F.aggregate(F.zip_with(F.col("codes"), carr,
+                                     lambda a, b: a * b),
+                          F.lit(0).cast("long"), lambda acc, x: acc + x)
+        cc = sum(int(c) * int(c) for c in cvec)
+        dist = F.col("__vv") - F.lit(2).cast("long") * dot + F.lit(cc).cast("long")
+        entries.append(F.struct(dist.alias("dist"),
+                                F.lit(int(cid)).cast("int").alias("cid")))
+    best = F.array_min(F.array(*entries))
+    return staged.select(
+        id_col, "codes",
+        best["cid"].alias("cluster"),
+        best["dist"].alias("dist"))
+
+
+def kmeans_int8(emb: DataFrame, k: int = KMEANS_K,
+                iters: int = KMEANS_ITERS, id_col: str = "vec_id",
+                vec_col: str = "embedding") -> DataFrame:
+    """Integer-exact Lloyd's k-means over int8-quantized embeddings.
+
+    Deterministic init: the k lowest-id vectors' codes. Each iteration
+    assigns (narrow map) then recomputes centroids as per-dimension
+    floor(sum/count) — all-integer, so the result is independent of
+    partitioning and engine. A cluster left empty keeps its previous
+    centroid. Returns (id, cluster:int, dist:bigint) after `iters`
+    refinements — dist is the squared L2 distance in code space to the
+    final centroid, an exact integer the oracle checks per row.
+    """
+    codes = _codes_long(emb, id_col, vec_col).persist()
+    try:
+        init = codes.orderBy(id_col).limit(k).collect()
+        cents = [(i, [int(v) for v in r["codes"]])
+                 for i, r in enumerate(init)]
+        for _ in range(iters):
+            assigned = _assign(codes, cents, id_col)
+            stats = (assigned
+                     .select("cluster", F.posexplode("codes")
+                             .alias("dim", "val"))
+                     .groupBy("cluster", "dim")
+                     .agg(F.sum("val").alias("s"),
+                          F.count(F.lit(1)).alias("n"))
+                     .collect())
+            by_cid: dict[int, dict[int, int]] = {}
+            for r in stats:
+                # floor(sum/count) via double division: |sum| ≤ 127·n
+                # keeps the quotient far inside double-exact range, and
+                # floor-of-exact-division is what the SQL oracle computes
+                by_cid.setdefault(int(r["cluster"]), {})[int(r["dim"])] = (
+                    int((float(r["s"]) / float(r["n"])) // 1))
+            cents = [
+                (cid, [by_cid[cid][d] for d in range(len(old))]
+                 if cid in by_cid else old)
+                for cid, old in cents
+            ]
+        return _assign(codes, cents, id_col).select(id_col, "cluster", "dist")
+    finally:
+        codes.unpersist()
+
+
+def cluster_sizes(assigned: DataFrame) -> DataFrame:
+    """Per-cluster row counts (the budget input for cluster-aware
+    sampling/dedup). One map-side-combined groupBy on a k-value key."""
+    return assigned.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n_members"))

@@ -337,6 +337,126 @@ def q54_source_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "source", "src_density", "src_ok"))
 
 
+STRAT_DENOM = 5  # stratified-split sampling fraction = 1/STRAT_DENOM
+PMI_MIN_COUNT = 5
+PMI_TOP_K = 20
+
+
+def q58_quality_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-distribution quality signals per document — the
+    repetition/diversity half of a Gopher/RedPajama signal set:
+    type-token ratio, top-token concentration, hapax count, and a
+    Simpson diversity index. Every signal is derived from INTEGER
+    counts with at most one division (frac_*) or pure integer
+    arithmetic (simpson_e6 in fixed point), so no cross-engine
+    float-sum-order issue can perturb the hash — a Shannon entropy
+    (Σ p·ln p) would depend on summation order and libm, which is why
+    the diversity index here is Simpson (1 − Σc²/N², same monotone
+    quality signal, exactly computable).
+
+    Plan: explode → two-phase aggregation on uniform keys
+    ((doc_id, tok), then doc_id) with map-side combine — the q34/q09
+    shape, linear shuffles only. Fixed-point bound: simpson_e6
+    overflows int64 only past ~3·10^6 tokens in ONE document."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower(F.col("text")), " "), lambda t: t != "")
+    cnt = (docs.select("doc_id", F.explode(toks).alias("tok"))
+           .groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c")))
+    agg = (cnt.groupBy("doc_id").agg(
+        F.sum("c").alias("n_toks"),
+        F.count(F.lit(1)).alias("n_unique"),
+        F.max("c").alias("top_c"),
+        F.sum(F.col("c") * F.col("c")).alias("sum_c2"),
+        F.sum((F.col("c") == 1).cast("long")).alias("n_hapax")))
+    return agg.select(
+        "doc_id", "n_toks", "n_unique",
+        F.round(F.col("n_unique") / F.col("n_toks"), 6).alias("frac_unique"),
+        F.round(F.col("top_c") / F.col("n_toks"), 6).alias("top_frac"),
+        F.expr("1000000 - (sum_c2 * 1000000) DIV (n_toks * n_toks)")
+        .cast("long").alias("simpson_e6"),
+        "n_hapax",
+    )
+
+
+def q59_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sampling with EXACT per-stratum quotas (vs q40's
+    per-row probabilistic split, whose stratum sizes are only
+    binomially close): within each lang stratum, rank rows by a salted
+    md5 of the id and take exactly ceil(n_stratum/5). Quota arithmetic
+    is integer ((n+4) div 5) — no float fraction, no boundary drift.
+
+    Plan: ONE shuffle (the per-stratum window sort); rank and stratum
+    size come from the same window pass. At 100 TB a mega-stratum
+    serializes its sort into one task chain the same way any global
+    rank does — the scale variant ranks on (stratum, salt) first and
+    merges quota remainders, trading exactness of WHICH rows for
+    exactness of counts; this operator keeps row-exactness, matching
+    the reference's deterministic select(range) sampling
+    (base_request_processor.py:222-244)."""
+    from pyspark.sql.window import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    key = F.md5(F.concat_ws("|", F.lit("strat"),
+                            F.col("doc_id").cast("string")))
+    w = Window.partitionBy("lang").orderBy(key, F.col("doc_id"))
+    wall = Window.partitionBy("lang")
+    ranked = docs.select(
+        "doc_id", "lang",
+        F.row_number().over(w).alias("sample_rank"),
+        F.count(F.lit(1)).over(wall).alias("n_stratum"))
+    return ranked.select(
+        "doc_id", "lang", "sample_rank", "n_stratum",
+        (F.col("sample_rank")
+         <= F.expr(f"(n_stratum + {STRAT_DENOM - 1}) DIV {STRAT_DENOM}"))
+        .alias("in_sample"))
+
+
+def q60_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus collocation mining: top bigrams by pointwise mutual
+    information. PMI = ln(p_ab / (p_a·p_b)) is ranked via its ARGUMENT
+    in integer fixed point — pmi_ratio_x1000 = (c_ab·Nu²·1000) div
+    (Nb·c_a·c_b) — because ln is monotone, so the ranking is identical
+    while every compared value stays an exact integer (no cross-engine
+    libm/round drift). Int64 bound: safe below ~10^9 corpus tokens;
+    past that, rank in log-space doubles (exactness of the ranking no
+    longer needs the ratio's low bits).
+
+    Plan: bigrams from a narrow zip of adjacent tokens (no
+    self-join!); counts via map-side-combined groupBy; the HAVING
+    c_ab ≥ {PMI_MIN_COUNT} filter prunes the join input before the two
+    unigram equi-joins; corpus totals are 1-row broadcast aggregates
+    (the q34 pattern); TakeOrdered finishes."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower(F.col("text")), " "), lambda t: t != "")
+    staged = docs.select(toks.alias("toks"))
+    n = F.size("toks")
+    bigrams = F.when(n >= 2, F.zip_with(
+        F.slice("toks", 1, n - 1),
+        F.slice("toks", 2, n - 1),
+        lambda a, b: F.concat_ws(" ", a, b))).otherwise(F.array())
+    big = staged.select(F.explode(bigrams).alias("bg"))
+    uni = staged.select(F.explode("toks").alias("tok"))
+    c1 = uni.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    cb = (big.groupBy("bg").agg(F.count(F.lit(1)).alias("c_ab"))
+          .filter(F.col("c_ab") >= PMI_MIN_COUNT))
+    nu = c1.agg(F.sum("c").alias("nu"))
+    nb = big.agg(F.count(F.lit(1)).alias("nb"))
+    joined = (cb
+              .withColumn("w1", F.split("bg", " ")[0])
+              .withColumn("w2", F.split("bg", " ")[1])
+              .join(c1.select(F.col("tok").alias("w1"),
+                              F.col("c").alias("c_a")), "w1")
+              .join(c1.select(F.col("tok").alias("w2"),
+                              F.col("c").alias("c_b")), "w2")
+              .crossJoin(F.broadcast(nu)).crossJoin(F.broadcast(nb)))
+    scored = joined.select(
+        "bg", "c_ab", "c_a", "c_b",
+        F.expr("(c_ab * nu * nu * 1000) DIV (nb * c_a * c_b)")
+        .cast("long").alias("pmi_ratio_x1000"))
+    return (scored.orderBy(F.col("pmi_ratio_x1000").desc(), F.col("bg"))
+            .limit(PMI_TOP_K))
+
+
 def q16_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprinting: md5 over the space-collapsed lowercased
     text — the exact-dedup key. Narrow map, hash computed JVM-side."""
@@ -949,6 +1069,79 @@ ORACLES: dict[str, str] = {
         FROM documents
         GROUP BY md5(text)
     """,
+    "q58_quality_signals": """
+        WITH tok AS (
+            SELECT doc_id, unnest(list_filter(
+                string_split(lower(text), ' '), t -> t <> '')) AS tok
+            FROM documents
+        ),
+        cnt AS (
+            SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c
+            FROM tok GROUP BY doc_id, tok
+        ),
+        agg AS (
+            SELECT doc_id,
+                   CAST(sum(c) AS BIGINT) AS n_toks,
+                   CAST(count(*) AS BIGINT) AS n_unique,
+                   CAST(max(c) AS BIGINT) AS top_c,
+                   CAST(sum(c * c) AS BIGINT) AS sum_c2,
+                   CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_hapax
+            FROM cnt GROUP BY doc_id
+        )
+        SELECT doc_id, n_toks, n_unique,
+               round(n_unique * 1.0 / n_toks, 6) AS frac_unique,
+               round(top_c * 1.0 / n_toks, 6) AS top_frac,
+               CAST(1000000 - (sum_c2 * 1000000) // (n_toks * n_toks)
+                    AS BIGINT) AS simpson_e6,
+               n_hapax
+        FROM agg
+    """,
+    "q59_stratified_split": f"""
+        WITH ranked AS (
+            SELECT doc_id, lang,
+                   CAST(row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY md5('strat|' || CAST(doc_id AS VARCHAR)),
+                                doc_id) AS BIGINT) AS sample_rank,
+                   CAST(count(*) OVER (PARTITION BY lang) AS BIGINT)
+                       AS n_stratum
+            FROM documents
+        )
+        SELECT doc_id, lang, sample_rank, n_stratum,
+               sample_rank <= (n_stratum + {STRAT_DENOM - 1}) // {STRAT_DENOM}
+                   AS in_sample
+        FROM ranked
+    """,
+    "q60_bigram_pmi": f"""
+        WITH base AS (
+            SELECT list_filter(string_split(lower(text), ' '),
+                               t -> t <> '') AS toks
+            FROM documents
+        ),
+        big AS (
+            SELECT unnest(list_transform(
+                range(1, len(toks)),
+                i -> toks[i] || ' ' || toks[i + 1])) AS bg
+            FROM base
+        ),
+        uni AS (SELECT unnest(toks) AS tok FROM base),
+        c1 AS (SELECT tok, CAST(count(*) AS BIGINT) AS c
+               FROM uni GROUP BY tok),
+        cb AS (SELECT bg, CAST(count(*) AS BIGINT) AS c_ab
+               FROM big GROUP BY bg HAVING count(*) >= {PMI_MIN_COUNT}),
+        tot AS (SELECT CAST(sum(c) AS BIGINT) AS nu FROM c1),
+        totb AS (SELECT CAST(count(*) AS BIGINT) AS nb FROM big)
+        SELECT bg, c_ab, a.c AS c_a, b.c AS c_b,
+               CAST((c_ab * nu * nu * 1000) // (nb * a.c * b.c) AS BIGINT)
+                   AS pmi_ratio_x1000
+        FROM cb
+        JOIN c1 a ON a.tok = string_split(cb.bg, ' ')[1]
+        JOIN c1 b ON b.tok = string_split(cb.bg, ' ')[2]
+        CROSS JOIN tot CROSS JOIN totb
+        ORDER BY pmi_ratio_x1000 DESC, bg
+        LIMIT {PMI_TOP_K}
+    """,
     "q33_conditional_agg": """
         SELECT l_returnflag,
                CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
@@ -1212,6 +1405,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q15_lang_guess": q15_lang_guess,
     "q16_fingerprint": q16_fingerprint,
     "q54_source_filter": q54_source_filter,
+    "q58_quality_signals": q58_quality_signals,
+    "q59_stratified_split": q59_stratified_split,
+    "q60_bigram_pmi": q60_bigram_pmi,
     "q17_exact_dedup": q17_exact_dedup,
     "q25_order_history_fp": q25_order_history_fp,
     "q28_asof_join": q28_asof_join,

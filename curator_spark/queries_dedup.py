@@ -264,6 +264,23 @@ def q48_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+KMEANS_K = 8
+KMEANS_ITERS = 3
+
+
+def q57_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact k-means over int8-quantized embeddings
+    (operators/clustering.kmeans_int8): assignment is a narrow map
+    against a literal codebook, updates are floor(sum/count) integer
+    means — every value the oracle compares (cluster id, squared code
+    distance) is an exact integer, so partitioning/engine cannot
+    perturb the result. The oracle replays the identical Lloyd rounds
+    as unrolled CTEs."""
+    from .operators.clustering import kmeans_int8
+
+    return kmeans_int8(_emb(spark, sf_dir), k=KMEANS_K, iters=KMEANS_ITERS)
+
+
 # ---------------------------------------------------------------------------
 # Oracle SQL
 # ---------------------------------------------------------------------------
@@ -665,6 +682,68 @@ _QUANT_SQL = """
     FROM scaled
 """
 
+def _kmeans_sql(k: int = KMEANS_K, iters: int = KMEANS_ITERS) -> str:
+    """Unrolled Lloyd's rounds as CTEs — the SQL replay of
+    operators/clustering.kmeans_int8. All-integer arithmetic: codes are
+    the q48 quantization recast to BIGINT, distances are diff-square
+    integer sums, centroid updates floor(sum/count). Dim-agnostic via
+    len(codes)."""
+    ctes = ["""base AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    scaled AS (
+        SELECT vec_id, v,
+               greatest(list_max(list_transform(v, x -> abs(x))), 1e-30) AS s
+        FROM base
+    ),
+    codes AS (
+        SELECT vec_id,
+               list_transform(v, x -> CAST(round(x / s * 127) AS BIGINT)) AS codes
+        FROM scaled
+    ),
+    cent0 AS (
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, codes
+        FROM codes ORDER BY vec_id LIMIT %d
+    )""" % k]
+    # rounds 1..iters refine the codebook; round iters+1 is the final
+    # assignment against the last codebook (mirrors kmeans_int8's loop)
+    for t in range(1, iters + 2):
+        ctes.append(f"""d{t} AS (
+        SELECT c.vec_id, c.codes, ct.cid,
+               CAST(list_sum(list_transform(
+                   range(1, len(c.codes) + 1),
+                   i -> (c.codes[i] - ct.codes[i]) * (c.codes[i] - ct.codes[i])
+               )) AS BIGINT) AS dist
+        FROM codes c CROSS JOIN cent{t - 1} ct
+    ),
+    asg{t} AS (
+        SELECT vec_id, codes, cid AS cluster, dist FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM d{t})
+        WHERE rn = 1
+    )""")
+        if t <= iters:
+            ctes.append(f"""cent{t} AS (
+        SELECT p.cid, coalesce(n.codes, p.codes) AS codes
+        FROM cent{t - 1} p LEFT JOIN (
+            SELECT cluster AS cid, list(mu ORDER BY dim) AS codes FROM (
+                SELECT a.cluster, t.dim,
+                       CAST(floor(CAST(sum(a.codes[t.dim]) AS DOUBLE)
+                                  / count(*)) AS BIGINT) AS mu
+                FROM asg{t} a,
+                     unnest(range(1, len(a.codes) + 1)) AS t(dim)
+                GROUP BY a.cluster, t.dim)
+            GROUP BY cluster) n USING (cid)
+    )""")
+    return ("WITH " + ",\n    ".join(ctes)
+            + f"\n    SELECT vec_id, CAST(cluster AS INTEGER) AS cluster, "
+              f"dist FROM asg{iters + 1}")
+
+
+_KMEANS_SQL = _kmeans_sql()
+
+
 _DUP_SPAN_SQL = f"""
     WITH sh AS ({shingles_sql("documents", "doc_id", "text")}),
     dfreq AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),
@@ -805,6 +884,7 @@ ORACLES: dict[str, str] = {
     "q51_dup_span_stats": _DUP_SPAN_SQL,
     "q52_sequence_pack": _PACK_SQL,
     "q53_contamination_frac": _CONTAM_FRAC_SQL,
+    "q57_kmeans_clusters": _KMEANS_SQL,
 }
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -828,4 +908,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q53_contamination_frac": q53_contamination_frac,
     "q55_context_windows": q55_context_windows,
     "q56_knn_join": q56_knn_join,
+    "q57_kmeans_clusters": q57_kmeans_clusters,
 }

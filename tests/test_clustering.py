@@ -1,0 +1,111 @@
+"""Integer-exact k-means (operators/clustering.py): equivalence with an
+independent numpy replica, partitioning invariance (the point of the
+all-integer formulation), empty-cluster retention, and plan shape
+(assignment must be a narrow map — no Exchange, no window)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from curator_spark.operators.clustering import (
+    cluster_sizes, kmeans_int8, KMEANS_ITERS, KMEANS_K)
+
+
+def _fixture_emb(spark, n=160, d=12, n_parts=1, seed=7):
+    rng = np.random.default_rng(seed)
+    # three planted blobs so clustering has structure to find
+    centers = rng.normal(size=(3, d)) * 3
+    vecs = (centers[np.arange(n) % 3]
+            + rng.normal(size=(n, d)) * 0.4).astype(np.float32)
+    rows = [(int(i), [float(x) for x in vecs[i]]) for i in range(n)]
+    return (spark.createDataFrame(rows, "vec_id: long, embedding: array<float>")
+            .repartition(n_parts)), vecs
+
+
+def _numpy_kmeans_int8(vecs: np.ndarray, k: int, iters: int) -> np.ndarray:
+    """Independent replica: quantize, then integer Lloyd rounds."""
+    v = vecs.astype(np.float64)
+    s = np.maximum(np.abs(v).max(axis=1), 1e-30)
+    # numpy rint is half-even; Spark/DuckDB round() is half-away — use
+    # the same half-away rounding the engines use
+    x = v / s[:, None] * 127
+    codes = (np.sign(x) * np.floor(np.abs(x) + 0.5)).astype(np.int64)
+    cents = codes[:k].copy()
+
+    def assign(cs):
+        d2 = ((codes[:, None, :] - cs[None, :, :]) ** 2).sum(axis=2)
+        return d2.argmin(axis=1), d2.min(axis=1)
+
+    for _ in range(iters):
+        a, _ = assign(cents)
+        for c in range(k):
+            m = a == c
+            if m.any():
+                cents[c] = np.floor(codes[m].sum(axis=0) / m.sum())
+    a, d = assign(cents)
+    return a, d
+
+
+def test_kmeans_matches_numpy(spark):
+    emb, vecs = _fixture_emb(spark)
+    got = {r["vec_id"]: (r["cluster"], r["dist"])
+           for r in kmeans_int8(emb, k=4, iters=2).collect()}
+    a, d = _numpy_kmeans_int8(vecs, 4, 2)
+    want = {i: (int(a[i]), int(d[i])) for i in range(len(vecs))}
+    assert got == want
+
+
+def test_kmeans_partitioning_invariant(spark):
+    """The all-integer formulation's contract: the result cannot depend
+    on how the data is split (float-mean k-means would)."""
+    emb1, _ = _fixture_emb(spark, n_parts=1)
+    emb8, _ = _fixture_emb(spark, n_parts=8)
+    r1 = sorted(kmeans_int8(emb1, k=4, iters=2).collect())
+    r8 = sorted(kmeans_int8(emb8, k=4, iters=2).collect())
+    assert r1 == r8
+
+
+def test_kmeans_finds_planted_blobs(spark):
+    """With k = the planted blob count, clustering should recover the
+    blob structure (every blob lands in one cluster)."""
+    emb, vecs = _fixture_emb(spark, n=90)
+    out = kmeans_int8(emb, k=3, iters=4).collect()
+    by_blob = {}
+    for r in out:
+        by_blob.setdefault(r["vec_id"] % 3, set()).add(r["cluster"])
+    # each planted blob maps to exactly one cluster, all distinct
+    assert all(len(s) == 1 for s in by_blob.values())
+    assert len({next(iter(s)) for s in by_blob.values()}) == 3
+
+
+def test_kmeans_empty_cluster_keeps_centroid(spark):
+    """k > distinct points: surplus clusters keep their init centroid
+    and end up empty, never crash or steal members."""
+    rows = [(i, [1.0, 1.0]) for i in range(3)] + [(3, [5.0, 5.0])]
+    emb = spark.createDataFrame(rows, "vec_id: long, embedding: array<float>")
+    out = kmeans_int8(emb, k=3, iters=2).collect()
+    assert len(out) == 4
+    sizes = {r["cluster"]: r["n_members"]
+             for r in cluster_sizes(kmeans_int8(emb, k=3, iters=2)).collect()}
+    assert sum(sizes.values()) == 4
+
+
+def test_kmeans_assignment_plan_is_narrow(spark):
+    """The final assignment stage must be a narrow map over the codes:
+    zero Exchange and zero Window in the plan (the codebook is literal
+    columns, argmin is array_min over structs)."""
+    from curator_spark.operators.clustering import _assign, _codes_long
+    rows = [(i, [float(i), float(-i)] * 6) for i in range(8)]
+    emb = spark.createDataFrame(rows, "vec_id: long, embedding: array<float>")
+    codes = _codes_long(emb, "vec_id", "embedding")
+    plan = _assign(codes, [(0, [1] * 12), (1, [-1] * 12)], "vec_id") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Window" not in plan
+
+
+def test_defaults_match_query_constants():
+    from curator_spark import queries_dedup as qd
+    assert (qd.KMEANS_K, qd.KMEANS_ITERS) == (KMEANS_K, KMEANS_ITERS)

@@ -1,0 +1,74 @@
+"""Semantic gates for the corpus-statistics queries (q58/q59/q60)
+beyond the oracle hash: quota exactness, signal invariants, and PMI
+ranking sanity. The cross-engine value equality itself is covered by
+the driver gate / tools/selfcheck.py."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from curator_spark.queries import (
+    PMI_MIN_COUNT, STRAT_DENOM, q58_quality_signals, q59_stratified_split,
+    q60_bigram_pmi)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_stratified_quota_exact(spark):
+    """Every stratum takes EXACTLY ceil(n/STRAT_DENOM) rows — the
+    property q40's probabilistic split cannot give."""
+    out = q59_stratified_split(spark, SF).toPandas()
+    for lang, grp in out.groupby("lang"):
+        quota = math.ceil(len(grp) / STRAT_DENOM)
+        assert grp["in_sample"].sum() == quota
+        assert (grp["n_stratum"] == len(grp)).all()
+        # the chosen rows are precisely ranks 1..quota
+        assert set(grp.loc[grp["in_sample"], "sample_rank"]) == set(
+            range(1, quota + 1))
+
+
+def test_stratified_rank_deterministic(spark):
+    a = sorted(q59_stratified_split(spark, SF).collect())
+    b = sorted(q59_stratified_split(spark, SF).collect())
+    assert a == b
+
+
+def test_quality_signals_invariants(spark):
+    out = q58_quality_signals(spark, SF).toPandas()
+    assert (out["n_unique"] <= out["n_toks"]).all()
+    assert ((out["frac_unique"] > 0) & (out["frac_unique"] <= 1)).all()
+    assert ((out["top_frac"] > 0) & (out["top_frac"] <= 1)).all()
+    # Simpson diversity in fixed point: 0 ≤ 1e6·(1 − Σc²/N²) < 1e6
+    assert ((out["simpson_e6"] >= 0) & (out["simpson_e6"] < 1_000_000)).all()
+    assert (out["n_hapax"] <= out["n_unique"]).all()
+    # all-distinct doc: simpson_e6 == 1e6 - 1e6·N/N² floor — spot-check
+    row = out.iloc[0]
+    assert row["simpson_e6"] == 1_000_000 - (
+        _sum_c2(spark, int(row["doc_id"])) * 1_000_000
+    ) // (int(row["n_toks"]) ** 2)
+
+
+def _sum_c2(spark, doc_id: int) -> int:
+    doc = (spark.read.parquet(f"{SF}/documents.parquet")
+           .filter(F.col("doc_id") == doc_id).collect()[0])
+    toks = [t for t in doc["text"].lower().split(" ") if t]
+    counts: dict[str, int] = {}
+    for t in toks:
+        counts[t] = counts.get(t, 0) + 1
+    return sum(c * c for c in counts.values())
+
+
+def test_bigram_pmi_ranking(spark):
+    out = q60_bigram_pmi(spark, SF).toPandas()
+    assert (out["c_ab"] >= PMI_MIN_COUNT).all()
+    assert (out["c_ab"] <= out[["c_a", "c_b"]].min(axis=1)).all()
+    ratios = list(out["pmi_ratio_x1000"])
+    assert ratios == sorted(ratios, reverse=True)
+    # within one fixed-point bucket the order falls back to the bigram
+    # string — the declared total order
+    for i in range(len(out) - 1):
+        if out["pmi_ratio_x1000"][i] > out["pmi_ratio_x1000"][i + 1]:
+            continue
+        assert out["bg"][i] < out["bg"][i + 1]
