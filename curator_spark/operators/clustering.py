@@ -127,3 +127,44 @@ def cluster_sizes(assigned: DataFrame) -> DataFrame:
     sampling/dedup). One map-side-combined groupBy on a k-value key."""
     return assigned.groupBy("cluster").agg(
         F.count(F.lit(1)).alias("n_members"))
+
+
+def semdedup(emb: DataFrame, k: int = KMEANS_K, iters: int = KMEANS_ITERS,
+             threshold: float = 0.4, id_col: str = "vec_id",
+             vec_col: str = "embedding") -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): cluster the embedding space, then
+    prune near-duplicates WITHIN each cluster only — the clustering is
+    what turns an O(n²) corpus-wide similarity search into k
+    independent O((n/k)²) problems. A row is dropped when any
+    LOWER-id row in its cluster has cosine ≥ threshold (keep-first,
+    the same canonical-min convention as dedup.dedup_decisions).
+
+    Plan: the pair search is an EQUI-join on the cluster id — quadratic
+    only within a cluster, never across the corpus (plan-asserted: no
+    cartesian). At 10^10 vectors, k scales with n (n/k stays bounded,
+    SemDeDup uses ~100k clusters) and a degenerate hot cluster gets
+    sub-bucketed by sign bits exactly like similarity.
+    embedding_neardup_bucketed — same defense, composed.
+
+    Returns every input row with (id, cluster, keep)."""
+    from .similarity import dot_expr, with_norm
+
+    assigned = kmeans_int8(emb, k=k, iters=iters, id_col=id_col,
+                           vec_col=vec_col).select(id_col, "cluster")
+    base = with_norm(emb, vec_col).select(id_col, "v", "nrm")
+    withc = assigned.join(base, id_col)
+    a = withc.select(F.col(id_col).alias("id_a"), "cluster",
+                     F.col("v").alias("va"), F.col("nrm").alias("na"))
+    b = withc.select(F.col(id_col).alias("id_b"), "cluster",
+                     F.col("v").alias("vb"), F.col("nrm").alias("nb"))
+    cos = F.round(dot_expr(F.col("va"), F.col("vb"))
+                  / (F.col("na") * F.col("nb")), 6)
+    dups = (a.join(b, ["cluster"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .filter(cos >= F.lit(float(threshold)))
+            .select(F.col("id_b").alias(id_col)).distinct()
+            .withColumn("__dup", F.lit(True)))
+    return (withc.select(id_col, "cluster")
+            .join(dups, id_col, "left")
+            .select(id_col, "cluster",
+                    F.col("__dup").isNull().alias("keep")))

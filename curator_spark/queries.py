@@ -457,6 +457,34 @@ def q60_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
             .limit(PMI_TOP_K))
 
 
+def q62_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index construction — the retrieval-side primitive of a
+    training-data platform (BM25 search, contamination lookups,
+    hard-negative mining all start from postings): per token, document
+    frequency, collection frequency, and the ORDERED posting list of
+    doc ids, fingerprinted (md5 over the comma-joined sorted list) so
+    the oracle verifies every posting of every token, not just counts.
+
+    Plan: explode → distinct (doc_id, tok) → groupBy(tok) with
+    sort_array(collect_list) — one shuffle per aggregation on the
+    token key. At 100 TB, stop-token postings are the skew: real
+    builds shard a hot token's posting list into fixed-size blocks
+    (doc-id-range sub-keys) and concatenate at serve time; the
+    fingerprint here is over the logical (unsharded) list, which is
+    what that sharding preserves."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower(F.col("text")), " "), lambda t: t != "")
+    pairs = docs.select("doc_id", F.explode(toks).alias("tok"))
+    cf = pairs.groupBy("tok").agg(F.count(F.lit(1)).alias("cf"))
+    post = (pairs.distinct()
+            .groupBy("tok")
+            .agg(F.count(F.lit(1)).alias("df"),
+                 F.md5(F.concat_ws(",", F.transform(
+                     F.sort_array(F.collect_list("doc_id")),
+                     lambda x: x.cast("string")))).alias("postings_fp")))
+    return post.join(cf, "tok").select("tok", "df", "cf", "postings_fp")
+
+
 def q16_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprinting: md5 over the space-collapsed lowercased
     text — the exact-dedup key. Narrow map, hash computed JVM-side."""
@@ -1097,6 +1125,23 @@ ORACLES: dict[str, str] = {
                n_hapax
         FROM agg
     """,
+    "q62_inverted_index": """
+        WITH tok AS (
+            SELECT doc_id, unnest(list_filter(
+                string_split(lower(text), ' '), t -> t <> '')) AS tok
+            FROM documents
+        ),
+        dp AS (SELECT DISTINCT doc_id, tok FROM tok),
+        cf AS (SELECT tok, CAST(count(*) AS BIGINT) AS cf
+               FROM tok GROUP BY tok),
+        post AS (
+            SELECT tok, CAST(count(*) AS BIGINT) AS df,
+                   md5(array_to_string(list(doc_id ORDER BY doc_id), ','))
+                       AS postings_fp
+            FROM dp GROUP BY tok
+        )
+        SELECT post.tok, df, cf, postings_fp FROM post JOIN cf USING (tok)
+    """,
     "q59_stratified_split": f"""
         WITH ranked AS (
             SELECT doc_id, lang,
@@ -1408,6 +1453,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q58_quality_signals": q58_quality_signals,
     "q59_stratified_split": q59_stratified_split,
     "q60_bigram_pmi": q60_bigram_pmi,
+    "q62_inverted_index": q62_inverted_index,
     "q17_exact_dedup": q17_exact_dedup,
     "q25_order_history_fp": q25_order_history_fp,
     "q28_asof_join": q28_asof_join,

@@ -281,6 +281,18 @@ def q57_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_int8(_emb(spark, sf_dir), k=KMEANS_K, iters=KMEANS_ITERS)
 
 
+def q61_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: cluster-then-prune semantic dedup
+    (operators/clustering.semdedup) — k-means bounds the quadratic
+    similarity search inside clusters; within a cluster, keep-first by
+    id at cosine ≥ 0.4. The oracle replays clustering via the shared
+    k-means CTEs and the pair search as the same equi-join."""
+    from .operators.clustering import semdedup
+
+    return semdedup(_emb(spark, sf_dir), k=KMEANS_K, iters=KMEANS_ITERS,
+                    threshold=NEARDUP_COS)
+
+
 # ---------------------------------------------------------------------------
 # Oracle SQL
 # ---------------------------------------------------------------------------
@@ -682,12 +694,15 @@ _QUANT_SQL = """
     FROM scaled
 """
 
-def _kmeans_sql(k: int = KMEANS_K, iters: int = KMEANS_ITERS) -> str:
-    """Unrolled Lloyd's rounds as CTEs — the SQL replay of
-    operators/clustering.kmeans_int8. All-integer arithmetic: codes are
-    the q48 quantization recast to BIGINT, distances are diff-square
-    integer sums, centroid updates floor(sum/count). Dim-agnostic via
-    len(codes)."""
+def _kmeans_ctes(k: int = KMEANS_K, iters: int = KMEANS_ITERS
+                 ) -> tuple[str, str]:
+    """Unrolled Lloyd's rounds as a WITH-body — the SQL replay of
+    operators/clustering.kmeans_int8, shared by the q57 oracle and the
+    q61 SemDeDup oracle (so the two can never diverge on clustering).
+    All-integer arithmetic: codes are the q48 quantization recast to
+    BIGINT, distances are diff-square integer sums, centroid updates
+    floor(sum/count). Dim-agnostic via len(codes). Returns (cte_body,
+    name_of_final_assignment_cte)."""
     ctes = ["""base AS (
         SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         FROM embeddings
@@ -736,12 +751,47 @@ def _kmeans_sql(k: int = KMEANS_K, iters: int = KMEANS_ITERS) -> str:
                 GROUP BY a.cluster, t.dim)
             GROUP BY cluster) n USING (cid)
     )""")
-    return ("WITH " + ",\n    ".join(ctes)
-            + f"\n    SELECT vec_id, CAST(cluster AS INTEGER) AS cluster, "
-              f"dist FROM asg{iters + 1}")
+    return ",\n    ".join(ctes), f"asg{iters + 1}"
+
+
+def _kmeans_sql(k: int = KMEANS_K, iters: int = KMEANS_ITERS) -> str:
+    body, final = _kmeans_ctes(k, iters)
+    return (f"WITH {body}\n    SELECT vec_id, "
+            f"CAST(cluster AS INTEGER) AS cluster, dist FROM {final}")
+
+
+def _semdedup_sql(k: int = KMEANS_K, iters: int = KMEANS_ITERS,
+                  threshold: float = NEARDUP_COS) -> str:
+    """SemDeDup oracle: the shared k-means CTEs plus a within-cluster
+    pair join (equi-join on cluster, a.vec_id < b.vec_id) with the
+    same sequential-fold cosine the similarity oracles use; a row is
+    dropped iff any lower-id cluster-mate is ≥ threshold."""
+    body, final = _kmeans_ctes(k, iters)
+    return f"""WITH {body},
+    basev AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+               sqrt(list_sum(list_transform(embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        FROM embeddings
+    ),
+    withc AS (
+        SELECT a.vec_id, a.cluster, b.v, b.nrm
+        FROM {final} a JOIN basev b USING (vec_id)
+    ),
+    dups AS (
+        SELECT DISTINCT b.vec_id FROM withc a JOIN withc b
+          ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+        WHERE round(list_sum(list_transform(range(1, 65),
+                    i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm), 6)
+              >= {threshold}
+    )
+    SELECT w.vec_id, CAST(w.cluster AS INTEGER) AS cluster,
+           d.vec_id IS NULL AS keep
+    FROM withc w LEFT JOIN dups d ON w.vec_id = d.vec_id"""
 
 
 _KMEANS_SQL = _kmeans_sql()
+_SEMDEDUP_SQL = _semdedup_sql()
 
 
 _DUP_SPAN_SQL = f"""
@@ -885,6 +935,7 @@ ORACLES: dict[str, str] = {
     "q52_sequence_pack": _PACK_SQL,
     "q53_contamination_frac": _CONTAM_FRAC_SQL,
     "q57_kmeans_clusters": _KMEANS_SQL,
+    "q61_semdedup": _SEMDEDUP_SQL,
 }
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -909,4 +960,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q55_context_windows": q55_context_windows,
     "q56_knn_join": q56_knn_join,
     "q57_kmeans_clusters": q57_kmeans_clusters,
+    "q61_semdedup": q61_semdedup,
 }

@@ -106,6 +106,49 @@ def test_kmeans_assignment_plan_is_narrow(spark):
     assert "Window" not in plan
 
 
+def test_semdedup_keep_first_within_cluster(spark):
+    """Planted near-dup pairs: within a cluster, the LOWEST id of a
+    similar group survives and every later similar row drops; rows
+    similar across DIFFERENT clusters are untouched (the SemDeDup
+    contract — the quadratic search never leaves a cluster)."""
+    from curator_spark.operators.clustering import kmeans_int8, semdedup
+    rng = np.random.default_rng(3)
+    base = rng.normal(size=(4, 16))
+    rows = []
+    for i in range(4):          # 4 well-separated anchors
+        v = base[i] * 5
+        rows.append((i * 10, [float(x) for x in v]))
+        rows.append((i * 10 + 1, [float(x) for x in v * 1.001]))  # near-dup
+    emb = spark.createDataFrame(rows, "vec_id: long, embedding: array<float>")
+    out = {r["vec_id"]: r for r in
+           semdedup(emb, k=4, iters=2, threshold=0.95).collect()}
+    clusters = {r["vec_id"]: r["cluster"] for r in
+                kmeans_int8(emb, k=4, iters=2).collect()}
+    for i in range(4):
+        a, b = i * 10, i * 10 + 1
+        if clusters[a] == clusters[b]:
+            assert out[a]["keep"] and not out[b]["keep"]
+        else:  # split across clusters: both survive (documented recall cost)
+            assert out[a]["keep"] and out[b]["keep"]
+    # at least one planted pair must actually co-cluster for the test
+    # to exercise the drop path
+    assert any(clusters[i * 10] == clusters[i * 10 + 1] for i in range(4))
+
+
+def test_semdedup_pair_join_is_equi_join(spark):
+    """The within-cluster pair search must be an equi-join on the
+    cluster key — a cartesian here is the O(n²) SemDeDup exists to
+    avoid."""
+    from curator_spark.operators.clustering import semdedup
+    rows = [(i, [float(i % 5), float(i % 7)] + [0.0] * 6)
+            for i in range(20)]
+    emb = spark.createDataFrame(rows, "vec_id: long, embedding: array<float>")
+    plan = semdedup(emb, k=2, iters=1)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Cartesian" not in plan
+    assert "BroadcastNestedLoop" not in plan
+
+
 def test_defaults_match_query_constants():
     from curator_spark import queries_dedup as qd
     assert (qd.KMEANS_K, qd.KMEANS_ITERS) == (KMEANS_K, KMEANS_ITERS)

@@ -11,7 +11,7 @@ from pyspark.sql import functions as F
 
 from curator_spark.queries import (
     PMI_MIN_COUNT, STRAT_DENOM, q58_quality_signals, q59_stratified_split,
-    q60_bigram_pmi)
+    q60_bigram_pmi, q62_inverted_index)
 
 SF = "/root/testdata/sf0.001"
 
@@ -58,6 +58,27 @@ def _sum_c2(spark, doc_id: int) -> int:
     for t in toks:
         counts[t] = counts.get(t, 0) + 1
     return sum(c * c for c in counts.values())
+
+
+def test_inverted_index_matches_python(spark):
+    """Postings fingerprint, df, cf vs a direct python build."""
+    import hashlib
+
+    out = {r["tok"]: r for r in q62_inverted_index(spark, SF).collect()}
+    docs = spark.read.parquet(f"{SF}/documents.parquet").collect()
+    postings: dict[str, set] = {}
+    cf: dict[str, int] = {}
+    for d in docs:
+        for t in d["text"].lower().split(" "):
+            if t:
+                postings.setdefault(t, set()).add(d["doc_id"])
+                cf[t] = cf.get(t, 0) + 1
+    assert set(out) == set(postings)
+    for t, ids in postings.items():
+        fp = hashlib.md5(
+            ",".join(str(i) for i in sorted(ids)).encode()).hexdigest()
+        assert (out[t]["df"], out[t]["cf"], out[t]["postings_fp"]) == (
+            len(ids), cf[t], fp)
 
 
 def test_bigram_pmi_ranking(spark):

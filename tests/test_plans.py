@@ -215,3 +215,41 @@ def test_knn_join_is_equijoin_with_per_query_window(spark):
     exact_plan = plan_of(similarity.knn_join_exact(q, c, k=3))
     assert "BroadcastNestedLoopJoin" in exact_plan  # broadcast q × corpus map
     assert "Exchange hashpartitioning(query_id" in exact_plan  # only the window
+
+
+def test_quality_signals_two_phase_agg_and_pruning(spark):
+    """q58: both aggregations must be map-side-combined (partial_),
+    and the scan must read only (doc_id, text)."""
+    plan = plan_of(queries.q58_quality_signals(spark, SF))
+    assert "partial_" in plan or plan.count("HashAggregate") >= 4
+    read = plan.split("ReadSchema: ")[1].split("\n")[0]
+    assert "doc_id" in read and "text" in read
+    assert "lang" not in read and "source" not in read
+
+
+def test_bigram_pmi_no_self_join_broadcast_totals(spark):
+    """q60: bigrams come from a narrow adjacent-token zip (no
+    self-join of the token stream), corpus totals ride in as broadcast
+    1-row aggregates, and the final pick is TakeOrdered."""
+    plan = plan_of(queries.q60_bigram_pmi(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # the two 1-row totals only
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_inverted_index_aggregates_on_token_key(spark):
+    """q62: exchanges exist only on the token/posting keys — no
+    cartesian, no window; collect_list rides a standard two-shuffle
+    aggregate."""
+    plan = plan_of(queries.q62_inverted_index(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+    assert "sort_array" in plan or "collect_list" in plan
+
+
+def test_stratified_split_single_window_pass(spark):
+    """q59: rank and stratum size share ONE exchange on the stratum
+    key (two window functions over the same partitioning must not
+    double-shuffle)."""
+    plan = plan_of(queries.q59_stratified_split(spark, SF))
+    assert plan.count("Exchange hashpartitioning(lang") == 1
