@@ -228,6 +228,27 @@ class CommitLogLedger:
                 t = a.get("type")
                 if t == "add":
                     parts[int(a["part"])] = a.get("marker")
+                elif t == "add_files":
+                    # incremental append (curator_spark.incremental): merge
+                    # this run's files into the partition's manifest — the
+                    # partition becomes multi-run, and `runs` records every
+                    # contributor so revalidation can refuse a recompute
+                    # that would drop appended rows
+                    p = int(a["part"])
+                    m = dict(parts.get(p) or {
+                        "run_id": a.get("run_id"), "part": p,
+                        "status": "COMMITTED", "n_rows": 0, "files": {}})
+                    m["files"] = dict(m.get("files") or {})
+                    m["files"].update(a.get("files") or {})
+                    m["n_rows"] = int(m.get("n_rows", 0)) + int(a.get("n_rows", 0))
+                    runs = list(m.get("runs")
+                                or ([m["run_id"]] if m.get("run_id") else []))
+                    if a.get("run_id") and a["run_id"] not in runs:
+                        runs.append(a["run_id"])
+                    m["runs"] = runs
+                    if a.get("updated_at"):
+                        m["updated_at"] = a["updated_at"]
+                    parts[p] = m
                 elif t == "remove":
                     parts.pop(int(a["part"]), None)
                 elif t == "run_success":
@@ -244,6 +265,17 @@ class CommitLogLedger:
     def commit_part(self, marker: dict) -> None:
         self._append([{"type": "add", "part": int(marker["part"]),
                        "marker": marker}])
+
+    def append_part(self, part: int, files: dict, n_rows: int,
+                    run_id: str) -> None:
+        """Merge `files` into the partition's committed manifest (the
+        incremental-append commit). One atomic log version; replay
+        accumulates files/n_rows and records run_id in `runs`."""
+        self._append([{"type": "add_files", "part": int(part),
+                       "files": files, "n_rows": int(n_rows),
+                       "run_id": run_id,
+                       "updated_at":
+                       datetime.now(timezone.utc).isoformat()}])
 
     def drop_part(self, part: int) -> None:
         self._append([{"type": "remove", "part": int(part)}])
@@ -358,6 +390,18 @@ def revalidate_committed(out_dir: str, ledger=None) -> tuple[set[int], set[int]]
         if ok:
             valid.add(part)
         else:
+            runs = (marker or {}).get("runs") or []
+            if len(runs) > 1:
+                # A multi-run partition (incremental appends) that fails
+                # validation must NOT silently recompute: run_checkpointed
+                # would rebuild it from ONE input and drop every other
+                # run's appended rows. Fail loudly with the rebuild path.
+                raise RuntimeError(
+                    f"partition {part} failed integrity validation but "
+                    f"holds appended data from runs {runs}; recomputing "
+                    "from a single input would drop the appended rows — "
+                    "rebuild it from the inputs recorded in _meta/ "
+                    "lineage, or drop its marker explicitly")
             ledger.drop_part(part)
             invalid.add(part)
     return valid, invalid

@@ -1,0 +1,199 @@
+"""Incremental corpus maintenance: append new conversation batches to a
+committed output table with CROSS-RUN content dedup — the continuous-
+ingestion story of a 100 TB training-data platform (each crawl/delivery
+lands as a batch; only conversations the corpus has never seen are
+scored and appended).
+
+Reference parity: the reference resumes WITHIN one run by skipping
+completed request ids (base_request_processor.py:438-481). This module
+generalizes that to ACROSS runs: the committed table itself is the
+ledger of completed work, keyed by content fingerprint rather than row
+index, so re-delivered or overlapping batches are skipped exactly like
+completed requests.
+
+Why this requires the commitlog ledger: an append adds files to
+partitions that already have committed data. Under log-defined
+visibility that is precisely Delta's add-file commit — one put per new
+file plus one atomic `add_files` log entry merging the partition
+manifest; a crash between the two leaves only invisible orphans
+(read_committed ignores them, vacuum reclaims them) and the re-run
+appends the batch cleanly. The markers backend publishes by whole-dir
+swap and cannot express "extend a live partition" without a window
+where readers see unmanifested files, so append refuses it.
+
+Safety: a multi-run partition records every contributing run in its
+marker (`runs`); checkpoint.revalidate_committed REFUSES to auto-
+recompute such a partition (a recompute from one input would silently
+drop the other runs' rows) and demands an explicit rebuild instead.
+
+Scale shape: fingerprints are one salted-free groupBy(conv_id) over
+(turn_idx, role, text) — text leaves the shuffle as a single md5 per
+conversation; the novelty check is a left-anti join of batch
+fingerprints against committed fingerprints (both fingerprint-only,
+16-byte keys); scoring runs only on novel conversations.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import time
+import uuid
+from datetime import datetime, timezone
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from . import schema
+from .checkpoint import (
+    WRITE_SALTS, _append_metrics, _gc_stale_scratch, detect_backend,
+    make_ledger, read_committed, run_fingerprint)
+from .pipeline import run_pipeline_df
+
+# unit separator: cannot occur in role/text tokens, so the fingerprint
+# of ("a|b", "c") can never collide with ("a", "b|c")
+_SEP = "\x1f"
+
+
+def conv_fingerprints(turns: DataFrame, text_col: str = "text") -> DataFrame:
+    """(conv_id, conv_fp): md5 over the conversation's turns in
+    turn_idx order — role and text included, conv_id excluded, so the
+    SAME content under a different conv_id (re-crawled page, re-sent
+    delivery) is a duplicate. One groupBy with a deterministic sorted
+    collect_list (the dedup_conversations reassembly shape)."""
+    payload = F.concat_ws(_SEP, F.col("turn_idx").cast("string"),
+                          F.col("role"), F.col(text_col))
+    return (turns.groupBy("conv_id")
+            .agg(F.md5(F.concat_ws("\n", F.transform(
+                F.array_sort(F.collect_list(
+                    F.struct(F.col("turn_idx").alias("i"),
+                             payload.alias("p")))),
+                lambda x: x["p"]))).alias("conv_fp")))
+
+
+def append_new_conversations(spark: SparkSession, input_path: str,
+                             out_dir: str, params: dict | None = None,
+                             broadcast_conv_aggs: bool | None = None) -> dict:
+    """Score and append the batch's NOVEL conversations to a committed
+    output table.
+
+    Dedup is two-layer, both content-keyed:
+    * in-batch: one conversation per fingerprint survives (lowest
+      conv_id — the keep-first convention);
+    * cross-run: fingerprints already in the committed table are
+      skipped (this is what makes re-running a delivery a no-op).
+
+    Returns {run_id, convs_in, convs_new, convs_dup_prior,
+    convs_dup_inbatch, rows_appended, wall_ms}.
+    """
+    t0 = time.monotonic()
+    run_id = run_fingerprint(input_path, {"kind": "append",
+                                          **(params or {})})
+    backend = detect_backend(out_dir)
+    ledger = make_ledger(out_dir, backend)
+    if not getattr(ledger, "log_defined_visibility", False):
+        raise ValueError(
+            f"append requires a log-defined-visibility ledger (got "
+            f"'{backend}'): extending live partitions is an add-file "
+            "commit, which the whole-dir-swap markers protocol cannot "
+            "express atomically — create the table with "
+            "ledger_backend='commitlog'")
+
+    new = spark.read.schema(schema.TRANSCRIPTS_SCHEMA).parquet(input_path)
+    fps = conv_fingerprints(new)
+    n_convs_in = fps.count()
+    winners = fps.groupBy("conv_fp").agg(F.min("conv_id").alias("conv_id"))
+    n_winners = winners.count()
+
+    existing = read_committed(spark, out_dir, backend)
+    existing_fps = (conv_fingerprints(
+        existing.select("conv_id", "turn_idx", "role", "text"))
+        .select("conv_fp").distinct())
+    novel = winners.join(existing_fps, "conv_fp", "left_anti") \
+        .select("conv_id")
+    n_novel = novel.count()
+
+    summary = {"run_id": run_id, "convs_in": n_convs_in,
+               "convs_new": n_novel,
+               "convs_dup_prior": n_winners - n_novel,
+               "convs_dup_inbatch": n_convs_in - n_winners,
+               "rows_appended": 0, "wall_ms": 0}
+    if n_novel == 0:
+        summary["wall_ms"] = int((time.monotonic() - t0) * 1000)
+        return summary
+
+    pending = new.join(novel, "conv_id", "left_semi")
+    result = run_pipeline_df(pending,
+                             broadcast_conv_aggs=broadcast_conv_aggs)
+
+    import shutil
+    _gc_stale_scratch(out_dir)
+    shard = hashlib.md5(f"{run_id}|{uuid.uuid4().hex}".encode()) \
+        .hexdigest()[:8]
+    scratch_root = os.path.join(out_dir, f"_scored-{run_id}-{shard}")
+    os.makedirs(scratch_root, exist_ok=True)
+    with open(os.path.join(scratch_root, "OWNER"), "w") as f:
+        f.write(str(os.getpid()))
+    stage_out = os.path.join(scratch_root, "out")
+    try:
+        (result.repartition(max(8, WRITE_SALTS * 8), F.col("part"),
+                            F.pmod(F.col("turn_idx"), F.lit(WRITE_SALTS)))
+         .write.mode("overwrite").partitionBy("part").parquet(stage_out))
+
+        mrows = (spark.read.parquet(stage_out).groupBy("part").agg(
+            F.count(F.lit(1)).alias("n_in"),
+            F.sum(F.col("keep").cast("long")).alias("n_kept"),
+            F.sum((F.col("scrubbed_text") != F.col("text")).cast("long"))
+            .alias("n_scrubbed"),
+            F.sum((~F.col("role_valid")).cast("long")).alias("n_errors"),
+            F.sum("n_tokens").alias("n_tokens"),
+        ).collect())
+
+        # Per-partition add-file commits: place this shard's files under
+        # their final dirs with shard-unique names (one put per NEW
+        # file), then publish ONE atomic log entry per partition. The
+        # marker lands immediately after its partition's files, so a
+        # crash orphans at most the partition being published — and
+        # orphans are invisible to read_committed until vacuum.
+        import pyarrow.parquet as pq
+        data_dir = os.path.join(out_dir, "data")
+        rows_appended = 0
+        n_by_part = {int(r.part): int(r.n_in) for r in mrows}
+        for p, n_rows in sorted(n_by_part.items()):
+            src = os.path.join(stage_out, f"part={p}")
+            if not os.path.isdir(src):
+                continue
+            dst = os.path.join(data_dir, f"part={p}")
+            os.makedirs(dst, exist_ok=True)
+            man: dict = {}
+            for fn in sorted(os.listdir(src)):
+                if not fn.endswith(".parquet"):
+                    continue
+                newname = f"{shard}-{fn}"
+                fsrc = os.path.join(src, fn)
+                man[newname] = {
+                    "n_rows": pq.ParquetFile(fsrc).metadata.num_rows,
+                    "n_bytes": os.path.getsize(fsrc)}
+                os.replace(fsrc, os.path.join(dst, newname))
+            ledger.append_part(p, man, n_rows, run_id)
+            rows_appended += n_rows
+
+        wall_ms = int((time.monotonic() - t0) * 1000)
+        _append_metrics(out_dir, run_id, shard, mrows, wall_ms)
+
+        meta_dir = os.path.join(out_dir, "_meta")
+        os.makedirs(meta_dir, exist_ok=True)
+        with open(os.path.join(meta_dir, f"run_{run_id}.json"), "w") as f:
+            json.dump({
+                "run_id": run_id, "kind": "append", "input": input_path,
+                "params": params or {},
+                "created_at": datetime.now(timezone.utc).isoformat(),
+                "convs_new": n_novel,
+                "parts_touched": sorted(n_by_part),
+            }, f, indent=2)
+
+        summary["rows_appended"] = rows_appended
+        summary["wall_ms"] = wall_ms
+        return summary
+    finally:
+        shutil.rmtree(scratch_root, ignore_errors=True)
