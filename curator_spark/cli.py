@@ -69,6 +69,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "'commitlog' = versioned put-if-absent transaction "
                         "log with log-defined data visibility (object "
                         "stores; read results via checkpoint.read_committed)")
+    p.add_argument("--append", action="store_true",
+                   help="incremental ingestion: score and append ONLY "
+                        "the --input conversations whose content "
+                        "fingerprint the committed --output table has "
+                        "never seen (commitlog ledger only)")
     p.add_argument("--vacuum", action="store_true",
                    help="after the run, reclaim data files no commit "
                         "manifest references (commitlog backend only)")
@@ -108,14 +113,22 @@ def main(argv: list[str] | None = None) -> int:
     from curator_spark.checkpoint import run_checkpointed, vacuum
     only_parts = ([int(x) for x in args.only_parts.split(",")]
                   if args.only_parts else None)
-    summary = run_checkpointed(
-        spark, args.input, args.output,
-        params={"cli": True},
-        only_parts=only_parts,
-        broadcast_conv_aggs=args.broadcast,
-        strict=args.strict,
-        ledger_backend=ledger_backend,
-    )
+    if args.append:
+        from curator_spark.incremental import append_new_conversations
+        summary = append_new_conversations(
+            spark, args.input, args.output,
+            params={"cli": True},
+            broadcast_conv_aggs=args.broadcast,
+        )
+    else:
+        summary = run_checkpointed(
+            spark, args.input, args.output,
+            params={"cli": True},
+            only_parts=only_parts,
+            broadcast_conv_aggs=args.broadcast,
+            strict=args.strict,
+            ledger_backend=ledger_backend,
+        )
     if args.vacuum and ledger_backend == "commitlog":
         summary["files_vacuumed"] = vacuum(args.output, ledger_backend,
                                            min_age_s=args.vacuum_min_age_sec)

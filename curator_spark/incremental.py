@@ -89,6 +89,22 @@ def append_new_conversations(spark: SparkSession, input_path: str,
     t0 = time.monotonic()
     run_id = run_fingerprint(input_path, {"kind": "append",
                                           **(params or {})})
+    new = spark.read.schema(schema.TRANSCRIPTS_SCHEMA).parquet(input_path)
+    return append_batch_df(spark, new, out_dir, run_id=run_id,
+                           input_desc=input_path, params=params,
+                           broadcast_conv_aggs=broadcast_conv_aggs, t0=t0)
+
+
+def append_batch_df(spark: SparkSession, new: DataFrame, out_dir: str,
+                    run_id: str, input_desc: str,
+                    params: dict | None = None,
+                    broadcast_conv_aggs: bool | None = None,
+                    t0: float | None = None) -> dict:
+    """DataFrame-level core of the append: dedup → score → add-file
+    commits. Shared by the path-based entry above and the streaming
+    ingestion sink (streaming/append_stream.py), which feeds each
+    micro-batch through here with an epoch-deterministic run_id."""
+    t0 = time.monotonic() if t0 is None else t0
     backend = detect_backend(out_dir)
     ledger = make_ledger(out_dir, backend)
     if not getattr(ledger, "log_defined_visibility", False):
@@ -99,7 +115,6 @@ def append_new_conversations(spark: SparkSession, input_path: str,
             "express atomically — create the table with "
             "ledger_backend='commitlog'")
 
-    new = spark.read.schema(schema.TRANSCRIPTS_SCHEMA).parquet(input_path)
     fps = conv_fingerprints(new)
     n_convs_in = fps.count()
     winners = fps.groupBy("conv_fp").agg(F.min("conv_id").alias("conv_id"))
@@ -185,7 +200,7 @@ def append_new_conversations(spark: SparkSession, input_path: str,
         os.makedirs(meta_dir, exist_ok=True)
         with open(os.path.join(meta_dir, f"run_{run_id}.json"), "w") as f:
             json.dump({
-                "run_id": run_id, "kind": "append", "input": input_path,
+                "run_id": run_id, "kind": "append", "input": input_desc,
                 "params": params or {},
                 "created_at": datetime.now(timezone.utc).isoformat(),
                 "convs_new": n_novel,

@@ -69,8 +69,13 @@ def run_status(out_dir: str, backend: str | None = None) -> dict:
     success = ledger.run_success()
     m = _read_metrics_pandas(out_dir)
     if m is not None and committed:
-        live = {(marker.get("run_id"), int(part))
-                for part, marker in committed.items() if marker}
+        # a multi-run partition (incremental appends) lists every
+        # contributing run in `runs`; each run's metrics row for the
+        # part is live — scoping to the base run_id alone would drop
+        # appended rows from the totals
+        live = {(run, int(part))
+                for part, marker in committed.items() if marker
+                for run in (marker.get("runs") or [marker.get("run_id")])}
         keys = list(zip(m["run_id"], m["part"].astype(int)))
         m = m[[k in live for k in keys]]
     totals = ({c: int(m[c].sum()) for c in COUNTER_COLS}

@@ -84,6 +84,17 @@ def test_append_metrics_recorded_and_vacuum_safe(spark, corpus):
     assert vacuum(corpus["out"], min_age_s=0) == 0
 
 
+def test_run_status_counts_appended_rows(spark, corpus):
+    """The status tracker's totals must include every contributing
+    run's metrics for multi-run partitions — scoping to the marker's
+    base run_id alone would hide appended rows."""
+    from curator_spark.status import run_status
+    s = run_status(corpus["out"])
+    expected = len(corpus["b1"]) + len(corpus["fresh"])
+    assert s["totals"]["n_in"] == expected
+    assert s["parts_committed"] == 8
+
+
 def test_append_refuses_markers_backend(spark, tmp_path):
     b = fixtures.generate_transcripts(300, seed=5, n_parts=4)
     p = str(tmp_path / "b.parquet")
