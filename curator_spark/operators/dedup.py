@@ -315,6 +315,85 @@ def decontaminate(train: DataFrame, benchmark: DataFrame,
                     .alias("contaminated")))
 
 
+# fixed Bloom hash family: k=4 seeded xxhash64 draws (with m = 16·n
+# bits, fpp = (1 - e^{-k·n/m})^k ≈ 0.24%)
+_BLOOM_SEEDS = (0x9E3779B9, 0x85EBCA6B, 0xC2B2AE35, 0x27D4EB2F)
+_BLOOM_BITS_PER_ITEM = 16
+
+
+def _bloom_positions(shingle_col, m_bits: int):
+    return [F.pmod(F.xxhash64(shingle_col, F.lit(int(s))), F.lit(m_bits))
+            for s in _BLOOM_SEEDS]
+
+
+def decontaminate_bloom(train: DataFrame, benchmark: DataFrame,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        n: int = 13,
+                        expected_items: int = 1_000_000) -> DataFrame:
+    """Bloom-prefiltered decontamination — RESULT-IDENTICAL to
+    `decontaminate`, with a different physical plan for the 100 TB
+    regime where even the deduplicated benchmark shingle set is too
+    big to broadcast as rows: the benchmark shingles collapse into one
+    bitmap (k seeded JVM xxhash64 positions per shingle, OR-folded
+    into 64-bit words by a map-side-combined `bit_or` aggregate — the
+    driver collects at most m/64 words, i.e. exactly the sketch's own
+    size), the bitmap broadcasts once, and an Arrow-vectorized numpy
+    probe prunes the exploded train-shingle table to candidate hits.
+    Only the survivors — the true hits plus an fpp-fraction of clean
+    shingles — enter the exact semi-join that removes Bloom false
+    positives. The exact confirm keeps the output equal to the plain
+    semi-join (the oracle is literally q47's SQL): the sketch is pure
+    pruning, never a correctness knob.
+
+    Reference analogue for the shape: the reference prunes
+    resubmission by a completed-ids set lookup before doing real work
+    (base_online_request_processor.py:276-277); here the set is
+    sketched because it no longer fits as rows."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    m_bits = max(64, int(expected_items) * _BLOOM_BITS_PER_ITEM)
+    tr_sh = doc_shingles(train, text_col, id_col, n)
+    bm_sh = (doc_shingles(benchmark, text_col, id_col, n)
+             .select("shingle").distinct())
+
+    # build: positions → per-word bit_or (shuffle ≤ m/64 uniform keys)
+    pos = bm_sh.select(F.explode(F.array(
+        *_bloom_positions(F.col("shingle"), m_bits))).alias("p"))
+    words = (pos.select((F.col("p") / 64).cast("long").alias("w"),
+                        F.expr("shiftleft(CAST(1 AS BIGINT), "
+                               "CAST(p % 64 AS INT))").alias("b"))
+             .groupBy("w").agg(F.bit_or("b").alias("bits")).collect())
+    bitmap = np.zeros((m_bits + 63) // 64, dtype=np.uint64)
+    for r in words:
+        bitmap[int(r["w"])] = np.uint64(int(r["bits"]) & 0xFFFFFFFFFFFFFFFF)
+    bc = train.sparkSession.sparkContext.broadcast(bitmap)
+
+    def _probe(p1, p2, p3, p4):
+        bm = bc.value
+        res = np.ones(len(p1), dtype=bool)
+        for p in (p1, p2, p3, p4):
+            a = p.to_numpy(dtype=np.int64).astype(np.uint64)
+            res &= ((bm[a >> np.uint64(6)] >> (a & np.uint64(63)))
+                    & np.uint64(1)).astype(bool)
+        return pd.Series(res)
+
+    _might_contain = pandas_udf(_probe, "boolean")
+
+    candidates = (tr_sh
+                  .filter(_might_contain(
+                      *_bloom_positions(F.col("shingle"), m_bits)))
+                  .select(id_col, "shingle"))
+    dirty = (candidates.join(bm_sh, "shingle", "left_semi")
+             .select(id_col).distinct()
+             .withColumn("contaminated", F.lit(True)))
+    return (train.select(id_col)
+            .join(dirty, id_col, "left")
+            .select(id_col, F.coalesce("contaminated", F.lit(False))
+                    .alias("contaminated")))
+
+
 def duplicate_span_stats(docs: DataFrame, text_col: str = "text",
                          id_col: str = "doc_id", n: int = 5,
                          min_df: int = 2,

@@ -264,6 +264,23 @@ def q48_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q63_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q47's decontamination through the Bloom-prefilter scale path
+    (operators/dedup.decontaminate_bloom): benchmark shingles sketch
+    into one broadcast Bloom filter, might_contain prunes the train
+    shingles, an exact semi-join removes false positives — so the
+    result is identical and the ORACLE IS q47's SQL; what changes is
+    the plan, which no longer ships the benchmark shingle set as rows."""
+    from pyspark.sql import functions as F
+
+    from .operators.sampling import hash_bucket
+    docs = _docs(spark, sf_dir)
+    is_bench = hash_bucket("doc_id", "bench-v1") < BENCH_BUCKETS
+    return dedup.decontaminate_bloom(docs.filter(~is_bench),
+                                     docs.filter(is_bench),
+                                     n=JACCARD_N, expected_items=100_000)
+
+
 KMEANS_K = 8
 KMEANS_ITERS = 3
 
@@ -936,6 +953,9 @@ ORACLES: dict[str, str] = {
     "q53_contamination_frac": _CONTAM_FRAC_SQL,
     "q57_kmeans_clusters": _KMEANS_SQL,
     "q61_semdedup": _SEMDEDUP_SQL,
+    # q63 is q47 with a Bloom prefilter whose false positives are
+    # removed by an exact confirm — same result, same oracle
+    "q63_bloom_decontaminate": _DECONTAM_SQL,
 }
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -961,4 +981,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q56_knn_join": q56_knn_join,
     "q57_kmeans_clusters": q57_kmeans_clusters,
     "q61_semdedup": q61_semdedup,
+    "q63_bloom_decontaminate": q63_bloom_decontaminate,
 }

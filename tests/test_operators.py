@@ -352,3 +352,19 @@ def test_knn_join_recall_on_planted_neighbors(spark):
     for r in approx:
         assert math.isclose(exact_all[(r.query_id, r.neighbor_id)],
                             r.cos_sim, abs_tol=1e-9)
+
+
+def test_bloom_decontaminate_equals_exact(spark):
+    """The Bloom prefilter is pruning only: with the exact confirm in
+    place, decontaminate_bloom's output must equal decontaminate's on
+    any input, and its plan must carry the bloom_filter_agg sketch."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    bench = docs.filter("doc_id % 10 = 0")
+    train = docs.filter("doc_id % 10 <> 0")
+    exact = dedup.decontaminate(train, bench, n=3)
+    bloom = dedup.decontaminate_bloom(train, bench, n=3,
+                                      expected_items=50_000)
+    assert sorted(bloom.collect()) == sorted(exact.collect())
+    plan = bloom._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan  # the Arrow-vectorized probe
+    assert "_probe" in plan
