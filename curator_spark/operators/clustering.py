@@ -78,6 +78,38 @@ def _assign(codes: DataFrame, cents: list[tuple[int, list[int]]],
         best["dist"].alias("dist"))
 
 
+def _kmeans_codes(codes: DataFrame, k: int, iters: int,
+                  id_col: str) -> DataFrame:
+    """Lloyd's rounds over a (id, codes:array<long>) frame — the shared
+    core of kmeans_int8 (full vectors) and pq_encode (subvector
+    slices). Caller is responsible for persisting `codes`."""
+    init = codes.orderBy(id_col).limit(k).collect()
+    cents = [(i, [int(v) for v in r["codes"]])
+             for i, r in enumerate(init)]
+    for _ in range(iters):
+        assigned = _assign(codes, cents, id_col)
+        stats = (assigned
+                 .select("cluster", F.posexplode("codes")
+                         .alias("dim", "val"))
+                 .groupBy("cluster", "dim")
+                 .agg(F.sum("val").alias("s"),
+                      F.count(F.lit(1)).alias("n"))
+                 .collect())
+        by_cid: dict[int, dict[int, int]] = {}
+        for r in stats:
+            # floor(sum/count) via double division: |sum| ≤ 127·n
+            # keeps the quotient far inside double-exact range, and
+            # floor-of-exact-division is what the SQL oracle computes
+            by_cid.setdefault(int(r["cluster"]), {})[int(r["dim"])] = (
+                int((float(r["s"]) / float(r["n"])) // 1))
+        cents = [
+            (cid, [by_cid[cid][d] for d in range(len(old))]
+             if cid in by_cid else old)
+            for cid, old in cents
+        ]
+    return _assign(codes, cents, id_col).select(id_col, "cluster", "dist")
+
+
 def kmeans_int8(emb: DataFrame, k: int = KMEANS_K,
                 iters: int = KMEANS_ITERS, id_col: str = "vec_id",
                 vec_col: str = "embedding") -> DataFrame:
@@ -93,31 +125,55 @@ def kmeans_int8(emb: DataFrame, k: int = KMEANS_K,
     """
     codes = _codes_long(emb, id_col, vec_col).persist()
     try:
-        init = codes.orderBy(id_col).limit(k).collect()
-        cents = [(i, [int(v) for v in r["codes"]])
-                 for i, r in enumerate(init)]
-        for _ in range(iters):
-            assigned = _assign(codes, cents, id_col)
-            stats = (assigned
-                     .select("cluster", F.posexplode("codes")
-                             .alias("dim", "val"))
-                     .groupBy("cluster", "dim")
-                     .agg(F.sum("val").alias("s"),
-                          F.count(F.lit(1)).alias("n"))
-                     .collect())
-            by_cid: dict[int, dict[int, int]] = {}
-            for r in stats:
-                # floor(sum/count) via double division: |sum| ≤ 127·n
-                # keeps the quotient far inside double-exact range, and
-                # floor-of-exact-division is what the SQL oracle computes
-                by_cid.setdefault(int(r["cluster"]), {})[int(r["dim"])] = (
-                    int((float(r["s"]) / float(r["n"])) // 1))
-            cents = [
-                (cid, [by_cid[cid][d] for d in range(len(old))]
-                 if cid in by_cid else old)
-                for cid, old in cents
-            ]
-        return _assign(codes, cents, id_col).select(id_col, "cluster", "dist")
+        return _kmeans_codes(codes, k, iters, id_col)
+    finally:
+        codes.unpersist()
+
+
+PQ_SUBSPACES = 4
+PQ_K = 16
+PQ_ITERS = 2
+
+
+def pq_encode(emb: DataFrame, n_sub: int = PQ_SUBSPACES, k: int = PQ_K,
+              iters: int = PQ_ITERS, id_col: str = "vec_id",
+              vec_col: str = "embedding") -> DataFrame:
+    """Product quantization (Jégou et al. 2011): split each vector into
+    n_sub contiguous subvectors and vector-quantize each subspace with
+    its OWN k-entry codebook — d·8 bits of int8 storage become
+    n_sub·log2(k) bits (here 64 dims → 4 bytes/vector), the workhorse
+    compression behind billion-scale IVF-PQ indexes.
+
+    Built on the same integer-exact machinery as kmeans_int8: the
+    full-vector int8 codes are sliced per subspace and each slice runs
+    the shared Lloyd core, so every emitted code and distortion is an
+    exact integer the SQL oracle replays bit-for-bit (a float PQ
+    trainer could not be verified this way). Subspace codebooks train
+    sequentially on the driver loop, but each round's heavy work is
+    distributed and the persisted codes frame is scanned — never
+    recomputed — per round.
+
+    Returns (id, c0..c{n_sub-1}:int, distortion:bigint) where
+    distortion is the total squared code-space reconstruction error
+    (the sum of per-subspace assignment distances)."""
+    codes = _codes_long(emb, id_col, vec_col).persist()
+    try:
+        dims = len(codes.select("codes").first()["codes"])
+        if dims % n_sub:
+            raise ValueError(f"dims {dims} not divisible by n_sub {n_sub}")
+        w = dims // n_sub
+        out = None
+        for s in range(n_sub):
+            sub = codes.select(
+                id_col, F.slice("codes", s * w + 1, w).alias("codes"))
+            asg = (_kmeans_codes(sub, k, iters, id_col)
+                   .select(id_col, F.col("cluster").alias(f"c{s}"),
+                           F.col("dist").alias(f"__d{s}")))
+            out = asg if out is None else out.join(asg, id_col)
+        distortion = sum(F.col(f"__d{s}") for s in range(n_sub))
+        return out.select(
+            id_col, *[f"c{s}" for s in range(n_sub)],
+            distortion.cast("long").alias("distortion"))
     finally:
         codes.unpersist()
 

@@ -220,6 +220,43 @@ def q11_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RANGE_BIN_US = 3_600_000_000  # 1 h bins for the session range join
+
+
+def q64_session_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval containment join (operators/temporal.range_join_binned):
+    attribute every event to the user session whose [start, end] span
+    contains it. Sessions come from q11's gap rule; the join runs as an
+    equi-join on (user_id, time-bin) with BETWEEN as a residual — the
+    plan never contains the BroadcastNestedLoopJoin a naive range
+    predicate compiles to (plan-asserted). The oracle is the naive
+    BETWEEN join, so the binned rewrite is verified row-exact."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap = epoch - F.lag(epoch).over(w)
+    sess = (ev.withColumn("__ep", epoch)
+            .withColumn("new_session",
+                        F.when(gap.isNull() | (gap > 1_800_000_000),
+                               F.lit(1)).otherwise(F.lit(0))))
+    sess = sess.withColumn(
+        "session_seq",
+        F.sum("new_session").over(
+            Window.partitionBy("user_id").orderBy("ts", "event_id")
+            .rowsBetween(Window.unboundedPreceding, 0)))
+    bounds = (sess.groupBy("user_id", "session_seq")
+              .agg(F.min("__ep").alias("start_us"),
+                   F.max("__ep").alias("end_us")))
+    pts = ev.select("event_id", "user_id", epoch.alias("ts_us"))
+    from .operators.temporal import range_join_binned
+    joined = range_join_binned(pts, bounds, on=["user_id"],
+                               bin_width=RANGE_BIN_US)
+    return joined.select("event_id", "user_id",
+                         F.col("session_seq").cast("long")
+                         .alias("session_seq"),
+                         "start_us")
+
+
 def q12_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured projection: pull props.k out of the JSON payload
     column and aggregate — schema-validating cast analogue (SURVEY.md §2
@@ -1009,6 +1046,30 @@ ORACLES: dict[str, str] = {
                count(*) AS n_events
         FROM sessions GROUP BY user_id
     """,
+    "q64_session_range_join": """
+        WITH flagged AS (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                          OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), seqs AS (
+            SELECT user_id, ts, event_id,
+                   sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                          ROWS UNBOUNDED PRECEDING) AS session_seq
+            FROM flagged
+        ), bounds AS (
+            SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+                   CAST(min(epoch_us(ts)) AS BIGINT) AS start_us,
+                   CAST(max(epoch_us(ts)) AS BIGINT) AS end_us
+            FROM seqs GROUP BY user_id, session_seq
+        )
+        SELECT e.event_id, e.user_id, b.session_seq, b.start_us
+        FROM events e JOIN bounds b
+          ON e.user_id = b.user_id
+         AND epoch_us(e.ts) BETWEEN b.start_us AND b.end_us
+    """,
     "q12_json_extract": """
         SELECT event_type,
                round(avg(k), 4) AS avg_k,
@@ -1454,6 +1515,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q59_stratified_split": q59_stratified_split,
     "q60_bigram_pmi": q60_bigram_pmi,
     "q62_inverted_index": q62_inverted_index,
+    "q64_session_range_join": q64_session_range_join,
     "q17_exact_dedup": q17_exact_dedup,
     "q25_order_history_fp": q25_order_history_fp,
     "q28_asof_join": q28_asof_join,

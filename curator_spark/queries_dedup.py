@@ -283,6 +283,21 @@ def q63_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 KMEANS_K = 8
 KMEANS_ITERS = 3
+PQ_SUBSPACES = 4
+PQ_K = 16
+PQ_ITERS = 2
+
+
+def q65_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization (operators/clustering.pq_encode): 64-dim
+    int8 codes → 4 subspace codebooks of 16 entries → 4 bytes/vector.
+    Every emitted code and the total distortion are exact integers;
+    the oracle replays all four subspace Lloyd chains as
+    prefix-namespaced CTEs."""
+    from .operators.clustering import pq_encode
+
+    return pq_encode(_emb(spark, sf_dir), n_sub=PQ_SUBSPACES, k=PQ_K,
+                     iters=PQ_ITERS)
 
 
 def q57_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -711,16 +726,7 @@ _QUANT_SQL = """
     FROM scaled
 """
 
-def _kmeans_ctes(k: int = KMEANS_K, iters: int = KMEANS_ITERS
-                 ) -> tuple[str, str]:
-    """Unrolled Lloyd's rounds as a WITH-body — the SQL replay of
-    operators/clustering.kmeans_int8, shared by the q57 oracle and the
-    q61 SemDeDup oracle (so the two can never diverge on clustering).
-    All-integer arithmetic: codes are the q48 quantization recast to
-    BIGINT, distances are diff-square integer sums, centroid updates
-    floor(sum/count). Dim-agnostic via len(codes). Returns (cte_body,
-    name_of_final_assignment_cte)."""
-    ctes = ["""base AS (
+_QUANT_CTES = """base AS (
         SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         FROM embeddings
     ),
@@ -733,42 +739,60 @@ def _kmeans_ctes(k: int = KMEANS_K, iters: int = KMEANS_ITERS
         SELECT vec_id,
                list_transform(v, x -> CAST(round(x / s * 127) AS BIGINT)) AS codes
         FROM scaled
-    ),
-    cent0 AS (
+    )"""
+
+
+def _lloyd_ctes(prefix: str, src: str, k: int, iters: int) -> tuple[str, str]:
+    """Unrolled Lloyd's rounds over a (vec_id, codes) CTE `src` — the
+    SQL replay of clustering._kmeans_codes, prefix-namespaced so PQ can
+    instantiate one chain per subspace. All-integer arithmetic:
+    distances are diff-square integer sums, centroid updates
+    floor(sum/count). Dim-agnostic via len(codes). Returns (cte_body,
+    final_assignment_cte_name)."""
+    ctes = [f"""{prefix}cent0 AS (
         SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, codes
-        FROM codes ORDER BY vec_id LIMIT %d
-    )""" % k]
+        FROM {src} ORDER BY vec_id LIMIT {k}
+    )"""]
     # rounds 1..iters refine the codebook; round iters+1 is the final
-    # assignment against the last codebook (mirrors kmeans_int8's loop)
+    # assignment against the last codebook (mirrors _kmeans_codes' loop)
     for t in range(1, iters + 2):
-        ctes.append(f"""d{t} AS (
+        ctes.append(f"""{prefix}d{t} AS (
         SELECT c.vec_id, c.codes, ct.cid,
                CAST(list_sum(list_transform(
                    range(1, len(c.codes) + 1),
                    i -> (c.codes[i] - ct.codes[i]) * (c.codes[i] - ct.codes[i])
                )) AS BIGINT) AS dist
-        FROM codes c CROSS JOIN cent{t - 1} ct
+        FROM {src} c CROSS JOIN {prefix}cent{t - 1} ct
     ),
-    asg{t} AS (
+    {prefix}asg{t} AS (
         SELECT vec_id, codes, cid AS cluster, dist FROM (
             SELECT *, row_number() OVER (
-                PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM d{t})
+                PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM {prefix}d{t})
         WHERE rn = 1
     )""")
         if t <= iters:
-            ctes.append(f"""cent{t} AS (
+            ctes.append(f"""{prefix}cent{t} AS (
         SELECT p.cid, coalesce(n.codes, p.codes) AS codes
-        FROM cent{t - 1} p LEFT JOIN (
+        FROM {prefix}cent{t - 1} p LEFT JOIN (
             SELECT cluster AS cid, list(mu ORDER BY dim) AS codes FROM (
                 SELECT a.cluster, t.dim,
                        CAST(floor(CAST(sum(a.codes[t.dim]) AS DOUBLE)
                                   / count(*)) AS BIGINT) AS mu
-                FROM asg{t} a,
+                FROM {prefix}asg{t} a,
                      unnest(range(1, len(a.codes) + 1)) AS t(dim)
                 GROUP BY a.cluster, t.dim)
             GROUP BY cluster) n USING (cid)
     )""")
-    return ",\n    ".join(ctes), f"asg{iters + 1}"
+    return ",\n    ".join(ctes), f"{prefix}asg{iters + 1}"
+
+
+def _kmeans_ctes(k: int = KMEANS_K, iters: int = KMEANS_ITERS
+                 ) -> tuple[str, str]:
+    """Quantization + one Lloyd chain over the full codes — shared by
+    the q57 oracle and the q61 SemDeDup oracle (so the two can never
+    diverge on clustering)."""
+    body, final = _lloyd_ctes("", "codes", k, iters)
+    return _QUANT_CTES + ",\n    " + body, final
 
 
 def _kmeans_sql(k: int = KMEANS_K, iters: int = KMEANS_ITERS) -> str:
@@ -807,8 +831,34 @@ def _semdedup_sql(k: int = KMEANS_K, iters: int = KMEANS_ITERS,
     FROM withc w LEFT JOIN dups d ON w.vec_id = d.vec_id"""
 
 
+def _pq_sql(n_sub: int, k: int, iters: int, dims: int = 64) -> str:
+    """PQ oracle: one prefix-namespaced Lloyd chain per subspace over
+    the sliced full-vector codes, joined back on vec_id. `dims` is the
+    embeddings table's dimensionality (testdata: 64)."""
+    w = dims // n_sub
+    parts = [_QUANT_CTES]
+    finals = []
+    for s in range(n_sub):
+        parts.append(f"""s{s}codes AS (
+        SELECT vec_id, codes[{s * w + 1}:{(s + 1) * w}] AS codes FROM codes
+    )""")
+        body, final = _lloyd_ctes(f"s{s}", f"s{s}codes", k, iters)
+        parts.append(body)
+        finals.append(final)
+    sel = ", ".join(f"CAST(s{s}.cluster AS INTEGER) AS c{s}"
+                    for s in range(n_sub))
+    dist = " + ".join(f"s{s}.dist" for s in range(n_sub))
+    joins = " ".join(f"JOIN {finals[s]} s{s} USING (vec_id)"
+                     for s in range(n_sub))
+    body = ",\n    ".join(parts)
+    return (f"WITH {body}\n    "
+            f"SELECT c.vec_id, {sel}, CAST({dist} AS BIGINT) AS distortion "
+            f"FROM codes c {joins}")
+
+
 _KMEANS_SQL = _kmeans_sql()
 _SEMDEDUP_SQL = _semdedup_sql()
+_PQ_SQL = _pq_sql(PQ_SUBSPACES, PQ_K, PQ_ITERS)
 
 
 _DUP_SPAN_SQL = f"""
@@ -956,6 +1006,7 @@ ORACLES: dict[str, str] = {
     # q63 is q47 with a Bloom prefilter whose false positives are
     # removed by an exact confirm — same result, same oracle
     "q63_bloom_decontaminate": _DECONTAM_SQL,
+    "q65_pq_encode": _PQ_SQL,
 }
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -982,4 +1033,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q57_kmeans_clusters": q57_kmeans_clusters,
     "q61_semdedup": q61_semdedup,
     "q63_bloom_decontaminate": q63_bloom_decontaminate,
+    "q65_pq_encode": q65_pq_encode,
 }

@@ -106,6 +106,50 @@ def test_kmeans_assignment_plan_is_narrow(spark):
     assert "Window" not in plan
 
 
+def test_pq_encode_matches_numpy(spark):
+    """Product quantization vs an independent numpy replica: per
+    subspace, the same integer Lloyd rounds over the code slice."""
+    from curator_spark.operators.clustering import pq_encode
+    emb, vecs = _fixture_emb(spark, n=120, d=12)
+    got = {r["vec_id"]: (r["c0"], r["c1"], r["c2"], r["distortion"])
+           for r in pq_encode(emb, n_sub=3, k=4, iters=2).collect()}
+
+    v = vecs.astype(np.float64)
+    s = np.maximum(np.abs(v).max(axis=1), 1e-30)
+    x = v / s[:, None] * 127
+    codes = (np.sign(x) * np.floor(np.abs(x) + 0.5)).astype(np.int64)
+    want = {}
+    per_sub = []
+    for sub in range(3):
+        sl = codes[:, sub * 4:(sub + 1) * 4]
+        cents = sl[:4].copy()
+
+        def assign(cs):
+            d2 = ((sl[:, None, :] - cs[None, :, :]) ** 2).sum(axis=2)
+            return d2.argmin(axis=1), d2.min(axis=1)
+
+        for _ in range(2):
+            a, _d = assign(cents)
+            for c in range(4):
+                m = a == c
+                if m.any():
+                    cents[c] = np.floor(sl[m].sum(axis=0) / m.sum())
+        per_sub.append(assign(cents))
+    for i in range(len(vecs)):
+        want[i] = (int(per_sub[0][0][i]), int(per_sub[1][0][i]),
+                   int(per_sub[2][0][i]),
+                   int(per_sub[0][1][i] + per_sub[1][1][i]
+                       + per_sub[2][1][i]))
+    assert got == want
+
+
+def test_pq_rejects_indivisible_dims(spark):
+    from curator_spark.operators.clustering import pq_encode
+    emb, _ = _fixture_emb(spark, n=10, d=10)
+    with pytest.raises(ValueError, match="divisible"):
+        pq_encode(emb, n_sub=4)
+
+
 def test_semdedup_keep_first_within_cluster(spark):
     """Planted near-dup pairs: within a cluster, the LOWEST id of a
     similar group survives and every later similar row drops; rows
@@ -151,4 +195,7 @@ def test_semdedup_pair_join_is_equi_join(spark):
 
 def test_defaults_match_query_constants():
     from curator_spark import queries_dedup as qd
+    from curator_spark.operators import clustering as cl
     assert (qd.KMEANS_K, qd.KMEANS_ITERS) == (KMEANS_K, KMEANS_ITERS)
+    assert (qd.PQ_SUBSPACES, qd.PQ_K, qd.PQ_ITERS) == (
+        cl.PQ_SUBSPACES, cl.PQ_K, cl.PQ_ITERS)

@@ -368,3 +368,32 @@ def test_bloom_decontaminate_equals_exact(spark):
     plan = bloom._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPython" in plan  # the Arrow-vectorized probe
     assert "_probe" in plan
+
+
+def test_range_join_binned_equals_naive(spark):
+    """Binned range join vs the naive BETWEEN cross join on intervals
+    that straddle bins, nest, touch boundaries exactly, and overlap."""
+    from curator_spark.operators.temporal import range_join_binned
+    pts = spark.createDataFrame(
+        [(i, "u", 100 * i) for i in range(60)],
+        "pid: long, k: string, ts_us: long")
+    iv = spark.createDataFrame(
+        [(1, "u", 0, 999), (2, "u", 500, 2500), (3, "u", 2500, 2500),
+         (4, "u", 1000, 5898), (5, "v", 0, 5898)],
+        "iid: long, k: string, start_us: long, end_us: long")
+    got = sorted((r["pid"], r["iid"]) for r in range_join_binned(
+        pts, iv, on=["k"], bin_width=1000).collect())
+    naive = sorted((r["pid"], r["iid"]) for r in pts.crossJoin(
+        iv.withColumnRenamed("k", "k2"))
+        .filter("k = k2 AND ts_us BETWEEN start_us AND end_us").collect())
+    assert got == naive and len(got) > 0
+
+
+def test_range_join_binned_guard_raises_on_fanout_bomb(spark):
+    from curator_spark.operators.temporal import range_join_binned
+    pts = spark.createDataFrame([(1, 5)], "pid: long, ts_us: long")
+    iv = spark.createDataFrame([(1, 0, 10_000_000)],
+                               "iid: long, start_us: long, end_us: long")
+    with pytest.raises(Exception, match="bins"):
+        range_join_binned(pts, iv, bin_width=10,
+                          max_bins_per_interval=100).collect()

@@ -253,3 +253,15 @@ def test_stratified_split_single_window_pass(spark):
     double-shuffle)."""
     plan = plan_of(queries.q59_stratified_split(spark, SF))
     assert plan.count("Exchange hashpartitioning(lang") == 1
+
+
+def test_session_range_join_is_equijoin(spark):
+    """q64: the containment join must run as an equi-join on
+    (user_id, bin) — a naive BETWEEN predicate would compile to
+    BroadcastNestedLoopJoin, the M×N plan this operator exists to
+    avoid."""
+    plan = plan_of(queries.q64_session_range_join(spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert ("SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+            or "BroadcastHashJoin" in plan)
