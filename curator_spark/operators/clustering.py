@@ -78,11 +78,13 @@ def _assign(codes: DataFrame, cents: list[tuple[int, list[int]]],
         best["dist"].alias("dist"))
 
 
-def _kmeans_codes(codes: DataFrame, k: int, iters: int,
-                  id_col: str) -> DataFrame:
+def _kmeans_train(codes: DataFrame, k: int, iters: int,
+                  id_col: str) -> tuple[DataFrame, list[tuple[int, list[int]]]]:
     """Lloyd's rounds over a (id, codes:array<long>) frame — the shared
-    core of kmeans_int8 (full vectors) and pq_encode (subvector
-    slices). Caller is responsible for persisting `codes`."""
+    core of kmeans_int8 (full vectors), pq_encode (subvector slices)
+    and ivfpq_search (which also needs the trained codebook). Returns
+    (final assignment DataFrame, final centroid list). Caller is
+    responsible for persisting `codes`."""
     init = codes.orderBy(id_col).limit(k).collect()
     cents = [(i, [int(v) for v in r["codes"]])
              for i, r in enumerate(init)]
@@ -107,7 +109,13 @@ def _kmeans_codes(codes: DataFrame, k: int, iters: int,
              if cid in by_cid else old)
             for cid, old in cents
         ]
-    return _assign(codes, cents, id_col).select(id_col, "cluster", "dist")
+    final = _assign(codes, cents, id_col).select(id_col, "cluster", "dist")
+    return final, cents
+
+
+def _kmeans_codes(codes: DataFrame, k: int, iters: int,
+                  id_col: str) -> DataFrame:
+    return _kmeans_train(codes, k, iters, id_col)[0]
 
 
 def kmeans_int8(emb: DataFrame, k: int = KMEANS_K,
@@ -174,6 +182,99 @@ def pq_encode(emb: DataFrame, n_sub: int = PQ_SUBSPACES, k: int = PQ_K,
         return out.select(
             id_col, *[f"c{s}" for s in range(n_sub)],
             distortion.cast("long").alias("distortion"))
+    finally:
+        codes.unpersist()
+
+
+IVFPQ_CELLS = 8
+IVFPQ_CELL_ITERS = 2
+IVFPQ_NPROBE = 2
+
+
+def _sqdist(a: list[int], b: list[int]) -> int:
+    return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+
+def _argmin_code(codes_col, cents: list[tuple[int, list[int]]]):
+    """Nearest-centroid id for a codes column vs a literal codebook —
+    a pure column expression (Σ(v−c)² fold per entry, array_min over
+    (dist, cid) structs, ties → lowest cid) so several codebooks can
+    be applied in ONE narrow projection."""
+    entries = []
+    for cid, cvec in cents:
+        carr = F.array(*[F.lit(int(c)).cast("long") for c in cvec])
+        dist = F.aggregate(
+            F.zip_with(codes_col, carr, lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"), lambda acc, x: acc + x)
+        entries.append(F.struct(dist.alias("dist"),
+                                F.lit(int(cid)).cast("int").alias("cid")))
+    return F.array_min(F.array(*entries))["cid"]
+
+
+def ivfpq_search(emb: DataFrame, query_vec_id: int, k: int = 5,
+                 n_cells: int = IVFPQ_CELLS,
+                 cell_iters: int = IVFPQ_CELL_ITERS,
+                 nprobe: int = IVFPQ_NPROBE, n_sub: int = PQ_SUBSPACES,
+                 pq_k: int = PQ_K, pq_iters: int = PQ_ITERS,
+                 id_col: str = "vec_id",
+                 vec_col: str = "embedding") -> DataFrame:
+    """IVF-PQ search with asymmetric distance computation (ADC) — the
+    billion-scale ANN serving path (Jégou et al. 2011): a coarse
+    codebook partitions the corpus into cells, PQ codes compress every
+    vector to n_sub bytes, and a query scans only its nprobe nearest
+    cells, ranking members by Σ_s LUT_s[code_s] where each subspace
+    lookup table holds the query-to-centroid squared distances.
+
+    Integer-exact end to end (code-space training via the shared Lloyd
+    core, driver-computed integer LUTs), so the SQL oracle replays the
+    coarse chain, all subspace chains, the probe-cell choice AND every
+    ADC distance bit-for-bit.
+
+    Scale shape: training is the kmeans_int8 driver loop (k·d ints per
+    round); serving is ONE narrow projection over the codes — cell
+    argmin, n_sub code argmins, and the ADC sum are all literal-folded
+    column expressions — followed by TakeOrdered. Zero shuffles
+    (plan-asserted). At 10^10 vectors the cell column becomes a
+    partition key so probing nprobe cells is partition pruning at the
+    source (the same layout trick as signbucket_ann_pruned).
+
+    Returns the top-k (id, cell:int, adc_dist:bigint) by (adc_dist,
+    id) ascending."""
+    codes = _codes_long(emb, id_col, vec_col).persist()
+    try:
+        dims = len(codes.select("codes").first()["codes"])
+        if dims % n_sub:
+            raise ValueError(f"dims {dims} not divisible by n_sub {n_sub}")
+        w = dims // n_sub
+        _, coarse = _kmeans_train(codes, n_cells, cell_iters, id_col)
+        books = []
+        for s in range(n_sub):
+            sub = codes.select(
+                id_col, F.slice("codes", s * w + 1, w).alias("codes"))
+            books.append(_kmeans_train(sub, pq_k, pq_iters, id_col)[1])
+        qrow = codes.filter(F.col(id_col) == query_vec_id).collect()
+        if not qrow:
+            raise ValueError(f"query id {query_vec_id} not in corpus")
+        qc = [int(x) for x in qrow[0]["codes"]]
+        probe_cells = [cid for _, cid in sorted(
+            (_sqdist(qc, cv), cid) for cid, cv in coarse)[:nprobe]]
+        luts = [[_sqdist(qc[s * w:(s + 1) * w], cv) for _, cv in books[s]]
+                for s in range(n_sub)]
+        scan = codes.select(
+            id_col,
+            _argmin_code(F.col("codes"), coarse).alias("cell"),
+            *[_argmin_code(F.slice("codes", s * w + 1, w), books[s])
+              .alias(f"__c{s}") for s in range(n_sub)])
+        adc = None
+        for s in range(n_sub):
+            lut = F.array(*[F.lit(int(v)).cast("long") for v in luts[s]])
+            term = F.element_at(lut, F.col(f"__c{s}") + 1)
+            adc = term if adc is None else adc + term
+        return (scan.filter(F.col("cell").isin(probe_cells))
+                .withColumn("adc_dist", adc)
+                .select(id_col, "cell", "adc_dist")
+                .orderBy("adc_dist", id_col)
+                .limit(k))
     finally:
         codes.unpersist()
 

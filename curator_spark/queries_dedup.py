@@ -300,6 +300,27 @@ def q65_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
                      iters=PQ_ITERS)
 
 
+IVFPQ_CELLS = 8
+IVFPQ_CELL_ITERS = 2
+IVFPQ_NPROBE = 2
+IVFPQ_K = 10
+
+
+def q66_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ADC search (operators/clustering.ivfpq_search): coarse
+    cells bound the scan to nprobe probe cells, PQ lookup tables rank
+    members by integer ADC distance. Serving is one narrow projection
+    + TakeOrdered (plan-asserted zero-Exchange); the oracle replays
+    the coarse Lloyd chain, all four subspace chains, the probe-cell
+    choice and every ADC distance as exact integers."""
+    from .operators.clustering import ivfpq_search
+
+    return ivfpq_search(_emb(spark, sf_dir), ANN_QUERY_ID, k=IVFPQ_K,
+                        n_cells=IVFPQ_CELLS, cell_iters=IVFPQ_CELL_ITERS,
+                        nprobe=IVFPQ_NPROBE, n_sub=PQ_SUBSPACES,
+                        pq_k=PQ_K, pq_iters=PQ_ITERS)
+
+
 def q57_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Integer-exact k-means over int8-quantized embeddings
     (operators/clustering.kmeans_int8): assignment is a narrow map
@@ -856,9 +877,65 @@ def _pq_sql(n_sub: int, k: int, iters: int, dims: int = 64) -> str:
             f"FROM codes c {joins}")
 
 
+def _ivfpq_sql(query_id: int, k: int, n_cells: int, cell_iters: int,
+               nprobe: int, n_sub: int, pq_k: int, pq_iters: int,
+               dims: int = 64) -> str:
+    """IVF-PQ ADC oracle: the coarse Lloyd chain (prefix g) gives every
+    vector its cell and the final coarse codebook picks the query's
+    nprobe probe cells; one Lloyd chain per subspace gives the PQ
+    codes; per-subspace LUTs are query-to-codebook squared distances;
+    ADC = Σ_s lut_s[code_s], top-k by (adc, vec_id)."""
+    w = dims // n_sub
+    parts = [_QUANT_CTES]
+    gbody, gfinal = _lloyd_ctes("g", "codes", n_cells, cell_iters)
+    parts.append(gbody)
+    finals = []
+    for s in range(n_sub):
+        parts.append(f"""s{s}codes AS (
+        SELECT vec_id, codes[{s * w + 1}:{(s + 1) * w}] AS codes FROM codes
+    )""")
+        body, final = _lloyd_ctes(f"s{s}", f"s{s}codes", pq_k, pq_iters)
+        parts.append(body)
+        finals.append(final)
+    parts.append(f"""qv AS (
+        SELECT codes FROM codes WHERE vec_id = {query_id}
+    )""")
+    parts.append(f"""probe AS (
+        SELECT ct.cid FROM gcent{cell_iters} ct, qv
+        ORDER BY list_sum(list_transform(range(1, len(ct.codes) + 1),
+                   i -> (qv.codes[i] - ct.codes[i])
+                      * (qv.codes[i] - ct.codes[i]))),
+                 ct.cid
+        LIMIT {nprobe}
+    )""")
+    for s in range(n_sub):
+        parts.append(f"""lut{s} AS (
+        SELECT ct.cid,
+               CAST(list_sum(list_transform(range(1, len(ct.codes) + 1),
+                   i -> (qv.codes[{s * w} + i] - ct.codes[i])
+                      * (qv.codes[{s * w} + i] - ct.codes[i]))) AS BIGINT) AS d
+        FROM s{s}cent{pq_iters} ct, qv
+    )""")
+    joins = " ".join(
+        f"JOIN {finals[s]} a{s} USING (vec_id) "
+        f"JOIN lut{s} l{s} ON l{s}.cid = a{s}.cluster"
+        for s in range(n_sub))
+    dist = " + ".join(f"l{s}.d" for s in range(n_sub))
+    body = ",\n    ".join(parts)
+    return (f"WITH {body}\n    "
+            f"SELECT g.vec_id, CAST(g.cluster AS INTEGER) AS cell, "
+            f"CAST({dist} AS BIGINT) AS adc_dist "
+            f"FROM {gfinal} g {joins} "
+            f"WHERE g.cluster IN (SELECT cid FROM probe) "
+            f"ORDER BY adc_dist, g.vec_id LIMIT {k}")
+
+
 _KMEANS_SQL = _kmeans_sql()
 _SEMDEDUP_SQL = _semdedup_sql()
 _PQ_SQL = _pq_sql(PQ_SUBSPACES, PQ_K, PQ_ITERS)
+_IVFPQ_SQL = _ivfpq_sql(ANN_QUERY_ID, IVFPQ_K, IVFPQ_CELLS,
+                        IVFPQ_CELL_ITERS, IVFPQ_NPROBE,
+                        PQ_SUBSPACES, PQ_K, PQ_ITERS)
 
 
 _DUP_SPAN_SQL = f"""
@@ -1007,6 +1084,7 @@ ORACLES: dict[str, str] = {
     # removed by an exact confirm — same result, same oracle
     "q63_bloom_decontaminate": _DECONTAM_SQL,
     "q65_pq_encode": _PQ_SQL,
+    "q66_ivfpq_search": _IVFPQ_SQL,
 }
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -1034,4 +1112,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q61_semdedup": q61_semdedup,
     "q63_bloom_decontaminate": q63_bloom_decontaminate,
     "q65_pq_encode": q65_pq_encode,
+    "q66_ivfpq_search": q66_ivfpq_search,
 }

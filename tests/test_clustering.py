@@ -199,3 +199,78 @@ def test_defaults_match_query_constants():
     assert (qd.KMEANS_K, qd.KMEANS_ITERS) == (KMEANS_K, KMEANS_ITERS)
     assert (qd.PQ_SUBSPACES, qd.PQ_K, qd.PQ_ITERS) == (
         cl.PQ_SUBSPACES, cl.PQ_K, cl.PQ_ITERS)
+
+
+def _numpy_codes(vecs: np.ndarray) -> np.ndarray:
+    v = vecs.astype(np.float64)
+    s = np.maximum(np.abs(v).max(axis=1), 1e-30)
+    x = v / s[:, None] * 127
+    return (np.sign(x) * np.floor(np.abs(x) + 0.5)).astype(np.int64)
+
+
+def _numpy_lloyd(sl: np.ndarray, k: int, iters: int):
+    """Integer Lloyd over a code (sub)matrix; returns (assign, dist,
+    final centroids) — the replica of clustering._kmeans_train."""
+    cents = sl[:k].copy()
+
+    def assign(cs):
+        d2 = ((sl[:, None, :] - cs[None, :, :]) ** 2).sum(axis=2)
+        return d2.argmin(axis=1), d2.min(axis=1)
+
+    for _ in range(iters):
+        a, _d = assign(cents)
+        for c in range(k):
+            m = a == c
+            if m.any():
+                cents[c] = np.floor(sl[m].sum(axis=0) / m.sum())
+    a, d = assign(cents)
+    return a, d, cents
+
+
+def test_ivfpq_search_matches_numpy(spark):
+    """IVF-PQ ADC search vs an independent numpy replica: coarse Lloyd
+    for cells + probe choice, per-subspace Lloyd for codes, integer
+    LUTs, top-k by (adc, id)."""
+    from curator_spark.operators.clustering import ivfpq_search
+    n_cells, cell_iters, nprobe, n_sub, pq_k, pq_iters, k = 4, 2, 2, 3, 4, 2, 8
+    emb, vecs = _fixture_emb(spark, n=150, d=12, n_parts=5)
+    got = [(r["vec_id"], r["cell"], r["adc_dist"]) for r in ivfpq_search(
+        emb, query_vec_id=0, k=k, n_cells=n_cells, cell_iters=cell_iters,
+        nprobe=nprobe, n_sub=n_sub, pq_k=pq_k, pq_iters=pq_iters).collect()]
+
+    codes = _numpy_codes(vecs)
+    w = codes.shape[1] // n_sub
+    cell_a, _, ccents = _numpy_lloyd(codes, n_cells, cell_iters)
+    qc = codes[0]
+    probe = sorted(
+        (int(((qc - ccents[c]) ** 2).sum()), c) for c in range(n_cells)
+    )[:nprobe]
+    probe_cells = {c for _, c in probe}
+    sub = [_numpy_lloyd(codes[:, s * w:(s + 1) * w], pq_k, pq_iters)
+           for s in range(n_sub)]
+    luts = [[int(((qc[s * w:(s + 1) * w] - sub[s][2][j]) ** 2).sum())
+             for j in range(pq_k)] for s in range(n_sub)]
+    cand = []
+    for i in range(len(vecs)):
+        if int(cell_a[i]) not in probe_cells:
+            continue
+        adc = sum(luts[s][int(sub[s][0][i])] for s in range(n_sub))
+        cand.append((adc, i))
+    cand.sort()
+    want = [(i, int(cell_a[i]), adc) for adc, i in cand[:k]]
+    assert got == want
+
+
+def test_ivfpq_serving_plan_is_narrow(spark):
+    """The ADC serving scan is one narrow projection into TakeOrdered —
+    no Exchange anywhere in the physical plan."""
+    from curator_spark.operators.clustering import ivfpq_search
+    emb, _ = _fixture_emb(spark, n=60, d=8, n_parts=4)
+    df = ivfpq_search(emb, query_vec_id=0, k=5, n_cells=2, cell_iters=1,
+                      nprobe=1, n_sub=2, pq_k=2, pq_iters=1)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the fixture's repartition() is a RoundRobin Exchange at the source;
+    # the operator itself must add none (no hash/range repartitioning)
+    assert "Exchange hashpartitioning" not in plan
+    assert "Exchange rangepartitioning" not in plan
+    assert "TakeOrderedAndProject" in plan
