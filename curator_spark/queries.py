@@ -808,6 +808,35 @@ def q44_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q67_luhn_cc_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checksum-validated PII masking (operators/pii.cc_scrub): a
+    deterministic pseudo-card is injected into every document — even
+    doc_ids get the correct Luhn check digit (valid card, must mask),
+    odd doc_ids get checksum+5 (shape matches, checksum fails, must
+    stay) — so detection, validation, and masking are all exercised
+    and verified per row. One narrow JVM-side projection end to end:
+    regexp candidate extraction, integer-fold checksum, replace fold
+    (no Python, no UDF — contrast the flagship's byte-exact-parity
+    Python scrub)."""
+    from .operators.pii import cc_scrub, luhn_check_digit_expr
+
+    docs = _t(spark, sf_dir, "documents")
+    payload = F.lpad((F.col("doc_id") * 7919 % F.lit(10 ** 15))
+                     .cast("string"), 15, "0")
+    chk = luhn_check_digit_expr(payload)
+    digit = F.when(F.col("doc_id") % 2 == 0, chk).otherwise((chk + 5) % 10)
+    card16 = F.concat(payload, digit.cast("string"))
+    fmt = F.concat_ws(
+        "-", F.substring(card16, 1, 4), F.substring(card16, 5, 4),
+        F.substring(card16, 9, 4), F.substring(card16, 13, 4))
+    staged = docs.select(
+        "doc_id",
+        F.concat(F.substring("text", 1, 80), F.lit(" pay "), fmt,
+                 F.lit(" now")).alias("text"))
+    return (cc_scrub(staged)
+            .select("doc_id", "n_cc", "text_scrubbed"))
+
+
 def q37_structured_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured-output schema enforcement (reference:
     prompt_formatter.py:104-148 response_to_response_format — JSON-parse
@@ -936,7 +965,59 @@ def q40_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Oracle SQL (DuckDB) — aliases and rounding match the Spark side exactly
 # ---------------------------------------------------------------------------
 
+def _luhn_sum_sql(digits: str, shift: int = 0) -> str:
+    """DuckDB replay of pii.luhn_ok_expr's integer fold: Luhn sum over
+    the digit string expression `digits` (positions counted from the
+    right, offset by `shift` for check-digit generation)."""
+    pos = f"(i + {shift})" if shift else "i"
+    dig = f"CAST(substr(reverse({digits}), i, 1) AS INTEGER)"
+    return (f"list_sum(list_transform(range(1, len({digits}) + 1), i -> "
+            f"CASE WHEN {pos} % 2 = 0 THEN "
+            f"CASE WHEN 2*{dig} > 9 THEN 2*{dig} - 9 ELSE 2*{dig} END "
+            f"ELSE {dig} END))")
+
+
+_CC_DIGITS = "regexp_replace(c, '[^0-9]', '', 'g')"
+_LUHN_CC_SQL = f"""
+    WITH staged AS (
+        SELECT doc_id,
+               lpad(CAST(doc_id * 7919 % 1000000000000000 AS VARCHAR),
+                    15, '0') AS payload,
+               text
+        FROM documents
+    ), carded AS (
+        SELECT doc_id,
+               payload || CAST(CASE WHEN doc_id % 2 = 0
+                    THEN (10 - {_luhn_sum_sql('payload', shift=1)} % 10) % 10
+                    ELSE ((10 - {_luhn_sum_sql('payload', shift=1)} % 10) % 10
+                          + 5) % 10 END AS VARCHAR) AS card16,
+               text
+        FROM staged
+    ), withtext AS (
+        SELECT doc_id,
+               substr(text, 1, 80) || ' pay ' ||
+               substr(card16, 1, 4) || '-' || substr(card16, 5, 4) || '-' ||
+               substr(card16, 9, 4) || '-' || substr(card16, 13, 4) ||
+               ' now' AS text
+        FROM carded
+    ), valid AS (
+        SELECT doc_id, text,
+               list_filter(
+                 list_sort(list_distinct(regexp_extract_all(
+                     text, '[0-9](?:[ -]?[0-9]){{12,18}}'))),
+                 c -> len({_CC_DIGITS}) BETWEEN 13 AND 19
+                      AND {_luhn_sum_sql(_CC_DIGITS)} % 10 = 0) AS vs
+        FROM withtext
+    )
+    SELECT doc_id, CAST(len(vs) AS INTEGER) AS n_cc,
+           list_reduce(list_prepend(text, vs),
+                       (a, b) -> replace(a, b, '<CC>')) AS text_scrubbed
+    FROM valid
+"""
+
+
 ORACLES: dict[str, str] = {
+    "q67_luhn_cc_scrub": _LUHN_CC_SQL,
     "q01_pricing_summary": """
         SELECT l_returnflag, l_linestatus,
                -- outer CAST: DuckDB sums of integers are HUGEINT, which
@@ -1533,5 +1614,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q42_set_ops": q42_set_ops,
     "q43_window_breadth": q43_window_breadth,
     "q44_bpe_tokens": q44_bpe_tokens,
+    "q67_luhn_cc_scrub": q67_luhn_cc_scrub,
     "q45_sketch_accuracy": q45_sketch_accuracy,
 }
