@@ -1,0 +1,71 @@
+"""Within-document repetition statistics — the Gopher repetition rules.
+
+Gopher (Rae et al. 2021, §A1.1) drops documents whose content is
+dominated by repeated n-grams: "fraction of characters contained in
+duplicate n-grams" over several n, plus the share of the single most
+frequent n-gram. rules.heuristic_flags covers the line-level variant
+(dup_line_frac) inside the Python-parity flagship; this module is the
+JVM-side gram-level variant for corpus-wide sweeps.
+
+All metrics are exact integers (occurrence counts and character sums),
+so the DuckDB oracle reproduces them bit-for-bit and the keep flag is
+an integer comparison (dup_chars·5 < doc_chars ⇔ <20% duplicated-gram
+characters) — no float ratios to drift across engines.
+
+Scale shape: explode grams → groupBy(doc_id, gram) → groupBy(doc_id).
+Both shuffles are map-side combined on near-uniform keys ((doc, gram)
+pairs; doc ids) — no corpus-wide hot key is possible because every key
+embeds the doc id. Text is dropped at the explode, so the shuffled
+bytes are gram strings, not documents.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .dedup import tokens_expr
+
+REP_N = 2                # word n-gram order for the repetition rule
+REP_MAX_DUP_PCT = 20     # keep iff dup-gram chars < 20% of doc chars
+
+
+def gram_occurrences_expr(text_col: str = "text", n: int = REP_N):
+    """ALL word n-gram occurrences (with multiplicity — contrast
+    dedup.shingles_expr, which deduplicates for set semantics)."""
+    toks = tokens_expr(text_col)
+    m = F.size(toks) - F.lit(n - 1)
+    idx = F.when(m >= 1, F.sequence(F.lit(1), m)).otherwise(
+        F.array().cast("array<int>"))
+    return F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
+
+
+def repetition_stats(docs: DataFrame, n: int = REP_N,
+                     max_dup_pct: int = REP_MAX_DUP_PCT,
+                     text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Per-doc duplicate-n-gram statistics, Gopher-style.
+
+    Returns (id, n_chars, n_grams, dup_occurrences, dup_chars,
+    max_gram_count, rep_ok) where dup_* cover occurrences of grams
+    appearing ≥2 times IN THE SAME DOC, dup_chars weights each by the
+    gram's character length (spaces included), max_gram_count is the
+    highest single-gram occurrence count, and rep_ok is the integer
+    keep rule dup_chars·100 < max_dup_pct·n_chars. Docs too short to
+    form a gram get zero counts and pass."""
+    grams = docs.select(
+        id_col, F.explode(gram_occurrences_expr(text_col, n)).alias("gram"))
+    counts = grams.groupBy(id_col, "gram").agg(
+        F.count(F.lit(1)).alias("c"))
+    dup = F.when(F.col("c") >= 2, F.col("c")).otherwise(F.lit(0))
+    agg = counts.groupBy(id_col).agg(
+        F.sum("c").alias("n_grams"),
+        F.sum(dup).alias("dup_occurrences"),
+        F.sum(dup * F.length("gram")).alias("dup_chars"),
+        F.max("c").alias("max_gram_count"))
+    base = docs.select(id_col, F.length(text_col).cast("long")
+                       .alias("n_chars"))
+    out = base.join(agg, id_col, "left").na.fill(
+        0, ["n_grams", "dup_occurrences", "dup_chars", "max_gram_count"])
+    return out.withColumn(
+        "rep_ok",
+        F.col("dup_chars") * 100 < F.lit(int(max_dup_pct)) * F.col("n_chars"))

@@ -808,6 +808,45 @@ def q44_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q68_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style within-doc duplicate-n-gram statistics
+    (operators/textstats.repetition_stats): occurrence counts and
+    character sums of word bigrams repeating inside the same document,
+    plus the integer keep rule (<20% duplicated-gram characters). All
+    integers — the oracle replays gram counting bit-for-bit. Two
+    map-side-combined shuffles on (doc, gram)/(doc) keys; text never
+    shuffles."""
+    from .operators.textstats import repetition_stats
+
+    return repetition_stats(_t(spark, sf_dir, "documents"), n=2)
+
+
+def q69_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style per-language quality bucketing (Wenzek et al. 2020):
+    rank every document inside its language by a quality score and cut
+    the ranking into head/middle/tail thirds (CCNet does this with LM
+    perplexity; here the SQL-expressible stopword-density proxy in
+    integer fixed point, q15/q54's score family). One window shuffle
+    on lang; ntile + total-order tiebreak keeps both engines exact."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower(F.col("text")), " "), lambda t: t != "")
+    staged = docs.select(
+        "doc_id", "lang",
+        F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+        .cast("long").alias("n_stop"),
+        F.greatest(F.size(toks), F.lit(1)).cast("long").alias("n_toks"))
+    scored = staged.withColumn(
+        "stop_score", F.expr("(n_stop * 1000000) div n_toks"))
+    w = Window.partitionBy("lang").orderBy(
+        F.col("stop_score").desc(), F.col("doc_id").asc())
+    bucket = F.ntile(3).over(w)
+    return scored.select(
+        "doc_id", "lang", "stop_score",
+        F.when(bucket == 1, F.lit("head"))
+        .when(bucket == 2, F.lit("middle"))
+        .otherwise(F.lit("tail")).alias("bucket"))
+
+
 def q67_luhn_cc_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Checksum-validated PII masking (operators/pii.cc_scrub): a
     deterministic pseudo-card is injected into every document — even
@@ -1016,8 +1055,63 @@ _LUHN_CC_SQL = f"""
 """
 
 
+_REPETITION_SQL = """
+    WITH base AS (
+        SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+               list_filter(string_split(lower(text), ' '),
+                           t -> t <> '') AS toks
+        FROM documents
+    ), grams AS (
+        SELECT doc_id, unnest(list_transform(
+                   range(1, greatest(len(toks) - 1, 0) + 1),
+                   i -> array_to_string(toks[i:i+1], ' '))) AS gram
+        FROM base
+    ), counts AS (
+        SELECT doc_id, gram, count(*) AS c FROM grams GROUP BY doc_id, gram
+    ), agg AS (
+        SELECT doc_id,
+               CAST(sum(c) AS BIGINT) AS n_grams,
+               CAST(sum(CASE WHEN c >= 2 THEN c ELSE 0 END)
+                    AS BIGINT) AS dup_occurrences,
+               CAST(sum(CASE WHEN c >= 2 THEN c * length(gram) ELSE 0 END)
+                    AS BIGINT) AS dup_chars,
+               CAST(max(c) AS BIGINT) AS max_gram_count
+        FROM counts GROUP BY doc_id
+    )
+    SELECT b.doc_id, b.n_chars,
+           coalesce(a.n_grams, 0) AS n_grams,
+           coalesce(a.dup_occurrences, 0) AS dup_occurrences,
+           coalesce(a.dup_chars, 0) AS dup_chars,
+           coalesce(a.max_gram_count, 0) AS max_gram_count,
+           coalesce(a.dup_chars, 0) * 100 < 20 * b.n_chars AS rep_ok
+    FROM base b LEFT JOIN agg a USING (doc_id)
+"""
+
+
 ORACLES: dict[str, str] = {
     "q67_luhn_cc_scrub": _LUHN_CC_SQL,
+    "q68_repetition_stats": _REPETITION_SQL,
+    "q69_quality_buckets": f"""
+        WITH s AS (
+            SELECT doc_id, lang,
+                   CAST(coalesce(len(list_filter(
+                        string_split(lower(text), ' '),
+                        t -> t <> '' AND t IN ({STOPWORDS_SQL}))), 0)
+                        AS BIGINT) AS n_stop,
+                   CAST(greatest(len(list_filter(
+                        string_split(lower(text), ' '), t -> t <> '')), 1)
+                        AS BIGINT) AS n_toks
+            FROM documents
+        )
+        SELECT doc_id, lang,
+               CAST((n_stop * 1000000) // n_toks AS BIGINT) AS stop_score,
+               CASE ntile(3) OVER (
+                        PARTITION BY lang
+                        ORDER BY (n_stop * 1000000) // n_toks DESC, doc_id)
+                    WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                    ELSE 'tail' END AS bucket
+        FROM s
+    """,
     "q01_pricing_summary": """
         SELECT l_returnflag, l_linestatus,
                -- outer CAST: DuckDB sums of integers are HUGEINT, which
@@ -1615,5 +1709,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q43_window_breadth": q43_window_breadth,
     "q44_bpe_tokens": q44_bpe_tokens,
     "q67_luhn_cc_scrub": q67_luhn_cc_scrub,
+    "q68_repetition_stats": q68_repetition_stats,
+    "q69_quality_buckets": q69_quality_buckets,
     "q45_sketch_accuracy": q45_sketch_accuracy,
 }
