@@ -394,6 +394,68 @@ def decontaminate_bloom(train: DataFrame, benchmark: DataFrame,
                     .alias("contaminated")))
 
 
+SEG_WORDS = 12
+SEG_MIN_DF = 2
+
+
+def remove_duplicate_segments(docs: DataFrame, text_col: str = "text",
+                              id_col: str = "doc_id",
+                              seg_words: int = SEG_WORDS,
+                              min_df: int = SEG_MIN_DF) -> DataFrame:
+    """Boilerplate removal: REWRITE each doc with its corpus-duplicated
+    segments deleted — the destructive counterpart of
+    duplicate_span_stats (C4 removes repeated lines; RefinedWeb and
+    Lee et al. 2021 cut exact duplicate spans; here the span unit is a
+    fixed window of `seg_words` whitespace tokens, since the synthetic
+    corpus has no newlines).
+
+    A segment is removed when its exact text occurs in >= min_df
+    DISTINCT documents (cross-doc boilerplate; within-doc repetition
+    is textstats.repetition_stats' job). Survivors are reassembled in
+    original order via the sorted-struct collect (q25's deterministic
+    collect_list convention).
+
+    Plan shape: segment explode (narrow, text dropped immediately) →
+    ONE map-side-combined groupBy(seg) for distinct-doc frequency →
+    anti-join survivors on the same seg key (exchange reuse) →
+    groupBy(doc) reassembly. Two data-proportional shuffles on uniform
+    keys, no all-pairs product.
+
+    Returns (id, clean_text, n_segs:bigint, n_removed:bigint); a doc
+    whose every segment is boilerplate comes back with clean_text ''."""
+    toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+    n_segs = (F.size(toks) + F.lit(seg_words - 1)).cast("long") / seg_words
+    n_segs = F.floor(n_segs).cast("int")
+    idx = F.when(n_segs >= 1, F.sequence(F.lit(1), n_segs)).otherwise(
+        F.array().cast("array<int>"))
+    seg = docs.select(
+        F.col(id_col),
+        F.explode(F.transform(idx, lambda i: F.struct(
+            i.alias("seg_idx"),
+            F.array_join(F.slice(toks, (i - 1) * seg_words + 1, seg_words),
+                         " ").alias("seg")))).alias("s")
+    ).select(id_col, F.col("s.seg_idx").alias("seg_idx"),
+             F.col("s.seg").alias("seg"))
+    dfreq = seg.groupBy("seg").agg(
+        F.countDistinct(id_col).alias("seg_df"))
+    kept = (seg.join(dfreq.filter(F.col("seg_df") >= min_df),
+                     "seg", "left_anti"))
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("seg_idx", "seg"))),
+                lambda s: s["seg"]),
+            " ").alias("clean_text"),
+        F.count(F.lit(1)).alias("n_kept"))
+    totals = seg.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_segs"))
+    base = docs.select(id_col)
+    out = (base.join(totals, id_col, "left").join(rebuilt, id_col, "left")
+           .na.fill(0, ["n_segs", "n_kept"]).na.fill({"clean_text": ""}))
+    return out.select(
+        id_col, "clean_text", F.col("n_segs").cast("long").alias("n_segs"),
+        (F.col("n_segs") - F.col("n_kept")).cast("long").alias("n_removed"))
+
+
 def duplicate_span_stats(docs: DataFrame, text_col: str = "text",
                          id_col: str = "doc_id", n: int = 5,
                          min_df: int = 2,

@@ -151,6 +151,17 @@ def q51_dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                                       min_df=DUP_SPAN_MIN_DF)
 
 
+def q70_remove_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate span removal (operators/dedup.
+    remove_duplicate_segments): every 12-word segment occurring in ≥2
+    distinct docs is deleted and the doc is rewritten from the
+    survivors in original order — the destructive counterpart of q51's
+    span statistics (C4 line dedup / Lee et al. span cutting). The
+    oracle rebuilds each doc with the identical segmentation and
+    frequency rule, so the rewritten text is verified byte-exact."""
+    return dedup.remove_duplicate_segments(_docs(spark, sf_dir))
+
+
 def q52_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-sequence packing (operators/packing.pack_sequences):
     next-fit packing of docs into fixed token-budget sequences within
@@ -1076,6 +1087,40 @@ ORACLES: dict[str, str] = {
     "q49_multiprobe_neardup": _MULTIPROBE_SQL,
     "q50_semantic_dedup": _SEMANTIC_DEDUP_SQL,
     "q51_dup_span_stats": _DUP_SPAN_SQL,
+    "q70_remove_boilerplate": """
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split(text, ' '), t -> t <> '') AS toks
+            FROM documents
+        ), segs AS (
+            SELECT doc_id, i AS seg_idx,
+                   array_to_string(toks[(i-1)*12+1 : i*12], ' ') AS seg
+            FROM toks,
+                 unnest(range(1, (len(toks) + 11) // 12 + 1)) AS u(i)
+        ), dfreq AS (
+            SELECT seg, count(DISTINCT doc_id) AS seg_df
+            FROM segs GROUP BY seg
+        ), kept AS (
+            SELECT s.doc_id, s.seg_idx, s.seg
+            FROM segs s JOIN dfreq USING (seg) WHERE seg_df < 2
+        ), rebuilt AS (
+            SELECT doc_id,
+                   array_to_string(list(seg ORDER BY seg_idx), ' ')
+                       AS clean_text,
+                   count(*) AS n_kept
+            FROM kept GROUP BY doc_id
+        ), totals AS (
+            SELECT doc_id, count(*) AS n_segs FROM segs GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               coalesce(r.clean_text, '') AS clean_text,
+               CAST(coalesce(t.n_segs, 0) AS BIGINT) AS n_segs,
+               CAST(coalesce(t.n_segs, 0) - coalesce(r.n_kept, 0)
+                    AS BIGINT) AS n_removed
+        FROM documents d
+        LEFT JOIN totals t USING (doc_id)
+        LEFT JOIN rebuilt r USING (doc_id)
+    """,
     "q52_sequence_pack": _PACK_SQL,
     "q53_contamination_frac": _CONTAM_FRAC_SQL,
     "q57_kmeans_clusters": _KMEANS_SQL,
@@ -1113,4 +1158,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q63_bloom_decontaminate": q63_bloom_decontaminate,
     "q65_pq_encode": q65_pq_encode,
     "q66_ivfpq_search": q66_ivfpq_search,
+    "q70_remove_boilerplate": q70_remove_boilerplate,
 }

@@ -397,3 +397,33 @@ def test_range_join_binned_guard_raises_on_fanout_bomb(spark):
     with pytest.raises(Exception, match="bins"):
         range_join_binned(pts, iv, bin_width=10,
                           max_bins_per_interval=100).collect()
+
+
+def test_remove_duplicate_segments(spark):
+    """Cross-doc duplicated segments cut, order preserved, all-dup doc
+    empties, unique docs untouched (seg_words=3 for a small fixture)."""
+    from curator_spark.operators.dedup import remove_duplicate_segments
+    boiler = "subscribe to our newsletter"   # will repeat across docs
+    # 11 words at seg_words=5 → 3 segments [5][5][1]; the first is the
+    # shared boilerplate window in docs 1 and 2
+    docs2 = spark.createDataFrame([
+        (1, f"{boiler} now alpha beta gamma delta epsilon zeta"),
+        (2, f"{boiler} now one two three four five six"),
+        (3, "totally unique content here nothing repeated at all"),
+    ], "doc_id: long, text: string")
+    out = {r["doc_id"]: r for r in remove_duplicate_segments(
+        docs2, seg_words=5, min_df=2).collect()}
+    assert out[1]["clean_text"] == "alpha beta gamma delta epsilon zeta"
+    assert out[1]["n_segs"] == 3 and out[1]["n_removed"] == 1
+    assert out[2]["clean_text"] == "one two three four five six"
+    assert out[3]["n_removed"] == 0
+    assert out[3]["clean_text"] == docs2.collect()[2]["text"]
+
+    # a doc that is pure boilerplate empties but stays present
+    docs3 = spark.createDataFrame(
+        [(1, boiler), (2, boiler), (3, "a")],
+        "doc_id: long, text: string")
+    out3 = {r["doc_id"]: r for r in remove_duplicate_segments(
+        docs3, seg_words=4, min_df=2).collect()}
+    assert out3[1]["clean_text"] == "" and out3[1]["n_removed"] == 1
+    assert out3[3]["clean_text"] == "a" and out3[3]["n_segs"] == 1
