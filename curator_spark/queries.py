@@ -808,6 +808,28 @@ def q44_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q71_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-defused fact⋈dim join (operators/skew.salted_join):
+    lineitem joins orders on a salted key — a hot orderkey's rows
+    spread over 16 reduce partitions while every match pair still
+    occurs exactly once. The oracle is the PLAIN join, so the salting
+    identity (salted result == plain result) is verified row-exact.
+    Plan-asserted: the join exchange partitions on (key, salt)."""
+    from .operators.skew import salted_join
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity")
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_custkey",
+        "o_orderstatus")
+    joined = salted_join(li, orders, on=["l_orderkey"],
+                         salt_by=["l_orderkey", "l_linenumber"])
+    return joined.select(
+        "l_orderkey", "l_linenumber",
+        F.col("l_quantity").cast("long").alias("qty"),
+        "o_custkey", "o_orderstatus")
+
+
 def q68_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style within-doc duplicate-n-gram statistics
     (operators/textstats.repetition_stats): occurrence counts and
@@ -1091,6 +1113,14 @@ _REPETITION_SQL = """
 ORACLES: dict[str, str] = {
     "q67_luhn_cc_scrub": _LUHN_CC_SQL,
     "q68_repetition_stats": _REPETITION_SQL,
+    # the oracle for the SALTED join is the PLAIN join — identical
+    # results is the entire point of the operator
+    "q71_salted_join": """
+        SELECT l.l_orderkey, l.l_linenumber,
+               CAST(l.l_quantity AS BIGINT) AS qty,
+               o.o_custkey, o.o_orderstatus
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    """,
     "q69_quality_buckets": f"""
         WITH s AS (
             SELECT doc_id, lang,
@@ -1710,6 +1740,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q44_bpe_tokens": q44_bpe_tokens,
     "q67_luhn_cc_scrub": q67_luhn_cc_scrub,
     "q68_repetition_stats": q68_repetition_stats,
+    "q71_salted_join": q71_salted_join,
     "q69_quality_buckets": q69_quality_buckets,
     "q45_sketch_accuracy": q45_sketch_accuracy,
 }
