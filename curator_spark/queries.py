@@ -808,6 +808,36 @@ def q44_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q72_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility / compression statistics per language —
+    the standard pre-training diagnostic (how many subword tokens a
+    word costs, how many bytes a token carries) that decides tokenizer
+    fit and per-language sampling budgets. Words = whitespace tokens,
+    subwords = the q44 BPE-ish pre-tokenizer; ratios in integer fixed
+    point (milli-units) so both engines agree bit-for-bit. One
+    map-side-combined groupBy(lang) — three rows out."""
+    docs = _t(spark, sf_dir, "documents")
+    words = F.filter(F.split(F.lower(F.col("text")), " "),
+                     lambda t: t != "")
+    bpe = F.regexp_extract_all(F.col("text"), F.lit(BPE_ISH_PATTERN), 0)
+    per_doc = docs.select(
+        "lang",
+        F.octet_length("text").cast("long").alias("n_bytes"),
+        F.size(words).cast("long").alias("n_words"),
+        F.size(bpe).cast("long").alias("n_bpe"))
+    agg = per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_bytes").alias("total_bytes"),
+        F.sum("n_words").alias("total_words"),
+        F.sum("n_bpe").alias("total_bpe"))
+    return agg.select(
+        "lang", "n_docs", "total_bytes", "total_words", "total_bpe",
+        F.expr("(total_bpe * 1000) div greatest(total_words, 1)")
+        .alias("fertility_milli"),
+        F.expr("(total_bytes * 1000) div greatest(total_bpe, 1)")
+        .alias("bytes_per_token_milli"))
+
+
 def q71_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-defused fact⋈dim join (operators/skew.salted_join):
     lineitem joins orders on a salted key — a hot orderkey's rows
@@ -1120,6 +1150,28 @@ ORACLES: dict[str, str] = {
                CAST(l.l_quantity AS BIGINT) AS qty,
                o.o_custkey, o.o_orderstatus
         FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    """,
+    "q72_tokenizer_fertility": """
+        WITH per_doc AS (
+            SELECT lang,
+                   CAST(strlen(text) AS BIGINT) AS n_bytes,
+                   CAST(len(list_filter(string_split(lower(text), ' '),
+                        t -> t <> '')) AS BIGINT) AS n_words,
+                   CAST(len(regexp_extract_all(
+                        text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))
+                        AS BIGINT) AS n_bpe
+            FROM documents
+        )
+        SELECT lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+               CAST(sum(n_words) AS BIGINT) AS total_words,
+               CAST(sum(n_bpe) AS BIGINT) AS total_bpe,
+               CAST(sum(n_bpe) * 1000 // greatest(sum(n_words), 1)
+                    AS BIGINT) AS fertility_milli,
+               CAST(sum(n_bytes) * 1000 // greatest(sum(n_bpe), 1)
+                    AS BIGINT) AS bytes_per_token_milli
+        FROM per_doc GROUP BY lang
     """,
     "q69_quality_buckets": f"""
         WITH s AS (
@@ -1741,6 +1793,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q67_luhn_cc_scrub": q67_luhn_cc_scrub,
     "q68_repetition_stats": q68_repetition_stats,
     "q71_salted_join": q71_salted_join,
+    "q72_tokenizer_fertility": q72_tokenizer_fertility,
     "q69_quality_buckets": q69_quality_buckets,
     "q45_sketch_accuracy": q45_sketch_accuracy,
 }
