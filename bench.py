@@ -361,13 +361,16 @@ def main() -> None:
                        check=True)
         uniform, skewed = prepare_skew_inputs(skew_base, SKEW_TURNS)
         wait_for_quiet()
+        # ALWAYS take the min of two interleaved passes per fixture:
+        # sandbox-host noise is ±25% run-to-run (measured on an
+        # otherwise-idle VM), which dwarfs the effect under test; the
+        # min is the least-noisy estimator of the true cost and
+        # interleaving cancels slow-drift
         dt_u, n_u = run_flagship_at(8, uniform)
         dt_s, n_s = run_flagship_at(8, skewed)
-        if not 0.85 <= dt_s / dt_u <= 1.3:  # either tail = co-tenant noise
-            log("noisy skew ratio reading — resampling both fixtures")
-            wait_for_quiet()
-            dt_u = min(dt_u, run_flagship_at(8, uniform)[0])
-            dt_s = min(dt_s, run_flagship_at(8, skewed)[0])
+        wait_for_quiet()
+        dt_u = min(dt_u, run_flagship_at(8, uniform)[0])
+        dt_s = min(dt_s, run_flagship_at(8, skewed)[0])
         result["skew"] = {
             "cores": 8, "n_turns": n_u,
             "uniform_sec": round(dt_u, 2), "skewed_sec": round(dt_s, 2),
@@ -401,9 +404,13 @@ def main() -> None:
             return d
 
         lo, hi = stream_level(4), stream_level(16)
-        if hi["dt"] >= lo["dt"]:
+        for _ in range(3):
+            if hi["dt"] < lo["dt"]:
+                break
             # a 4× admission raise measuring no faster is the host-noise
-            # signature (same resample rule as the scaling/skew guards)
+            # signature (same resample rule as the scaling/skew guards);
+            # one extra sample per level proved insufficient on a noisy
+            # host, so retry bounded-but-persistently, keeping the min
             log("inverted streaming levels — resampling both")
             lo = min(lo, stream_level(4), key=lambda d: d["dt"])
             hi = min(hi, stream_level(16), key=lambda d: d["dt"])
@@ -418,8 +425,25 @@ def main() -> None:
             "levels": levels,
         }
 
+    result["cpu_calib_sec"] = cpu_calibration()
     write_bench_md(result)
     print(json.dumps(result))
+
+
+def cpu_calibration() -> float:
+    """Single-core Python arithmetic loop — a host-speed constant so
+    wall-times are comparable ACROSS rounds: the sandbox VM lands on a
+    different physical host each session (one round measured 2.4×
+    slower per core at identical code and perfect 1.00 scaling
+    efficiency). Divide wall-times by this to compare rounds."""
+    def once() -> float:
+        t0 = time.monotonic()
+        x = 0
+        for i in range(10 ** 7):
+            x += i * i
+        return time.monotonic() - t0
+
+    return round(min(once() for _ in range(3)), 3)
 
 
 def write_bench_md(result: dict) -> None:
@@ -427,6 +451,10 @@ def write_bench_md(result: dict) -> None:
         "# BENCH — measured on local[k] (single JVM, 32 hw threads)",
         "",
         f"sf={result['sf']} headline total: **{result['value']} s**",
+        "",
+        f"Host-speed calibration (single-core Python loop, divide "
+        f"wall-times by this to compare across rounds/hosts): "
+        f"**{result['cpu_calib_sec']} s**",
         "",
         "| query | sec |",
         "|---|---|",

@@ -99,6 +99,14 @@ def incremental_neardup(spark: SparkSession, docs: DataFrame, path: str,
                .na.fill(False, ["known_neardup", "batch_dup"])
                .withColumn("novel", ~F.col("known_neardup")
                            & ~F.col("batch_dup")))
+        # MATERIALIZE the verdicts BEFORE mutating the index, with
+        # lineage SEVERED (localCheckpoint, eager): the plan reads the
+        # index path, and Spark's cache manager re-caches any cached
+        # plan reading a path that gets written (recacheByPath) — a
+        # persist() here would be silently recomputed against the
+        # post-append index and every novel doc would flag itself.
+        # The checkpointed frame is the immutable pre-append snapshot.
+        out = out.localCheckpoint(eager=True)
         novel_bands = (bands.join(
             out.filter("novel").select(id_col), id_col, "left_semi")
             .select("band", "band_key", F.col(id_col).alias("doc_id")))

@@ -199,6 +199,8 @@ def test_defaults_match_query_constants():
     assert (qd.KMEANS_K, qd.KMEANS_ITERS) == (KMEANS_K, KMEANS_ITERS)
     assert (qd.PQ_SUBSPACES, qd.PQ_K, qd.PQ_ITERS) == (
         cl.PQ_SUBSPACES, cl.PQ_K, cl.PQ_ITERS)
+    assert (qd.IVFPQ_CELLS, qd.IVFPQ_CELL_ITERS, qd.IVFPQ_NPROBE) == (
+        cl.IVFPQ_CELLS, cl.IVFPQ_CELL_ITERS, cl.IVFPQ_NPROBE)
 
 
 def _numpy_codes(vecs: np.ndarray) -> np.ndarray:
