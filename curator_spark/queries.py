@@ -448,6 +448,77 @@ def q59_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("in_sample"))
 
 
+HASH_DIM = 16
+
+
+def q74_feature_hash_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature hashing (Weinberger et al. 2009): embed every document
+    as a {HASH_DIM}-dim integer bag-of-words vector, bucket =
+    md5(token) mod dim — the no-model, no-vocabulary embedding that
+    feeds clustering/ANN when no learned encoder exists (and the
+    deterministic stand-in for one in this sandbox). Integer counts →
+    bit-exact across engines.
+
+    Plan: token explode (text dropped at the explode) → ONE map-side-
+    combined groupBy(doc_id) with {HASH_DIM} conditional sums (the
+    simhash pattern) → left join back onto the doc spine for empty
+    docs. Dims emitted as columns so every value is oracle-verified."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower(F.col("text")), " "), lambda t: t != "")
+    staged = docs.select("doc_id", F.explode(toks).alias("tok"))
+    bucket = (F.conv(F.substring(F.md5("tok"), 1, 12), 16, 10)
+              .cast("long") % HASH_DIM)
+    b = staged.withColumn("b", bucket)
+    agg = b.groupBy("doc_id").agg(
+        *[F.sum(F.when(F.col("b") == i, 1).otherwise(0)).alias(f"d{i}")
+          for i in range(HASH_DIM)])
+    return (docs.select("doc_id").join(agg, "doc_id", "left")
+            .na.fill(0, [f"d{i}" for i in range(HASH_DIM)]))
+
+
+LM_TOP_K = 3
+
+
+def q73_ngram_lm_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed count-based LM training — the corpus-scale job that
+    PRODUCES a KenLM-style model like the one the flagship scores with
+    (models/ngram_lm.py builds its char-LM per worker from a fixed
+    seed corpus; this is how the table behind such a model is built
+    from 100 TB). Word-bigram conditionals with add-one (Laplace)
+    smoothing, all integer fixed point: p_milli = (c(w1,w2)+1)·1000
+    div (c(w1)+V). Emits the top-{LM_TOP_K} continuations per context
+    by (count desc, word asc).
+
+    Plan: bigrams from the q60 adjacent-token zip (narrow, no
+    self-join); ONE map-side-combined groupBy(w1,w2); context counts
+    roll up from the bigram table (c(w1) = Σ_w2 c(w1,w2) — no second
+    corpus pass); V is a 1-row broadcast aggregate; per-context top-k
+    is one window on the already-aggregated (small) bigram table."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower(F.col("text")), " "), lambda t: t != "")
+    staged = docs.select(toks.alias("toks"))
+    n = F.size("toks")
+    pairs = F.when(n >= 2, F.zip_with(
+        F.slice("toks", 1, n - 1),
+        F.slice("toks", 2, n - 1),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")))
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    big = staged.select(F.explode(pairs).alias("p")).select("p.w1", "p.w2")
+    cb = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_pair"))
+    ctx = cb.groupBy("w1").agg(F.sum("c_pair").alias("c_ctx"))
+    vocab = (staged.select(F.explode("toks").alias("tok"))
+             .agg(F.countDistinct("tok").alias("v")))
+    w = Window.partitionBy("w1").orderBy(
+        F.col("c_pair").desc(), F.col("w2").asc())
+    return (cb.join(ctx, "w1").crossJoin(F.broadcast(vocab))
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= LM_TOP_K)
+            .select("w1", "w2", "c_pair", "c_ctx",
+                    F.expr("((c_pair + 1) * 1000) div (c_ctx + v)")
+                    .alias("p_milli"),
+                    "rank"))
+
+
 def q60_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus collocation mining: top bigrams by pointwise mutual
     information. PMI = ln(p_ab / (p_a·p_b)) is ranked via its ARGUMENT
@@ -1151,6 +1222,57 @@ ORACLES: dict[str, str] = {
                o.o_custkey, o.o_orderstatus
         FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
     """,
+    "q74_feature_hash_embed": """
+        WITH t AS (
+            SELECT doc_id,
+                   unnest(list_filter(string_split(lower(text), ' '),
+                          x -> x <> '')) AS tok
+            FROM documents
+        ), b AS (
+            SELECT doc_id,
+                   ('0x' || substr(md5(tok), 1, 12))::BIGINT % 16 AS bk
+            FROM t
+        ), agg AS (
+            SELECT doc_id, """ + ", ".join(
+        f"CAST(sum(CASE WHEN bk = {i} THEN 1 ELSE 0 END) AS BIGINT) AS d{i}"
+        for i in range(16)) + """
+            FROM b GROUP BY doc_id
+        )
+        SELECT d.doc_id, """ + ", ".join(
+        f"coalesce(a.d{i}, 0) AS d{i}" for i in range(16)) + """
+        FROM documents d LEFT JOIN agg a USING (doc_id)
+    """,
+    "q73_ngram_lm_train": """
+        WITH toksrc AS (
+            SELECT list_filter(string_split(lower(text), ' '),
+                               t -> t <> '') AS toks
+            FROM documents
+        ), big AS (
+            SELECT toks[i] AS w1, toks[i + 1] AS w2
+            FROM toksrc, unnest(CASE WHEN len(toks) >= 2
+                                     THEN range(1, len(toks))
+                                     ELSE [] END) AS u(i)
+        ), cb AS (
+            SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_pair
+            FROM big GROUP BY w1, w2
+        ), ctx AS (
+            SELECT w1, CAST(sum(c_pair) AS BIGINT) AS c_ctx
+            FROM cb GROUP BY w1
+        ), vocab AS (
+            SELECT count(DISTINCT tok) AS v FROM (
+                SELECT unnest(toks) AS tok FROM toksrc)
+        ), ranked AS (
+            SELECT cb.w1, cb.w2, cb.c_pair, ctx.c_ctx,
+                   CAST((cb.c_pair + 1) * 1000 // (ctx.c_ctx + vocab.v)
+                        AS BIGINT) AS p_milli,
+                   row_number() OVER (PARTITION BY cb.w1
+                                      ORDER BY cb.c_pair DESC, cb.w2)
+                       AS rank
+            FROM cb JOIN ctx USING (w1), vocab
+        )
+        SELECT w1, w2, c_pair, c_ctx, p_milli, CAST(rank AS INTEGER) AS rank
+        FROM ranked WHERE rank <= 3
+    """,
     "q72_tokenizer_fertility": """
         WITH per_doc AS (
             SELECT lang,
@@ -1794,6 +1916,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q68_repetition_stats": q68_repetition_stats,
     "q71_salted_join": q71_salted_join,
     "q72_tokenizer_fertility": q72_tokenizer_fertility,
+    "q73_ngram_lm_train": q73_ngram_lm_train,
+    "q74_feature_hash_embed": q74_feature_hash_embed,
     "q69_quality_buckets": q69_quality_buckets,
     "q45_sketch_accuracy": q45_sketch_accuracy,
 }
