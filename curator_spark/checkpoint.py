@@ -249,6 +249,29 @@ class CommitLogLedger:
                     if a.get("updated_at"):
                         m["updated_at"] = a["updated_at"]
                     parts[p] = m
+                elif t == "compact":
+                    # small-file compaction (compact_partition): swap
+                    # remove_files for add_files in the manifest. Applied
+                    # ONLY if every removed file is still referenced —
+                    # a concurrent recompute that replaced the manifest
+                    # makes this compaction stale, and a stale swap must
+                    # not resurrect dead files; the stale compaction's
+                    # outputs are unreferenced orphans vacuum reclaims
+                    # (Delta's conflict rule for OPTIMIZE vs overwrite).
+                    p = int(a["part"])
+                    m = parts.get(p)
+                    rm = a.get("remove_files") or []
+                    if m and m.get("files") and \
+                            set(rm) <= set(m["files"]):
+                        files = dict(m["files"])
+                        for fn in rm:
+                            files.pop(fn)
+                        files.update(a.get("add_files") or {})
+                        m = dict(m)
+                        m["files"] = files
+                        if a.get("updated_at"):
+                            m["updated_at"] = a["updated_at"]
+                        parts[p] = m
                 elif t == "remove":
                     parts.pop(int(a["part"]), None)
                 elif t == "run_success":
@@ -279,6 +302,18 @@ class CommitLogLedger:
 
     def drop_part(self, part: int) -> None:
         self._append([{"type": "remove", "part": int(part)}])
+
+    def compact_part(self, part: int, remove_files: list[str],
+                     add_files: dict) -> None:
+        """Atomically swap a partition's small files for their compacted
+        rewrite. One log version; replay ignores the swap if the removed
+        files are no longer referenced (stale vs a concurrent
+        recompute — see the replay handler)."""
+        self._append([{"type": "compact", "part": int(part),
+                       "remove_files": sorted(remove_files),
+                       "add_files": add_files,
+                       "updated_at":
+                       datetime.now(timezone.utc).isoformat()}])
 
     def run_success(self) -> dict | None:
         return self._replay()[1]
@@ -883,6 +918,86 @@ def vacuum(out_dir: str, backend: str | None = None,
                 os.remove(fp)
                 removed += 1
     return removed
+
+
+def compact_partition(spark: SparkSession, out_dir: str, part: int,
+                      target_files: int = 1,
+                      backend: str | None = None) -> dict:
+    """Small-file compaction (Delta/Iceberg OPTIMIZE): rewrite a
+    committed partition's many files into `target_files` larger ones
+    without changing a row. Incremental appends
+    (incremental.append_new_conversations, streaming epochs) accrete a
+    file per run per partition; at 10^5 runs the scan cost is dominated
+    by per-file open overhead — compaction is the standard maintenance
+    pass.
+
+    Protocol (commitlog backend only): read EXACTLY the files the
+    current manifest references, rewrite them into shard-unique
+    compacted files placed alongside (one put per file, no in-place
+    mutation), verify the rewritten row count equals the manifest's,
+    then publish ONE `compact` log version that swaps the file sets.
+    Readers see the old files or the new files, never a mix; a crash
+    at any point leaves only unreferenced orphans for `vacuum`; a
+    concurrent recompute makes the swap a stale no-op at replay (see
+    the replay handler). The markers backend raises — its directory
+    content IS its committed state, so an in-place file swap cannot be
+    made atomic there.
+
+    Returns {part, compacted, files_before, files_after, n_rows}."""
+    import shutil
+    import uuid
+
+    import pyarrow.parquet as pq
+
+    backend = backend or detect_backend(out_dir)
+    ledger = make_ledger(out_dir, backend)
+    if not getattr(ledger, "log_defined_visibility", False):
+        raise ValueError(
+            f"compaction requires a log-defined-visibility ledger, not "
+            f"'{backend}': the markers backend's dir content IS its "
+            "committed state, so a file swap there cannot be atomic")
+    marker = ledger.committed().get(int(part))
+    if not marker or not marker.get("files"):
+        raise ValueError(f"partition {part} has no committed files")
+    old_files = dict(marker["files"])
+    if len(old_files) <= target_files:
+        return {"part": int(part), "compacted": False,
+                "files_before": len(old_files),
+                "files_after": len(old_files),
+                "n_rows": sum(int(v.get("n_rows", 0))
+                              for v in old_files.values())}
+    pdir = os.path.join(out_dir, "data", f"part={int(part)}")
+    paths = [os.path.join(pdir, fn) for fn in sorted(old_files)]
+    tag = uuid.uuid4().hex[:12]
+    staging = os.path.join(out_dir, f"_compact-{tag}")
+    spark.read.parquet(*paths).coalesce(int(target_files)) \
+        .write.parquet(staging)
+    man: dict = {}
+    n_rows = 0
+    i = 0
+    for fn in sorted(os.listdir(staging)):
+        if not fn.endswith(".parquet"):
+            continue
+        newname = f"compact-{tag}-{i:05d}.parquet"
+        fsrc = os.path.join(staging, fn)
+        rows = pq.ParquetFile(fsrc).metadata.num_rows
+        man[newname] = {"n_rows": int(rows),
+                        "n_bytes": os.path.getsize(fsrc)}
+        n_rows += int(rows)
+        os.replace(fsrc, os.path.join(pdir, newname))
+        i += 1
+    shutil.rmtree(staging, ignore_errors=True)
+    expected = sum(int(v.get("n_rows", 0)) for v in old_files.values())
+    if n_rows != expected:
+        # abandon BEFORE the commit: the rewrites are unreferenced
+        # orphans (vacuum reclaims them); the table is untouched
+        raise RuntimeError(
+            f"compaction of part {part} rewrote {n_rows} rows but the "
+            f"manifest records {expected} — aborted, table unchanged")
+    ledger.compact_part(int(part), sorted(old_files), man)
+    return {"part": int(part), "compacted": True,
+            "files_before": len(old_files), "files_after": len(man),
+            "n_rows": n_rows}
 
 
 def read_metrics(spark: SparkSession, out_dir: str) -> DataFrame:

@@ -77,6 +77,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--vacuum", action="store_true",
                    help="after the run, reclaim data files no commit "
                         "manifest references (commitlog backend only)")
+    p.add_argument("--compact", type=int, default=None, metavar="N",
+                   help="after the run, rewrite any committed partition "
+                        "holding more than N files into N (small-file "
+                        "OPTIMIZE; commitlog backend only)")
     p.add_argument("--vacuum-min-age-sec", type=float, default=3600.0,
                    help="vacuum retention window: only orphans older "
                         "than this are reclaimed (protects files a "
@@ -129,6 +133,17 @@ def main(argv: list[str] | None = None) -> int:
             strict=args.strict,
             ledger_backend=ledger_backend,
         )
+    if args.compact is not None and ledger_backend == "commitlog":
+        from curator_spark.checkpoint import compact_partition, make_ledger
+        compacted = []
+        for part in sorted(make_ledger(args.output,
+                                       ledger_backend).committed()):
+            r = compact_partition(spark, args.output, part,
+                                  target_files=args.compact,
+                                  backend=ledger_backend)
+            if r["compacted"]:
+                compacted.append(r)
+        summary["parts_compacted"] = len(compacted)
     if args.vacuum and ledger_backend == "commitlog":
         summary["files_vacuumed"] = vacuum(args.output, ledger_backend,
                                            min_age_s=args.vacuum_min_age_sec)

@@ -1,0 +1,104 @@
+"""Small-file compaction (checkpoint.compact_partition): row-identity,
+manifest swap, vacuum of displaced files, revalidation, stale-swap
+conflict rule, markers-backend refusal."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from curator_spark import fixtures
+from curator_spark.checkpoint import (
+    compact_partition, make_ledger, read_committed, revalidate_committed,
+    run_checkpointed, vacuum)
+from curator_spark.incremental import append_new_conversations
+
+
+@pytest.fixture(scope="module")
+def table(spark, tmp_path_factory):
+    """A commitlog table where every partition holds files from the base
+    run plus an incremental append — the multi-small-file shape."""
+    base = tmp_path_factory.mktemp("compact")
+    b1 = fixtures.generate_transcripts(1500, seed=31, n_parts=4)
+    p1 = str(base / "b1.parquet")
+    fixtures.to_spark_parquet(b1, p1)
+    out = str(base / "out")
+    run_checkpointed(spark, p1, out, ledger_backend="commitlog")
+    b2 = fixtures.generate_transcripts(900, seed=32, n_parts=4)
+    p2 = str(base / "b2.parquet")
+    fixtures.to_spark_parquet(b2, p2)
+    append_new_conversations(spark, p2, out)
+    return out
+
+
+def _files_of(out, part):
+    m = make_ledger(out, "commitlog").committed()[part]
+    return dict(m["files"])
+
+
+def test_compact_preserves_rows_and_swaps_manifest(spark, table):
+    before = read_committed(spark, table).orderBy(
+        "conv_id", "turn_idx").toPandas()
+    part = 0
+    files0 = _files_of(table, part)
+    assert len(files0) >= 2, "fixture should have multi-file partitions"
+
+    r = compact_partition(spark, table, part)
+    assert r["compacted"] and r["files_after"] == 1
+    assert r["files_before"] == len(files0)
+
+    files1 = _files_of(table, part)
+    assert len(files1) == 1
+    assert set(files1) & set(files0) == set()
+    assert sum(v["n_rows"] for v in files1.values()) == \
+        sum(v["n_rows"] for v in files0.values())
+
+    after = read_committed(spark, table).orderBy(
+        "conv_id", "turn_idx").toPandas()
+    assert before.equals(after)
+
+    # displaced files are orphans now; vacuum reclaims exactly them
+    pdir = os.path.join(table, "data", f"part={part}")
+    assert set(files0) <= set(os.listdir(pdir))
+    removed = vacuum(table, min_age_s=0)
+    assert removed >= len(files0)
+    assert set(files0) & set(os.listdir(pdir)) == set()
+
+    # integrity: the compacted manifest revalidates clean
+    done, invalidated = revalidate_committed(
+        table, make_ledger(table, "commitlog"))
+    assert part in done and part not in invalidated
+
+    # identical data still served after vacuum
+    assert read_committed(spark, table).count() == len(before)
+
+
+def test_compact_noop_when_already_small(spark, table):
+    part = 0  # compacted to 1 file by the previous test
+    r = compact_partition(spark, table, part, target_files=4)
+    assert not r["compacted"]
+    assert r["files_before"] == r["files_after"]
+
+
+def test_stale_compaction_is_ignored_at_replay(spark, table):
+    """A compact action whose source files are no longer referenced
+    (concurrent recompute) must not alter the manifest."""
+    part = 1
+    ledger = make_ledger(table, "commitlog")
+    before = ledger.committed()[part]["files"]
+    ledger.compact_part(part, ["no-such-file.parquet"],
+                        {"ghost.parquet": {"n_rows": 7, "n_bytes": 1}})
+    after = make_ledger(table, "commitlog").committed()[part]["files"]
+    assert after == before
+
+
+def test_markers_backend_refused(spark, tmp_path):
+    b = fixtures.generate_transcripts(300, seed=33, n_parts=2)
+    p = str(tmp_path / "b.parquet")
+    fixtures.to_spark_parquet(b, p)
+    out = str(tmp_path / "out")
+    run_checkpointed(spark, p, out)  # markers backend
+    with pytest.raises(ValueError, match="log-defined"):
+        compact_partition(spark, out, 0)
