@@ -884,7 +884,11 @@ def vacuum(out_dir: str, backend: str | None = None,
       in-flight shard may have placed it ahead of its commit landing —
       deleting it would break that shard's about-to-publish manifest.
       Pass 0 only when no writer can be concurrent (tests, quiesced
-      maintenance windows)."""
+      maintenance windows).
+
+    Also reclaims `_compact-*` staging directories older than the
+    window — the debris of a compact_partition that crashed before
+    moving its rewrites into the partition dir."""
     backend = backend or detect_backend(out_dir)
     ledger = make_ledger(out_dir, backend)
     if not getattr(ledger, "log_defined_visibility", False):
@@ -917,6 +921,14 @@ def vacuum(out_dir: str, backend: str | None = None,
                     and now - os.path.getmtime(fp) >= min_age_s):
                 os.remove(fp)
                 removed += 1
+    # crashed-compaction staging debris (out_dir/_compact-<tag>/)
+    import shutil
+    for d in os.listdir(out_dir):
+        dp = os.path.join(out_dir, d)
+        if (d.startswith("_compact-") and os.path.isdir(dp)
+                and now - os.path.getmtime(dp) >= min_age_s):
+            removed += sum(len(fs) for _, _, fs in os.walk(dp))
+            shutil.rmtree(dp, ignore_errors=True)
     return removed
 
 

@@ -133,19 +133,30 @@ def main(argv: list[str] | None = None) -> int:
             strict=args.strict,
             ledger_backend=ledger_backend,
         )
-    if args.compact is not None and ledger_backend == "commitlog":
+    # maintenance passes gate on the backend that actually GOVERNS the
+    # table (detect_backend), not the --ledger flag: the append path
+    # auto-detects and a user running `--append --compact 4` without
+    # --ledger must not have compaction silently skipped
+    from curator_spark.checkpoint import detect_backend
+    governing = detect_backend(args.output)
+    if args.compact is not None:
+        if governing != "commitlog":
+            build_parser().error(
+                "--compact requires a commitlog-governed table")
         from curator_spark.checkpoint import compact_partition, make_ledger
         compacted = []
-        for part in sorted(make_ledger(args.output,
-                                       ledger_backend).committed()):
+        for part in sorted(make_ledger(args.output, governing).committed()):
             r = compact_partition(spark, args.output, part,
                                   target_files=args.compact,
-                                  backend=ledger_backend)
+                                  backend=governing)
             if r["compacted"]:
                 compacted.append(r)
         summary["parts_compacted"] = len(compacted)
-    if args.vacuum and ledger_backend == "commitlog":
-        summary["files_vacuumed"] = vacuum(args.output, ledger_backend,
+    if args.vacuum:
+        if governing != "commitlog":
+            build_parser().error(
+                "--vacuum requires a commitlog-governed table")
+        summary["files_vacuumed"] = vacuum(args.output, governing,
                                            min_age_s=args.vacuum_min_age_sec)
     print(json.dumps(summary))
     return 0

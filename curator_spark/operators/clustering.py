@@ -166,24 +166,41 @@ def pq_encode(emb: DataFrame, n_sub: int = PQ_SUBSPACES, k: int = PQ_K,
     (the sum of per-subspace assignment distances)."""
     codes = _codes_long(emb, id_col, vec_col).persist()
     try:
-        dims = len(codes.select("codes").first()["codes"])
-        if dims % n_sub:
-            raise ValueError(f"dims {dims} not divisible by n_sub {n_sub}")
-        w = dims // n_sub
-        out = None
-        for s in range(n_sub):
-            sub = codes.select(
-                id_col, F.slice("codes", s * w + 1, w).alias("codes"))
-            asg = (_kmeans_codes(sub, k, iters, id_col)
-                   .select(id_col, F.col("cluster").alias(f"c{s}"),
-                           F.col("dist").alias(f"__d{s}")))
-            out = asg if out is None else out.join(asg, id_col)
-        distortion = sum(F.col(f"__d{s}") for s in range(n_sub))
-        return out.select(
-            id_col, *[f"c{s}" for s in range(n_sub)],
+        w = _subspace_width(codes, n_sub)
+        books = [
+            _kmeans_train(
+                codes.select(id_col,
+                             F.slice("codes", s * w + 1, w).alias("codes")),
+                k, iters, id_col)[1]
+            for s in range(n_sub)
+        ]
+        # final encode = ONE narrow projection: every subspace argmin
+        # against its trained literal codebook (the previous form
+        # chained n_sub-1 joins on the id just to recombine codes)
+        structs = [_argmin_struct(F.slice("codes", s * w + 1, w), books[s])
+                   for s in range(n_sub)]
+        distortion = None
+        for st in structs:
+            distortion = st["dist"] if distortion is None \
+                else distortion + st["dist"]
+        return codes.select(
+            id_col,
+            *[structs[s]["cid"].alias(f"c{s}") for s in range(n_sub)],
             distortion.cast("long").alias("distortion"))
     finally:
         codes.unpersist()
+
+
+def _subspace_width(codes: DataFrame, n_sub: int) -> int:
+    """Dims-per-subspace, with explicit guards for empty input and
+    indivisible dimensionality."""
+    first = codes.select("codes").first()
+    if first is None:
+        raise ValueError("empty embeddings input")
+    dims = len(first["codes"])
+    if dims % n_sub:
+        raise ValueError(f"dims {dims} not divisible by n_sub {n_sub}")
+    return dims // n_sub
 
 
 IVFPQ_CELLS = 8
@@ -195,11 +212,11 @@ def _sqdist(a: list[int], b: list[int]) -> int:
     return sum((x - y) * (x - y) for x, y in zip(a, b))
 
 
-def _argmin_code(codes_col, cents: list[tuple[int, list[int]]]):
-    """Nearest-centroid id for a codes column vs a literal codebook —
-    a pure column expression (Σ(v−c)² fold per entry, array_min over
-    (dist, cid) structs, ties → lowest cid) so several codebooks can
-    be applied in ONE narrow projection."""
+def _argmin_struct(codes_col, cents: list[tuple[int, list[int]]]):
+    """Nearest-centroid (dist, cid) struct for a codes column vs a
+    literal codebook — a pure column expression (Σ(v−c)² fold per
+    entry, array_min over (dist, cid) structs, ties → lowest cid) so
+    several codebooks can be applied in ONE narrow projection."""
     entries = []
     for cid, cvec in cents:
         carr = F.array(*[F.lit(int(c)).cast("long") for c in cvec])
@@ -208,7 +225,11 @@ def _argmin_code(codes_col, cents: list[tuple[int, list[int]]]):
             F.lit(0).cast("long"), lambda acc, x: acc + x)
         entries.append(F.struct(dist.alias("dist"),
                                 F.lit(int(cid)).cast("int").alias("cid")))
-    return F.array_min(F.array(*entries))["cid"]
+    return F.array_min(F.array(*entries))
+
+
+def _argmin_code(codes_col, cents: list[tuple[int, list[int]]]):
+    return _argmin_struct(codes_col, cents)["cid"]
 
 
 def ivfpq_search(emb: DataFrame, query_vec_id: int, k: int = 5,
@@ -242,10 +263,7 @@ def ivfpq_search(emb: DataFrame, query_vec_id: int, k: int = 5,
     id) ascending."""
     codes = _codes_long(emb, id_col, vec_col).persist()
     try:
-        dims = len(codes.select("codes").first()["codes"])
-        if dims % n_sub:
-            raise ValueError(f"dims {dims} not divisible by n_sub {n_sub}")
-        w = dims // n_sub
+        w = _subspace_width(codes, n_sub)
         _, coarse = _kmeans_train(codes, n_cells, cell_iters, id_col)
         books = []
         for s in range(n_sub):

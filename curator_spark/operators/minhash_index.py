@@ -45,11 +45,17 @@ INDEX_SCHEMA = "band INT, band_key STRING, doc_id LONG"
 
 def write_minhash_index(docs: DataFrame, path: str, text_col: str = "text",
                         id_col: str = "doc_id", n: int = 5) -> int:
-    """Create the index from an initial corpus. Returns docs indexed."""
-    bands = minhash_bands(docs, text_col, id_col, n)
-    (bands.select("band", "band_key", F.col(id_col).alias("doc_id"))
-     .write.partitionBy("band").mode("errorifexists").parquet(path))
-    return docs.count()
+    """Create the index from an initial corpus. Returns the number of
+    docs that produced signatures (a doc shorter than the shingle
+    width n has none and cannot be indexed) — so the return value
+    always agrees with index_stats()['n_docs']."""
+    bands = minhash_bands(docs, text_col, id_col, n).persist()
+    try:
+        (bands.select("band", "band_key", F.col(id_col).alias("doc_id"))
+         .write.partitionBy("band").mode("errorifexists").parquet(path))
+        return bands.select(id_col).distinct().count()
+    finally:
+        bands.unpersist()
 
 
 def _read_index(spark: SparkSession, path: str) -> DataFrame:
@@ -76,11 +82,15 @@ def incremental_neardup(spark: SparkSession, docs: DataFrame, path: str,
     """Dedup a new batch against the index AND within itself, then
     append the survivors' signatures so the next batch sees them.
 
-    Returns (id, known_neardup, batch_dup, novel): `known_neardup` =
-    collides with indexed content, `batch_dup` = a lower-id batch doc
-    shares a band with it, `novel` = neither (these were appended).
-    Work is proportional to the batch; the index is only ever probed
-    and appended, never rewritten."""
+    Returns (id, known_neardup, batch_dup, no_signature, novel):
+    `known_neardup` = collides with indexed content, `batch_dup` = a
+    lower-id batch doc shares a band with it, `no_signature` = the doc
+    is shorter than the shingle width and produced no signature (it
+    can never be indexed, so it is excluded from `novel` — otherwise
+    every replay would re-flag it as new content and the idempotence
+    contract below would break), `novel` = none of the above (exactly
+    these were appended). Work is proportional to the batch; the index
+    is only ever probed and appended, never rewritten."""
     bands = minhash_bands(docs, text_col, id_col, n).persist()
     try:
         idx = _read_index(spark, path)
@@ -94,11 +104,16 @@ def incremental_neardup(spark: SparkSession, docs: DataFrame, path: str,
                .filter(F.col("__a") < F.col(id_col))
                .select(F.col(id_col)).distinct()
                .withColumn("batch_dup", F.lit(True)))
+        signed = (bands.select(F.col(id_col)).distinct()
+                  .withColumn("__signed", F.lit(True)))
         out = (docs.select(id_col)
                .join(known, id_col, "left").join(dup, id_col, "left")
-               .na.fill(False, ["known_neardup", "batch_dup"])
+               .join(signed, id_col, "left")
+               .na.fill(False, ["known_neardup", "batch_dup", "__signed"])
+               .withColumn("no_signature", ~F.col("__signed"))
                .withColumn("novel", ~F.col("known_neardup")
-                           & ~F.col("batch_dup")))
+                           & ~F.col("batch_dup") & F.col("__signed"))
+               .drop("__signed"))
         # MATERIALIZE the verdicts BEFORE mutating the index, with
         # lineage SEVERED (localCheckpoint, eager): the plan reads the
         # index path, and Spark's cache manager re-caches any cached

@@ -36,22 +36,31 @@ CC_PATTERN = r"[0-9](?:[ -]?[0-9]){12,18}"
 CC_MASK = "<CC>"
 
 
-def luhn_ok_expr(digits: Column) -> Column:
-    """True iff `digits` (a pure digit string, 13-19 long) passes the
-    Luhn mod-10 checksum: from the right, double every second digit,
-    subtract 9 when the double exceeds 9, total ≡ 0 (mod 10).
-    Integer fold over sequence(1, len) — exact on every engine."""
+def _luhn_sum_expr(digits: Column, shift: int = 0) -> Column:
+    """Luhn sum over a digit-string column: positions counted from the
+    right, offset by `shift` (the check-digit generator computes the
+    payload's sum as if one more digit followed). The single shared
+    fold — the validator and the generator differ ONLY in `shift`,
+    mirroring the oracle-side _luhn_sum_sql(digits, shift)."""
     rev = F.reverse(digits)
 
     def term(i: Column) -> Column:
         d = F.substr(rev, i, F.lit(1)).cast("int")
-        return F.when(i % 2 == 0,
+        return F.when((i + shift) % 2 == 0,
                       F.when(d * 2 > 9, d * 2 - 9).otherwise(d * 2)
                       ).otherwise(d)
 
-    checksum = F.aggregate(F.sequence(F.lit(1), F.length(rev)),
-                           F.lit(0), lambda acc, i: acc + term(i))
-    return F.length(digits).between(13, 19) & (checksum % 10 == 0)
+    return F.aggregate(F.sequence(F.lit(1), F.length(rev)),
+                       F.lit(0), lambda acc, i: acc + term(i))
+
+
+def luhn_ok_expr(digits: Column) -> Column:
+    """True iff `digits` (a pure digit string, 13-19 long) passes the
+    Luhn mod-10 checksum: from the right, double every second digit,
+    subtract 9 when the double exceeds 9, total ≡ 0 (mod 10).
+    Integer fold — exact on every engine."""
+    return (F.length(digits).between(13, 19)
+            & (_luhn_sum_expr(digits) % 10 == 0))
 
 
 def cc_scrub(df: DataFrame, text_col: str = "text",
@@ -75,19 +84,8 @@ def cc_scrub(df: DataFrame, text_col: str = "text",
 
 def luhn_check_digit_expr(digits15: Column) -> Column:
     """The Luhn check digit that makes `digits15 || d` valid — the
-    generator used by tests/oracles to synthesize valid cards. For a
-    15-digit payload the appended digit sits at position 1 from the
-    right, so payload digits take the doubled/undoubled roles of a
-    16-digit number's positions 2..16."""
-    rev = F.reverse(digits15)
-
-    def term(i: Column) -> Column:
-        d = F.substr(rev, i, F.lit(1)).cast("int")
-        # position i of the payload = position i+1 of the full number
-        return F.when((i + 1) % 2 == 0,
-                      F.when(d * 2 > 9, d * 2 - 9).otherwise(d * 2)
-                      ).otherwise(d)
-
-    s = F.aggregate(F.sequence(F.lit(1), F.length(rev)),
-                    F.lit(0), lambda acc, i: acc + term(i))
+    generator used by tests/oracles to synthesize valid cards. A
+    payload digit at position i sits at position i+1 of the full
+    number, hence shift=1 into the shared fold."""
+    s = _luhn_sum_expr(digits15, shift=1)
     return (10 - (s % 10)) % 10

@@ -50,8 +50,11 @@ def repetition_stats(docs: DataFrame, n: int = REP_N,
     appearing ≥2 times IN THE SAME DOC, dup_chars weights each by the
     gram's character length (spaces included), max_gram_count is the
     highest single-gram occurrence count, and rep_ok is the integer
-    keep rule dup_chars·100 < max_dup_pct·n_chars. Docs too short to
-    form a gram get zero counts and pass."""
+    keep rule: no duplicated grams at all, OR dup_chars·100 <
+    max_dup_pct·n_chars. Docs too short to form a gram (including
+    empty docs, where the strict inequality would read 0 < 0) have
+    dup_chars 0 and pass — repetition never rejects what the length
+    rules should judge."""
     grams = docs.select(
         id_col, F.explode(gram_occurrences_expr(text_col, n)).alias("gram"))
     counts = grams.groupBy(id_col, "gram").agg(
@@ -68,4 +71,6 @@ def repetition_stats(docs: DataFrame, n: int = REP_N,
         0, ["n_grams", "dup_occurrences", "dup_chars", "max_gram_count"])
     return out.withColumn(
         "rep_ok",
-        F.col("dup_chars") * 100 < F.lit(int(max_dup_pct)) * F.col("n_chars"))
+        (F.col("dup_chars") == 0)
+        | (F.col("dup_chars") * 100
+           < F.lit(int(max_dup_pct)) * F.col("n_chars")))

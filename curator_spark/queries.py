@@ -1206,7 +1206,8 @@ _REPETITION_SQL = """
            coalesce(a.dup_occurrences, 0) AS dup_occurrences,
            coalesce(a.dup_chars, 0) AS dup_chars,
            coalesce(a.max_gram_count, 0) AS max_gram_count,
-           coalesce(a.dup_chars, 0) * 100 < 20 * b.n_chars AS rep_ok
+           (coalesce(a.dup_chars, 0) = 0
+            OR coalesce(a.dup_chars, 0) * 100 < 20 * b.n_chars) AS rep_ok
     FROM base b LEFT JOIN agg a USING (doc_id)
 """
 

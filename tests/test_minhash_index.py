@@ -76,3 +76,20 @@ def test_probe_plan_is_equijoin(spark, tmp_path):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_short_docs_are_surfaced_not_relooped(spark, tmp_path):
+    """A doc too short to shingle can never be indexed: it must come
+    back no_signature=True and novel=False on EVERY delivery (not
+    novel=True forever, which would break replay idempotence)."""
+    idx = str(tmp_path / "mh_idx")
+    assert write_minhash_index(_df(spark, [(1, DOC), (2, "tiny doc")]),
+                               idx) == 1  # only the signable doc
+    batch = _df(spark, [(5, "too short"), (6, OTHER)])
+    for _ in range(2):
+        out = {r["doc_id"]: r for r in
+               incremental_neardup(spark, batch, idx).collect()}
+        assert out[5]["no_signature"] and not out[5]["novel"]
+        assert not out[6]["no_signature"]
+    assert out[6]["known_neardup"]  # appended on pass 1, known on pass 2
+    assert index_stats(spark, idx)["n_docs"] == 2

@@ -34,6 +34,12 @@ def test_short_doc_zero_grams_passes(spark):
     assert out["rep_ok"]
 
 
+def test_empty_doc_passes(spark):
+    out = _stats(spark, [(1, "")], n=2)[1]
+    assert out["n_chars"] == 0 and out["n_grams"] == 0
+    assert out["rep_ok"]  # empty docs are the length rules' business
+
+
 def test_case_folding_merges_grams(spark):
     out = _stats(spark, [(1, "Hello World hello world")], n=2)[1]
     assert out["max_gram_count"] == 2  # "hello world" twice after lower()
