@@ -491,9 +491,11 @@ def q73_ngram_lm_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan: bigrams from the q60 adjacent-token zip (narrow, no
     self-join); ONE map-side-combined groupBy(w1,w2); context counts
-    roll up from the bigram table (c(w1) = Σ_w2 c(w1,w2) — no second
-    corpus pass); V is a 1-row broadcast aggregate; per-context top-k
-    is one window on the already-aggregated (small) bigram table."""
+    c(w1) = Σ_w2 c(w1,w2) come from a WINDOW over the aggregated
+    bigram table, sharing the top-k window's w1 exchange (a join back
+    to a groupBy(w1) rollup would make Catalyst recompute the whole
+    bigram aggregation — DataFrame plans get no CTE reuse); V is a
+    1-row broadcast aggregate."""
     docs = _t(spark, sf_dir, "documents")
     toks = F.filter(F.split(F.lower(F.col("text")), " "), lambda t: t != "")
     staged = docs.select(toks.alias("toks"))
@@ -505,12 +507,13 @@ def q73_ngram_lm_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
     big = staged.select(F.explode(pairs).alias("p")).select("p.w1", "p.w2")
     cb = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_pair"))
-    ctx = cb.groupBy("w1").agg(F.sum("c_pair").alias("c_ctx"))
     vocab = (staged.select(F.explode("toks").alias("tok"))
              .agg(F.countDistinct("tok").alias("v")))
     w = Window.partitionBy("w1").orderBy(
         F.col("c_pair").desc(), F.col("w2").asc())
-    return (cb.join(ctx, "w1").crossJoin(F.broadcast(vocab))
+    return (cb.withColumn("c_ctx",
+                          F.sum("c_pair").over(Window.partitionBy("w1")))
+            .crossJoin(F.broadcast(vocab))
             .withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= LM_TOP_K)
             .select("w1", "w2", "c_pair", "c_ctx",

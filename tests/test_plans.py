@@ -265,3 +265,20 @@ def test_session_range_join_is_equijoin(spark):
     assert "CartesianProduct" not in plan
     assert ("SortMergeJoin" in plan or "ShuffledHashJoin" in plan
             or "BroadcastHashJoin" in plan)
+
+
+def test_lm_train_no_recomputed_aggregation(spark):
+    """q73: context counts come from a window over the aggregated
+    bigram table. The join-back-to-rollup form recomputes the whole
+    corpus aggregation (no CTE reuse in DataFrame plans) and showed 5
+    hash exchanges; the window form carries 3 (bigram groupBy, w1
+    window, vocab countDistinct)."""
+    plan = plan_of(queries.q73_ngram_lm_train(spark, SF))
+    assert plan.count("Exchange hashpartitioning") <= 3
+
+
+def test_feature_hash_single_shuffle(spark):
+    """q74: one map-side-combined groupBy(doc_id) is the only shuffle;
+    the spine join is broadcast."""
+    plan = plan_of(queries.q74_feature_hash_embed(spark, SF))
+    assert plan.count("Exchange hashpartitioning") == 1
