@@ -184,11 +184,14 @@ class CommitLogLedger:
         self.dir = os.path.join(out_dir, "_commitlog")
 
     # -- log primitives ----------------------------------------------
-    def _versions(self) -> list[str]:
+    def _versions(self, upto: int | None = None) -> list[str]:
         if not os.path.isdir(self.dir):
             return []
-        return sorted(fn for fn in os.listdir(self.dir)
-                      if fn.startswith("v") and fn.endswith(".json"))
+        vs = sorted(fn for fn in os.listdir(self.dir)
+                    if fn.startswith("v") and fn.endswith(".json"))
+        if upto is not None:
+            vs = [fn for fn in vs if int(fn[1:-5]) <= int(upto)]
+        return vs
 
     def _append(self, actions: list[dict]) -> int:
         """Publish one commit containing `actions`; returns its version."""
@@ -214,10 +217,12 @@ class CommitLogLedger:
         finally:
             os.unlink(tmp)
 
-    def _replay(self) -> tuple[dict[int, dict | None], dict | None]:
+    def _replay(self, upto: int | None = None
+                ) -> tuple[dict[int, dict | None], dict | None, dict]:
         parts: dict[int, dict | None] = {}
         success: dict | None = None
-        for fn in self._versions():
+        meta: dict = {}
+        for fn in self._versions(upto):
             try:
                 with open(os.path.join(self.dir, fn)) as f:
                     commit = json.load(f)
@@ -240,6 +245,9 @@ class CommitLogLedger:
                         "status": "COMMITTED", "n_rows": 0, "files": {}})
                     m["files"] = dict(m.get("files") or {})
                     m["files"].update(a.get("files") or {})
+                    if a.get("stats"):
+                        m["stats"] = dict(m.get("stats") or {})
+                        m["stats"].update(a["stats"])
                     m["n_rows"] = int(m.get("n_rows", 0)) + int(a.get("n_rows", 0))
                     runs = list(m.get("runs")
                                 or ([m["run_id"]] if m.get("run_id") else []))
@@ -269,6 +277,12 @@ class CommitLogLedger:
                         files.update(a.get("add_files") or {})
                         m = dict(m)
                         m["files"] = files
+                        stats = dict(m.get("stats") or {})
+                        for fn in rm:
+                            stats.pop(fn, None)
+                        stats.update(a.get("stats") or {})
+                        if stats:
+                            m["stats"] = stats
                         if a.get("updated_at"):
                             m["updated_at"] = a["updated_at"]
                         parts[p] = m
@@ -279,24 +293,67 @@ class CommitLogLedger:
                                "n_parts": a["n_parts"]}
                 elif t == "clear_run_success":
                     success = None
-        return parts, success
+                elif t == "table_meta":
+                    # table-level metadata (Delta's metaData action):
+                    # latest commit wins, key-merged so independent
+                    # facets (bucket spec, future schema info) coexist
+                    meta.update(a.get("meta") or {})
+        return parts, success, meta
 
     # -- ledger interface --------------------------------------------
-    def committed(self) -> dict[int, dict | None]:
-        return self._replay()[0]
+    def committed(self, version: int | None = None
+                  ) -> dict[int, dict | None]:
+        """Committed partition state — at the log head, or AS OF an
+        earlier `version` (time travel: replay stops after that commit,
+        exactly Delta's VERSION AS OF). Snapshots stay READABLE only
+        while their files survive `vacuum`'s retention window, again as
+        in Delta."""
+        return self._replay(upto=version)[0]
+
+    def table_meta(self, version: int | None = None) -> dict:
+        return self._replay(upto=version)[2]
+
+    def set_table_meta(self, meta: dict) -> None:
+        self._append([{"type": "table_meta", "meta": meta}])
+
+    def latest_version(self) -> int | None:
+        vs = self._versions()
+        return int(vs[-1][1:-5]) if vs else None
+
+    def history(self) -> list[dict]:
+        """One row per commit, oldest first: {version, ts, writer_pid,
+        operations (action-type counts), parts (touched)} — the DESCRIBE
+        HISTORY surface, derived purely from the immutable log."""
+        out = []
+        for fn in self._versions():
+            try:
+                with open(os.path.join(self.dir, fn)) as f:
+                    commit = json.load(f)
+            except Exception:
+                continue
+            ops: dict[str, int] = {}
+            parts: set[int] = set()
+            for a in commit.get("actions", []):
+                ops[a.get("type", "?")] = ops.get(a.get("type", "?"), 0) + 1
+                if "part" in a:
+                    parts.add(int(a["part"]))
+            out.append({"version": int(fn[1:-5]), "ts": commit.get("ts"),
+                        "writer_pid": commit.get("writer_pid"),
+                        "operations": ops, "parts": sorted(parts)})
+        return out
 
     def commit_part(self, marker: dict) -> None:
         self._append([{"type": "add", "part": int(marker["part"]),
                        "marker": marker}])
 
     def append_part(self, part: int, files: dict, n_rows: int,
-                    run_id: str) -> None:
+                    run_id: str, stats: dict | None = None) -> None:
         """Merge `files` into the partition's committed manifest (the
         incremental-append commit). One atomic log version; replay
         accumulates files/n_rows and records run_id in `runs`."""
         self._append([{"type": "add_files", "part": int(part),
                        "files": files, "n_rows": int(n_rows),
-                       "run_id": run_id,
+                       "run_id": run_id, "stats": stats or {},
                        "updated_at":
                        datetime.now(timezone.utc).isoformat()}])
 
@@ -304,14 +361,14 @@ class CommitLogLedger:
         self._append([{"type": "remove", "part": int(part)}])
 
     def compact_part(self, part: int, remove_files: list[str],
-                     add_files: dict) -> None:
+                     add_files: dict, stats: dict | None = None) -> None:
         """Atomically swap a partition's small files for their compacted
         rewrite. One log version; replay ignores the swap if the removed
         files are no longer referenced (stale vs a concurrent
         recompute — see the replay handler)."""
         self._append([{"type": "compact", "part": int(part),
                        "remove_files": sorted(remove_files),
-                       "add_files": add_files,
+                       "add_files": add_files, "stats": stats or {},
                        "updated_at":
                        datetime.now(timezone.utc).isoformat()}])
 
@@ -381,6 +438,158 @@ def part_manifest(out_dir: str, part: int,
     return out
 
 
+# Columns whose per-file min/max land in the commit manifest for
+# read-side data skipping. Deliberately an allowlist: long free-text
+# columns (text, scrubbed_text) would bloat the log with (possibly
+# truncated) bounds nobody filters on, and every column here is one a
+# curation consumer actually predicates over.
+STATS_COLUMNS = ("conv_id", "turn_idx", "ts", "lang", "ppl",
+                 "n_tokens", "keep")
+
+
+def _stats_value(v):
+    """Footer statistic → JSON-safe scalar, or None when the value
+    cannot round-trip the log losslessly (bytes, NaN, exotic types).
+    Timestamps become epoch MICROSECONDS (ints compare exactly;
+    isoformat strings would not across timezones)."""
+    from datetime import datetime as _dt
+    import math
+    if isinstance(v, bool) or isinstance(v, int):
+        return v
+    if isinstance(v, float):
+        return None if math.isnan(v) else v
+    if isinstance(v, str):
+        return v
+    if isinstance(v, _dt):
+        epoch = _dt(1970, 1, 1, tzinfo=v.tzinfo) if v.tzinfo \
+            else _dt(1970, 1, 1)
+        return int((v - epoch).total_seconds() * 1_000_000)
+    return None
+
+
+def file_column_stats(path: str, columns=STATS_COLUMNS) -> dict:
+    """Per-file {col: {"min": .., "max": .., "nulls": n}} aggregated
+    over the parquet footer's row-group statistics — no data I/O (the
+    footer is already read for n_rows at commit time). A column whose
+    stats any row group omits (or that only holds nulls) is dropped for
+    the whole file: min/max must be a sound bound over EVERY row or the
+    reader would skip files that match. Parquet guarantees recorded
+    min <= all values <= max, so pruning on these is exact."""
+    import pyarrow.parquet as pq
+    md = pq.ParquetFile(path).metadata
+    POISON = "__unbounded__"
+    out: dict = {}
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for i in range(g.num_columns):
+            c = g.column(i)
+            col = c.path_in_schema
+            if col not in columns or out.get(col) is POISON:
+                continue
+            s = c.statistics
+            nulls = int(s.null_count) if (s is not None
+                                          and s.has_null_count) else 0
+            if s is None or not s.has_min_max:
+                # an ALL-null row group legitimately has no min/max —
+                # it constrains nothing (comparisons never match null);
+                # any other stat-less row group poisons the column for
+                # this file (a bound that misses rows is unsound)
+                all_null = (s is not None and s.has_null_count
+                            and s.num_values == 0)
+                if not all_null:
+                    out[col] = POISON
+                elif isinstance(out.get(col), dict):
+                    out[col]["nulls"] += nulls
+                else:
+                    out[col] = {"min": None, "max": None, "nulls": nulls}
+                continue
+            mn, mx = _stats_value(s.min), _stats_value(s.max)
+            if mn is None or mx is None:
+                out[col] = POISON
+                continue
+            cur = out.get(col)
+            if isinstance(cur, dict):
+                cur["min"] = mn if cur["min"] is None else min(cur["min"], mn)
+                cur["max"] = mx if cur["max"] is None else max(cur["max"], mx)
+                cur["nulls"] += nulls
+            else:
+                out[col] = {"min": mn, "max": mx, "nulls": nulls}
+    return {k: v for k, v in out.items() if isinstance(v, dict)}
+
+
+_WHERE_OPS = ("=", "<", "<=", ">", ">=")
+
+# Named bucket transforms (Iceberg's bucket[N] partition transform).
+# Partition pruning from a predicate is only sound when the reader
+# applies the EXACT function the writer bucketed with, so the table's
+# commit log records the function BY NAME and the registry maps it
+# back: `md5full` is fixtures.part_of (full-digest mod), `md5hex8` is
+# ingest.part_expr (first-8-hex-chars mod — what F.conv(substring(
+# md5, 1, 8), 16, 10) computes).
+BUCKET_FNS = {
+    "md5full": lambda v, n: int(
+        hashlib.md5(str(v).encode()).hexdigest(), 16) % int(n),
+    "md5hex8": lambda v, n: int(
+        hashlib.md5(str(v).encode()).hexdigest()[:8], 16) % int(n),
+}
+
+
+def _normalize_where(where):
+    """Accept one (col, op, value) triple or a list of them (ANDed)."""
+    if where is None:
+        return []
+    if isinstance(where, tuple):
+        where = [where]
+    out = []
+    for col, op, val in where:
+        if op not in _WHERE_OPS:
+            raise ValueError(f"unsupported op {op!r}; one of {_WHERE_OPS}")
+        out.append((str(col), op, val))
+    return out
+
+
+def _file_may_match(stats: dict | None, col: str, op: str, val) -> bool:
+    """False only when the file's [min, max] PROVES no row satisfies
+    `col op val` — missing/foreign-kind stats keep the file (skipping
+    must never drop a matching row). Null-only columns never satisfy a
+    comparison, so {"min": None} prunes."""
+    from datetime import datetime as _dt
+    s = (stats or {}).get(col)
+    if not isinstance(s, dict):
+        return True
+    mn, mx = s.get("min"), s.get("max")
+    if mn is None or mx is None:
+        return False  # every value in this file is null
+    if isinstance(val, _dt):
+        val = _stats_value(val)
+    numeric = lambda x: isinstance(x, (int, float)) \
+        and not isinstance(x, bool)  # noqa: E731
+    same_kind = (type(val) is type(mn)
+                 or (numeric(val) and numeric(mn))
+                 or (isinstance(val, bool) and isinstance(mn, bool)))
+    if not same_kind:
+        return True
+    if (isinstance(mn, float) or isinstance(mx, float)) \
+            and op in (">", ">="):
+        # Spark orders NaN ABOVE every double, while parquet writers'
+        # min/max treatment of NaN varies (omitted, poisoned, or
+        # silently ignored depending on writer version). A file whose
+        # recorded max is finite could still hold NaN rows that satisfy
+        # `col > v` under Spark semantics — never prune those ops on
+        # float stats. (< / <= / = are safe: NaN satisfies none of
+        # them, so the finite bounds remain sound.)
+        return True
+    if op == "=":
+        return mn <= val <= mx
+    if op == "<":
+        return mn < val
+    if op == "<=":
+        return mn <= val
+    if op == ">":
+        return mx > val
+    return mx >= val  # >=
+
+
 def revalidate_committed(out_dir: str, ledger=None) -> tuple[set[int], set[int]]:
     """Cache-integrity verification on resume (reference:
     base_request_processor.py:120-167 — per chunk: files exist, counts
@@ -443,10 +652,15 @@ def revalidate_committed(out_dir: str, ledger=None) -> tuple[set[int], set[int]]
 
 
 def _commit_part(out_dir: str, run_id: str, part: int, n_rows: int,
-                 ledger=None, files: dict | None = None) -> None:
+                 ledger=None, files: dict | None = None,
+                 stats: dict | None = None) -> None:
     ledger = ledger or MarkerLedger(out_dir)
     if files is None:
         files = (part_manifest(out_dir, part) or {}) if n_rows else {}
+        if stats is None and files:
+            d = os.path.join(out_dir, "data", f"part={int(part)}")
+            stats = {fn: file_column_stats(os.path.join(d, fn))
+                     for fn in files}
     ledger.commit_part({
         "run_id": run_id, "part": int(part), "status": "COMMITTED",
         "n_rows": int(n_rows),
@@ -458,6 +672,12 @@ def _commit_part(out_dir: str, run_id: str, part: int, n_rows: int,
         # Under log-defined visibility the manifest is passed in
         # explicitly (this shard's files only) and IS the partition.
         "files": files,
+        # per-file column min/max/null stats for read-side data
+        # skipping (read_committed where=). OPTIONAL and validation-
+        # inert: integrity checks compare only `files`, so stats can't
+        # invalidate a partition and older markers without them read
+        # fine (they just never prune).
+        "stats": stats or {},
         "updated_at": datetime.now(timezone.utc).isoformat(),
     })
 
@@ -555,8 +775,16 @@ def run_checkpointed(spark: SparkSession, input_path: str, out_dir: str,
                      broadcast_conv_aggs: bool | None = None,
                      staged: bool = True,
                      strict: bool = False,
-                     ledger_backend: str = "markers") -> dict:
+                     ledger_backend: str = "markers",
+                     bucket: dict | None = None) -> dict:
     """Execute the pipeline with per-partition commit + resume.
+
+    bucket: the input's bucket spec, e.g. {"col": "conv_id",
+    "n_parts": 8, "fn": "md5full"} — recorded once in the commit log's
+    table_meta (commitlog backend only) so snapshot reads can turn an
+    equality probe on the bucketed column into partition pruning
+    (Iceberg's bucket-transform pruning). Optional: without it, probes
+    still skip files by manifest stats, just not whole partitions.
 
     only_parts limits this invocation to a subset of partitions — used
     by tests to simulate a crash after k commits (and in production to
@@ -590,6 +818,16 @@ def run_checkpointed(spark: SparkSession, input_path: str, out_dir: str,
             f"{out_dir} already has commits under the '{other}' ledger; "
             f"pass ledger_backend='{other}' (mixing backends in one "
             "output dir is not supported)")
+
+    if bucket is not None:
+        if bucket.get("fn") not in BUCKET_FNS or not bucket.get("col") \
+                or not bucket.get("n_parts"):
+            raise ValueError(
+                f"bucket spec needs col/n_parts/fn with fn in "
+                f"{sorted(BUCKET_FNS)}; got {bucket}")
+        if getattr(ledger, "log_defined_visibility", False) \
+                and ledger.table_meta().get("bucket") != bucket:
+            ledger.set_table_meta({"bucket": dict(bucket)})
 
     # Every Spark job this invocation schedules carries the run's job
     # group, so cancel_run(spark, run_id) can abort the run from any
@@ -746,6 +984,7 @@ def _run_checkpointed_grouped(spark, input_path, out_dir, params,
             os.makedirs(data_dir, exist_ok=True)
             keep_scratch = True  # publish started: scratch holds new data
             shard_files: dict[int, dict] = {}  # log-defined publish only
+            shard_stats: dict[int, dict] = {}
             if getattr(ledger, "log_defined_visibility", False):
                 # Log-defined publish: each staged file lands under its
                 # final partition dir with a shard-unique name — one put
@@ -762,6 +1001,7 @@ def _run_checkpointed_grouped(spark, input_path, out_dir, params,
                     dst = os.path.join(data_dir, f"part={int(p)}")
                     os.makedirs(dst, exist_ok=True)
                     man: dict = {}
+                    stats: dict = {}
                     for fn in sorted(os.listdir(src)):
                         if not fn.endswith(".parquet"):
                             continue
@@ -770,8 +1010,10 @@ def _run_checkpointed_grouped(spark, input_path, out_dir, params,
                         man[newname] = {
                             "n_rows": pq.ParquetFile(fsrc).metadata.num_rows,
                             "n_bytes": os.path.getsize(fsrc)}
+                        stats[newname] = file_column_stats(fsrc)
                         os.replace(fsrc, os.path.join(dst, newname))
                     shard_files[int(p)] = man
+                    shard_stats[int(p)] = stats
             else:
                 for p in todo:
                     src = os.path.join(stage_out, f"part={int(p)}")
@@ -791,7 +1033,8 @@ def _run_checkpointed_grouped(spark, input_path, out_dir, params,
             staged_parts = set()
             for r in mrows:
                 _commit_part(out_dir, run_id, int(r.part), int(r.n_in),
-                             ledger, files=shard_files.get(int(r.part)))
+                             ledger, files=shard_files.get(int(r.part)),
+                             stats=shard_stats.get(int(r.part)))
                 staged_parts.add(int(r.part))
             # A todo partition that produced ZERO output rows still gets
             # a commit marker (n_rows=0, empty manifest) — without one
@@ -844,26 +1087,124 @@ def cancel_run(spark: SparkSession, run_id: str) -> None:
     spark.sparkContext.cancelJobGroup(f"curator-run-{run_id}")
 
 
-def read_committed(spark: SparkSession, out_dir: str,
-                   backend: str | None = None) -> DataFrame:
-    """Snapshot read: exactly the files the ledger's current commit
-    manifests reference — the reader half of log-defined visibility
-    (Delta's snapshot scan). Orphan files from superseded or crashed
-    commits are invisible here even before `vacuum` reclaims them.
-    basePath keeps `part` a real partition column, so downstream
-    partition pruning still works. backend=None auto-detects which
-    ledger governs the dir (works for markers tables too — their
-    manifests carry the same file lists)."""
-    from . import schema as _schema
+def snapshot_files(out_dir: str, backend: str | None = None,
+                   version: int | None = None,
+                   where=None) -> list[str]:
+    """The exact file paths a snapshot read would scan: the ledger's
+    manifests at `version` (or the head), minus every file whose
+    min/max column statistics PROVE it holds no row matching `where`
+    (a conjunction of (col, op, literal) triples). This is the file-
+    skipping half of Delta/Iceberg scan planning: at 100 TB a
+    conv_id- or time-range probe touches a handful of files instead of
+    the table, and the decision is made from the log alone — zero data
+    I/O, zero Spark jobs. Files without recorded stats are always kept
+    (skipping is sound, never speculative)."""
     ledger = make_ledger(out_dir, backend or detect_backend(out_dir))
+    if version is not None:
+        if not getattr(ledger, "log_defined_visibility", False):
+            raise ValueError(
+                "time travel requires the commitlog ledger: the markers "
+                "backend keeps no history (its dir content is only ever "
+                "the current state)")
+        committed = ledger.committed(version=version)
+    else:
+        committed = ledger.committed()
+    conj = _normalize_where(where)
+
+    # Partition-level pruning, decided from the log alone:
+    # * an explicit predicate on the `part` bucket column;
+    # * bucket-transform pruning (Iceberg's bucket[N]): when the log's
+    #   table_meta records the bucket spec, an EQUALITY predicate on
+    #   the bucketed column pins the one partition its value hashes to.
+    keep_parts: set[int] | None = None
+
+    def _restrict(parts_ok):
+        nonlocal keep_parts
+        keep_parts = set(parts_ok) if keep_parts is None \
+            else keep_parts & set(parts_ok)
+
+    bucket = {}
+    if getattr(ledger, "log_defined_visibility", False):
+        bucket = ledger.table_meta(version=version).get("bucket") or {}
+    for c, op, v in conj:
+        if c == "part":
+            _restrict(p for p in committed
+                      if _file_may_match({"part": {"min": int(p),
+                                                   "max": int(p),
+                                                   "nulls": 0}},
+                                         "part", op, v))
+        elif (op == "=" and bucket.get("col") == c
+              and bucket.get("fn") in BUCKET_FNS and bucket.get("n_parts")):
+            _restrict([BUCKET_FNS[bucket["fn"]](v, bucket["n_parts"])])
+
     data_dir = os.path.join(out_dir, "data")
     paths = []
-    for part, marker in sorted(ledger.committed().items()):
-        for fn in sorted(((marker or {}).get("files") or {})):
-            paths.append(os.path.join(data_dir, f"part={int(part)}", fn))
+    for part, marker in sorted(committed.items()):
+        if keep_parts is not None and int(part) not in keep_parts:
+            continue
+        files = (marker or {}).get("files") or {}
+        stats = (marker or {}).get("stats") or {}
+        for fn in sorted(files):
+            if all(_file_may_match(stats.get(fn), c, op, v)
+                   for c, op, v in conj):
+                paths.append(os.path.join(data_dir, f"part={int(part)}", fn))
+    return paths
+
+
+def read_committed(spark: SparkSession, out_dir: str,
+                   backend: str | None = None,
+                   version: int | None = None,
+                   where=None) -> DataFrame:
+    """Snapshot read: exactly the files the ledger's commit manifests
+    reference — the reader half of log-defined visibility (Delta's
+    snapshot scan). Orphan files from superseded or crashed commits are
+    invisible here even before `vacuum` reclaims them. basePath keeps
+    `part` a real partition column, so downstream partition pruning
+    still works. backend=None auto-detects which ledger governs the dir
+    (works for markers tables too — their manifests carry the same file
+    lists).
+
+    version: read the table AS OF that commit version (commitlog only —
+    Delta's time travel). Historical snapshots stay readable while
+    their files survive `vacuum`'s retention window; a vacuumed
+    snapshot raises with the missing files named rather than silently
+    returning a partial table.
+
+    where: a (col, op, literal) triple or list of them (ANDed, ops
+    = < <= > >=) — applied BOTH as manifest-stats file skipping (files
+    whose min/max cannot match are never handed to Spark) and as a
+    residual DataFrame filter, so the result is exactly the predicate's
+    rows while the scan plans only the surviving files."""
+    from . import schema as _schema
+    paths = snapshot_files(out_dir, backend, version, where)
+    data_dir = os.path.join(out_dir, "data")
+    if version is not None:
+        missing = [p for p in paths if not os.path.exists(p)]
+        if missing:
+            raise FileNotFoundError(
+                f"snapshot v{version} references {len(missing)} file(s) "
+                f"already reclaimed by vacuum (e.g. {missing[0]}); "
+                "historical reads are bounded by the vacuum retention "
+                "window, exactly as in Delta")
     if not paths:
-        return spark.createDataFrame([], _schema.OUTPUT_SCHEMA)
-    return spark.read.option("basePath", data_dir).parquet(*paths)
+        df = spark.createDataFrame([], _schema.OUTPUT_SCHEMA)
+    else:
+        df = spark.read.option("basePath", data_dir).parquet(*paths)
+    for col, op, val in _normalize_where(where):
+        c = F.col(col)
+        df = df.filter({"=": c == val, "<": c < val, "<=": c <= val,
+                        ">": c > val, ">=": c >= val}[op])
+    return df
+
+
+def table_history(out_dir: str, backend: str | None = None) -> list[dict]:
+    """DESCRIBE HISTORY for a commitlog table: one row per commit
+    version with its timestamp, writer, action-type counts, and touched
+    partitions. Markers tables have no history (raises)."""
+    ledger = make_ledger(out_dir, backend or detect_backend(out_dir))
+    if not getattr(ledger, "log_defined_visibility", False):
+        raise ValueError("history requires the commitlog ledger")
+    return ledger.history()
 
 
 def vacuum(out_dir: str, backend: str | None = None,
@@ -985,6 +1326,7 @@ def compact_partition(spark: SparkSession, out_dir: str, part: int,
     spark.read.parquet(*paths).coalesce(int(target_files)) \
         .write.parquet(staging)
     man: dict = {}
+    stats: dict = {}
     n_rows = 0
     i = 0
     for fn in sorted(os.listdir(staging)):
@@ -995,6 +1337,7 @@ def compact_partition(spark: SparkSession, out_dir: str, part: int,
         rows = pq.ParquetFile(fsrc).metadata.num_rows
         man[newname] = {"n_rows": int(rows),
                         "n_bytes": os.path.getsize(fsrc)}
+        stats[newname] = file_column_stats(fsrc)
         n_rows += int(rows)
         os.replace(fsrc, os.path.join(pdir, newname))
         i += 1
@@ -1006,7 +1349,7 @@ def compact_partition(spark: SparkSession, out_dir: str, part: int,
         raise RuntimeError(
             f"compaction of part {part} rewrote {n_rows} rows but the "
             f"manifest records {expected} — aborted, table unchanged")
-    ledger.compact_part(int(part), sorted(old_files), man)
+    ledger.compact_part(int(part), sorted(old_files), man, stats=stats)
     return {"part": int(part), "compacted": True,
             "files_before": len(old_files), "files_after": len(man),
             "n_rows": n_rows}

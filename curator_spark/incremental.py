@@ -47,7 +47,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from . import schema
 from .checkpoint import (
     WRITE_SALTS, _append_metrics, _gc_stale_scratch, detect_backend,
-    make_ledger, read_committed, run_fingerprint)
+    file_column_stats, make_ledger, read_committed, run_fingerprint)
 from .pipeline import run_pipeline_df
 
 # unit separator: cannot occur in role/text tokens, so the fingerprint
@@ -181,6 +181,7 @@ def append_batch_df(spark: SparkSession, new: DataFrame, out_dir: str,
             dst = os.path.join(data_dir, f"part={p}")
             os.makedirs(dst, exist_ok=True)
             man: dict = {}
+            stats: dict = {}
             for fn in sorted(os.listdir(src)):
                 if not fn.endswith(".parquet"):
                     continue
@@ -189,8 +190,9 @@ def append_batch_df(spark: SparkSession, new: DataFrame, out_dir: str,
                 man[newname] = {
                     "n_rows": pq.ParquetFile(fsrc).metadata.num_rows,
                     "n_bytes": os.path.getsize(fsrc)}
+                stats[newname] = file_column_stats(fsrc)
                 os.replace(fsrc, os.path.join(dst, newname))
-            ledger.append_part(p, man, n_rows, run_id)
+            ledger.append_part(p, man, n_rows, run_id, stats=stats)
             rows_appended += n_rows
 
         wall_ms = int((time.monotonic() - t0) * 1000)

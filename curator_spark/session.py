@@ -33,6 +33,11 @@ def get_spark(app_name: str = "curator-spark", parallelism: int | None = None,
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        # write timestamps as TIMESTAMP_MICROS, not the legacy INT96:
+        # INT96 chunks carry NO footer min/max, which would blind the
+        # commit manifests' ts statistics (checkpoint.file_column_stats)
+        # and every engine's row-group skipping on time predicates
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         # conv-aggregate tables are ~1/avg_turns of the input; let joins
         # against them broadcast well past the 10MB default so the wide
         # turn table never shuffles for the agg join (AQE still decides)
