@@ -1215,6 +1215,167 @@ _REPETITION_SQL = """
 """
 
 
+DSIR_DIM = 32          # hashed-feature buckets for importance weights
+DSIR_TARGET = "src0"   # the "target domain" sample (DSIR's D_target)
+DSIR_KEEP_FRAC = 5     # resample keeps ceil(n/5) top-weighted docs
+
+
+def q75_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection via importance resampling (Xie et al.
+    2023): score every raw document by how much its hashed n-gram
+    profile looks like a TARGET domain (here: the `source = src0`
+    docs), keep the top fraction. The published method weights by
+    Σ_f c_f·log(p_target(f)/p_raw(f)); this integer-exact variant uses
+    the LINEAR likelihood ratio in milli-units per feature —
+    w_milli(f) = (1000·(c_t(f)+1)·(N_r+B)) div ((c_r(f)+1)·(N_t+B)),
+    add-one smoothed — summed per doc and length-normalized, so every
+    value is engine/partition-order exact (ln is monotone per feature
+    but float; the ratio form keeps ranking deterministic, the
+    documented deviation from the paper).
+
+    Plan shape at 100 TB: token explode → md5 bucket (narrow) → ONE
+    map-side-combined groupBy(doc_id, b); the two distributions are
+    B-row rollups of that table (second tiny shuffle), joined back by
+    BROADCAST (B=32 rows); final score is one more map-side-combined
+    groupBy(doc_id). The corpus is never joined to itself and the only
+    data-proportional shuffle keys are (doc_id, bucket) — uniform by
+    construction of the hash. The one global window ranks the DOC-LEVEL
+    score table (4 narrow columns, |docs| rows — text never reaches
+    it); at 10^9+ docs the exact rank would be replaced by a broadcast
+    approx-quantile keep-threshold (same decisions away from the cut,
+    no total order), traded here for oracle-exact output."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower(F.col("text")), " "), lambda t: t != "")
+    bucket = (F.conv(F.substring(F.md5("tok"), 1, 12), 16, 10)
+              .cast("long") % DSIR_DIM)
+    per_db = (docs.select("doc_id", "source", F.explode(toks).alias("tok"))
+              .select("doc_id", "source", bucket.alias("b"))
+              .groupBy("doc_id", "source", "b")
+              .agg(F.count(F.lit(1)).alias("c")))
+    raw = per_db.groupBy("b").agg(F.sum("c").alias("c_r"))
+    tgt = (per_db.filter(F.col("source") == DSIR_TARGET)
+           .groupBy("b").agg(F.sum("c").alias("c_t")))
+    totals = (per_db.agg(
+        F.sum("c").alias("n_r"),
+        F.sum(F.when(F.col("source") == DSIR_TARGET, F.col("c"))
+              .otherwise(0)).alias("n_t")))
+    weights = (raw.join(tgt, "b", "left").na.fill(0, ["c_t"])
+               .crossJoin(F.broadcast(totals))
+               .select("b", F.expr(
+                   f"(1000 * (c_t + 1) * (n_r + {DSIR_DIM})) div "
+                   f"((c_r + 1) * (n_t + {DSIR_DIM}))").alias("w_milli")))
+    scored = (per_db.join(F.broadcast(weights), "b")
+              .groupBy("doc_id")
+              .agg(F.sum(F.expr("c * w_milli")).alias("score_milli"),
+                   F.sum("c").alias("n_toks"))
+              .withColumn("score_per_tok",
+                          F.expr("score_milli div n_toks")))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n"))
+    w = Window.orderBy(F.col("score_per_tok").desc(), F.col("doc_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .crossJoin(F.broadcast(n_docs))
+            # ceil(n/frac) via (n + frac - 1) div frac: exact under BOTH
+            # truncating (Spark div) and floor (//) integer division
+            # because every operand is positive
+            .withColumn("kept", F.expr(
+                f"rank <= (n + {DSIR_KEEP_FRAC - 1}) div {DSIR_KEEP_FRAC}"))
+            .select("doc_id", "score_milli", "n_toks", "score_per_tok",
+                    F.col("rank").cast("int").alias("rank"), "kept"))
+
+
+BM25_TERMS = ("spark", "join", "stream")
+BM25_TOP_K = 10
+
+
+def q76_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25-shaped retrieval over the corpus for a fixed query, every
+    arithmetic step in integer milli-units so ranking is engine-exact:
+    idf_milli = 1000·(N−df+0.5)/(df+0.5) computed as
+    (1000·(2N−2df+1)) div (2df+1) (the classic Robertson idf with ln
+    dropped — ln is monotone per term, and float ln sums are not
+    reproducible across engines); tf part = tf·(k1+1)/(tf + k1·(1−b +
+    b·dl/avgdl)) with k1=1.2, b=0.75 as exact rationals. Top-{k} docs
+    by (score desc, doc_id).
+
+    Plan: doc lengths = one map-side-combined groupBy(doc_id); query-
+    term tfs come from an explode FILTERED to the 3 query terms before
+    the groupBy (the scan feeds a tiny aggregation); df and avgdl are
+    broadcast 1-row/3-row aggregates; final TakeOrdered — the corpus
+    text never shuffles and nothing is quadratic."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower(F.col("text")), " "), lambda t: t != "")
+    tokd = docs.select("doc_id", F.explode(toks).alias("tok"))
+    dl = tokd.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    qt = tokd.filter(F.col("tok").isin(*BM25_TERMS))
+    tf = qt.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = qt.select("doc_id", "tok").distinct() \
+        .groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    glob = dl.agg(F.count(F.lit(1)).alias("n_docs"),
+                  F.sum("dl").alias("sum_dl"))
+    scored = (
+        tf.join(dl, "doc_id")
+        .join(F.broadcast(df_), "tok")
+        .crossJoin(F.broadcast(glob))
+        .withColumn("avgdl_milli", F.expr("(sum_dl * 1000) div n_docs"))
+        .withColumn("idf_milli", F.expr(
+            "(1000 * (2 * n_docs - 2 * df + 1)) div (2 * df + 1)"))
+        # k1·((1−b) + b·dl/avgdl) in milli: 6/5 · (250 + 750·dl/avgdl)
+        .withColumn("r_milli", F.expr(
+            "(dl * 1000000) div avgdl_milli"))
+        .withColumn("den_milli", F.expr(
+            "tf * 1000 + (6 * (250 + (3 * r_milli) div 4)) div 5"))
+        .withColumn("contrib", F.expr(
+            "idf_milli * ((tf * 2200 * 1000) div den_milli)"))
+        .groupBy("doc_id")
+        .agg(F.sum("contrib").alias("score"),
+             F.max("dl").alias("dl"),
+             F.count(F.lit(1)).alias("n_terms")))
+    return (scored.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+            .limit(BM25_TOP_K))
+
+
+LANGID_TOP_K = 5
+
+
+def q77_langid_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed training of the flagship's char-trigram NB language
+    classifier (models/langid.py builds one per worker from a seed
+    corpus; this is the corpus-scale job that produces its count table
+    from labeled data). Per-(lang, trigram) counts over lowercased
+    text, Laplace-smoothed conditionals in integer milli-units —
+    p_milli = ((c+1)·1000) div (c_lang + V) with V = distinct trigrams
+    corpus-wide — and the top-{k} trigrams per language by (count desc,
+    trigram asc).
+
+    Plan: trigrams from a narrow sequence/transform explode (text
+    dropped at the explode); ONE map-side-combined groupBy(lang, tri);
+    per-language totals via a window over the aggregated table (shares
+    the top-k window's lang exchange, q73's no-CTE-reuse trick); V is
+    a broadcast 1-row aggregate."""
+    docs = _t(spark, sf_dir, "documents")
+    t = F.lower(F.col("text"))
+    # guard: Spark's sequence(1, 0) DESCENDS ([1, 0]) instead of being
+    # empty — a sub-3-char doc must yield zero trigrams, not garbage
+    tris = F.when(F.length(t) >= 3, F.transform(
+        F.sequence(F.lit(1), F.length(t) - 2),
+        lambda i: t.substr(i, F.lit(3)))
+    ).otherwise(F.array().cast("array<string>"))
+    staged = (docs.select("lang", F.explode(tris).alias("tri")))
+    cb = staged.groupBy("lang", "tri").agg(F.count(F.lit(1)).alias("c"))
+    vocab = staged.agg(F.countDistinct("tri").alias("v"))
+    w = Window.partitionBy("lang").orderBy(
+        F.col("c").desc(), F.col("tri").asc())
+    return (cb.withColumn("c_lang",
+                          F.sum("c").over(Window.partitionBy("lang")))
+            .crossJoin(F.broadcast(vocab))
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= LANGID_TOP_K)
+            .select("lang", "tri", "c", "c_lang",
+                    F.expr("((c + 1) * 1000) div (c_lang + v)")
+                    .alias("p_milli"),
+                    F.col("rank").cast("int").alias("rank")))
+
+
 ORACLES: dict[str, str] = {
     "q67_luhn_cc_scrub": _LUHN_CC_SQL,
     "q68_repetition_stats": _REPETITION_SQL,
@@ -1245,6 +1406,119 @@ ORACLES: dict[str, str] = {
         SELECT d.doc_id, """ + ", ".join(
         f"coalesce(a.d{i}, 0) AS d{i}" for i in range(16)) + """
         FROM documents d LEFT JOIN agg a USING (doc_id)
+    """,
+    "q75_dsir_resample": """
+        WITH t AS (
+            SELECT doc_id, source,
+                   unnest(list_filter(string_split(lower(text), ' '),
+                          x -> x <> '')) AS tok
+            FROM documents
+        ), bt AS (
+            SELECT doc_id, source,
+                   ('0x' || substr(md5(tok), 1, 12))::BIGINT % 32 AS b
+            FROM t
+        ), pdb AS (
+            SELECT doc_id, source, b, CAST(count(*) AS BIGINT) AS c
+            FROM bt GROUP BY doc_id, source, b
+        ), raw AS (
+            SELECT b, CAST(sum(c) AS BIGINT) AS c_r FROM pdb GROUP BY b
+        ), tgt AS (
+            SELECT b, CAST(sum(c) AS BIGINT) AS c_t FROM pdb
+            WHERE source = 'src0' GROUP BY b
+        ), tot AS (
+            SELECT CAST(sum(c) AS BIGINT) AS n_r,
+                   CAST(sum(CASE WHEN source = 'src0' THEN c ELSE 0 END)
+                        AS BIGINT) AS n_t
+            FROM pdb
+        ), wts AS (
+            SELECT raw.b,
+                   CAST((1000 * (coalesce(tgt.c_t, 0) + 1) * (tot.n_r + 32))
+                        // ((raw.c_r + 1) * (tot.n_t + 32)) AS BIGINT)
+                       AS w_milli
+            FROM raw LEFT JOIN tgt USING (b), tot
+        ), sc AS (
+            SELECT doc_id,
+                   CAST(sum(c * w_milli) AS BIGINT) AS score_milli,
+                   CAST(sum(c) AS BIGINT) AS n_toks
+            FROM pdb JOIN wts USING (b) GROUP BY doc_id
+        ), rk AS (
+            SELECT doc_id, score_milli, n_toks,
+                   CAST(score_milli // n_toks AS BIGINT) AS score_per_tok,
+                   row_number() OVER (
+                       ORDER BY score_milli // n_toks DESC, doc_id) AS rank
+            FROM sc
+        ), nd AS (SELECT count(*) AS n FROM documents)
+        SELECT doc_id, score_milli, n_toks, score_per_tok,
+               CAST(rank AS INTEGER) AS rank,
+               rank <= (n + 4) // 5 AS kept
+        FROM rk, nd
+    """,
+    "q76_bm25_topk": """
+        WITH t AS (
+            SELECT doc_id,
+                   unnest(list_filter(string_split(lower(text), ' '),
+                          x -> x <> '')) AS tok
+            FROM documents
+        ), dl AS (
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+            FROM t GROUP BY doc_id
+        ), qt AS (
+            SELECT doc_id, tok FROM t
+            WHERE tok IN ('spark', 'join', 'stream')
+        ), tf AS (
+            SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+            FROM qt GROUP BY doc_id, tok
+        ), dfr AS (
+            SELECT tok, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+            FROM qt GROUP BY tok
+        ), g AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(dl) AS BIGINT) AS sum_dl
+            FROM dl
+        ), s AS (
+            SELECT tf.doc_id, dl.dl, tf.tf,
+                   (1000 * (2 * g.n_docs - 2 * dfr.df + 1))
+                       // (2 * dfr.df + 1) AS idf_milli,
+                   (dl.dl * 1000000)
+                       // ((g.sum_dl * 1000) // g.n_docs) AS r_milli
+            FROM tf JOIN dl USING (doc_id) JOIN dfr USING (tok), g
+        ), s2 AS (
+            SELECT doc_id, dl,
+                   CAST(idf_milli * ((tf * 2200 * 1000)
+                        // (tf * 1000 + (6 * (250 + (3 * r_milli) // 4))
+                            // 5)) AS BIGINT) AS contrib
+            FROM s
+        )
+        SELECT doc_id, CAST(sum(contrib) AS BIGINT) AS score,
+               CAST(max(dl) AS BIGINT) AS dl,
+               CAST(count(*) AS BIGINT) AS n_terms
+        FROM s2 GROUP BY doc_id
+        ORDER BY score DESC, doc_id LIMIT 10
+    """,
+    "q77_langid_train": """
+        WITH d AS (SELECT lang, lower(text) AS t FROM documents),
+        tri AS (
+            SELECT lang, substr(t, CAST(i AS INTEGER), 3) AS tri
+            FROM d, unnest(range(1, greatest(length(t) - 2, 0) + 1))
+                     AS u(i)
+        ), cb AS (
+            SELECT lang, tri, CAST(count(*) AS BIGINT) AS c
+            FROM tri GROUP BY lang, tri
+        ), v AS (SELECT count(DISTINCT tri) AS v FROM tri),
+        cl AS (
+            SELECT lang, CAST(sum(c) AS BIGINT) AS c_lang
+            FROM cb GROUP BY lang
+        ), rk AS (
+            SELECT cb.lang, cb.tri, cb.c, cl.c_lang,
+                   CAST(((cb.c + 1) * 1000) // (cl.c_lang + v.v)
+                        AS BIGINT) AS p_milli,
+                   row_number() OVER (PARTITION BY cb.lang
+                                      ORDER BY cb.c DESC, cb.tri) AS rank
+            FROM cb JOIN cl USING (lang), v
+        )
+        SELECT lang, tri, c, c_lang, p_milli,
+               CAST(rank AS INTEGER) AS rank
+        FROM rk WHERE rank <= 5
     """,
     "q73_ngram_lm_train": """
         WITH toksrc AS (
@@ -1922,6 +2196,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q72_tokenizer_fertility": q72_tokenizer_fertility,
     "q73_ngram_lm_train": q73_ngram_lm_train,
     "q74_feature_hash_embed": q74_feature_hash_embed,
+    "q75_dsir_resample": q75_dsir_resample,
+    "q76_bm25_topk": q76_bm25_topk,
+    "q77_langid_train": q77_langid_train,
     "q69_quality_buckets": q69_quality_buckets,
     "q45_sketch_accuracy": q45_sketch_accuracy,
 }
