@@ -1252,15 +1252,18 @@ def q75_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
               .select("doc_id", "source", bucket.alias("b"))
               .groupBy("doc_id", "source", "b")
               .agg(F.count(F.lit(1)).alias("c")))
-    raw = per_db.groupBy("b").agg(F.sum("c").alias("c_r"))
-    tgt = (per_db.filter(F.col("source") == DSIR_TARGET)
-           .groupBy("b").agg(F.sum("c").alias("c_t")))
-    totals = (per_db.agg(
-        F.sum("c").alias("n_r"),
+    # both distributions AND their totals roll up from per_db through
+    # ONE conditional aggregation chain — per_db's exchange is the only
+    # corpus-size subtree, shared (ReusedExchange) between this rollup
+    # and the scoring join below; raw/target as separate branches would
+    # re-explode the corpus once per branch (no CTE reuse in DataFrame
+    # plans)
+    by_b = per_db.groupBy("b").agg(
+        F.sum("c").alias("c_r"),
         F.sum(F.when(F.col("source") == DSIR_TARGET, F.col("c"))
-              .otherwise(0)).alias("n_t")))
-    weights = (raw.join(tgt, "b", "left").na.fill(0, ["c_t"])
-               .crossJoin(F.broadcast(totals))
+              .otherwise(0)).alias("c_t"))
+    totals = by_b.agg(F.sum("c_r").alias("n_r"), F.sum("c_t").alias("n_t"))
+    weights = (by_b.crossJoin(F.broadcast(totals))
                .select("b", F.expr(
                    f"(1000 * (c_t + 1) * (n_r + {DSIR_DIM})) div "
                    f"((c_r + 1) * (n_t + {DSIR_DIM}))").alias("w_milli")))

@@ -282,3 +282,38 @@ def test_feature_hash_single_shuffle(spark):
     the spine join is broadcast."""
     plan = plan_of(queries.q74_feature_hash_embed(spark, SF))
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_dsir_weights_broadcast_no_product(spark):
+    """q75: the 32-row weight table joins the per-doc feature counts by
+    BROADCAST hash join; the only nested-loop joins are the 1-row
+    totals/doc-count broadcasts; the corpus never meets itself."""
+    plan = plan_of(queries.q75_dsir_resample(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan          # weights onto per_db
+    assert plan.count("BroadcastNestedLoopJoin") <= 2  # 1-row aggs only
+    # both distributions + totals roll up from ONE per-doc aggregation
+    # (a branch-per-distribution shape re-aggregates the corpus); the
+    # hash exchanges are per_db, by_b, scored, and the final rank's
+    # single-partition exchange is not hashpartitioning
+    assert plan.count("Exchange hashpartitioning") <= 6
+
+
+def test_bm25_broadcast_stats_and_topk(spark):
+    """q76: df and the corpus-global aggregate ride in as broadcasts
+    (3-row / 1-row), the result is a TakeOrdered — the corpus text
+    never shuffles and nothing is quadratic."""
+    plan = plan_of(queries.q76_bm25_topk(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan          # df_ onto tf
+    assert plan.count("BroadcastNestedLoopJoin") <= 1  # the 1-row glob
+
+
+def test_langid_train_no_recomputed_aggregation(spark):
+    """q77: per-language totals come from a window over the aggregated
+    (lang, tri) table — q73's trick; a join back to a groupBy(lang)
+    rollup would recompute the corpus trigram aggregation."""
+    plan = plan_of(queries.q77_langid_train(spark, SF))
+    assert plan.count("Exchange hashpartitioning") <= 3
+    assert "CartesianProduct" not in plan
