@@ -81,6 +81,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="after the run, rewrite any committed partition "
                         "holding more than N files into N (small-file "
                         "OPTIMIZE; commitlog backend only)")
+    p.add_argument("--history", action="store_true",
+                   help="print the commit history (version, timestamp, "
+                        "operations, partitions) for --output and exit — "
+                        "DESCRIBE HISTORY from the transaction log, no "
+                        "Spark session (commitlog tables only)")
     p.add_argument("--vacuum-min-age-sec", type=float, default=3600.0,
                    help="vacuum retention window: only orphans older "
                         "than this are reclaimed (protects files a "
@@ -96,6 +101,11 @@ def main(argv: list[str] | None = None) -> int:
     if args.status:
         from curator_spark.status import format_run_status
         print(format_run_status(args.output, args.ledger))  # None = detect
+        return 0
+    if args.history:
+        from curator_spark.checkpoint import table_history
+        for h in table_history(args.output, args.ledger):  # None = detect
+            print(json.dumps(h))
         return 0
     if not args.input:
         build_parser().error("--input is required unless --status")
