@@ -1197,6 +1197,22 @@ def read_committed(spark: SparkSession, out_dir: str,
     return df
 
 
+def table_row_count(out_dir: str, backend: str | None = None,
+                    version: int | None = None) -> int:
+    """Metadata-only COUNT(*): the sum of committed manifests' row
+    counts — Delta answers bare counts from the log the same way. Zero
+    data I/O, zero Spark jobs, valid at any time-travel version; the
+    numbers are trustworthy because revalidation reconciles them
+    against parquet footers on every resume."""
+    ledger = make_ledger(out_dir, backend or detect_backend(out_dir))
+    if version is not None and \
+            not getattr(ledger, "log_defined_visibility", False):
+        raise ValueError("time travel requires the commitlog ledger")
+    committed = ledger.committed(version=version) \
+        if version is not None else ledger.committed()
+    return sum(int((m or {}).get("n_rows", 0)) for m in committed.values())
+
+
 def table_history(out_dir: str, backend: str | None = None) -> list[dict]:
     """DESCRIBE HISTORY for a commitlog table: one row per commit
     version with its timestamp, writer, action-type counts, and touched
@@ -1275,7 +1291,8 @@ def vacuum(out_dir: str, backend: str | None = None,
 
 def compact_partition(spark: SparkSession, out_dir: str, part: int,
                       target_files: int = 1,
-                      backend: str | None = None) -> dict:
+                      backend: str | None = None,
+                      sort_by: list[str] | None = None) -> dict:
     """Small-file compaction (Delta/Iceberg OPTIMIZE): rewrite a
     committed partition's many files into `target_files` larger ones
     without changing a row. Incremental appends
@@ -1296,6 +1313,16 @@ def compact_partition(spark: SparkSession, out_dir: str, part: int,
     content IS its committed state, so an in-place file swap cannot be
     made atomic there.
 
+    sort_by: cluster the rewrite by these columns (OPTIMIZE ... ZORDER's
+    one-dimensional core): rows are range-partitioned across the
+    `target_files` outputs and sorted within each, so every output file
+    owns a DISJOINT key range and its manifest min/max stats become
+    surgical — a point/range probe via read_committed(where=…) then
+    skips all but one file of the partition, where the salted-write
+    layout left every file spanning the full key range. Row-identical
+    to the unsorted compaction (same verify + same stale-swap rule);
+    the clustering exists purely to sharpen data skipping.
+
     Returns {part, compacted, files_before, files_after, n_rows}."""
     import shutil
     import uuid
@@ -1313,7 +1340,9 @@ def compact_partition(spark: SparkSession, out_dir: str, part: int,
     if not marker or not marker.get("files"):
         raise ValueError(f"partition {part} has no committed files")
     old_files = dict(marker["files"])
-    if len(old_files) <= target_files:
+    # an already-small partition is a no-op UNLESS the caller asked for
+    # clustering — re-sorting equal-count files still sharpens stats
+    if len(old_files) <= target_files and not sort_by:
         return {"part": int(part), "compacted": False,
                 "files_before": len(old_files),
                 "files_after": len(old_files),
@@ -1323,8 +1352,14 @@ def compact_partition(spark: SparkSession, out_dir: str, part: int,
     paths = [os.path.join(pdir, fn) for fn in sorted(old_files)]
     tag = uuid.uuid4().hex[:12]
     staging = os.path.join(out_dir, f"_compact-{tag}")
-    spark.read.parquet(*paths).coalesce(int(target_files)) \
-        .write.parquet(staging)
+    src = spark.read.parquet(*paths)
+    if sort_by:
+        src = (src.repartitionByRange(int(target_files),
+                                      *[F.col(c) for c in sort_by])
+               .sortWithinPartitions(*sort_by))
+    else:
+        src = src.coalesce(int(target_files))
+    src.write.parquet(staging)
     man: dict = {}
     stats: dict = {}
     n_rows = 0

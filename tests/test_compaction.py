@@ -102,3 +102,34 @@ def test_markers_backend_refused(spark, tmp_path):
     run_checkpointed(spark, p, out)  # markers backend
     with pytest.raises(ValueError, match="log-defined"):
         compact_partition(spark, out, 0)
+
+
+def test_sorted_compaction_sharpens_file_skipping(spark, table):
+    """sort_by clustering (OPTIMIZE ZORDER's 1-D core): after a
+    conv_id-clustered rewrite into 3 files, the files own disjoint
+    conv_id ranges, so a point probe plans exactly one file of the
+    partition — the salted-write layout it replaces left every file
+    spanning the full range. Rows are identical before/after."""
+    from curator_spark.checkpoint import snapshot_files, table_row_count
+    part = 1
+    before = read_committed(spark, table).filter(f"part = {part}") \
+        .orderBy("conv_id", "turn_idx").toPandas()
+    r = compact_partition(spark, table, part, target_files=3,
+                          sort_by=["conv_id", "turn_idx"])
+    assert r["compacted"] and r["files_after"] <= 3
+    after = read_committed(spark, table).filter(f"part = {part}") \
+        .orderBy("conv_id", "turn_idx").toPandas()
+    assert before.equals(after)
+    # disjoint per-file conv_id ranges in the recorded stats
+    m = make_ledger(table, "commitlog").committed()[part]
+    bounds = sorted((st["conv_id"]["min"], st["conv_id"]["max"])
+                    for st in m["stats"].values())
+    for (_, hi), (lo, _) in zip(bounds, bounds[1:]):
+        assert hi <= lo
+    # a point probe inside this partition keeps exactly one of its files
+    cid = before["conv_id"].iloc[len(before) // 2]
+    probed = [p for p in snapshot_files(table, where=("conv_id", "=", cid))
+              if f"part={part}" in p]
+    assert len(probed) == 1
+    # metadata-only count agrees with the data (compaction swap included)
+    assert table_row_count(table) == read_committed(spark, table).count()

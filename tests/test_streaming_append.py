@@ -63,3 +63,27 @@ def test_reprocessing_with_fresh_checkpoint_appends_nothing(spark, stream_env):
     assert all(s["convs_new"] == 0 for s in summaries)
     table = read_committed(spark, stream_env["out"])
     assert table.count() == stream_env["n_b1"] + stream_env["n_fresh"]
+
+
+def test_each_epoch_is_a_queryable_snapshot(spark, stream_env):
+    """Streaming ingestion composes with time travel for free: every
+    micro-batch epoch lands as commit-log versions, so the table's
+    state BEFORE the stream started (and after each epoch) is a
+    readable snapshot, and metadata-only counts track it exactly."""
+    from curator_spark.checkpoint import table_history, table_row_count
+    out = stream_env["out"]
+    hist = table_history(out)
+    # the base run's commits hold 'add' actions; streaming epochs append
+    # via 'add_files'
+    first_append = next(h["version"] for h in hist
+                        if "add_files" in h["operations"])
+    pre_stream = first_append - 1
+    snap = read_committed(spark, out, version=pre_stream)
+    assert snap.count() == stream_env["n_b1"]
+    assert table_row_count(out, version=pre_stream) == stream_env["n_b1"]
+    head = stream_env["n_b1"] + stream_env["n_fresh"]
+    assert table_row_count(out) == head
+    # replaying counts at every version is monotone non-decreasing and
+    # ends at the head — epochs only ever add
+    counts = [table_row_count(out, version=h["version"]) for h in hist]
+    assert counts == sorted(counts) and counts[-1] == head
