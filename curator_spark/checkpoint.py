@@ -186,10 +186,19 @@ class CommitLogLedger:
     # -- log primitives ----------------------------------------------
     def _versions(self, upto: int | None = None) -> list[str]:
         if not os.path.isdir(self.dir):
-            return []
-        vs = sorted(fn for fn in os.listdir(self.dir)
-                    if fn.startswith("v") and fn.endswith(".json"))
+            vs = []
+        else:
+            vs = sorted(fn for fn in os.listdir(self.dir)
+                        if fn.startswith("v") and fn.endswith(".json"))
         if upto is not None:
+            latest = int(vs[-1][1:-5]) if vs else 0
+            if int(upto) > latest:
+                # a nonexistent version must raise, not silently hand
+                # back the head labeled as a pinned snapshot (Delta's
+                # VersionNotFoundException)
+                raise ValueError(
+                    f"version {upto} does not exist: the log ends at "
+                    f"v{latest}")
             vs = [fn for fn in vs if int(fn[1:-5]) <= int(upto)]
         return vs
 
@@ -309,6 +318,15 @@ class CommitLogLedger:
         while their files survive `vacuum`'s retention window, again as
         in Delta."""
         return self._replay(upto=version)[0]
+
+    def snapshot(self, version: int | None = None
+                 ) -> tuple[dict[int, dict | None], dict | None, dict]:
+        """(committed, run_success, table_meta) in ONE log replay —
+        read paths that need more than one facet use this instead of
+        separate accessors, which would each re-open and re-parse every
+        commit file (thousands of versions on a long-lived
+        continuous-ingestion table)."""
+        return self._replay(upto=version)
 
     def table_meta(self, version: int | None = None) -> dict:
         return self._replay(upto=version)[2]
@@ -452,8 +470,8 @@ def _stats_value(v):
     cannot round-trip the log losslessly (bytes, NaN, exotic types).
     Timestamps become epoch MICROSECONDS (ints compare exactly;
     isoformat strings would not across timezones)."""
-    from datetime import datetime as _dt
     import math
+    from datetime import datetime as _dt, timedelta as _td
     if isinstance(v, bool) or isinstance(v, int):
         return v
     if isinstance(v, float):
@@ -461,9 +479,14 @@ def _stats_value(v):
     if isinstance(v, str):
         return v
     if isinstance(v, _dt):
-        epoch = _dt(1970, 1, 1, tzinfo=v.tzinfo) if v.tzinfo \
+        # aware datetimes anchor at the UTC epoch (anchoring at the
+        # value's OWN tzinfo would shift the micros by its UTC offset
+        # and make skipping prune files that contain matching rows);
+        # naive datetimes compare against a naive epoch — footer stats
+        # are written session-tz UTC, so naive probes mean UTC here
+        epoch = _dt(1970, 1, 1, tzinfo=timezone.utc) if v.tzinfo \
             else _dt(1970, 1, 1)
-        return int((v - epoch).total_seconds() * 1_000_000)
+        return (v - epoch) // _td(microseconds=1)
     return None
 
 
@@ -827,6 +850,23 @@ def run_checkpointed(spark: SparkSession, input_path: str, out_dir: str,
                 f"{sorted(BUCKET_FNS)}; got {bucket}")
         if getattr(ledger, "log_defined_visibility", False) \
                 and ledger.table_meta().get("bucket") != bucket:
+            # a WRONG spec (this repo alone has two conventions:
+            # fixtures.part_of = md5full, ingest.part_expr = md5hex8)
+            # would make every later equality probe silently return
+            # missing rows — verify the claim against a sample of the
+            # data before recording it as planning truth
+            fn = BUCKET_FNS[bucket["fn"]]
+            sample = (spark.read.schema(schema.TRANSCRIPTS_SCHEMA)
+                      .parquet(input_path)
+                      .select(bucket["col"], "part").limit(64).collect())
+            for r in sample:
+                want = fn(r[bucket["col"]], bucket["n_parts"])
+                if int(r["part"]) != want:
+                    raise ValueError(
+                        f"bucket spec {bucket} does not describe this "
+                        f"input: {bucket['col']}={r[bucket['col']]!r} "
+                        f"hashes to part {want} but the row carries "
+                        f"part {int(r['part'])}")
             ledger.set_table_meta({"bucket": dict(bucket)})
 
     # Every Spark job this invocation schedules carries the run's job
@@ -1100,15 +1140,18 @@ def snapshot_files(out_dir: str, backend: str | None = None,
     I/O, zero Spark jobs. Files without recorded stats are always kept
     (skipping is sound, never speculative)."""
     ledger = make_ledger(out_dir, backend or detect_backend(out_dir))
-    if version is not None:
-        if not getattr(ledger, "log_defined_visibility", False):
-            raise ValueError(
-                "time travel requires the commitlog ledger: the markers "
-                "backend keeps no history (its dir content is only ever "
-                "the current state)")
-        committed = ledger.committed(version=version)
+    if version is not None and \
+            not getattr(ledger, "log_defined_visibility", False):
+        raise ValueError(
+            "time travel requires the commitlog ledger: the markers "
+            "backend keeps no history (its dir content is only ever "
+            "the current state)")
+    if getattr(ledger, "log_defined_visibility", False):
+        committed, _success, meta = ledger.snapshot(version=version)
+        bucket = meta.get("bucket") or {}
     else:
         committed = ledger.committed()
+        bucket = {}
     conj = _normalize_where(where)
 
     # Partition-level pruning, decided from the log alone:
@@ -1123,9 +1166,6 @@ def snapshot_files(out_dir: str, backend: str | None = None,
         keep_parts = set(parts_ok) if keep_parts is None \
             else keep_parts & set(parts_ok)
 
-    bucket = {}
-    if getattr(ledger, "log_defined_visibility", False):
-        bucket = ledger.table_meta(version=version).get("bucket") or {}
     for c, op, v in conj:
         if c == "part":
             _restrict(p for p in committed

@@ -1365,7 +1365,11 @@ def q77_langid_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).otherwise(F.array().cast("array<string>"))
     staged = (docs.select("lang", F.explode(tris).alias("tri")))
     cb = staged.groupBy("lang", "tri").agg(F.count(F.lit(1)).alias("c"))
-    vocab = staged.agg(F.countDistinct("tri").alias("v"))
+    # V from the AGGREGATED table, not the raw explode: distinct tri
+    # over (lang, tri) pairs equals distinct tri over rows, and cb's
+    # exchange is reused (a countDistinct over `staged` would re-scan
+    # and re-explode the whole corpus — no CTE reuse in DataFrame plans)
+    vocab = cb.agg(F.countDistinct("tri").alias("v"))
     w = Window.partitionBy("lang").orderBy(
         F.col("c").desc(), F.col("tri").asc())
     return (cb.withColumn("c_lang",

@@ -83,6 +83,10 @@ def test_snapshot_reads_reproduce_each_era(spark, table):
         == n_head == len(table["b1"]) + table["rows_appended"]
     # version 0 predates every commit: an empty table
     assert read_committed(spark, out, version=0).count() == 0
+    # a version beyond the log must raise, never silently serve the
+    # head labeled as a pinned snapshot
+    with pytest.raises(ValueError, match="does not exist"):
+        read_committed(spark, out, version=10_000)
 
 
 def test_time_travel_requires_commitlog(spark, tmp_path):
@@ -172,6 +176,33 @@ def test_bucket_transform_pruning(spark, tmp_path):
         run_checkpointed(spark, p, str(tmp_path / "bad"),
                          ledger_backend="commitlog",
                          bucket={"col": "conv_id", "fn": "nope"})
+    # a spec whose hash function does NOT describe the data is refused
+    # at registration (it would silently lose rows on every probe) —
+    # this input was bucketed with md5full, not md5hex8
+    with pytest.raises(ValueError, match="does not describe"):
+        run_checkpointed(spark, p, str(tmp_path / "bad2"),
+                         ledger_backend="commitlog",
+                         bucket={"col": "conv_id", "n_parts": 4,
+                                 "fn": "md5hex8"})
+
+
+def test_tz_aware_probe_prunes_correctly(tmp_path):
+    """A tz-aware non-UTC datetime literal must convert to TRUE UTC
+    micros: +05:00 07:00 is 02:00Z, inside a file spanning
+    [00:00Z, 03:00Z] — pruning that file would silently drop rows."""
+    from datetime import datetime, timedelta, timezone
+    fp = str(tmp_path / "t.parquet")
+    pq.write_table(pa.table({
+        "ts": pa.array([datetime(2024, 1, 1, 0), datetime(2024, 1, 1, 3)],
+                       pa.timestamp("us")),
+    }), fp)
+    st = file_column_stats(fp, columns=("ts",))
+    probe = datetime(2024, 1, 1, 7, 0,
+                     tzinfo=timezone(timedelta(hours=5)))  # == 02:00Z
+    assert _file_may_match(st, "ts", "=", probe)
+    late = datetime(2024, 1, 1, 9, 0,
+                    tzinfo=timezone(timedelta(hours=5)))   # == 04:00Z
+    assert not _file_may_match(st, "ts", "=", late)
 
 
 def test_file_stats_null_and_float_semantics(tmp_path):
