@@ -179,6 +179,17 @@ class CommitLogLedger:
     name = "commitlog"
     log_defined_visibility = True
 
+    # every Nth commit also writes a LOG CHECKPOINT — the full replayed
+    # state at that version as one file (Delta writes parquet
+    # checkpoints every 10 commits for the same reason): readers load
+    # the latest checkpoint <= their target version and replay only the
+    # commits after it, so read planning stays O(interval) regardless
+    # of table age (a continuous-ingestion table accretes one commit
+    # per appended partition per batch — 10^5+ versions in a year).
+    # Version files are retained, so time travel to any version still
+    # works and a corrupt/missing checkpoint degrades to a full replay.
+    CKPT_INTERVAL = 16
+
     def __init__(self, out_dir: str) -> None:
         self.out_dir = out_dir
         self.dir = os.path.join(out_dir, "_commitlog")
@@ -220,18 +231,77 @@ class CommitLogLedger:
                 target = os.path.join(self.dir, f"v{n:012d}.json")
                 try:
                     os.link(tmp, target)  # atomic put-if-absent, full content
-                    return n
+                    break
                 except FileExistsError:
                     n += 1                # lost the race: retry next version
         finally:
             os.unlink(tmp)
+        if n % self.CKPT_INTERVAL == 0:
+            # best-effort: a failed checkpoint never fails the commit —
+            # readers just replay a longer tail; racing writers compute
+            # the SAME state at version n, so whichever link wins is
+            # correct
+            try:
+                self._write_checkpoint(n)
+            except Exception:
+                pass
+        return n
+
+    def _checkpoints(self) -> list[int]:
+        if not os.path.isdir(self.dir):
+            return []
+        return sorted(int(fn[5:-5]) for fn in os.listdir(self.dir)
+                      if fn.startswith("ckpt-") and fn.endswith(".json"))
+
+    def _write_checkpoint(self, version: int) -> None:
+        # incremental: computing the state at `version` itself starts
+        # from the previous checkpoint
+        import uuid
+        state = self._replay(upto=version)
+        # uuid tmp: two racing writers checkpointing the same version
+        # must not scribble over each other's half-written tmp
+        tmp = os.path.join(self.dir, f".ckpt-{uuid.uuid4().hex}.tmp")
+        with open(tmp, "w") as f:
+            json.dump({"version": int(version),
+                       "parts": {str(k): v for k, v in state[0].items()},
+                       "success": state[1], "meta": state[2]}, f)
+            f.flush()
+            os.fsync(f.fileno())
+        try:
+            os.link(tmp, os.path.join(self.dir, f"ckpt-{version:012d}.json"))
+        except FileExistsError:
+            pass  # a racing writer published the identical state first
+        finally:
+            os.unlink(tmp)
+
+    def _load_checkpoint(self, upto: int | None):
+        """Latest readable checkpoint at version <= upto (or any), as
+        (ckpt_version, parts, success, meta) — None when absent or
+        unreadable (degrade to full replay, never fail a read)."""
+        for v in reversed(self._checkpoints()):
+            if upto is not None and v > int(upto):
+                continue
+            try:
+                with open(os.path.join(self.dir,
+                                       f"ckpt-{v:012d}.json")) as f:
+                    d = json.load(f)
+                return (int(d["version"]),
+                        {int(k): m for k, m in d["parts"].items()},
+                        d.get("success"), d.get("meta") or {})
+            except Exception:
+                continue
+        return None
 
     def _replay(self, upto: int | None = None
                 ) -> tuple[dict[int, dict | None], dict | None, dict]:
-        parts: dict[int, dict | None] = {}
-        success: dict | None = None
-        meta: dict = {}
-        for fn in self._versions(upto):
+        vs = self._versions(upto)  # also validates version-not-found
+        ck = self._load_checkpoint(upto)
+        if ck is not None:
+            base_v, parts, success, meta = ck
+            vs = [fn for fn in vs if int(fn[1:-5]) > base_v]
+        else:
+            parts, success, meta = {}, None, {}
+        for fn in vs:
             try:
                 with open(os.path.join(self.dir, fn)) as f:
                     commit = json.load(f)
