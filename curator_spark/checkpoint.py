@@ -683,6 +683,43 @@ def _file_may_match(stats: dict | None, col: str, op: str, val) -> bool:
     return mx >= val  # >=
 
 
+def _merge_schema_json(old: dict, new: dict) -> dict:
+    """Additive schema evolution (Delta's mergeSchema rule): columns in
+    `new` that `old` lacks are APPENDED (and must be nullable — old
+    files have no values for them); a type change on an existing column
+    is refused (it would silently corrupt reads of old files)."""
+    by_name = {f["name"]: f for f in old["fields"]}
+    out = [dict(f) for f in old["fields"]]
+    for f in new["fields"]:
+        g = by_name.get(f["name"])
+        if g is None:
+            if not f.get("nullable", True):
+                raise ValueError(
+                    f"schema evolution: new column {f['name']!r} must be "
+                    "nullable (existing files hold no values for it)")
+            out.append(dict(f))
+        elif g["type"] != f["type"]:
+            raise ValueError(
+                f"schema evolution: column {f['name']!r} cannot change "
+                f"type {g['type']!r} → {f['type']!r}; additive changes "
+                "only")
+    return {"type": "struct", "fields": out}
+
+
+def record_table_schema(ledger, spark_schema) -> None:
+    """Log the table's schema in table_meta (Delta's metaData action):
+    reads then PLAN with the declared schema — no footer-sampling
+    inference I/O — and old files simply read nulls for later-added
+    columns. Idempotent; widening commits one merged-meta version."""
+    if not getattr(ledger, "log_defined_visibility", False):
+        return
+    old = ledger.table_meta().get("schema")
+    new = spark_schema.jsonValue()
+    merged = _merge_schema_json(old, new) if old else new
+    if merged != old:
+        ledger.set_table_meta({"schema": merged})
+
+
 def revalidate_committed(out_dir: str, ledger=None) -> tuple[set[int], set[int]]:
     """Cache-integrity verification on resume (reference:
     base_request_processor.py:120-167 — per chunk: files exist, counts
@@ -1093,6 +1130,7 @@ def _run_checkpointed_grouped(spark, input_path, out_dir, params,
             data_dir = os.path.join(out_dir, "data")
             os.makedirs(data_dir, exist_ok=True)
             keep_scratch = True  # publish started: scratch holds new data
+            record_table_schema(ledger, result.schema)  # commitlog only
             shard_files: dict[int, dict] = {}  # log-defined publish only
             shard_stats: dict[int, dict] = {}
             if getattr(ledger, "log_defined_visibility", False):
@@ -1209,6 +1247,14 @@ def snapshot_files(out_dir: str, backend: str | None = None,
     the table, and the decision is made from the log alone — zero data
     I/O, zero Spark jobs. Files without recorded stats are always kept
     (skipping is sound, never speculative)."""
+    return _snapshot_plan(out_dir, backend, version, where)[0]
+
+
+def _snapshot_plan(out_dir: str, backend: str | None = None,
+                   version: int | None = None,
+                   where=None) -> tuple[list[str], dict]:
+    """(surviving file paths, table_meta) in one log replay — the
+    shared planning core of snapshot_files and read_committed."""
     ledger = make_ledger(out_dir, backend or detect_backend(out_dir))
     if version is not None and \
             not getattr(ledger, "log_defined_visibility", False):
@@ -1221,6 +1267,7 @@ def snapshot_files(out_dir: str, backend: str | None = None,
         bucket = meta.get("bucket") or {}
     else:
         committed = ledger.committed()
+        meta = {}
         bucket = {}
     conj = _normalize_where(where)
 
@@ -1258,7 +1305,7 @@ def snapshot_files(out_dir: str, backend: str | None = None,
             if all(_file_may_match(stats.get(fn), c, op, v)
                    for c, op, v in conj):
                 paths.append(os.path.join(data_dir, f"part={int(part)}", fn))
-    return paths
+    return paths, meta
 
 
 def read_committed(spark: SparkSession, out_dir: str,
@@ -1284,9 +1331,19 @@ def read_committed(spark: SparkSession, out_dir: str,
     = < <= > >=) — applied BOTH as manifest-stats file skipping (files
     whose min/max cannot match are never handed to Spark) and as a
     residual DataFrame filter, so the result is exactly the predicate's
-    rows while the scan plans only the surviving files."""
+    rows while the scan plans only the surviving files.
+
+    When the log's table_meta records a schema (every checkpointed /
+    appended commitlog table), the scan PLANS with that declared schema
+    instead of footer-sampling inference — zero schema-discovery I/O,
+    and files written before an additive schema evolution read nulls
+    for the later-added columns."""
+    from pyspark.sql.types import StructType
+
     from . import schema as _schema
-    paths = snapshot_files(out_dir, backend, version, where)
+    paths, meta = _snapshot_plan(out_dir, backend, version, where)
+    declared = StructType.fromJson(meta["schema"]) \
+        if meta.get("schema") else None
     data_dir = os.path.join(out_dir, "data")
     if version is not None:
         missing = [p for p in paths if not os.path.exists(p)]
@@ -1297,7 +1354,10 @@ def read_committed(spark: SparkSession, out_dir: str,
                 "historical reads are bounded by the vacuum retention "
                 "window, exactly as in Delta")
     if not paths:
-        df = spark.createDataFrame([], _schema.OUTPUT_SCHEMA)
+        df = spark.createDataFrame([], declared or _schema.OUTPUT_SCHEMA)
+    elif declared is not None:
+        df = (spark.read.schema(declared)
+              .option("basePath", data_dir).parquet(*paths))
     else:
         df = spark.read.option("basePath", data_dir).parquet(*paths)
     for col, op, val in _normalize_where(where):

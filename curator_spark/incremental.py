@@ -171,6 +171,8 @@ def append_batch_df(spark: SparkSession, new: DataFrame, out_dir: str,
         # crash orphans at most the partition being published — and
         # orphans are invisible to read_committed until vacuum.
         import pyarrow.parquet as pq
+        from .checkpoint import record_table_schema
+        record_table_schema(ledger, result.schema)
         data_dir = os.path.join(out_dir, "data")
         rows_appended = 0
         n_by_part = {int(r.part): int(r.n_in) for r in mrows}
