@@ -336,13 +336,16 @@ class CommitLogLedger:
                     if a.get("updated_at"):
                         m["updated_at"] = a["updated_at"]
                     parts[p] = m
-                elif t == "compact":
-                    # small-file compaction (compact_partition): swap
-                    # remove_files for add_files in the manifest. Applied
-                    # ONLY if every removed file is still referenced —
-                    # a concurrent recompute that replaced the manifest
-                    # makes this compaction stale, and a stale swap must
-                    # not resurrect dead files; the stale compaction's
+                elif t in ("compact", "delete"):
+                    # file-set swap: compaction (row-preserving rewrite)
+                    # and row-level delete (filtered rewrite) share one
+                    # replay rule — swap remove_files for add_files,
+                    # then recompute n_rows from the surviving manifest
+                    # (a no-op for compact, the row-count change for
+                    # delete). Applied ONLY if every removed file is
+                    # still referenced — a concurrent recompute that
+                    # replaced the manifest makes this swap stale, and a
+                    # stale swap must not resurrect dead files; its
                     # outputs are unreferenced orphans vacuum reclaims
                     # (Delta's conflict rule for OPTIMIZE vs overwrite).
                     p = int(a["part"])
@@ -356,6 +359,8 @@ class CommitLogLedger:
                         files.update(a.get("add_files") or {})
                         m = dict(m)
                         m["files"] = files
+                        m["n_rows"] = sum(int(v.get("n_rows", 0))
+                                          for v in files.values())
                         stats = dict(m.get("stats") or {})
                         for fn in rm:
                             stats.pop(fn, None)
@@ -455,6 +460,18 @@ class CommitLogLedger:
         files are no longer referenced (stale vs a concurrent
         recompute — see the replay handler)."""
         self._append([{"type": "compact", "part": int(part),
+                       "remove_files": sorted(remove_files),
+                       "add_files": add_files, "stats": stats or {},
+                       "updated_at":
+                       datetime.now(timezone.utc).isoformat()}])
+
+    def delete_rewrite(self, part: int, remove_files: list[str],
+                       add_files: dict, stats: dict | None = None) -> None:
+        """Row-level delete as a file-set swap (Delta's DELETE shape):
+        the touched files' filtered rewrites replace them in one log
+        version; replay recomputes n_rows from the surviving manifest
+        and applies the same stale-swap conflict rule as compaction."""
+        self._append([{"type": "delete", "part": int(part),
                        "remove_files": sorted(remove_files),
                        "add_files": add_files, "stats": stats or {},
                        "updated_at":
@@ -1558,6 +1575,119 @@ def compact_partition(spark: SparkSession, out_dir: str, part: int,
     return {"part": int(part), "compacted": True,
             "files_before": len(old_files), "files_after": len(man),
             "n_rows": n_rows}
+
+
+def delete_conversations(spark: SparkSession, out_dir: str,
+                         conv_ids, backend: str | None = None,
+                         key: str = "conv_id") -> dict:
+    """Row-level DELETE by key (Delta's DELETE shape; the
+    right-to-be-forgotten operation a training-data platform must run
+    at 100 TB without rewriting the table): every file that cannot
+    contain a target — by the log's bucket-transform spec AND the
+    manifest min/max stats — is untouched; only candidate files are
+    read, filtered, and swapped for their rewrites in one `delete` log
+    version per partition (same stale-swap conflict rule as
+    compaction). The displaced originals stay on disk for time travel
+    until `vacuum` reclaims them — which is also the point at which the
+    deletion is PHYSICAL, exactly as in Delta.
+
+    Candidate reads plan with the log's declared schema when present,
+    so rewrites of pre-evolution files keep the widened columns (as
+    nulls) instead of silently narrowing.
+
+    The _metrics table is RUN history, not table state — deletions
+    change table_row_count / read_committed but never rewrite the
+    counters a past run recorded (Delta's DELETE doesn't edit history
+    either).
+
+    Returns {rows_deleted, files_rewritten, files_untouched,
+    parts_touched}."""
+    import shutil
+    import uuid
+
+    import pyarrow.parquet as pq
+    from pyspark.sql.types import StructType
+
+    backend = backend or detect_backend(out_dir)
+    ledger = make_ledger(out_dir, backend)
+    if not getattr(ledger, "log_defined_visibility", False):
+        raise ValueError(
+            f"delete requires a log-defined-visibility ledger, not "
+            f"'{backend}': a filtered file swap cannot be atomic when "
+            "the directory content IS the committed state")
+    conv_ids = sorted(set(conv_ids))
+    committed, _success, meta = ledger.snapshot()
+    bucket = meta.get("bucket") or {}
+    declared = None
+    if meta.get("schema"):
+        declared = StructType.fromJson(meta["schema"])
+        declared = StructType([f for f in declared.fields
+                               if f.name != "part"])  # files hold no part
+
+    keep_parts = None
+    if bucket.get("col") == key and bucket.get("fn") in BUCKET_FNS \
+            and bucket.get("n_parts"):
+        fn = BUCKET_FNS[bucket["fn"]]
+        keep_parts = {fn(c, bucket["n_parts"]) for c in conv_ids}
+
+    summary = {"rows_deleted": 0, "files_rewritten": 0,
+               "files_untouched": 0, "parts_touched": []}
+    for part, marker in sorted(committed.items()):
+        files = (marker or {}).get("files") or {}
+        if keep_parts is not None and int(part) not in keep_parts:
+            summary["files_untouched"] += len(files)
+            continue
+        stats = (marker or {}).get("stats") or {}
+        cand = [fn_ for fn_ in sorted(files)
+                if any(_file_may_match(stats.get(fn_), key, "=", c)
+                       for c in conv_ids)]
+        summary["files_untouched"] += len(files) - len(cand)
+        if not cand:
+            continue
+        pdir = os.path.join(out_dir, "data", f"part={int(part)}")
+        paths = [os.path.join(pdir, f) for f in cand]
+        reader = spark.read.schema(declared) if declared is not None \
+            else spark.read
+        before = sum(int(files[f].get("n_rows", 0)) for f in cand)
+        kept = reader.parquet(*paths).filter(
+            ~F.col(key).isin([str(c) for c in conv_ids]))
+        tag = uuid.uuid4().hex[:12]
+        staging = os.path.join(out_dir, f"_compact-{tag}")  # vacuum-known
+        kept.coalesce(max(1, len(cand))).write.parquet(staging)
+        man: dict = {}
+        new_stats: dict = {}
+        after = 0
+        i = 0
+        for f in sorted(os.listdir(staging)):
+            if not f.endswith(".parquet"):
+                continue
+            src = os.path.join(staging, f)
+            rows = pq.ParquetFile(src).metadata.num_rows
+            if rows == 0:
+                continue  # fully-deleted file: remove, add nothing
+            newname = f"delete-{tag}-{i:05d}.parquet"
+            man[newname] = {"n_rows": int(rows),
+                            "n_bytes": os.path.getsize(src)}
+            new_stats[newname] = file_column_stats(src)
+            after += int(rows)
+            os.replace(src, os.path.join(pdir, newname))
+            i += 1
+        shutil.rmtree(staging, ignore_errors=True)
+        if after > before:
+            raise RuntimeError(
+                f"delete rewrite of part {part} produced {after} rows "
+                f"from {before} — aborted before commit, table unchanged")
+        if after == before:
+            # stats false positive: no target actually present — leave
+            # the original files alone; the rewrites are orphans
+            for f in man:
+                os.remove(os.path.join(pdir, f))
+            continue
+        ledger.delete_rewrite(int(part), cand, man, stats=new_stats)
+        summary["rows_deleted"] += before - after
+        summary["files_rewritten"] += len(cand)
+        summary["parts_touched"].append(int(part))
+    return summary
 
 
 def read_metrics(spark: SparkSession, out_dir: str) -> DataFrame:

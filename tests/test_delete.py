@@ -1,0 +1,88 @@
+"""Row-level DELETE (checkpoint.delete_conversations): the
+right-to-be-forgotten operation — bucket-transform + manifest-stats
+pruning keep untouched files untouched, targeted files swap for their
+filtered rewrites in one `delete` log version per partition, time
+travel still shows the pre-delete table until vacuum makes the deletion
+physical (Delta's DELETE semantics)."""
+
+from __future__ import annotations
+
+import pytest
+
+from curator_spark import fixtures
+from curator_spark.checkpoint import (
+    delete_conversations, make_ledger, read_committed, run_checkpointed,
+    table_history, table_row_count, vacuum)
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    p = str(tmp_path / "in.parquet")
+    pdf = fixtures.write_transcripts_parquet(p, 1200, seed=51, n_parts=4)
+    out = str(tmp_path / "out")
+    run_checkpointed(spark, p, out, ledger_backend="commitlog",
+                     bucket={"col": "conv_id", "n_parts": 4,
+                             "fn": "md5full"})
+    return {"out": out, "pdf": pdf}
+
+
+def test_delete_removes_targets_and_nothing_else(spark, table):
+    out, pdf = table["out"], table["pdf"]
+    ledger = make_ledger(out, "commitlog")
+    v_before = ledger.latest_version()
+    ids = sorted(pdf["conv_id"].unique())[:3]
+    n_target = int(pdf["conv_id"].isin(ids).sum())
+
+    before = read_committed(spark, out).orderBy(
+        "conv_id", "turn_idx").toPandas()
+    s = delete_conversations(spark, out, ids)
+    assert s["rows_deleted"] == n_target
+    assert s["files_untouched"] > 0          # pruning did real work
+    # bucket pruning: only the partitions the ids hash to were touched
+    want_parts = {fixtures.part_of(c, 4) for c in ids}
+    assert set(s["parts_touched"]) <= want_parts
+
+    after = read_committed(spark, out).orderBy(
+        "conv_id", "turn_idx").toPandas()
+    assert len(after) == len(before) - n_target
+    assert not after["conv_id"].isin(ids).any()
+    # survivors byte-identical
+    survivors = before[~before["conv_id"].isin(ids)].reset_index(drop=True)
+    assert survivors.equals(after.reset_index(drop=True))
+    # metadata-only count tracks the deletion
+    assert table_row_count(out) == len(after)
+    # history names the delete
+    ops = [op for h in table_history(out) for op in h["operations"]]
+    assert "delete" in ops
+
+    # time travel: the pre-delete snapshot still shows the rows...
+    snap = read_committed(spark, out, version=v_before)
+    assert snap.filter(snap.conv_id.isin([str(i) for i in ids])).count() \
+        == n_target
+    # ...until vacuum makes the deletion physical
+    assert vacuum(out, min_age_s=0) > 0
+    with pytest.raises(FileNotFoundError):
+        read_committed(spark, out, version=v_before).count()
+    assert read_committed(spark, out).count() == len(after)
+
+
+def test_delete_missing_id_is_noop(spark, table):
+    out = table["out"]
+    n = table_row_count(out)
+    v = make_ledger(out, "commitlog").latest_version()
+    s = delete_conversations(spark, out, ["conv-9999-00000000"])
+    assert s["rows_deleted"] == 0 and s["parts_touched"] == []
+    assert table_row_count(out) == n
+    # no delete version was committed for a no-op
+    ops = [op for h in table_history(out)
+           if h["version"] > v for op in h["operations"]]
+    assert "delete" not in ops
+
+
+def test_delete_refuses_markers_backend(spark, tmp_path):
+    p = str(tmp_path / "in.parquet")
+    fixtures.write_transcripts_parquet(p, 300, seed=52, n_parts=2)
+    out = str(tmp_path / "out")
+    run_checkpointed(spark, p, out, ledger_backend="markers")
+    with pytest.raises(ValueError, match="delete requires"):
+        delete_conversations(spark, out, ["conv-0052-00000000"])
