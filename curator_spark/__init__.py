@@ -25,7 +25,9 @@ from .checkpoint import (                               # noqa: E402,F401
     run_checkpointed, snapshot_files, table_history, table_row_count,
     vacuum,
 )
-from .incremental import append_new_conversations       # noqa: E402,F401
+from .incremental import (                              # noqa: E402,F401
+    append_new_conversations, upsert_conversations,
+)
 from .ingest import (                                   # noqa: E402,F401
     coerce_to_transcripts, docs_to_transcripts,
     read_jsonl, read_transcripts_jsonl, write_transcripts_jsonl,
@@ -36,7 +38,7 @@ __all__ = [
     "QualityFilter", "run_checkpointed", "read_committed", "vacuum",
     "compact_partition", "cancel_run", "append_new_conversations",
     "snapshot_files", "table_history", "table_row_count",
-    "delete_conversations",
+    "delete_conversations", "upsert_conversations",
     "coerce_to_transcripts", "docs_to_transcripts",
     "read_jsonl", "read_transcripts_jsonl", "write_transcripts_jsonl",
     "run_status", "format_run_status",

@@ -95,6 +95,49 @@ def append_new_conversations(spark: SparkSession, input_path: str,
                            broadcast_conv_aggs=broadcast_conv_aggs, t0=t0)
 
 
+def upsert_conversations(spark: SparkSession, input_path: str,
+                         out_dir: str, params: dict | None = None,
+                         broadcast_conv_aggs: bool | None = None) -> dict:
+    """MERGE with replace-on-conflict by conv_id (the missing third verb
+    next to append's INSERT-if-absent and delete_conversations'
+    DELETE): a batch conversation whose conv_id exists in the table
+    with DIFFERENT content replaces the old rows; identical content is
+    absorbed (the append dedup); unseen conversations append. The
+    delete leg is file-pruned (bucket + stats) and the replaced rows
+    stay time-travel-readable until vacuum — this is how a corrected
+    re-delivery or a redaction re-run lands without rewriting the
+    table.
+
+    Revised conv_ids pass through the driver (delete-by-key is an
+    administrative operation, not a data-plane join) — fine for
+    correction batches, not for replacing half the corpus.
+
+    Returns the append summary plus convs_revised."""
+    t0 = time.monotonic()
+    run_id = run_fingerprint(input_path, {"kind": "upsert",
+                                          **(params or {})})
+    new = spark.read.schema(schema.TRANSCRIPTS_SCHEMA).parquet(input_path)
+    from .checkpoint import delete_conversations
+    backend = detect_backend(out_dir)
+    existing = read_committed(spark, out_dir, backend)
+    batch_fps = conv_fingerprints(new)
+    table_fps = conv_fingerprints(
+        existing.select("conv_id", "turn_idx", "role", "text"))
+    revised = [r.conv_id for r in
+               (batch_fps.alias("b")
+                .join(table_fps.alias("t"), "conv_id")
+                .filter(F.col("b.conv_fp") != F.col("t.conv_fp"))
+                .select("conv_id").distinct().collect())]
+    if revised:
+        delete_conversations(spark, out_dir, revised, backend)
+    summary = append_batch_df(spark, new, out_dir, run_id=run_id,
+                              input_desc=input_path, params=params,
+                              broadcast_conv_aggs=broadcast_conv_aggs,
+                              t0=t0)
+    summary["convs_revised"] = len(revised)
+    return summary
+
+
 def append_batch_df(spark: SparkSession, new: DataFrame, out_dir: str,
                     run_id: str, input_desc: str,
                     params: dict | None = None,

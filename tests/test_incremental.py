@@ -127,3 +127,50 @@ def test_multirun_partition_refuses_silent_recompute(spark, corpus):
             f.write(keep)
     valid, invalid = revalidate_committed(corpus["out"], ledger)
     assert part in valid and not invalid
+
+
+def test_upsert_replaces_revised_keeps_same_adds_new(spark, tmp_path):
+    """MERGE semantics: unchanged conv absorbed, revised conv REPLACED
+    (old rows gone, new rows present exactly once), unseen conv added;
+    the replaced rows survive in pre-upsert snapshots."""
+    import pandas as pd
+
+    from curator_spark.checkpoint import make_ledger, run_checkpointed
+    from curator_spark.incremental import upsert_conversations
+
+    p1 = str(tmp_path / "b1.parquet")
+    b1 = fixtures.write_transcripts_parquet(p1, 800, seed=61, n_parts=4)
+    out = str(tmp_path / "out")
+    run_checkpointed(spark, p1, out, ledger_backend="commitlog",
+                     bucket={"col": "conv_id", "n_parts": 4,
+                             "fn": "md5full"})
+    v0 = make_ledger(out, "commitlog").latest_version()
+
+    ids = sorted(b1["conv_id"].unique())
+    same_id, rev_id = ids[0], ids[1]
+    same = b1[b1["conv_id"] == same_id].copy()
+    revised = b1[b1["conv_id"] == rev_id].copy()
+    revised["text"] = revised["text"] + " [redacted-rev2]"
+    fresh = fixtures.generate_transcripts(120, seed=62, n_parts=4)
+    batch = pd.concat([same, revised, fresh], ignore_index=True)
+    p2 = str(tmp_path / "b2.parquet")
+    fixtures.to_spark_parquet(batch, p2)
+
+    s = upsert_conversations(spark, p2, out)
+    assert s["convs_revised"] == 1
+    assert s["rows_appended"] == len(revised) + len(fresh)
+    assert s["convs_dup_prior"] >= 1          # the unchanged conv
+
+    table = read_committed(spark, out)
+    assert table.count() == len(b1) + len(fresh)  # replace, not add
+    got = table.filter(table.conv_id == rev_id).orderBy("turn_idx") \
+        .select("text").toPandas()["text"].tolist()
+    assert got == revised.sort_values("turn_idx")["text"].tolist()
+    # old version still shows the pre-revision text
+    old = read_committed(spark, out, version=v0)
+    assert old.filter(old.conv_id == rev_id) \
+        .filter("text LIKE '%redacted-rev2%'").count() == 0
+    # idempotent: re-upserting the same batch changes nothing
+    s2 = upsert_conversations(spark, p2, out)
+    assert s2["convs_revised"] == 0 and s2["rows_appended"] == 0
+    assert read_committed(spark, out).count() == len(b1) + len(fresh)
