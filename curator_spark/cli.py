@@ -74,6 +74,15 @@ def build_parser() -> argparse.ArgumentParser:
                         "the --input conversations whose content "
                         "fingerprint the committed --output table has "
                         "never seen (commitlog ledger only)")
+    p.add_argument("--upsert", action="store_true",
+                   help="MERGE: like --append, but a batch conv_id that "
+                        "exists with DIFFERENT content REPLACES its old "
+                        "rows (corrected re-delivery / redaction re-run)")
+    p.add_argument("--delete-ids", type=str, default=None, metavar="IDS",
+                   help="comma-separated conv_ids to delete from "
+                        "--output (right-to-be-forgotten; commitlog "
+                        "only; physical after --vacuum) and exit — "
+                        "no --input needed")
     p.add_argument("--vacuum", action="store_true",
                    help="after the run, reclaim data files no commit "
                         "manifest references (commitlog backend only)")
@@ -107,8 +116,9 @@ def main(argv: list[str] | None = None) -> int:
         for h in table_history(args.output, args.ledger):  # None = detect
             print(json.dumps(h))
         return 0
-    if not args.input:
-        build_parser().error("--input is required unless --status")
+    if not args.input and not args.delete_ids:
+        build_parser().error(
+            "--input is required unless --status/--history/--delete-ids")
     ledger_backend = args.ledger or "markers"
 
     if args.local_cores:
@@ -127,7 +137,18 @@ def main(argv: list[str] | None = None) -> int:
     from curator_spark.checkpoint import run_checkpointed, vacuum
     only_parts = ([int(x) for x in args.only_parts.split(",")]
                   if args.only_parts else None)
-    if args.append:
+    if args.delete_ids:
+        from curator_spark.checkpoint import delete_conversations
+        summary = delete_conversations(
+            spark, args.output, args.delete_ids.split(","))
+    elif args.upsert:
+        from curator_spark.incremental import upsert_conversations
+        summary = upsert_conversations(
+            spark, args.input, args.output,
+            params={"cli": True},
+            broadcast_conv_aggs=args.broadcast,
+        )
+    elif args.append:
         from curator_spark.incremental import append_new_conversations
         summary = append_new_conversations(
             spark, args.input, args.output,
