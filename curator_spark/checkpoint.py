@@ -406,6 +406,28 @@ class CommitLogLedger:
     def table_meta(self, version: int | None = None) -> dict:
         return self._replay(upto=version)[2]
 
+    def version_at(self, ts) -> int:
+        """TIMESTAMP AS OF: the latest commit version whose timestamp
+        is <= ts (datetime, aware or naive-UTC). Raises if the first
+        commit is later than ts — there was no table then."""
+        from datetime import datetime as _dt, timezone as _tz
+        if ts.tzinfo is None:
+            ts = ts.replace(tzinfo=_tz.utc)
+        best = None
+        for fn in self._versions():
+            try:
+                with open(os.path.join(self.dir, fn)) as f:
+                    committed_ts = _dt.fromisoformat(json.load(f)["ts"])
+            except Exception:
+                continue
+            if committed_ts <= ts:
+                best = int(fn[1:-5])
+        if best is None:
+            raise ValueError(
+                f"no commit at or before {ts.isoformat()}: the table's "
+                "history starts later")
+        return best
+
     def set_table_meta(self, meta: dict) -> None:
         self._append([{"type": "table_meta", "meta": meta}])
 
@@ -1328,7 +1350,7 @@ def _snapshot_plan(out_dir: str, backend: str | None = None,
 def read_committed(spark: SparkSession, out_dir: str,
                    backend: str | None = None,
                    version: int | None = None,
-                   where=None) -> DataFrame:
+                   where=None, as_of=None) -> DataFrame:
     """Snapshot read: exactly the files the ledger's commit manifests
     reference — the reader half of log-defined visibility (Delta's
     snapshot scan). Orphan files from superseded or crashed commits are
@@ -1358,6 +1380,15 @@ def read_committed(spark: SparkSession, out_dir: str,
     from pyspark.sql.types import StructType
 
     from . import schema as _schema
+    if as_of is not None:
+        # TIMESTAMP AS OF: resolve to the latest version committed at
+        # or before the datetime, then read that version
+        if version is not None:
+            raise ValueError("pass version OR as_of, not both")
+        ledger = make_ledger(out_dir, backend or detect_backend(out_dir))
+        if not getattr(ledger, "log_defined_visibility", False):
+            raise ValueError("time travel requires the commitlog ledger")
+        version = ledger.version_at(as_of)
     paths, meta = _snapshot_plan(out_dir, backend, version, where)
     declared = StructType.fromJson(meta["schema"]) \
         if meta.get("schema") else None

@@ -89,6 +89,29 @@ def test_snapshot_reads_reproduce_each_era(spark, table):
         read_committed(spark, out, version=10_000)
 
 
+def test_timestamp_as_of(spark, table):
+    """TIMESTAMP AS OF resolves a datetime to the latest commit at or
+    before it and reads that snapshot."""
+    from datetime import datetime, timezone
+    out = table["out"]
+    hist = table_history(out)
+    # a timestamp exactly at the base run's last commit → the base era
+    base_ts = datetime.fromisoformat(
+        next(h["ts"] for h in hist if h["version"] == table["v_base"]))
+    snap = read_committed(spark, out, as_of=base_ts)
+    assert snap.count() == len(table["b1"])
+    # far future → the head; far past → no table yet
+    assert read_committed(
+        spark, out,
+        as_of=datetime(2199, 1, 1, tzinfo=timezone.utc)).count() \
+        == read_committed(spark, out).count()
+    with pytest.raises(ValueError, match="history starts later"):
+        read_committed(spark, out,
+                       as_of=datetime(1999, 1, 1, tzinfo=timezone.utc))
+    with pytest.raises(ValueError, match="not both"):
+        read_committed(spark, out, version=1, as_of=base_ts)
+
+
 def test_time_travel_requires_commitlog(spark, tmp_path):
     p = str(tmp_path / "in.parquet")
     fixtures.write_transcripts_parquet(p, 300, seed=5, n_parts=2)
