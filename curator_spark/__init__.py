@@ -21,9 +21,9 @@ __version__ = "0.1.0"
 # importable from their modules but may change shape between versions.
 from .api import QualityFilter                          # noqa: E402,F401
 from .checkpoint import (                               # noqa: E402,F401
-    cancel_run, compact_partition, delete_conversations, read_committed,
-    run_checkpointed, snapshot_files, table_history, table_row_count,
-    vacuum,
+    cancel_run, compact_partition, delete_conversations, read_changes,
+    read_committed, run_checkpointed, snapshot_files, table_changes,
+    table_history, table_row_count, vacuum,
 )
 from .incremental import (                              # noqa: E402,F401
     append_new_conversations, upsert_conversations,
@@ -39,6 +39,7 @@ __all__ = [
     "compact_partition", "cancel_run", "append_new_conversations",
     "snapshot_files", "table_history", "table_row_count",
     "delete_conversations", "upsert_conversations",
+    "read_changes", "table_changes",
     "coerce_to_transcripts", "docs_to_transcripts",
     "read_jsonl", "read_transcripts_jsonl", "write_transcripts_jsonl",
     "run_status", "format_run_status",

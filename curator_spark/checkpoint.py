@@ -1431,6 +1431,109 @@ def table_row_count(out_dir: str, backend: str | None = None,
     return sum(int((m or {}).get("n_rows", 0)) for m in committed.values())
 
 
+def table_changes(out_dir: str, since_version: int,
+                  until_version: int | None = None,
+                  backend: str | None = None) -> dict:
+    """Change-data-feed at file granularity: what the data plane did in
+    versions (since, until] — {inserts: {part: {file: meta}},
+    rows_inserted, parts_recomputed, rows_deleted, versions}. Inserts
+    are files added by `add` / `add_files` commits (new scored data);
+    `compact`/`delete` swap outputs are REWRITES of existing rows and
+    are never counted as inserts. An `add` over an already-committed
+    partition is a recompute — reported in parts_recomputed because its
+    files replace rather than extend. Consumed by read_changes for
+    incremental downstream training."""
+    ledger = make_ledger(out_dir, backend or detect_backend(out_dir))
+    if not getattr(ledger, "log_defined_visibility", False):
+        raise ValueError("table_changes requires the commitlog ledger")
+    # validate bounds (raises on a version beyond the log)
+    ledger._versions(upto=until_version)
+    seen_parts = set(ledger.committed(version=since_version))
+    inserts: dict[int, dict] = {}
+    recomputed: set[int] = set()
+    rows_deleted = 0
+    versions: list[int] = []
+    for fn in ledger._versions(upto=until_version):
+        v = int(fn[1:-5])
+        if v <= int(since_version):
+            continue
+        try:
+            with open(os.path.join(ledger.dir, fn)) as f:
+                commit = json.load(f)
+        except Exception:
+            continue
+        versions.append(v)
+        for a in commit.get("actions", []):
+            t = a.get("type")
+            if t == "add":
+                p = int(a["part"])
+                files = ((a.get("marker") or {}).get("files") or {})
+                if p in seen_parts:
+                    recomputed.add(p)
+                # an `add` REPLACES the partition: earlier in-window
+                # inserts are superseded, reading both would
+                # double-count their content
+                inserts[p] = dict(files)
+                seen_parts.add(p)
+            elif t == "add_files":
+                p = int(a["part"])
+                inserts.setdefault(p, {}).update(a.get("files") or {})
+                seen_parts.add(p)
+            elif t == "delete":
+                rm = a.get("remove_files") or []
+                before = sum(
+                    int(v_.get("n_rows", 0))
+                    for fn_, v_ in (inserts.get(int(a["part"])) or {}).items()
+                    if fn_ in rm)
+                # deletes of rows inserted WITHIN the window shrink the
+                # window's own insert set; deletes of older rows are
+                # reported but cannot be attributed to files here
+                for fn_ in rm:
+                    (inserts.get(int(a["part"])) or {}).pop(fn_, None)
+                after = sum(int(v_.get("n_rows", 0))
+                            for v_ in (a.get("add_files") or {}).values())
+                rows_deleted += max(0, before - after) if before else 0
+    rows = sum(int(m.get("n_rows", 0))
+               for fs in inserts.values() for m in fs.values())
+    return {"inserts": inserts, "rows_inserted": rows,
+            "parts_recomputed": sorted(recomputed),
+            "rows_deleted": rows_deleted, "versions": versions}
+
+
+def read_changes(spark: SparkSession, out_dir: str, since_version: int,
+                 until_version: int | None = None,
+                 backend: str | None = None) -> DataFrame:
+    """The rows INSERTED in versions (since, until] — the incremental-
+    consumption feed (a downstream tokenizer/trainer processes only new
+    data, never re-reads the corpus). Reads the ORIGINAL inserted files
+    directly, so later compactions/sorted rewrites don't duplicate or
+    hide rows; like time travel, the feed is bounded by vacuum's
+    retention window and raises (naming the files) past it."""
+    from pyspark.sql.types import StructType
+
+    from . import schema as _schema
+    ch = table_changes(out_dir, since_version, until_version, backend)
+    ledger = make_ledger(out_dir, backend or detect_backend(out_dir))
+    meta = ledger.table_meta()
+    declared = StructType.fromJson(meta["schema"]) \
+        if meta.get("schema") else None
+    data_dir = os.path.join(out_dir, "data")
+    paths = [os.path.join(data_dir, f"part={int(p)}", fn)
+             for p, fs in sorted(ch["inserts"].items()) for fn in sorted(fs)]
+    missing = [p for p in paths if not os.path.exists(p)]
+    if missing:
+        raise FileNotFoundError(
+            f"change feed since v{since_version} references "
+            f"{len(missing)} file(s) already reclaimed by vacuum "
+            f"(e.g. {missing[0]}); consume changes within the retention "
+            "window")
+    if not paths:
+        return spark.createDataFrame([], declared or _schema.OUTPUT_SCHEMA)
+    reader = spark.read.schema(declared) if declared is not None \
+        else spark.read
+    return reader.option("basePath", data_dir).parquet(*paths)
+
+
 def table_history(out_dir: str, backend: str | None = None) -> list[dict]:
     """DESCRIBE HISTORY for a commitlog table: one row per commit
     version with its timestamp, writer, action-type counts, and touched

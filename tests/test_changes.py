@@ -1,0 +1,72 @@
+"""Change-data feed (checkpoint.table_changes / read_changes): the
+incremental-consumption story — a downstream trainer reads only the
+rows inserted since the version it last processed; compaction rewrites
+never duplicate the feed; vacuum bounds it exactly like time travel."""
+
+from __future__ import annotations
+
+import pytest
+
+from curator_spark import fixtures
+from curator_spark.checkpoint import (
+    compact_partition, make_ledger, read_changes, read_committed,
+    run_checkpointed, table_changes, vacuum)
+from curator_spark.incremental import append_new_conversations
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    p1 = str(tmp_path / "b1.parquet")
+    b1 = fixtures.write_transcripts_parquet(p1, 900, seed=71, n_parts=4)
+    out = str(tmp_path / "out")
+    run_checkpointed(spark, p1, out, ledger_backend="commitlog")
+    v1 = make_ledger(out, "commitlog").latest_version()
+    p2 = str(tmp_path / "b2.parquet")
+    b2 = fixtures.generate_transcripts(400, seed=72, n_parts=4)
+    fixtures.to_spark_parquet(b2, p2)
+    app = append_new_conversations(spark, p2, out)
+    return {"out": out, "b1": b1, "b2": b2, "v1": v1,
+            "appended": app["rows_appended"]}
+
+
+def test_changes_since_base_are_exactly_the_appended_rows(spark, table):
+    out = table["out"]
+    ch = table_changes(out, table["v1"])
+    assert ch["rows_inserted"] == table["appended"]
+    assert ch["rows_deleted"] == 0 and ch["parts_recomputed"] == []
+    feed = read_changes(spark, out, table["v1"])
+    assert feed.count() == table["appended"]
+    ids = {r.conv_id for r in feed.select("conv_id").distinct().collect()}
+    assert ids <= set(table["b2"]["conv_id"].unique())
+    # full-history feed covers the whole table
+    assert read_changes(spark, out, 0).count() == \
+        read_committed(spark, out).count()
+
+
+def test_compaction_does_not_duplicate_the_feed(spark, table):
+    out = table["out"]
+    before = read_changes(spark, out, table["v1"]).count()
+    led = make_ledger(out, "commitlog")
+    part = max(led.committed(),
+               key=lambda p: len(led.committed()[p]["files"]))
+    assert compact_partition(spark, out, part)["compacted"]
+    # rewrites are not inserts: same feed, same rows (original files
+    # still on disk until vacuum)
+    assert read_changes(spark, out, table["v1"]).count() == before
+    ch = table_changes(out, table["v1"])
+    assert ch["rows_inserted"] == before
+    # vacuum reclaims the superseded originals → the feed raises loudly
+    assert vacuum(out, min_age_s=0) > 0
+    with pytest.raises(FileNotFoundError, match="vacuum"):
+        read_changes(spark, out, 0).count()
+
+
+def test_changes_requires_commitlog_and_valid_versions(spark, tmp_path, table):
+    with pytest.raises(ValueError, match="does not exist"):
+        table_changes(table["out"], 0, until_version=10_000)
+    p = str(tmp_path / "in.parquet")
+    fixtures.write_transcripts_parquet(p, 200, seed=73, n_parts=2)
+    out = str(tmp_path / "m")
+    run_checkpointed(spark, p, out, ledger_backend="markers")
+    with pytest.raises(ValueError, match="commitlog"):
+        table_changes(out, 0)
