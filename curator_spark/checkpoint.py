@@ -1446,8 +1446,10 @@ def table_changes(out_dir: str, since_version: int,
     ledger = make_ledger(out_dir, backend or detect_backend(out_dir))
     if not getattr(ledger, "log_defined_visibility", False):
         raise ValueError("table_changes requires the commitlog ledger")
-    # validate bounds (raises on a version beyond the log)
+    # validate bounds (raises on a version beyond the log) — a typo'd
+    # since_version must not silently read as an empty feed
     ledger._versions(upto=until_version)
+    ledger._versions(upto=since_version)
     seen_parts = set(ledger.committed(version=since_version))
     inserts: dict[int, dict] = {}
     recomputed: set[int] = set()

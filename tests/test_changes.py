@@ -70,3 +70,8 @@ def test_changes_requires_commitlog_and_valid_versions(spark, tmp_path, table):
     run_checkpointed(spark, p, out, ledger_backend="markers")
     with pytest.raises(ValueError, match="commitlog"):
         table_changes(out, 0)
+
+
+def test_changes_since_beyond_log_raises(table):
+    with pytest.raises(ValueError, match="does not exist"):
+        table_changes(table["out"], 10_000)
