@@ -86,3 +86,21 @@ def test_delete_refuses_markers_backend(spark, tmp_path):
     run_checkpointed(spark, p, out, ledger_backend="markers")
     with pytest.raises(ValueError, match="delete requires"):
         delete_conversations(spark, out, ["conv-0052-00000000"])
+
+
+def test_rerun_after_delete_does_not_resurrect(spark, table, tmp_path):
+    """Deletion is administrative table state, not run state: re-running
+    the same checkpointed job afterwards memoizes (manifests still
+    validate — the delete updated them consistently) and must NOT
+    recompute the partition and resurrect the deleted rows."""
+    out, pdf = table["out"], table["pdf"]
+    ids = sorted(pdf["conv_id"].unique())[:1]
+    delete_conversations(spark, out, ids)
+    n_after = read_committed(spark, out).count()
+    # same input path + params → same run fingerprint
+    r = run_checkpointed(spark, str(tmp_path / "in.parquet"), out,
+                         ledger_backend="commitlog",
+                         bucket={"col": "conv_id", "n_parts": 4,
+                                 "fn": "md5full"})
+    assert r["memoized"] and r["parts_invalidated"] == 0
+    assert read_committed(spark, out).count() == n_after
