@@ -382,6 +382,20 @@ class CommitLogLedger:
                     # latest commit wins, key-merged so independent
                     # facets (bucket spec, future schema info) coexist
                     meta.update(a.get("meta") or {})
+                elif t == "restore":
+                    # RESTORE TABLE ... TO VERSION AS OF (Delta's
+                    # RESTORE): the action embeds the FULL state at the
+                    # target version (like a checkpoint, computed by the
+                    # writer at commit time), and replay replaces live
+                    # state wholesale — partitions, run-success, and
+                    # table metadata all roll back together. History is
+                    # preserved: the rollback is itself a new version,
+                    # and the rolled-back era stays time-travel-readable
+                    # until vacuum reclaims its now-unreferenced files.
+                    parts = {int(k): m for k, m in
+                             (a.get("parts") or {}).items()}
+                    success = a.get("success")
+                    meta = dict(a.get("meta") or {})
         return parts, success, meta
 
     # -- ledger interface --------------------------------------------
@@ -498,6 +512,18 @@ class CommitLogLedger:
                        "add_files": add_files, "stats": stats or {},
                        "updated_at":
                        datetime.now(timezone.utc).isoformat()}])
+
+    def restore(self, to_version: int, parts: dict[int, dict | None],
+                success: dict | None, meta: dict) -> int:
+        """Publish a rollback commit embedding the full state at
+        `to_version`; returns the new version. Last-writer-wins at the
+        log level (as in Delta): a commit racing in between the state
+        read and this publish is rolled back with everything else."""
+        return self._append([{
+            "type": "restore", "to_version": int(to_version),
+            "parts": {str(k): m for k, m in parts.items()},
+            "success": success, "meta": meta,
+            "updated_at": datetime.now(timezone.utc).isoformat()}])
 
     def run_success(self) -> dict | None:
         return self._replay()[1]
@@ -1452,6 +1478,7 @@ def table_changes(out_dir: str, since_version: int,
     ledger._versions(upto=since_version)
     seen_parts = set(ledger.committed(version=since_version))
     inserts: dict[int, dict] = {}
+    ins_ver: dict[tuple[int, str], int] = {}  # when each file was inserted
     recomputed: set[int] = set()
     rows_deleted = 0
     versions: list[int] = []
@@ -1476,10 +1503,14 @@ def table_changes(out_dir: str, since_version: int,
                 # inserts are superseded, reading both would
                 # double-count their content
                 inserts[p] = dict(files)
+                for fn_ in files:
+                    ins_ver[(p, fn_)] = v
                 seen_parts.add(p)
             elif t == "add_files":
                 p = int(a["part"])
                 inserts.setdefault(p, {}).update(a.get("files") or {})
+                for fn_ in (a.get("files") or {}):
+                    ins_ver[(p, fn_)] = v
                 seen_parts.add(p)
             elif t == "delete":
                 rm = a.get("remove_files") or []
@@ -1495,6 +1526,33 @@ def table_changes(out_dir: str, since_version: int,
                 after = sum(int(v_.get("n_rows", 0))
                             for v_ in (a.get("add_files") or {}).values())
                 rows_deleted += max(0, before - after) if before else 0
+            elif t == "restore":
+                # a rollback re-points live state at OLD files — those
+                # rows were fed when originally inserted, so the restore
+                # contributes no inserts; but in-window inserts made
+                # AFTER the restore target are discarded by it and must
+                # leave the feed (feeding rows the table no longer
+                # contains would poison a downstream incremental
+                # trainer). The test is the INSERT VERSION, not file
+                # membership in the restored state: a compaction between
+                # the insert and the target renames files while keeping
+                # every row live. (In-window inserts at or before the
+                # target stay in the feed; pre-window rows the rollback
+                # discards are beyond file attribution, like pre-window
+                # deletes above.)
+                to_v = int(a.get("to_version", 0))
+                for p in list(inserts):
+                    dropped = [fn_ for fn_ in inserts[p]
+                               if ins_ver.get((p, fn_), v) > to_v]
+                    for fn_ in dropped:
+                        rows_deleted += int(
+                            inserts[p].pop(fn_).get("n_rows", 0))
+                    if not inserts[p]:
+                        del inserts[p]
+                # after a rollback the live parts are exactly the
+                # restored set — a later `add` on one of them replaces
+                # content (a recompute), on anything else it's fresh
+                seen_parts = {int(k) for k in (a.get("parts") or {})}
     rows = sum(int(m.get("n_rows", 0))
                for fs in inserts.values() for m in fs.values())
     return {"inserts": inserts, "rows_inserted": rows,
@@ -1544,6 +1602,58 @@ def table_history(out_dir: str, backend: str | None = None) -> list[dict]:
     if not getattr(ledger, "log_defined_visibility", False):
         raise ValueError("history requires the commitlog ledger")
     return ledger.history()
+
+
+def restore_table(out_dir: str, version: int | None = None,
+                  backend: str | None = None, as_of=None) -> dict:
+    """RESTORE TABLE ... TO VERSION AS OF (Delta's RESTORE): make the
+    live table state equal to its state at an earlier `version` (or at
+    the latest commit <= the `as_of` datetime) by publishing ONE new
+    commit — nothing is erased. The rollback is itself a version:
+    history keeps growing, the rolled-back era stays
+    time-travel-readable until `vacuum` reclaims its files (which
+    become unreferenced orphans the moment this commit lands), and
+    restoring the restore is just another RESTORE.
+
+    Partitions, run-success state, and table metadata (schema, bucket
+    spec) all roll back together, so a `run_checkpointed` after
+    restoring to a mid-run version resumes exactly the partitions that
+    were uncommitted then — rollback-and-recompute as one idiom.
+
+    Refuses to publish a corrupt table: every file the target snapshot
+    references must still exist (raises FileNotFoundError naming the
+    reclaimed ones otherwise — the same vacuum retention bound as time
+    travel). Zero data I/O and zero Spark jobs: like the metadata-only
+    count, this is pure log work.
+
+    Reference analogue: resubmitting from the durable
+    batch_objects.jsonl ledger recovers an earlier run state
+    (base_batch_request_processor.py:300-309); here recovery is a
+    first-class, versioned table operation."""
+    ledger = make_ledger(out_dir, backend or detect_backend(out_dir))
+    if not getattr(ledger, "log_defined_visibility", False):
+        raise ValueError("restore requires the commitlog ledger")
+    if (version is None) == (as_of is None):
+        raise ValueError("pass exactly one of version / as_of")
+    if as_of is not None:
+        version = ledger.version_at(as_of)
+    parts, success, meta = ledger.snapshot(version=version)
+    data_dir = os.path.join(out_dir, "data")
+    missing = [fn for p, m in parts.items()
+               for fn in ((m or {}).get("files") or {})
+               if not os.path.exists(
+                   os.path.join(data_dir, f"part={int(p)}", fn))]
+    if missing:
+        raise FileNotFoundError(
+            f"cannot restore to v{version}: {len(missing)} of its "
+            f"file(s) were already reclaimed by vacuum "
+            f"(e.g. {missing[0]}); restores are bounded by the vacuum "
+            "retention window, exactly as in Delta")
+    new_v = ledger.restore(version, parts, success, meta)
+    return {"version": new_v, "restored_to": int(version),
+            "parts": len(parts),
+            "n_rows": sum(int((m or {}).get("n_rows", 0))
+                          for m in parts.values())}
 
 
 def vacuum(out_dir: str, backend: str | None = None,
@@ -1612,10 +1722,55 @@ def vacuum(out_dir: str, backend: str | None = None,
     return removed
 
 
+def _zorder_key(src: DataFrame, cols: list[str], bits: int = 8):
+    """Morton (Z-order) key over `cols`: each column linearly bucketed
+    into 2**bits cells between its min and max, buckets bit-interleaved
+    so proximity in the key means proximity in EVERY dimension at once.
+    Numeric/timestamp columns only (strings have no linear embedding).
+
+    This is a LAYOUT computation, not a result: float rounding in the
+    bucket edges or skew clumping the cells can only blunt how sharply
+    files separate, never change any row. (Delta's ZORDER buckets by
+    sampled range-partition rank for skew robustness; min/max linear
+    cells keep this a single tiny aggregate + one narrow expression,
+    which is the right trade for per-partition compaction jobs.)"""
+    from pyspark.sql.types import (DateType, NumericType, TimestampType)
+    exprs = []
+    for c in cols:
+        dt = src.schema[c].dataType
+        if not isinstance(dt, (NumericType, TimestampType, DateType)):
+            raise ValueError(
+                f"zorder column '{c}' has type {dt.simpleString()}: only "
+                "numeric/timestamp/date columns have the linear order "
+                "z-ordering interleaves")
+        exprs.append(F.col(c).cast("double"))
+    row = src.agg(*[f for e in exprs
+                    for f in (F.min(e), F.max(e))]).first()
+    nb = 1 << bits
+    buckets = []
+    for i, e in enumerate(exprs):
+        mn, mx = row[2 * i], row[2 * i + 1]
+        mn = float(mn) if mn is not None else 0.0
+        denom = (float(mx) - mn) if (mx is not None
+                                     and float(mx) > mn) else 1.0
+        b = F.floor((e - F.lit(mn)) / F.lit(denom) * nb).cast("long")
+        buckets.append(F.coalesce(
+            F.least(F.lit(nb - 1), F.greatest(F.lit(0), b)),
+            F.lit(0)))
+    z = F.lit(0).cast("long")
+    for bit in range(bits):
+        for ci, b in enumerate(buckets):
+            z = z.bitwiseOR(F.shiftleft(
+                F.shiftright(b, bit).bitwiseAND(F.lit(1)),
+                bit * len(buckets) + ci))
+    return z
+
+
 def compact_partition(spark: SparkSession, out_dir: str, part: int,
                       target_files: int = 1,
                       backend: str | None = None,
-                      sort_by: list[str] | None = None) -> dict:
+                      sort_by: list[str] | None = None,
+                      zorder: bool = False) -> dict:
     """Small-file compaction (Delta/Iceberg OPTIMIZE): rewrite a
     committed partition's many files into `target_files` larger ones
     without changing a row. Incremental appends
@@ -1645,6 +1800,15 @@ def compact_partition(spark: SparkSession, out_dir: str, part: int,
     layout left every file spanning the full key range. Row-identical
     to the unsorted compaction (same verify + same stale-swap rule);
     the clustering exists purely to sharpen data skipping.
+
+    zorder: with 2+ sort_by columns, cluster by their MORTON
+    (bit-interleaved) key instead of the lexicographic concatenation —
+    OPTIMIZE ... ZORDER BY proper. A lexicographic sort makes only the
+    FIRST column's file ranges disjoint (every file spans the full
+    range of the rest); the z-key walks a space-filling curve, so each
+    output file owns a bounded TILE of the multi-dimensional space and
+    manifest-stats skipping stays surgical for probes on ANY of the
+    z-ordered columns. Layout-only, row-identical (see _zorder_key).
 
     Returns {part, compacted, files_before, files_after, n_rows}."""
     import shutil
@@ -1676,7 +1840,16 @@ def compact_partition(spark: SparkSession, out_dir: str, part: int,
     tag = uuid.uuid4().hex[:12]
     staging = os.path.join(out_dir, f"_compact-{tag}")
     src = spark.read.parquet(*paths)
-    if sort_by:
+    if zorder:
+        if not sort_by or len(sort_by) < 2:
+            raise ValueError(
+                "zorder needs 2+ sort_by columns (with one, a plain "
+                "range sort already gives disjoint file ranges)")
+        src = (src.withColumn("_zkey", _zorder_key(src, list(sort_by)))
+               .repartitionByRange(int(target_files), F.col("_zkey"))
+               .sortWithinPartitions("_zkey")
+               .drop("_zkey"))
+    elif sort_by:
         src = (src.repartitionByRange(int(target_files),
                                       *[F.col(c) for c in sort_by])
                .sortWithinPartitions(*sort_by))
