@@ -22,8 +22,11 @@ __version__ = "0.1.0"
 from .api import QualityFilter                          # noqa: E402,F401
 from .checkpoint import (                               # noqa: E402,F401
     cancel_run, compact_partition, delete_conversations, read_changes,
-    read_committed, run_checkpointed, snapshot_files, table_changes,
-    table_history, table_row_count, vacuum,
+    read_committed, restore_table, run_checkpointed, snapshot_files,
+    table_changes, table_history, table_row_count, vacuum,
+)
+from .feed import (                                     # noqa: E402,F401
+    consume_changes, consumer_position,
 )
 from .incremental import (                              # noqa: E402,F401
     append_new_conversations, upsert_conversations,
@@ -38,8 +41,9 @@ __all__ = [
     "QualityFilter", "run_checkpointed", "read_committed", "vacuum",
     "compact_partition", "cancel_run", "append_new_conversations",
     "snapshot_files", "table_history", "table_row_count",
-    "delete_conversations", "upsert_conversations",
-    "read_changes", "table_changes",
+    "delete_conversations", "upsert_conversations", "restore_table",
+    "read_changes", "table_changes", "consume_changes",
+    "consumer_position",
     "coerce_to_transcripts", "docs_to_transcripts",
     "read_jsonl", "read_transcripts_jsonl", "write_transcripts_jsonl",
     "run_status", "format_run_status",

@@ -90,6 +90,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="after the run, rewrite any committed partition "
                         "holding more than N files into N (small-file "
                         "OPTIMIZE; commitlog backend only)")
+    p.add_argument("--restore", type=int, default=None, metavar="V",
+                   help="roll --output back to commit version V and "
+                        "exit (RESTORE TABLE ... VERSION AS OF; one new "
+                        "commit, history preserved, no Spark session; "
+                        "commitlog tables only) — no --input needed")
     p.add_argument("--history", action="store_true",
                    help="print the commit history (version, timestamp, "
                         "operations, partitions) for --output and exit — "
@@ -116,9 +121,15 @@ def main(argv: list[str] | None = None) -> int:
         for h in table_history(args.output, args.ledger):  # None = detect
             print(json.dumps(h))
         return 0
+    if args.restore is not None:
+        from curator_spark.checkpoint import restore_table
+        print(json.dumps(restore_table(args.output, version=args.restore,
+                                       backend=args.ledger)))  # None=detect
+        return 0
     if not args.input and not args.delete_ids:
         build_parser().error(
-            "--input is required unless --status/--history/--delete-ids")
+            "--input is required unless "
+            "--status/--history/--restore/--delete-ids")
     ledger_backend = args.ledger or "markers"
 
     if args.local_cores:

@@ -133,3 +133,50 @@ def test_sorted_compaction_sharpens_file_skipping(spark, table):
     assert len(probed) == 1
     # metadata-only count agrees with the data (compaction swap included)
     assert table_row_count(table) == read_committed(spark, table).count()
+
+
+def test_zorder_compaction_prunes_on_every_dimension(spark, table):
+    """OPTIMIZE ... ZORDER BY proper (2-D Morton interleave): after a
+    z-ordered rewrite on (ts, turn_idx), manifest-stats probes prune
+    files on BOTH columns — the lexicographic sort this generalizes
+    prunes only on its leading column. Row-identical, layout-only."""
+    from curator_spark.checkpoint import snapshot_files
+    part = 2
+    before = read_committed(spark, table).filter(f"part = {part}") \
+        .orderBy("conv_id", "turn_idx").toPandas()
+    n_files = 6
+    r = compact_partition(spark, table, part, target_files=n_files,
+                          sort_by=["ts", "turn_idx"], zorder=True)
+    assert r["compacted"]
+    n_files = r["files_after"]
+    assert n_files >= 4, "fixture too small to exercise tiling"
+    after = read_committed(spark, table).filter(f"part = {part}") \
+        .orderBy("conv_id", "turn_idx").toPandas()
+    assert before.equals(after)
+
+    def probed(where):
+        return len([p for p in snapshot_files(table, where=where)
+                    if f"part={part}" in p])
+
+    # a range probe on EACH z-ordered column prunes real files
+    ts_hi = before["ts"].quantile(0.9)
+    ti_hi = int(before["turn_idx"].max() * 3 // 4)
+    assert probed(("ts", ">=", ts_hi)) < n_files
+    assert probed(("turn_idx", ">=", ti_hi)) < n_files
+    # and the per-file stats tile BOTH dimensions: some file's range is
+    # a proper subset of the global range in each column
+    m = make_ledger(table, "commitlog").committed()[part]
+    for col in ("turn_idx",):
+        gmin = min(st[col]["min"] for st in m["stats"].values())
+        gmax = max(st[col]["max"] for st in m["stats"].values())
+        assert any(st[col]["min"] > gmin or st[col]["max"] < gmax
+                   for st in m["stats"].values())
+
+
+def test_zorder_guards(spark, table):
+    with pytest.raises(ValueError, match="2\\+ sort_by"):
+        compact_partition(spark, table, 0, target_files=2,
+                          sort_by=["ts"], zorder=True)
+    with pytest.raises(ValueError, match="linear order"):
+        compact_partition(spark, table, 0, target_files=2,
+                          sort_by=["conv_id", "ts"], zorder=True)
