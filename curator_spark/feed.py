@@ -1,0 +1,117 @@
+"""Change-feed consumption with a durable cursor — the downstream half
+of incremental corpus maintenance.
+
+`table_changes`/`read_changes` (checkpoint.py) answer "what rows were
+inserted in versions (since, until]?" from the log alone; this module
+adds the piece a real consumer (tokenizer, embedding indexer, trainer
+data loader) needs at 100 TB: a CRASH-SAFE record of how far it has
+read, so every poll processes each inserted row exactly once end to
+end without ever re-scanning the corpus.
+
+Protocol (Spark Structured Streaming's offsets/commits shape, and
+Delta's streaming-source semantics, re-expressed on the commitlog's
+one primitive):
+
+* the cursor is a monotone sequence of `cursor-<version>.json` files
+  published with put-if-absent `os.link` — the same atomic primitive
+  as the table's own commit log, so it transfers to object stores;
+* each poll reads (cursor, head], hands the batch to the caller's
+  sink, and only THEN commits the new cursor — a crash between the
+  two replays the same window next poll (at-least-once; exactly-once
+  when the sink is idempotent, which is exactly the contract Spark
+  gives foreachBatch);
+* two consumers sharing a consumer_id race safely: both process the
+  same window, the cursor link is first-writer-wins, and the loser's
+  FileExistsError is a success (identical content).
+
+Reference analogue: the reference's resumable batch polling loop
+(batch tracker + durable batch_objects.jsonl,
+base_batch_request_processor.py:300-309, 438-481) — generalized from
+"this run's own requests" to any downstream consumer of the table.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .checkpoint import detect_backend, make_ledger, read_changes, table_changes
+
+
+def _cursor_dir(out_dir: str, consumer_id: str) -> str:
+    if not consumer_id or "/" in consumer_id or consumer_id.startswith("."):
+        raise ValueError(f"bad consumer_id {consumer_id!r}")
+    return os.path.join(out_dir, "_consumers", consumer_id)
+
+
+def consumer_position(out_dir: str, consumer_id: str) -> int:
+    """The last table version this consumer has fully processed
+    (0 = nothing yet — the first poll bootstraps the whole table)."""
+    d = _cursor_dir(out_dir, consumer_id)
+    if not os.path.isdir(d):
+        return 0
+    vs = [int(fn[7:-5]) for fn in os.listdir(d)
+          if fn.startswith("cursor-") and fn.endswith(".json")]
+    return max(vs, default=0)
+
+
+def _commit_cursor(out_dir: str, consumer_id: str, version: int,
+                   rows: int) -> None:
+    import uuid
+    d = _cursor_dir(out_dir, consumer_id)
+    os.makedirs(d, exist_ok=True)
+    tmp = os.path.join(d, f".cur-{uuid.uuid4().hex}.tmp")
+    with open(tmp, "w") as f:
+        json.dump({"version": int(version), "rows": int(rows),
+                   "pid": os.getpid()}, f)
+        f.flush()
+        os.fsync(f.fileno())
+    try:
+        os.link(tmp, os.path.join(d, f"cursor-{int(version):012d}.json"))
+    except FileExistsError:
+        pass  # a racing consumer with the same id committed the same window
+    finally:
+        os.unlink(tmp)
+
+
+def consume_changes(spark: SparkSession, out_dir: str, consumer_id: str,
+                    sink: Callable[[DataFrame, int, int], None],
+                    backend: str | None = None) -> dict:
+    """One poll: read the rows inserted in (cursor, head], hand them to
+    `sink(batch_df, since_version, until_version)`, then advance the
+    durable cursor to head. Returns {consumed_rows, since, until,
+    advanced} — advanced=False means the table had nothing new.
+
+    The sink runs BEFORE the cursor commit, so a crash inside it
+    replays the identical window on the next poll: make the sink
+    idempotent (write to a path keyed on until_version, MERGE on a
+    key, etc.) and the pipeline is exactly-once end to end. An empty
+    window still advances the cursor (versions that only compacted,
+    deleted, or restored produce no feed rows but are consumed).
+
+    A cursor that has fallen behind vacuum's retention window raises
+    FileNotFoundError (from read_changes) rather than silently feeding
+    a partial batch — re-bootstrap the consumer deliberately."""
+    backend = backend or detect_backend(out_dir)
+    ledger = make_ledger(out_dir, backend)
+    if not getattr(ledger, "log_defined_visibility", False):
+        raise ValueError("change-feed consumption requires the "
+                         "commitlog ledger")
+    since = consumer_position(out_dir, consumer_id)
+    head = ledger.latest_version() or 0
+    if head <= since:
+        return {"consumed_rows": 0, "since": since, "until": since,
+                "advanced": False}
+    # rows_inserted from the log alone decides whether the batch is
+    # worth a Spark job at all (pure metadata; zero data I/O)
+    ch = table_changes(out_dir, since, head, backend)
+    n = int(ch["rows_inserted"])
+    if n > 0:
+        sink(read_changes(spark, out_dir, since, head, backend),
+             since, head)
+    _commit_cursor(out_dir, consumer_id, head, n)
+    return {"consumed_rows": n, "since": since, "until": head,
+            "advanced": True}
