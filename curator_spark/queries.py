@@ -522,6 +522,74 @@ def q73_ngram_lm_train(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "rank"))
 
 
+def q78_ccnet_lm_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CCNet loop CLOSED (Wenzek et al. 2020): train the LM on the
+    corpus (q73's job), score every document with it, and cut each
+    language into head/middle/tail thirds by LM score — train-then-
+    apply as ONE dataflow, where q73 stops at the model table and q69
+    buckets by a model-free heuristic.
+
+    Score: per-bigram cost_milli = ((c_ctx + V)·1000) div (c_pair + 1)
+    — the add-one-smoothed RECIPROCAL probability in integer milli-
+    units; doc score = mean cost over its bigrams. CCNet uses log-space
+    perplexity; the linear-space mean is this repo's documented integer
+    deviation (the q75 precedent): Σ of logs is float-sum-order- and
+    libm-dependent across engines, Σ of integer reciprocals is exact,
+    and both order "fluent under the model" below "boilerplate/noise".
+
+    Plan: ONE bigram explode serves both training and scoring (text
+    dropped at the explode; only (doc_id, w1, w2) ever shuffles);
+    context counts via window over the aggregated bigram table (q73's
+    exchange-sharing trick); scoring = equi-join of doc bigrams onto
+    the model on (w1, w2) — hot function-word bigrams skew that key,
+    which AQE skew-join splits (the model side is one row per bigram,
+    so a split never duplicates matches); V is a 1-row broadcast. The
+    per-language ntile is an exact full sort per lang — the
+    correctness baseline; at 100 TB the cuts come from
+    approx-quantile thresholds on a sample, exactly as CCNet does
+    (same caveat as q35's exact percentiles vs q45's sketches).
+    Docs with <2 tokens have no bigrams: bucket 'unscored', never
+    silently ranked."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower(F.col("text")), " "), lambda t: t != "")
+    staged = docs.select("doc_id", "lang", toks.alias("toks"))
+    n = F.size("toks")
+    pairs = F.when(n >= 2, F.zip_with(
+        F.slice("toks", 1, n - 1),
+        F.slice("toks", 2, n - 1),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")))
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    bigr = (staged.select("doc_id", F.explode(pairs).alias("p"))
+            .select("doc_id", "p.w1", "p.w2"))
+    cb = bigr.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_pair"))
+    model = cb.withColumn(
+        "c_ctx", F.sum("c_pair").over(Window.partitionBy("w1")))
+    vocab = (staged.select(F.explode("toks").alias("tok"))
+             .agg(F.countDistinct("tok").alias("v")))
+    per_doc = (bigr.join(model, ["w1", "w2"])
+               .crossJoin(F.broadcast(vocab))
+               .groupBy("doc_id")
+               .agg(F.sum(F.expr("((c_ctx + v) * 1000) div (c_pair + 1)"))
+                    .alias("cost_sum"),
+                    F.count(F.lit(1)).alias("n_bigrams")))
+    spine = staged.select("doc_id", "lang").join(per_doc, "doc_id", "left")
+    scored = (spine.filter(F.col("n_bigrams").isNotNull())
+              .withColumn("ppl_milli", F.expr("cost_sum div n_bigrams")))
+    w = Window.partitionBy("lang").orderBy("ppl_milli", "doc_id")
+    scored = (scored.withColumn("nt", F.ntile(3).over(w))
+              .select("doc_id", "lang", "ppl_milli", "n_bigrams",
+                      F.when(F.col("nt") == 1, "head")
+                      .when(F.col("nt") == 2, "middle")
+                      .otherwise("tail").alias("bucket")))
+    unscored = (spine.filter(F.col("n_bigrams").isNull())
+                .select("doc_id", "lang",
+                        F.lit(None).cast("long").alias("ppl_milli"),
+                        F.lit(0).cast("long").alias("n_bigrams"),
+                        F.lit("unscored").alias("bucket")))
+    return (scored.unionByName(unscored)
+            .withColumn("keep", F.col("bucket") == "head"))
+
+
 def q60_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus collocation mining: top bigrams by pointwise mutual
     information. PMI = ln(p_ab / (p_a·p_b)) is ranked via its ARGUMENT
@@ -1558,6 +1626,53 @@ ORACLES: dict[str, str] = {
         SELECT w1, w2, c_pair, c_ctx, p_milli, CAST(rank AS INTEGER) AS rank
         FROM ranked WHERE rank <= 3
     """,
+    "q78_ccnet_lm_filter": """
+        WITH staged AS (
+            SELECT doc_id, lang,
+                   list_filter(string_split(lower(text), ' '),
+                               t -> t <> '') AS toks
+            FROM documents
+        ), big AS (
+            SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+            FROM staged, unnest(CASE WHEN len(toks) >= 2
+                                     THEN range(1, len(toks))
+                                     ELSE [] END) AS u(i)
+        ), cb AS (
+            SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_pair
+            FROM big GROUP BY w1, w2
+        ), ctx AS (
+            SELECT w1, CAST(sum(c_pair) AS BIGINT) AS c_ctx
+            FROM cb GROUP BY w1
+        ), vocab AS (
+            SELECT count(DISTINCT tok) AS v FROM (
+                SELECT unnest(toks) AS tok FROM staged)
+        ), perdoc AS (
+            SELECT b.doc_id,
+                   CAST(sum(((ctx.c_ctx + vocab.v) * 1000)
+                            // (cb.c_pair + 1)) AS BIGINT) AS cost_sum,
+                   CAST(count(*) AS BIGINT) AS n_bigrams
+            FROM big b JOIN cb USING (w1, w2) JOIN ctx USING (w1), vocab
+            GROUP BY b.doc_id
+        ), sc AS (
+            SELECT s.doc_id, s.lang,
+                   CAST(p.cost_sum // p.n_bigrams AS BIGINT) AS ppl_milli,
+                   p.n_bigrams,
+                   ntile(3) OVER (
+                       PARTITION BY s.lang
+                       ORDER BY p.cost_sum // p.n_bigrams, s.doc_id) AS nt
+            FROM staged s JOIN perdoc p USING (doc_id)
+        )
+        SELECT doc_id, lang, ppl_milli, n_bigrams,
+               CASE nt WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                    ELSE 'tail' END AS bucket,
+               (nt = 1) AS keep
+        FROM sc
+        UNION ALL
+        SELECT doc_id, lang, CAST(NULL AS BIGINT) AS ppl_milli,
+               CAST(0 AS BIGINT) AS n_bigrams,
+               'unscored' AS bucket, FALSE AS keep
+        FROM staged WHERE len(toks) < 2
+    """,
     "q72_tokenizer_fertility": """
         WITH per_doc AS (
             SELECT lang,
@@ -2202,6 +2317,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q71_salted_join": q71_salted_join,
     "q72_tokenizer_fertility": q72_tokenizer_fertility,
     "q73_ngram_lm_train": q73_ngram_lm_train,
+    "q78_ccnet_lm_filter": q78_ccnet_lm_filter,
     "q74_feature_hash_embed": q74_feature_hash_embed,
     "q75_dsir_resample": q75_dsir_resample,
     "q76_bm25_topk": q76_bm25_topk,
