@@ -590,6 +590,74 @@ def q78_ccnet_lm_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("keep", F.col("bucket") == "head"))
 
 
+def q79_source_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-classifier curation (the GPT-3 WebText / LLaMA data-prep
+    pillar: train a classifier on a labeled "good source vs rest"
+    signal, score the whole corpus with it): train a multinomial-NB-
+    shaped model on the documents table's own `source` labels, then
+    classify every document — train-then-apply in one dataflow, like
+    q78.
+
+    Model: per (token, source), Laplace weight_milli =
+    (c(tok,src)+1)·1000 div (N_src + V); doc score vs source =
+    Σ over the doc's token occurrences of weight_milli, with UNSEEN
+    (token, source) pairs contributing the smoothed floor
+    1000 div (N_src + V) — the linear-space integer deviation from
+    log-space NB (the q75/q78 precedent: exact integers beat
+    engine-dependent Σ of logs), with the same argmax shape. Predicted
+    source = highest score, ties to the lexicographically first
+    source.
+
+    Plan: ONE token explode feeds training (map-side-combined
+    groupBy(source, tok); per-source totals via the q73
+    window-over-aggregate trick; V a 1-row broadcast) AND scoring (doc
+    tokens equi-join the weight table on tok — fan-out × n_sources,
+    which is O(5), then ONE groupBy(doc_id, source)); the dense
+    doc×source spine is a broadcast cross join against the k-row
+    source table, so absent pairs get their floor without any outer
+    shuffle; the final argmax is a row_number window on doc_id over k
+    rows per doc. Text never shuffles."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower(F.col("text")), " "), lambda t: t != "")
+    staged = docs.select("doc_id", "source", toks.alias("toks"))
+    tok = staged.select("doc_id", "source", F.explode("toks").alias("tok"))
+    cnt = tok.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("c"))
+    wsrc = Window.partitionBy("source")
+    vocab = tok.agg(F.countDistinct("tok").alias("v"))
+    weights = (cnt.withColumn("n_src", F.sum("c").over(wsrc))
+               .crossJoin(F.broadcast(vocab))
+               .select("source", "tok",
+                       F.expr("((c + 1) * 1000) div (n_src + v)")
+                       .alias("w_milli")))
+    floors = (cnt.groupBy("source").agg(F.sum("c").alias("n_src"))
+              .crossJoin(F.broadcast(vocab))
+              .select(F.col("source").alias("src"),
+                      F.expr("1000 div (n_src + v)").alias("floor_milli")))
+    # scoring: join doc token OCCURRENCES onto the weight table (the
+    # join key is tok; each token matches <= n_sources weight rows)
+    present = (tok.select("doc_id", "tok")
+               .join(weights.withColumnRenamed("source", "src"), "tok")
+               .groupBy("doc_id", "src")
+               .agg(F.sum("w_milli").alias("sum_present"),
+                    F.count(F.lit(1)).alias("n_present")))
+    spine = (staged.select("doc_id", "source",
+                           F.size("toks").cast("long").alias("n_toks"))
+             .crossJoin(F.broadcast(floors.select("src", "floor_milli"))))
+    scored = (spine.join(present, ["doc_id", "src"], "left")
+              .na.fill(0, ["sum_present", "n_present"])
+              .select("doc_id", "source", "src",
+                      (F.col("sum_present")
+                       + (F.col("n_toks") - F.col("n_present"))
+                       * F.col("floor_milli")).alias("score_milli")))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score_milli").desc(), F.col("src").asc())
+    return (scored.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select("doc_id", "source",
+                    F.col("src").alias("predicted"), "score_milli",
+                    (F.col("src") == F.col("source")).alias("correct")))
+
+
 def q60_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus collocation mining: top bigrams by pointwise mutual
     information. PMI = ln(p_ab / (p_a·p_b)) is ranked via its ARGUMENT
@@ -1626,6 +1694,59 @@ ORACLES: dict[str, str] = {
         SELECT w1, w2, c_pair, c_ctx, p_milli, CAST(rank AS INTEGER) AS rank
         FROM ranked WHERE rank <= 3
     """,
+    "q79_source_classifier": """
+        WITH staged AS (
+            SELECT doc_id, source,
+                   list_filter(string_split(lower(text), ' '),
+                               t -> t <> '') AS toks
+            FROM documents
+        ), tok AS (
+            SELECT doc_id, source, unnest(toks) AS tok FROM staged
+        ), cnt AS (
+            SELECT source, tok, CAST(count(*) AS BIGINT) AS c
+            FROM tok GROUP BY source, tok
+        ), totals AS (
+            SELECT source, CAST(sum(c) AS BIGINT) AS n_src
+            FROM cnt GROUP BY source
+        ), vocab AS (
+            SELECT count(DISTINCT tok) AS v FROM tok
+        ), weights AS (
+            SELECT cnt.source AS src, cnt.tok,
+                   CAST((cnt.c + 1) * 1000 // (t.n_src + vocab.v)
+                        AS BIGINT) AS w_milli
+            FROM cnt JOIN totals t USING (source), vocab
+        ), floors AS (
+            SELECT source AS src,
+                   CAST(1000 // (n_src + vocab.v) AS BIGINT) AS floor_milli
+            FROM totals, vocab
+        ), present AS (
+            SELECT k.doc_id, w.src,
+                   CAST(sum(w.w_milli) AS BIGINT) AS sum_present,
+                   CAST(count(*) AS BIGINT) AS n_present
+            FROM tok k JOIN weights w ON k.tok = w.tok
+            GROUP BY k.doc_id, w.src
+        ), spine AS (
+            SELECT s.doc_id, s.source,
+                   CAST(len(s.toks) AS BIGINT) AS n_toks,
+                   f.src, f.floor_milli
+            FROM staged s CROSS JOIN floors f
+        ), scored AS (
+            SELECT sp.doc_id, sp.source, sp.src,
+                   CAST(coalesce(p.sum_present, 0)
+                        + (sp.n_toks - coalesce(p.n_present, 0))
+                          * sp.floor_milli AS BIGINT) AS score_milli
+            FROM spine sp LEFT JOIN present p
+              ON sp.doc_id = p.doc_id AND sp.src = p.src
+        ), ranked AS (
+            SELECT *, row_number() OVER (PARTITION BY doc_id
+                                         ORDER BY score_milli DESC, src)
+                          AS rk
+            FROM scored
+        )
+        SELECT doc_id, source, src AS predicted, score_milli,
+               (src = source) AS correct
+        FROM ranked WHERE rk = 1
+    """,
     "q78_ccnet_lm_filter": """
         WITH staged AS (
             SELECT doc_id, lang,
@@ -2318,6 +2439,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q72_tokenizer_fertility": q72_tokenizer_fertility,
     "q73_ngram_lm_train": q73_ngram_lm_train,
     "q78_ccnet_lm_filter": q78_ccnet_lm_filter,
+    "q79_source_classifier": q79_source_classifier,
     "q74_feature_hash_embed": q74_feature_hash_embed,
     "q75_dsir_resample": q75_dsir_resample,
     "q76_bm25_topk": q76_bm25_topk,
