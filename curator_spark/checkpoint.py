@@ -264,7 +264,8 @@ class CommitLogLedger:
         with open(tmp, "w") as f:
             json.dump({"version": int(version),
                        "parts": {str(k): v for k, v in state[0].items()},
-                       "success": state[1], "meta": state[2]}, f)
+                       "success": state[1], "meta": state[2],
+                       "txns": state[3]}, f)
             f.flush()
             os.fsync(f.fileno())
         try:
@@ -287,20 +288,23 @@ class CommitLogLedger:
                     d = json.load(f)
                 return (int(d["version"]),
                         {int(k): m for k, m in d["parts"].items()},
-                        d.get("success"), d.get("meta") or {})
+                        d.get("success"), d.get("meta") or {},
+                        {str(k): int(v) for k, v in
+                         (d.get("txns") or {}).items()})
             except Exception:
                 continue
         return None
 
     def _replay(self, upto: int | None = None
-                ) -> tuple[dict[int, dict | None], dict | None, dict]:
+                ) -> tuple[dict[int, dict | None], dict | None, dict,
+                           dict[str, int]]:
         vs = self._versions(upto)  # also validates version-not-found
         ck = self._load_checkpoint(upto)
         if ck is not None:
-            base_v, parts, success, meta = ck
+            base_v, parts, success, meta, txns = ck
             vs = [fn for fn in vs if int(fn[1:-5]) > base_v]
         else:
-            parts, success, meta = {}, None, {}
+            parts, success, meta, txns = {}, None, {}, {}
         for fn in vs:
             try:
                 with open(os.path.join(self.dir, fn)) as f:
@@ -382,21 +386,36 @@ class CommitLogLedger:
                     # latest commit wins, key-merged so independent
                     # facets (bucket spec, future schema info) coexist
                     meta.update(a.get("meta") or {})
+                elif t == "txn":
+                    # idempotent-writer marker (Delta's txn action): a
+                    # streaming/batch writer records the highest work
+                    # unit (epoch, batch id) it has FULLY committed
+                    # under its application id; a replayed unit at or
+                    # below the mark is skipped before any work.
+                    # Monotone max: a late-arriving lower mark (e.g. a
+                    # crashed racer's replay) never winds the app back.
+                    app = str(a["app_id"])
+                    v_ = int(a["txn_version"])
+                    prev = txns.get(app)
+                    txns[app] = v_ if prev is None else max(prev, v_)
                 elif t == "restore":
                     # RESTORE TABLE ... TO VERSION AS OF (Delta's
                     # RESTORE): the action embeds the FULL state at the
                     # target version (like a checkpoint, computed by the
                     # writer at commit time), and replay replaces live
-                    # state wholesale — partitions, run-success, and
-                    # table metadata all roll back together. History is
-                    # preserved: the rollback is itself a new version,
-                    # and the rolled-back era stays time-travel-readable
-                    # until vacuum reclaims its now-unreferenced files.
+                    # state wholesale — partitions, run-success, table
+                    # metadata, and writer txn marks all roll back
+                    # together. History is preserved: the rollback is
+                    # itself a new version, and the rolled-back era
+                    # stays time-travel-readable until vacuum reclaims
+                    # its now-unreferenced files.
                     parts = {int(k): m for k, m in
                              (a.get("parts") or {}).items()}
                     success = a.get("success")
                     meta = dict(a.get("meta") or {})
-        return parts, success, meta
+                    txns = {str(k): int(v_) for k, v_ in
+                            (a.get("txns") or {}).items()}
+        return parts, success, meta, txns
 
     # -- ledger interface --------------------------------------------
     def committed(self, version: int | None = None
@@ -409,13 +428,25 @@ class CommitLogLedger:
         return self._replay(upto=version)[0]
 
     def snapshot(self, version: int | None = None
-                 ) -> tuple[dict[int, dict | None], dict | None, dict]:
-        """(committed, run_success, table_meta) in ONE log replay —
-        read paths that need more than one facet use this instead of
+                 ) -> tuple[dict[int, dict | None], dict | None, dict,
+                            dict[str, int]]:
+        """(committed, run_success, table_meta, txns) in ONE log replay
+        — read paths that need more than one facet use this instead of
         separate accessors, which would each re-open and re-parse every
         commit file (thousands of versions on a long-lived
         continuous-ingestion table)."""
         return self._replay(upto=version)
+
+    def last_txn(self, app_id: str) -> int | None:
+        """The highest txn_version this application id has committed
+        (Delta's txnVersion lookup) — None if it never wrote one."""
+        return self._replay()[3].get(str(app_id))
+
+    def set_txn(self, app_id: str, txn_version: int) -> int:
+        """Record that `app_id` has fully committed work unit
+        `txn_version` (one log commit; replay keeps the max)."""
+        return self._append([{"type": "txn", "app_id": str(app_id),
+                              "txn_version": int(txn_version)}])
 
     def table_meta(self, version: int | None = None) -> dict:
         return self._replay(upto=version)[2]
@@ -514,7 +545,8 @@ class CommitLogLedger:
                        datetime.now(timezone.utc).isoformat()}])
 
     def restore(self, to_version: int, parts: dict[int, dict | None],
-                success: dict | None, meta: dict) -> int:
+                success: dict | None, meta: dict,
+                txns: dict[str, int] | None = None) -> int:
         """Publish a rollback commit embedding the full state at
         `to_version`; returns the new version. Last-writer-wins at the
         log level (as in Delta): a commit racing in between the state
@@ -522,7 +554,7 @@ class CommitLogLedger:
         return self._append([{
             "type": "restore", "to_version": int(to_version),
             "parts": {str(k): m for k, m in parts.items()},
-            "success": success, "meta": meta,
+            "success": success, "meta": meta, "txns": txns or {},
             "updated_at": datetime.now(timezone.utc).isoformat()}])
 
     def run_success(self) -> dict | None:
@@ -1328,7 +1360,7 @@ def _snapshot_plan(out_dir: str, backend: str | None = None,
             "backend keeps no history (its dir content is only ever "
             "the current state)")
     if getattr(ledger, "log_defined_visibility", False):
-        committed, _success, meta = ledger.snapshot(version=version)
+        committed, _success, meta, _txns = ledger.snapshot(version=version)
         bucket = meta.get("bucket") or {}
     else:
         committed = ledger.committed()
@@ -1637,7 +1669,7 @@ def restore_table(out_dir: str, version: int | None = None,
         raise ValueError("pass exactly one of version / as_of")
     if as_of is not None:
         version = ledger.version_at(as_of)
-    parts, success, meta = ledger.snapshot(version=version)
+    parts, success, meta, txns = ledger.snapshot(version=version)
     data_dir = os.path.join(out_dir, "data")
     missing = [fn for p, m in parts.items()
                for fn in ((m or {}).get("files") or {})
@@ -1649,7 +1681,7 @@ def restore_table(out_dir: str, version: int | None = None,
             f"file(s) were already reclaimed by vacuum "
             f"(e.g. {missing[0]}); restores are bounded by the vacuum "
             "retention window, exactly as in Delta")
-    new_v = ledger.restore(version, parts, success, meta)
+    new_v = ledger.restore(version, parts, success, meta, txns=txns)
     return {"version": new_v, "restored_to": int(version),
             "parts": len(parts),
             "n_rows": sum(int((m or {}).get("n_rows", 0))
@@ -1925,7 +1957,7 @@ def delete_conversations(spark: SparkSession, out_dir: str,
             f"'{backend}': a filtered file swap cannot be atomic when "
             "the directory content IS the committed state")
     conv_ids = sorted(set(conv_ids))
-    committed, _success, meta = ledger.snapshot()
+    committed, _success, meta, _txns = ledger.snapshot()
     bucket = meta.get("bucket") or {}
     declared = None
     if meta.get("schema"):

@@ -142,11 +142,22 @@ def append_batch_df(spark: SparkSession, new: DataFrame, out_dir: str,
                     run_id: str, input_desc: str,
                     params: dict | None = None,
                     broadcast_conv_aggs: bool | None = None,
-                    t0: float | None = None) -> dict:
+                    t0: float | None = None,
+                    txn: tuple[str, int] | None = None) -> dict:
     """DataFrame-level core of the append: dedup → score → add-file
     commits. Shared by the path-based entry above and the streaming
     ingestion sink (streaming/append_stream.py), which feeds each
-    micro-batch through here with an epoch-deterministic run_id."""
+    micro-batch through here with an epoch-deterministic run_id.
+
+    txn=(app_id, txn_version): idempotent-writer marker (Delta's txn
+    action). If the log already records txn_version (or higher) for
+    app_id, the whole batch is skipped BEFORE any Spark work — the
+    cheap fast path for a replayed streaming epoch; the content-level
+    dedup below remains the correctness backstop for replays whose txn
+    never got recorded (crash between data commit and the txn commit)
+    and for source-side re-deliveries no transaction id can see. The
+    marker is committed only after every partition's add-file commit
+    and the metrics/lineage writes have landed."""
     t0 = time.monotonic() if t0 is None else t0
     backend = detect_backend(out_dir)
     ledger = make_ledger(out_dir, backend)
@@ -157,6 +168,13 @@ def append_batch_df(spark: SparkSession, new: DataFrame, out_dir: str,
             "commit, which the whole-dir-swap markers protocol cannot "
             "express atomically — create the table with "
             "ledger_backend='commitlog'")
+    if txn is not None:
+        seen = ledger.last_txn(txn[0])
+        if seen is not None and seen >= int(txn[1]):
+            return {"run_id": run_id, "convs_in": 0, "convs_new": 0,
+                    "convs_dup_prior": 0, "convs_dup_inbatch": 0,
+                    "rows_appended": 0, "skipped_txn": True,
+                    "wall_ms": int((time.monotonic() - t0) * 1000)}
 
     fps = conv_fingerprints(new)
     n_convs_in = fps.count()
@@ -177,6 +195,8 @@ def append_batch_df(spark: SparkSession, new: DataFrame, out_dir: str,
                "convs_dup_inbatch": n_convs_in - n_winners,
                "rows_appended": 0, "wall_ms": 0}
     if n_novel == 0:
+        if txn is not None:
+            ledger.set_txn(txn[0], int(txn[1]))  # unit fully processed
         summary["wall_ms"] = int((time.monotonic() - t0) * 1000)
         return summary
 
@@ -254,6 +274,12 @@ def append_batch_df(spark: SparkSession, new: DataFrame, out_dir: str,
                 "parts_touched": sorted(n_by_part),
             }, f, indent=2)
 
+        if txn is not None:
+            # recorded LAST: a crash anywhere above leaves the txn
+            # unrecorded, the epoch replays, and content dedup absorbs
+            # what already landed — then this mark makes the NEXT
+            # replay free
+            ledger.set_txn(txn[0], int(txn[1]))
         summary["rows_appended"] = rows_appended
         summary["wall_ms"] = wall_ms
         return summary

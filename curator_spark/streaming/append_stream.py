@@ -6,13 +6,16 @@ conversations the committed table has never seen.
 Exactly-once story, layered:
 * foreachBatch gives at-least-once micro-batch delivery with a
   deterministic epoch id persisted in the stream checkpoint;
-* the append itself is idempotent BY CONTENT — a replayed epoch (or a
-  whole re-run with a fresh checkpoint directory) re-derives the same
-  conversation fingerprints, finds them committed, and appends nothing.
+* a txn marker in the table's own log (Delta's txn action, recorded
+  after the epoch's last commit) makes a replayed epoch a no-op BEFORE
+  any Spark work — the cheap fast path;
+* the append itself is idempotent BY CONTENT — a replayed epoch whose
+  txn never landed (crash between data and marker), or a whole re-run
+  with a fresh checkpoint directory, re-derives the same conversation
+  fingerprints, finds them committed, and appends nothing.
   Content-keyed dedup is thus a stronger dedup key than the sink
-  transaction id Delta's foreachBatch recipe uses: it also absorbs
-  duplicates the SOURCE re-delivers under new file names, which no
-  transaction id can see.
+  transaction id alone: it also absorbs duplicates the SOURCE
+  re-delivers under new file names, which no transaction id can see.
 
 Delivery-unit contract: a conversation must arrive whole within one
 micro-batch (in practice: within one delivery file — crawl/export
@@ -64,12 +67,19 @@ def run_append_stream(spark: SparkSession, input_dir: str, out_dir: str,
         run_id = run_fingerprint(input_dir, {"kind": "append-stream",
                                              "epoch": int(epoch_id),
                                              **(params or {})})
+        # txn marker (Delta's txn action): app id = this stream's
+        # checkpoint identity, version = the epoch. A replayed epoch
+        # whose mark landed is skipped before ANY Spark work; a fresh
+        # checkpoint dir is a new app id, so its epoch 0 is never
+        # falsely skipped (content dedup still absorbs its rows)
         s = append_batch_df(batch_df.sparkSession, batch_df, out_dir,
                             run_id=run_id,
                             input_desc=f"{input_dir}#epoch={epoch_id}",
                             params={"epoch": int(epoch_id),
                                     **(params or {})},
-                            broadcast_conv_aggs=broadcast_conv_aggs)
+                            broadcast_conv_aggs=broadcast_conv_aggs,
+                            txn=(f"append-stream:{checkpoint_dir}",
+                                 int(epoch_id)))
         s["epoch"] = int(epoch_id)
         summaries.append(s)
 

@@ -109,6 +109,6 @@ def test_checkpoint_state_roundtrips_int_parts(busy_ledger):
     led = busy_ledger
     ck = led._load_checkpoint(None)
     assert ck is not None
-    _v, parts, success, meta = ck
+    _v, parts, success, meta, _txns = ck
     assert all(isinstance(k, int) for k in parts)
     assert meta.get("bucket", {}).get("n_parts") == 8
