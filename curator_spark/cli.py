@@ -90,6 +90,14 @@ def build_parser() -> argparse.ArgumentParser:
                    help="after the run, rewrite any committed partition "
                         "holding more than N files into N (small-file "
                         "OPTIMIZE; commitlog backend only)")
+    p.add_argument("--consume", type=str, default=None, metavar="ID",
+                   help="poll --output's change feed as consumer ID and "
+                        "write the new rows to --consume-out/"
+                        "batch-v<since+1>-v<until> (durable cursor: each "
+                        "row delivered once across polls and crashes; "
+                        "commitlog tables only) — no --input needed")
+    p.add_argument("--consume-out", type=str, default=None, metavar="DIR",
+                   help="destination directory for --consume batches")
     p.add_argument("--restore", type=int, default=None, metavar="V",
                    help="roll --output back to commit version V and "
                         "exit (RESTORE TABLE ... VERSION AS OF; one new "
@@ -126,10 +134,12 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps(restore_table(args.output, version=args.restore,
                                        backend=args.ledger)))  # None=detect
         return 0
-    if not args.input and not args.delete_ids:
+    if args.consume and not args.consume_out:
+        build_parser().error("--consume requires --consume-out")
+    if not args.input and not args.delete_ids and not args.consume:
         build_parser().error(
             "--input is required unless "
-            "--status/--history/--restore/--delete-ids")
+            "--status/--history/--restore/--delete-ids/--consume")
     ledger_backend = args.ledger or "markers"
 
     if args.local_cores:
@@ -148,7 +158,18 @@ def main(argv: list[str] | None = None) -> int:
     from curator_spark.checkpoint import run_checkpointed, vacuum
     only_parts = ([int(x) for x in args.only_parts.split(",")]
                   if args.only_parts else None)
-    if args.delete_ids:
+    if args.consume:
+        import os as _os
+
+        from curator_spark.feed import consume_changes
+
+        def _sink(df, since, until):
+            # window-keyed path: a replayed window (crash before the
+            # cursor commit) overwrites the same directory — idempotent
+            df.write.mode("overwrite").parquet(_os.path.join(
+                args.consume_out, f"batch-v{since + 1}-v{until}"))
+        summary = consume_changes(spark, args.output, args.consume, _sink)
+    elif args.delete_ids:
         from curator_spark.checkpoint import delete_conversations
         summary = delete_conversations(
             spark, args.output, args.delete_ids.split(","))

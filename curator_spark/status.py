@@ -65,8 +65,20 @@ def run_status(out_dir: str, backend: str | None = None) -> dict:
     once, through the marker that owns it, never per historic run."""
     backend = backend or detect_backend(out_dir)
     ledger = make_ledger(out_dir, backend)
-    committed = ledger.committed()
-    success = ledger.run_success()
+    if getattr(ledger, "log_defined_visibility", False):
+        committed, success, _meta, txns = ledger.snapshot()  # ONE replay
+        version = ledger.latest_version()
+    else:
+        committed, success = ledger.committed(), ledger.run_success()
+        txns, version = {}, None
+    # downstream feed consumers (feed.py): how far each has read
+    consumers: dict[str, int] = {}
+    cdir = os.path.join(out_dir, "_consumers")
+    if os.path.isdir(cdir):
+        from .feed import consumer_position
+        consumers = {c: consumer_position(out_dir, c)
+                     for c in sorted(os.listdir(cdir))
+                     if not c.startswith(".")}
     m = _read_metrics_pandas(out_dir)
     if m is not None and committed:
         # a multi-run partition (incremental appends) lists every
@@ -98,6 +110,9 @@ def run_status(out_dir: str, backend: str | None = None) -> dict:
         "totals": totals,
         "keep_rate": keep_rate,
         "per_part": per_part,
+        "version": version,          # latest commit (commitlog only)
+        "txns": txns,                # idempotent-writer marks
+        "consumers": consumers,      # feed cursors: id → last version read
         "as_of": datetime.now(timezone.utc).isoformat(timespec="seconds"),
     }
 
@@ -137,4 +152,12 @@ def format_run_status(out_dir: str, backend: str | None = None,
         lines.append(f"  ... {hidden} more partition(s)")
     if not s["per_part"]:
         lines.append("  (no partitions committed yet)")
+    if s.get("version") is not None:
+        lines.append(f"  table version: v{s['version']}")
+    if s.get("txns"):
+        lines.append("  writers: " + ", ".join(
+            f"{a}@{v}" for a, v in sorted(s["txns"].items())))
+    if s.get("consumers"):
+        lines.append("  consumers: " + ", ".join(
+            f"{c}@v{v}" for c, v in sorted(s["consumers"].items())))
     return "\n".join(lines)

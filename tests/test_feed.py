@@ -123,3 +123,34 @@ def test_feed_refuses_markers_backend(spark, tmp_path):
     run_checkpointed(spark, p, out, ledger_backend="markers")
     with pytest.raises(ValueError, match="commitlog"):
         consume_changes(spark, out, "x", lambda df, s, u: None)
+
+
+def test_cli_consume_and_status_surfacing(spark, table, tmp_path):
+    """The ops face of the feed: `cli.py --consume ID --consume-out D`
+    writes window-keyed batches with the durable cursor, and
+    run_status surfaces table version + consumer positions (+ writer
+    txn marks elsewhere)."""
+    import glob
+    import os
+
+    from curator_spark import cli
+    from curator_spark.status import format_run_status, run_status
+    out = table["out"]
+    dest = str(tmp_path / "batches")
+    rc = cli.main(["--output", out, "--consume", "trainer",
+                   "--consume-out", dest, "--local-cores", "4"])
+    assert rc == 0
+    dirs = glob.glob(os.path.join(dest, "batch-v*"))
+    assert len(dirs) == 1
+    got = spark.read.parquet(dirs[0])
+    assert got.count() == read_committed(spark, out).count()  # bootstrap
+
+    s = run_status(out)
+    assert s["version"] and s["consumers"]["trainer"] >= s["version"] - 1
+    txt = format_run_status(out)
+    assert "consumers: trainer@v" in txt and "table version: v" in txt
+    # second poll: nothing new, no second batch directory
+    rc = cli.main(["--output", out, "--consume", "trainer",
+                   "--consume-out", dest, "--local-cores", "4"])
+    assert rc == 0
+    assert len(glob.glob(os.path.join(dest, "batch-v*"))) == 1
