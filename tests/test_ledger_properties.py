@@ -1,0 +1,146 @@
+"""Property-based protocol tests for the commitlog ledger
+(PROTOCOL.md §3-§5): under ARBITRARY interleavings of every action
+type, the log must satisfy its core invariants —
+
+1. time travel is total history: the state read AS OF version v always
+   equals the state that was current right after commit v;
+2. log checkpoints are pure acceleration: deleting every checkpoint
+   file (full-replay degradation) changes no answer at any version;
+3. stale swaps never resurrect: a compact/delete whose remove set is
+   no longer referenced leaves state untouched;
+4. restore reproduces its target exactly and is itself a version.
+
+Pure protocol — no Spark, no data files; runs hundreds of random
+programs per suite execution."""
+
+from __future__ import annotations
+
+import copy
+import itertools
+import os
+import uuid
+
+from hypothesis import given, settings, strategies as st
+
+from curator_spark.checkpoint import make_ledger
+
+# one op = (kind, small ints); the interpreter below maps them onto
+# ledger calls against whatever state the log has reached
+OP = st.one_of(
+    st.tuples(st.just("add"), st.integers(0, 3), st.integers(1, 3)),
+    st.tuples(st.just("append"), st.integers(0, 3), st.integers(1, 2)),
+    st.tuples(st.just("compact"), st.integers(0, 3)),
+    st.tuples(st.just("stale_swap"), st.integers(0, 3)),
+    st.tuples(st.just("delete_one"), st.integers(0, 3)),
+    st.tuples(st.just("remove"), st.integers(0, 3)),
+    st.tuples(st.just("txn"), st.integers(0, 2), st.integers(0, 9)),
+    st.tuples(st.just("meta"), st.integers(0, 2), st.integers(0, 9)),
+    st.tuples(st.just("success"), st.integers(0, 9)),
+    st.tuples(st.just("restore"), st.integers(0, 50)),
+)
+
+_seq = itertools.count()
+
+
+def _apply(led, op):
+    """Drive one op; ops that need existing state read the snapshot
+    first (exactly how the real maintenance code works)."""
+    kind = op[0]
+    parts = led.committed() if kind in (
+        "compact", "stale_swap", "delete_one") else None
+    if kind == "add":
+        _, p, nf = op
+        files = {f"f{next(_seq)}-{i}.parquet": {"n_rows": 10 + i}
+                 for i in range(nf)}
+        led.commit_part({"part": p, "run_id": "r", "status": "COMMITTED",
+                         "n_rows": sum(v["n_rows"] for v in files.values()),
+                         "files": files})
+    elif kind == "append":
+        _, p, nf = op
+        files = {f"a{next(_seq)}-{i}.parquet": {"n_rows": 5} for i in
+                 range(nf)}
+        led.append_part(p, files, 5 * nf, run_id=f"r{next(_seq)}")
+    elif kind == "compact":
+        _, p = op
+        m = parts.get(p)
+        if m and m.get("files"):
+            led.compact_part(p, sorted(m["files"]),
+                             {f"c{next(_seq)}.parquet":
+                              {"n_rows": m["n_rows"]}})
+    elif kind == "stale_swap":
+        _, p = op
+        # remove set references a file that is NOT in the manifest →
+        # the whole swap must be ignored at replay
+        led.compact_part(p, ["never-existed.parquet"],
+                         {f"x{next(_seq)}.parquet": {"n_rows": 1}})
+    elif kind == "delete_one":
+        _, p = op
+        m = parts.get(p)
+        if m and m.get("files"):
+            victim = sorted(m["files"])[0]
+            led.delete_rewrite(p, [victim], {})
+    elif kind == "remove":
+        led.drop_part(op[1])
+    elif kind == "txn":
+        led.set_txn(f"app{op[1]}", op[2])
+    elif kind == "meta":
+        led.set_table_meta({f"k{op[1]}": op[2]})
+    elif kind == "success":
+        led.mark_run_success(f"run{op[1]}", op[1])
+    elif kind == "restore":
+        head = led.latest_version() or 0
+        target = op[1] % (head + 1)
+        parts_t, success_t, meta_t, txns_t = led.snapshot(version=target)
+        led.restore(target, parts_t, success_t, meta_t, txns=txns_t)
+
+
+def _manifest_rows_consistent(parts):
+    for m in parts.values():
+        if m and m.get("files"):
+            assert m["n_rows"] == sum(int(v.get("n_rows", 0))
+                                      for v in m["files"].values())
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(OP, min_size=1, max_size=40), st.data())
+def test_random_programs_preserve_protocol_invariants(ops, data):
+    root = f"/tmp/ledger_props/{uuid.uuid4().hex}"
+    led = make_ledger(root, "commitlog")
+    led.CKPT_INTERVAL = 8  # cross checkpoint boundaries often
+
+    timeline: dict[int, tuple] = {}  # version → deep-copied state
+    for op in ops:
+        _apply(led, op)
+        v = led.latest_version() or 0
+        if v:
+            timeline[v] = copy.deepcopy(led.snapshot())
+
+    head = led.latest_version() or 0
+    # (1) time travel is total history; manifests stay self-consistent
+    for v, want in timeline.items():
+        got = led.snapshot(version=v)
+        assert got == want, f"time travel to v{v} diverged"
+        _manifest_rows_consistent(got[0])
+    # stale swaps: versions exist for them, but no manifest ever
+    # references the poisoned rewrite
+    for _, m in led.committed().items():
+        if m:
+            assert not any(fn.startswith("x") for fn in m.get("files") or {})
+
+    # (2) checkpoints are pure acceleration: remove them all, replay
+    # from scratch — every answer identical
+    if head:
+        for c in led._checkpoints():
+            os.remove(os.path.join(led.dir, f"ckpt-{c:012d}.json"))
+        fresh = make_ledger(root, "commitlog")
+        for v, want in timeline.items():
+            assert fresh.snapshot(version=v) == want, \
+                f"full replay diverged at v{v}"
+
+    # (4) one more restore to a random recorded version reproduces it
+    if timeline:
+        target = data.draw(st.sampled_from(sorted(timeline)))
+        parts_t, success_t, meta_t, txns_t = timeline[target]
+        led.restore(target, parts_t, success_t, meta_t, txns=txns_t)
+        assert led.snapshot() == timeline[target]
+        assert led.latest_version() > head  # rollback grew history
