@@ -35,6 +35,7 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 RUN_SCALING = os.environ.get("SPARK_GRAFT_SCALING", "1") == "1"
 RUN_SKEW = os.environ.get("SPARK_GRAFT_SKEW", "1") == "1"
 RUN_STREAM = os.environ.get("SPARK_GRAFT_STREAM", "1") == "1"
+RUN_TABLEOPS = os.environ.get("SPARK_GRAFT_TABLEOPS", "1") == "1"
 SCALE_TURNS = int(os.environ.get("SPARK_GRAFT_SCALE_TURNS", "3200000"))
 SKEW_TURNS = int(os.environ.get("SPARK_GRAFT_SKEW_TURNS", "600000"))
 STREAM_TURNS = int(os.environ.get("SPARK_GRAFT_STREAM_TURNS", "400000"))
@@ -457,9 +458,78 @@ def main() -> None:
             "levels": levels,
         }
 
+    if RUN_TABLEOPS:
+        result["table_ops"] = measure_table_ops()
+
     result["cpu_calib_sec"] = cpu_calibration()
-    write_bench_md(result)
+    try:
+        write_bench_md(result)
+    except Exception as e:  # the report is secondary; the JSON line
+        log(f"BENCH.md render failed (results unaffected): {e}")
     print(json.dumps(result))
+
+
+def measure_table_ops() -> dict:
+    """Read-planning cost on a LONG-LIVED commitlog table (the
+    continuous-ingestion regime: one commit per appended partition per
+    batch → thousands of versions per year). Builds a 128-commit log
+    (pure protocol; planning never touches data), then measures a
+    snapshot plan WITH log checkpoints vs with them deleted (full
+    replay). The decisive number is FILES OPENED per plan — a
+    deterministic, host-independent measure of planning I/O; wall time
+    (min of 5) is reported alongside. At 10^5 versions the full replay
+    is 10^5 opens per plan; the checkpointed plan stays O(interval)."""
+    import builtins
+    import shutil
+    import uuid
+    from unittest.mock import patch
+
+    from curator_spark.checkpoint import make_ledger, table_row_count
+
+    root = f"/tmp/curator_bench/tableops-{uuid.uuid4().hex[:8]}"
+    led = make_ledger(root, "commitlog")
+    n_commits = 128
+    for i in range(n_commits):
+        led.append_part(i % 8, {f"f{i}.parquet": {"n_rows": 100}}, 100,
+                        run_id=f"r{i}")
+
+    real_open = builtins.open
+
+    def plan_cost():
+        opened = [0]
+
+        def spy(path, *a, **kw):
+            if isinstance(path, str) and "_commitlog" in path:
+                opened[0] += 1
+            return real_open(path, *a, **kw)
+
+        best = float("inf")
+        for _ in range(5):
+            opened[0] = 0
+            t0 = time.monotonic()
+            with patch.object(builtins, "open", side_effect=spy):
+                led.snapshot()
+            best = min(best, time.monotonic() - t0)
+        return opened[0], round(best * 1000, 2)
+
+    opens_ckpt, ms_ckpt = plan_cost()
+    n_rows = table_row_count(root)
+    for c in led._checkpoints():
+        os.remove(os.path.join(led.dir, f"ckpt-{c:012d}.json"))
+    opens_full, ms_full = plan_cost()
+    shutil.rmtree(root, ignore_errors=True)
+    out = {
+        "versions": n_commits, "ckpt_interval": led.CKPT_INTERVAL,
+        "rows_metadata_count": n_rows,
+        "plan_files_opened_with_ckpt": opens_ckpt,
+        "plan_ms_with_ckpt": ms_ckpt,
+        "plan_files_opened_full_replay": opens_full,
+        "plan_ms_full_replay": ms_full,
+    }
+    log(f"table ops: plan opens {opens_ckpt} files with checkpoints vs "
+        f"{opens_full} full replay ({ms_ckpt} ms vs {ms_full} ms) on a "
+        f"{n_commits}-version table")
+    return out
 
 
 def cpu_calibration() -> float:
@@ -628,6 +698,32 @@ def write_bench_md(result: dict) -> None:
             "offsets in the stream checkpoint). Same scoring dataflow as",
             "batch — the stream==batch result identity is pytest-gated",
             "(tests/test_streaming.py).",
+        ]
+    if "table_ops" in result:
+        t = result["table_ops"]
+        lines += [
+            "",
+            "## Table-format planning cost (long-lived table)",
+            "",
+            f"A continuous-ingestion table accretes one commit per appended",
+            f"partition per batch; this scenario builds a",
+            f"{t['versions']}-version commit log and measures ONE snapshot",
+            "plan (pure protocol — planning never touches data files).",
+            "Files opened is deterministic and host-independent; wall time",
+            "is min-of-5.",
+            "",
+            "| planning mode | log files opened | wall ms |",
+            "|---|---|---|",
+            f"| with log checkpoints (every {t['ckpt_interval']}) | "
+            f"{t['plan_files_opened_with_ckpt']} | {t['plan_ms_with_ckpt']} |",
+            f"| full replay (checkpoints deleted) | "
+            f"{t['plan_files_opened_full_replay']} | {t['plan_ms_full_replay']} |",
+            "",
+            "Checkpointed planning is O(interval) regardless of table age —",
+            "at 10^5 versions the full replay would open 10^5 files per",
+            "plan, the checkpointed plan still ~"
+            f"{t['plan_files_opened_with_ckpt']}. Metadata-only COUNT(*)",
+            "rides the same replay (zero data I/O, zero Spark jobs).",
         ]
     with open(os.path.join(REPO, "BENCH.md"), "w") as f:
         f.write("\n".join(lines) + "\n")
