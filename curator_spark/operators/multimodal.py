@@ -300,6 +300,104 @@ def sample_frames(media: DataFrame, every_ms: int = 1000,
                      FRAME_SAMPLE_SCHEMA, kernel, modality="video")
 
 
+AHASH_SCHEMA = T.StructType([
+    T.StructField("media_id", T.StringType(), False),
+    T.StructField("phash", T.LongType(), True),   # 64-bit aHash, signed
+    T.StructField("ok", T.BooleanType(), False),
+])
+
+
+def _ahash_pixels(px: np.ndarray) -> int:
+    """64-bit average hash (aHash) of decoded pixels: resize to 8×8,
+    grayscale by channel mean, bit = (pixel > image mean), packed
+    big-endian row-major into a SIGNED int64 (Spark LongType). Strict
+    `>` makes ties deterministic (a uniform image hashes to 0)."""
+    g = _resize_pixels(px, 8, 8).mean(axis=2)
+    bits = (g > g.mean()).flatten()
+    return int.from_bytes(np.packbits(bits).tobytes(), "big", signed=True)
+
+
+def image_phash(media: DataFrame) -> DataFrame:
+    """Perceptual hash per image: decode → 8×8 aHash. One narrow
+    Arrow-batched map (the blob never survives past it); undecodable
+    payloads become ok=False null rows per the shared error-row
+    contract."""
+    def kernel(mid, content):
+        blob = bytes(content) if content is not None else b""
+        try:
+            return {"media_id": mid,
+                    "phash": _ahash_pixels(_decode_image(blob)),
+                    "ok": True}
+        except NotImplementedError:
+            return {"media_id": mid, "phash": None, "ok": False}
+
+    return _map_rows(media, ["media_id", "content"],
+                     AHASH_SCHEMA, kernel, modality="image")
+
+
+def phash_neardup_pairs(hashes: DataFrame, max_hamming: int = 3,
+                        n_bands: int | None = None,
+                        max_band_count: int | None = None) -> DataFrame:
+    """Image near-duplicate pairs by perceptual-hash Hamming distance —
+    the multimodal face of the dedup stack (same banding idea as the
+    MinHash LSH in operators/dedup.py, here with an EXACT recall
+    guarantee): split the 64-bit hash into n_bands bit-bands; two
+    hashes within max_hamming differ in at most max_hamming bands, so
+    with n_bands = max_hamming + 1 (the default) the pigeonhole
+    principle forces at least one IDENTICAL band — every qualifying
+    pair surfaces through the band equi-join, none through a product.
+    Candidates are then verified exactly with bit_count(a ^ b), all
+    JVM-side.
+
+    Scale shape: one narrow hash map (image_phash), one explode to
+    n_bands small rows per image (the blob long gone), one equi-join on
+    (band_idx, band_val). Degenerate bands (e.g. uniform thumbnails all
+    hashing to 0) quadratically blow up their bucket alone —
+    max_band_count drops bands shared by more than that many images,
+    trading bounded recall for a hard fan-out cap, exactly like the
+    LSH `max_bucket` knob.
+
+    Returns (id_a, id_b, hamming) with id_a < id_b."""
+    if n_bands is None:
+        n_bands = max_hamming + 1
+    if n_bands <= max_hamming:
+        raise ValueError(
+            f"n_bands={n_bands} <= max_hamming={max_hamming}: the "
+            "pigeonhole recall guarantee needs max_hamming + 1 bands")
+    if n_bands > 64:
+        raise ValueError("at most 64 one-bit bands in a 64-bit hash")
+    w = 64 // n_bands
+    h = hashes.filter(F.col("ok") & F.col("phash").isNotNull())
+    bands = []
+    for i in range(n_bands):
+        width = w if i < n_bands - 1 else 64 - w * (n_bands - 1)
+        mask = (1 << width) - 1
+        bands.append(F.struct(
+            F.lit(i).alias("band_idx"),
+            F.expr(f"(phash >> {w * i}) & {mask}").alias("band_val")))
+    banded = h.select("media_id", "phash",
+                      F.explode(F.array(*bands)).alias("b")) \
+        .select("media_id", "phash", "b.band_idx", "b.band_val")
+    if max_band_count is not None:
+        counts = (banded.groupBy("band_idx", "band_val")
+                  .agg(F.count(F.lit(1)).alias("c")))
+        banded = (banded.join(counts, ["band_idx", "band_val"])
+                  .filter(F.col("c") <= max_band_count).drop("c"))
+    a = banded.select(F.col("media_id").alias("id_a"),
+                      F.col("phash").alias("pa"),
+                      "band_idx", "band_val")
+    b = banded.select(F.col("media_id").alias("id_b"),
+                      F.col("phash").alias("pb"),
+                      "band_idx", "band_val")
+    cand = (a.join(b, ["band_idx", "band_val"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", "pa", "pb").distinct())
+    return (cand.withColumn("hamming",
+                            F.expr("bit_count(pa ^ pb)").cast("int"))
+            .filter(F.col("hamming") <= max_hamming)
+            .select("id_a", "id_b", "hamming"))
+
+
 def media_fixture(spark, n: int = 64, seed: int = 5) -> DataFrame:
     """Deterministic synthetic media table for tests (fake payloads)."""
     rows = []

@@ -184,3 +184,72 @@ def test_truncated_wav_payload_yields_null_row(spark):
     row = audio_features(media).collect()[0]
     assert row.n_bytes == len(truncated)
     assert row.n_samples is None and row.rms is None
+
+
+def test_phash_kernel_properties(media):
+    """aHash: deterministic per payload, 64-bit packed, error-row
+    contract for undecodable payloads; pixel-level sensitivity — a
+    small perturbation moves few bits, an inversion moves most."""
+    import numpy as np
+    out = {r.media_id: r for r in mm.image_phash(media).collect()}
+    out2 = {r.media_id: r for r in mm.image_phash(media).collect()}
+    assert out.keys() == out2.keys() and len(out) == 22
+    for k, r in out.items():
+        assert r.ok and r.phash is not None
+        assert out2[k].phash == r.phash
+        assert -(1 << 63) <= r.phash < (1 << 63)
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    rng = np.random.RandomState(7)
+    px = rng.randint(0, 256, (32, 32, 3), dtype=np.uint8)
+    near = px.copy()
+    near[:2, :2] = 255 - near[:2, :2]          # one 8×8 cell region
+    far = (255 - px).astype(np.uint8)
+    h0, h1, h2 = (mm._ahash_pixels(p) for p in (px, near, far))
+    assert ham(h0, h1) <= 4 and ham(h0, h2) >= 32
+
+
+def test_phash_neardup_pairs_match_bruteforce(spark):
+    """Exact-recall claim checked against brute force: with
+    n_bands = max_hamming + 1 the banded equi-join surfaces EVERY pair
+    within the threshold, and the bit_count verify passes exactly the
+    right ones."""
+    import itertools
+    import random
+    rnd = random.Random(13)
+    hashes = {}
+    for i in range(40):
+        hashes[f"r-{i:03d}"] = rnd.getrandbits(64)
+    base = rnd.getrandbits(64)
+    hashes["p-base"] = base
+    for d in (1, 2, 3, 4):                      # planted at hamming d
+        v = base
+        for bit in rnd.sample(range(64), d):
+            v ^= 1 << bit
+        hashes[f"p-ham{d}"] = v
+    hashes["p-dup"] = base                      # exact duplicate
+
+    def signed(u):
+        return u - (1 << 64) if u >= (1 << 63) else u
+
+    df = spark.createDataFrame(
+        [(k, signed(v), True) for k, v in hashes.items()],
+        schema=mm.AHASH_SCHEMA)
+    got = {(r.id_a, r.id_b): r.hamming
+           for r in mm.phash_neardup_pairs(df, max_hamming=3).collect()}
+
+    def ham(a, b):
+        return bin(a ^ b).count("1")
+
+    want = {tuple(sorted((x, y))): ham(hashes[x], hashes[y])
+            for x, y in itertools.combinations(hashes, 2)
+            if ham(hashes[x], hashes[y]) <= 3}
+    assert got == want
+    assert ("p-base", "p-dup") in got and got[("p-base", "p-dup")] == 0
+    assert ("p-base", "p-ham3") in got
+    assert ("p-base", "p-ham4") not in got      # beyond threshold
+
+    with pytest.raises(ValueError, match="pigeonhole"):
+        mm.phash_neardup_pairs(df, max_hamming=3, n_bands=3)
