@@ -103,8 +103,8 @@ def consume_changes(spark: SparkSession, out_dir: str, consumer_id: str,
     since = consumer_position(out_dir, consumer_id)
     head = ledger.latest_version() or 0
     if head <= since:
-        return {"consumed_rows": 0, "since": since, "until": since,
-                "advanced": False}
+        return {"consumed_rows": 0, "rows_deleted": 0,
+                "since": since, "until": since, "advanced": False}
     # rows_inserted from the log alone decides whether the batch is
     # worth a Spark job at all (pure metadata; zero data I/O)
     ch = table_changes(out_dir, since, head, backend)
@@ -113,5 +113,8 @@ def consume_changes(spark: SparkSession, out_dir: str, consumer_id: str,
         sink(read_changes(spark, out_dir, since, head, backend),
              since, head)
     _commit_cursor(out_dir, consumer_id, head, n)
-    return {"consumed_rows": n, "since": since, "until": head,
-            "advanced": True}
+    # rows_deleted surfaces deletions/rollbacks in the window — an
+    # incremental trainer that must also FORGET (right-to-be-forgotten
+    # downstream) keys a full re-derivation off this signal
+    return {"consumed_rows": n, "rows_deleted": int(ch["rows_deleted"]),
+            "since": since, "until": head, "advanced": True}
