@@ -220,6 +220,72 @@ def q11_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q80_daily_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER JOIN (the one join flavor the battery lacked):
+    per-day order intake vs per-day shipment volume. Ship dates trail
+    order dates by up to ~4 months, so both one-sided edges genuinely
+    occur — early days ship nothing yet, late days only ship.
+
+    Plan: two map-side-combined date aggregations (each output ~2.5k
+    rows — years × days), then a small-small full-outer merge; the
+    presence flags are computed BEFORE the coalesce so 'no orders'
+    and '0 orders' stay distinguishable. Day emitted as a string:
+    date objects cross the Spark/DuckDB/pandas boundary with
+    dtype-kind drift, strings never do."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    od = (orders.groupBy(F.date_format("o_orderdate", "yyyy-MM-dd")
+                         .alias("day"))
+          .agg(F.count(F.lit(1)).alias("o_cnt")))
+    sd = (li.groupBy(F.date_format("l_shipdate", "yyyy-MM-dd")
+                     .alias("day"))
+          .agg(F.count(F.lit(1)).alias("s_cnt")))
+    return (od.join(sd, "day", "full_outer")
+            .select("day",
+                    F.coalesce("o_cnt", F.lit(0)).alias("n_orders"),
+                    F.coalesce("s_cnt", F.lit(0)).alias("n_shipped"),
+                    F.col("o_cnt").isNotNull().alias("had_orders"),
+                    F.col("s_cnt").isNotNull().alias("had_shipments")))
+
+
+def q81_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel over the event stream: per user, the
+    first view, the first click AFTER that view, the first purchase
+    AFTER that click — sequence-constrained stages, not mere presence
+    (a purchase before any view does not convert). The product-
+    analytics shape behind retention/abandonment dashboards.
+
+    Plan: one narrow pass projects (user_id, event_type, ts_us), then
+    three stage aggregations each shuffling only on user_id with the
+    candidate-event filter applied BEFORE its join (the click stage
+    joins clicks — a fifth of the stream — against the per-user view
+    table, never events×events); the spine left-joins per-user 1-row
+    tables. Timestamps compared in epoch MICROseconds on both engines
+    (the q11 rule)."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"))
+    v = (ev.filter(F.col("event_type") == "view")
+         .groupBy("user_id").agg(F.min("ts_us").alias("t_view_us")))
+    c = (ev.filter(F.col("event_type") == "click")
+         .join(v, "user_id")
+         .filter(F.col("ts_us") > F.col("t_view_us"))
+         .groupBy("user_id").agg(F.min("ts_us").alias("t_click_us")))
+    p = (ev.filter(F.col("event_type") == "purchase")
+         .join(c, "user_id")
+         .filter(F.col("ts_us") > F.col("t_click_us"))
+         .groupBy("user_id").agg(F.min("ts_us").alias("t_purchase_us")))
+    users = ev.select("user_id").distinct()
+    return (users.join(v, "user_id", "left")
+            .join(c, "user_id", "left")
+            .join(p, "user_id", "left")
+            .select("user_id", "t_view_us", "t_click_us", "t_purchase_us",
+                    F.col("t_view_us").isNotNull().alias("reached_view"),
+                    F.col("t_click_us").isNotNull().alias("reached_click"),
+                    F.col("t_purchase_us").isNotNull()
+                    .alias("reached_purchase")))
+
+
 RANGE_BIN_US = 3_600_000_000  # 1 h bins for the session range join
 
 
@@ -1694,6 +1760,55 @@ ORACLES: dict[str, str] = {
         SELECT w1, w2, c_pair, c_ctx, p_milli, CAST(rank AS INTEGER) AS rank
         FROM ranked WHERE rank <= 3
     """,
+    "q80_daily_activity": """
+        WITH od AS (
+            SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,
+                   CAST(count(*) AS BIGINT) AS o_cnt
+            FROM orders GROUP BY 1
+        ), sd AS (
+            SELECT strftime(l_shipdate, '%Y-%m-%d') AS day,
+                   CAST(count(*) AS BIGINT) AS s_cnt
+            FROM lineitem GROUP BY 1
+        )
+        SELECT day,
+               CAST(coalesce(o_cnt, 0) AS BIGINT) AS n_orders,
+               CAST(coalesce(s_cnt, 0) AS BIGINT) AS n_shipped,
+               (o_cnt IS NOT NULL) AS had_orders,
+               (s_cnt IS NOT NULL) AS had_shipments
+        FROM od FULL OUTER JOIN sd USING (day)
+    """,
+    "q81_conversion_funnel": """
+        WITH ev AS (
+            SELECT user_id, event_type,
+                   CAST(epoch_us(ts) AS BIGINT) AS ts_us
+            FROM events
+        ), v AS (
+            SELECT user_id, min(ts_us) AS t_view_us
+            FROM ev WHERE event_type = 'view' GROUP BY user_id
+        ), c AS (
+            SELECT e.user_id, min(e.ts_us) AS t_click_us
+            FROM ev e JOIN v USING (user_id)
+            WHERE e.event_type = 'click' AND e.ts_us > v.t_view_us
+            GROUP BY e.user_id
+        ), p AS (
+            SELECT e.user_id, min(e.ts_us) AS t_purchase_us
+            FROM ev e JOIN c USING (user_id)
+            WHERE e.event_type = 'purchase' AND e.ts_us > c.t_click_us
+            GROUP BY e.user_id
+        ), u AS (
+            SELECT DISTINCT user_id FROM ev
+        )
+        SELECT u.user_id,
+               CAST(v.t_view_us AS BIGINT) AS t_view_us,
+               CAST(c.t_click_us AS BIGINT) AS t_click_us,
+               CAST(p.t_purchase_us AS BIGINT) AS t_purchase_us,
+               (v.user_id IS NOT NULL) AS reached_view,
+               (c.user_id IS NOT NULL) AS reached_click,
+               (p.user_id IS NOT NULL) AS reached_purchase
+        FROM u LEFT JOIN v USING (user_id)
+               LEFT JOIN c USING (user_id)
+               LEFT JOIN p USING (user_id)
+    """,
     "q79_source_classifier": """
         WITH staged AS (
             SELECT doc_id, source,
@@ -2440,6 +2555,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q73_ngram_lm_train": q73_ngram_lm_train,
     "q78_ccnet_lm_filter": q78_ccnet_lm_filter,
     "q79_source_classifier": q79_source_classifier,
+    "q80_daily_activity": q80_daily_activity,
+    "q81_conversion_funnel": q81_conversion_funnel,
     "q74_feature_hash_embed": q74_feature_hash_embed,
     "q75_dsir_resample": q75_dsir_resample,
     "q76_bm25_topk": q76_bm25_topk,
