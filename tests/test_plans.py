@@ -317,3 +317,40 @@ def test_langid_train_no_recomputed_aggregation(spark):
     plan = plan_of(queries.q77_langid_train(spark, SF))
     assert plan.count("Exchange hashpartitioning") <= 3
     assert "CartesianProduct" not in plan
+
+
+def test_ccnet_filter_scoring_is_equijoin_and_pruned(spark):
+    """q78: the doc-bigrams→model join must be a hash/merge EQUI-join
+    (never a product); the only nested-loop joins are the 1-row
+    broadcast corpus constants (V), the q34/q60 pattern. The documents
+    scan reads only what the query needs."""
+    plan = plan_of(queries.q78_ccnet_lm_filter(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") + plan.count("SortMergeJoin") \
+        + plan.count("ShuffledHashJoin") >= 1
+    reads = [seg.split("\n")[0] for seg in plan.split("ReadSchema: ")[1:]]
+    assert any("text" in r for r in reads)        # the bigram source
+    for r in reads:                                # EVERY scan pruned
+        assert "source" not in r and "n_chars" not in r
+
+
+def test_source_classifier_no_product_and_pruned(spark):
+    """q79: scoring covers absent (token, source) pairs arithmetically
+    on a BROADCAST doc×source spine — the k-row side rides a broadcast
+    nested loop, and nothing corpus-sized ever enters a product."""
+    plan = plan_of(queries.q79_source_classifier(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # the k-row spine/constants
+    for seg in plan.split("ReadSchema: ")[1:]:
+        assert "n_chars" not in seg.split("\n")[0]
+
+
+def test_funnel_stage_joins_never_product(spark):
+    """q81: every stage join is an equi-join on user_id with the
+    event-type candidate filter BELOW it; no nested-loop or cartesian
+    anywhere (an events×events product is the naive funnel trap)."""
+    plan = plan_of(queries.q81_conversion_funnel(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("BroadcastHashJoin") + plan.count("SortMergeJoin") \
+        + plan.count("ShuffledHashJoin") >= 5
