@@ -1689,7 +1689,7 @@ def restore_table(out_dir: str, version: int | None = None,
 
 
 def vacuum(out_dir: str, backend: str | None = None,
-           min_age_s: float = 3600.0) -> int:
+           min_age_s: float = 3600.0, dry_run: bool = False) -> int:
     """Reclaim data files no current commit manifest references —
     orphans of invalidated/superseded commits and of crashes between
     file placement and marker commit (Delta's VACUUM). Returns the
@@ -1710,7 +1710,13 @@ def vacuum(out_dir: str, backend: str | None = None,
 
     Also reclaims `_compact-*` staging directories older than the
     window — the debris of a compact_partition that crashed before
-    moving its rewrites into the partition dir."""
+    moving its rewrites into the partition dir.
+
+    dry_run=True (Delta's VACUUM ... DRY RUN): count exactly what a
+    real pass would reclaim — same age filter, same liveness rule —
+    but delete nothing. Audit the blast radius (e.g. after a RESTORE,
+    how much of the rolled-back era is about to become physical-only
+    history) before committing to it."""
     backend = backend or detect_backend(out_dir)
     ledger = make_ledger(out_dir, backend)
     if not getattr(ledger, "log_defined_visibility", False):
@@ -1741,7 +1747,8 @@ def vacuum(out_dir: str, backend: str | None = None,
             if (fn.endswith(".parquet")
                     and (part, fn) not in referenced
                     and now - os.path.getmtime(fp) >= min_age_s):
-                os.remove(fp)
+                if not dry_run:
+                    os.remove(fp)
                 removed += 1
     # crashed-compaction staging debris (out_dir/_compact-<tag>/)
     import shutil
@@ -1750,7 +1757,8 @@ def vacuum(out_dir: str, backend: str | None = None,
         if (d.startswith("_compact-") and os.path.isdir(dp)
                 and now - os.path.getmtime(dp) >= min_age_s):
             removed += sum(len(fs) for _, _, fs in os.walk(dp))
-            shutil.rmtree(dp, ignore_errors=True)
+            if not dry_run:
+                shutil.rmtree(dp, ignore_errors=True)
     return removed
 
 

@@ -165,3 +165,20 @@ def test_cli_restore_verb(table, capsys):
     assert '"restored_to"' in capsys.readouterr().out
     assert table_row_count(table["out"]) \
         == table_row_count(table["out"], version=table["v_base"])
+
+
+def test_vacuum_dry_run_counts_without_deleting(spark, table):
+    """VACUUM ... DRY RUN: same liveness + age rules, zero deletions —
+    audit the rolled-back era's blast radius before making it
+    physical."""
+    out = table["out"]
+    restore_table(out, version=table["v_base"])
+    n_dry = vacuum(out, min_age_s=0, dry_run=True)
+    assert n_dry > 0
+    # nothing was deleted: the rolled-back era still reads fine
+    assert table_row_count(out, version=table["v_append"]) \
+        == read_committed(spark, out, version=table["v_append"]).count()
+    # the real pass reclaims exactly what the dry run promised
+    assert vacuum(out, min_age_s=0) == n_dry
+    with pytest.raises(FileNotFoundError, match="vacuum"):
+        read_committed(spark, out, version=table["v_append"]).count()
