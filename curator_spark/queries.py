@@ -220,6 +220,49 @@ def q11_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q82_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based source rebalancing (the mT5/XLM-R multilingual
+    sampling rule, α = 0.5): sample each source with probability
+    ∝ n_s^α, flattening the head so low-resource sources survive. The
+    mixture targets half the corpus; a source's keep fraction is
+    f_s = T·w_s / (Σw·n_s), capped at 1.
+
+    Exactness note: w_s = √n_s is the ONE non-integer step — kept
+    because IEEE-754 requires sqrt to be CORRECTLY ROUNDED (bit-exact
+    on every conforming engine, unlike ln/exp whose libm variance is
+    why this repo ranks in integer fixed point elsewhere); it is
+    floored to milli-units immediately and everything downstream —
+    the weight sum, the per-source fraction, the md5-bucket keep
+    decision (q40's salted-hash determinism) — is pure integer.
+
+    Plan: one map-side-combined groupBy(source) (k rows), the weight
+    sum via a window over those k rows (no second corpus pass),
+    fractions broadcast back onto the docs as a k-row join, keep is a
+    narrow md5 map. Text never shuffles."""
+    docs = _t(spark, sf_dir, "documents")
+    per_src = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_source"))
+    w = per_src.withColumn(
+        "w_milli", F.floor(F.sqrt(F.col("n_source").cast("double")) * 1000)
+        .cast("long"))
+    wall = Window.partitionBy()  # k rows total — not a scale risk
+    w = (w.withColumn("w_sum", F.sum("w_milli").over(wall))
+         .withColumn("n_total", F.sum("n_source").over(wall)))
+    # target T = n_total div 2; f_micro = min(1e6, T·w·1e6 div (Σw·n_s))
+    f = F.least(
+        F.lit(1_000_000).cast("long"),
+        F.expr("((n_total div 2) * w_milli * 1000000) div (w_sum * n_source)"))
+    w = w.withColumn("f_micro", f)
+    bucket = (F.conv(F.substring(F.md5(F.concat(F.col("doc_id"),
+                                                F.lit(":temp-mix"))),
+                                 1, 8), 16, 10).cast("long") % 1_000_000)
+    return (docs.select("doc_id", "source")
+            .join(F.broadcast(w.select("source", "n_source", "w_milli",
+                                       "f_micro")), "source")
+            .withColumn("keep", bucket < F.col("f_micro"))
+            .select("doc_id", "source", "n_source", "w_milli", "f_micro",
+                    "keep"))
+
+
 def q80_daily_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FULL OUTER JOIN (the one join flavor the battery lacked):
     per-day order intake vs per-day shipment volume. Ship dates trail
@@ -1760,6 +1803,31 @@ ORACLES: dict[str, str] = {
         SELECT w1, w2, c_pair, c_ctx, p_milli, CAST(rank AS INTEGER) AS rank
         FROM ranked WHERE rank <= 3
     """,
+    "q82_temperature_mixture": """
+        WITH per_src AS (
+            SELECT source, CAST(count(*) AS BIGINT) AS n_source
+            FROM documents GROUP BY source
+        ), w AS (
+            SELECT source, n_source,
+                   CAST(floor(sqrt(CAST(n_source AS DOUBLE)) * 1000)
+                        AS BIGINT) AS w_milli
+            FROM per_src
+        ), tot AS (
+            SELECT CAST(sum(w_milli) AS BIGINT) AS w_sum,
+                   CAST(sum(n_source) AS BIGINT) AS n_total FROM w
+        ), f AS (
+            SELECT w.source, w.n_source, w.w_milli,
+                   CAST(least(1000000,
+                              ((tot.n_total // 2) * w.w_milli * 1000000)
+                              // (tot.w_sum * w.n_source))
+                        AS BIGINT) AS f_micro
+            FROM w, tot
+        )
+        SELECT d.doc_id, d.source, f.n_source, f.w_milli, f.f_micro,
+               (('0x' || substr(md5(d.doc_id || ':temp-mix'), 1, 8))::BIGINT
+                % 1000000 < f.f_micro) AS keep
+        FROM documents d JOIN f USING (source)
+    """,
     "q80_daily_activity": """
         WITH od AS (
             SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,
@@ -2556,6 +2624,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q78_ccnet_lm_filter": q78_ccnet_lm_filter,
     "q79_source_classifier": q79_source_classifier,
     "q80_daily_activity": q80_daily_activity,
+    "q82_temperature_mixture": q82_temperature_mixture,
     "q81_conversion_funnel": q81_conversion_funnel,
     "q74_feature_hash_embed": q74_feature_hash_embed,
     "q75_dsir_resample": q75_dsir_resample,
