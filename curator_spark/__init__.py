@@ -23,7 +23,8 @@ from .api import QualityFilter                          # noqa: E402,F401
 from .checkpoint import (                               # noqa: E402,F401
     cancel_run, compact_partition, delete_conversations, read_changes,
     read_committed, restore_table, run_checkpointed, snapshot_files,
-    table_changes, table_history, table_row_count, vacuum,
+    table_changes, table_column_minmax, table_history, table_row_count,
+    vacuum,
 )
 from .feed import (                                     # noqa: E402,F401
     consume_changes, consumer_position,
@@ -41,6 +42,7 @@ __all__ = [
     "QualityFilter", "run_checkpointed", "read_committed", "vacuum",
     "compact_partition", "cancel_run", "append_new_conversations",
     "snapshot_files", "table_history", "table_row_count",
+    "table_column_minmax",
     "delete_conversations", "upsert_conversations", "restore_table",
     "read_changes", "table_changes", "consume_changes",
     "consumer_position",

@@ -1473,6 +1473,49 @@ def read_committed(spark: SparkSession, out_dir: str,
     return df
 
 
+def table_column_minmax(out_dir: str, col: str,
+                        backend: str | None = None,
+                        version: int | None = None) -> dict:
+    """Metadata-only MIN/MAX for a stats-tracked column — the
+    aggregate-pushdown cousin of `table_row_count` (Delta/Iceberg
+    answer these from the log the same way): the table minimum is the
+    min over per-file minima recorded in commit manifests, zero data
+    I/O, zero Spark jobs, valid at any time-travel version.
+
+    Soundness is explicit, never assumed: per-file stats are EXACT
+    footer values for the rows present, so min-of-mins/max-of-maxes is
+    exact over the covered files — but a file without recorded stats
+    (pre-stats era, non-allowlisted column) contributes unknown rows.
+    `complete` is True only when EVERY live file carries stats for the
+    column; when False the returned values are BOUNDS over the covered
+    subset, and a caller needing exactness must scan. All-null files
+    record min/max None and are covered-but-valueless."""
+    ledger = make_ledger(out_dir, backend or detect_backend(out_dir))
+    if version is not None and \
+            not getattr(ledger, "log_defined_visibility", False):
+        raise ValueError("time travel requires the commitlog ledger")
+    committed = ledger.committed(version=version) \
+        if version is not None else ledger.committed()
+    lo = hi = None
+    n_files = n_covered = 0
+    for m in committed.values():
+        files = (m or {}).get("files") or {}
+        stats = (m or {}).get("stats") or {}
+        for fn in files:
+            n_files += 1
+            st = (stats.get(fn) or {}).get(col)
+            if st is None:
+                continue
+            n_covered += 1
+            if st.get("min") is not None:
+                lo = st["min"] if lo is None else min(lo, st["min"])
+            if st.get("max") is not None:
+                hi = st["max"] if hi is None else max(hi, st["max"])
+    return {"col": col, "min": lo, "max": hi, "n_files": n_files,
+            "n_files_with_stats": n_covered,
+            "complete": n_files > 0 and n_covered == n_files}
+
+
 def table_row_count(out_dir: str, backend: str | None = None,
                     version: int | None = None) -> int:
     """Metadata-only COUNT(*): the sum of committed manifests' row

@@ -257,3 +257,27 @@ def test_file_stats_null_and_float_semantics(tmp_path):
     # missing stats: keep the file
     assert _file_may_match(st, "nope", "=", 1)
     assert _file_may_match(None, "conv_id", "=", "a")
+
+
+def test_metadata_only_minmax_matches_scan(spark, table):
+    """table_column_minmax answers MIN/MAX from manifests alone (the
+    aggregate-pushdown cousin of the metadata-only count): exact vs a
+    real scan for stats-tracked columns, honest `complete` flag, and
+    time-travel-consistent."""
+    from curator_spark.checkpoint import table_column_minmax
+    out = table["out"]
+    df = read_committed(spark, out)
+    for col in ("conv_id", "turn_idx", "n_tokens"):
+        meta = table_column_minmax(out, col)
+        assert meta["complete"], f"{col}: expected full stats coverage"
+        row = df.selectExpr(f"min({col})", f"max({col})").first()
+        assert meta["min"] == row[0] and meta["max"] == row[1], col
+    # a non-allowlisted column has zero coverage — bounds are None and
+    # the flag says so, never a silently-wrong answer
+    meta = table_column_minmax(out, "scrubbed_text")
+    assert not meta["complete"] and meta["n_files_with_stats"] == 0
+    assert meta["min"] is None and meta["max"] is None
+    # time travel: the base era's max conv_id <= the head's
+    base = table_column_minmax(out, "conv_id", version=table["v_base"])
+    head = table_column_minmax(out, "conv_id")
+    assert base["complete"] and base["max"] <= head["max"]
