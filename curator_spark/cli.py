@@ -108,6 +108,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "operations, partitions) for --output and exit — "
                         "DESCRIBE HISTORY from the transaction log, no "
                         "Spark session (commitlog tables only)")
+    p.add_argument("--vacuum-dry-run", action="store_true",
+                   help="like --vacuum but deletes nothing: report how "
+                        "many files a real pass would reclaim (VACUUM "
+                        "DRY RUN)")
     p.add_argument("--vacuum-min-age-sec", type=float, default=3600.0,
                    help="vacuum retention window: only orphans older "
                         "than this are reclaimed (protects files a "
@@ -215,12 +219,14 @@ def main(argv: list[str] | None = None) -> int:
             if r["compacted"]:
                 compacted.append(r)
         summary["parts_compacted"] = len(compacted)
-    if args.vacuum:
+    if args.vacuum or args.vacuum_dry_run:
         if governing != "commitlog":
             build_parser().error(
                 "--vacuum requires a commitlog-governed table")
-        summary["files_vacuumed"] = vacuum(args.output, governing,
-                                           min_age_s=args.vacuum_min_age_sec)
+        key = "files_vacuumable" if args.vacuum_dry_run else "files_vacuumed"
+        summary[key] = vacuum(args.output, governing,
+                              min_age_s=args.vacuum_min_age_sec,
+                              dry_run=args.vacuum_dry_run)
     print(json.dumps(summary))
     return 0
 

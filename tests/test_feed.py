@@ -154,3 +154,27 @@ def test_cli_consume_and_status_surfacing(spark, table, tmp_path):
                    "--consume-out", dest, "--local-cores", "4"])
     assert rc == 0
     assert len(glob.glob(os.path.join(dest, "batch-v*"))) == 1
+
+
+def test_cli_vacuum_dry_run_reports_without_deleting(spark, table, tmp_path,
+                                                     capsys):
+    import json as _json
+
+    from curator_spark import cli
+    from curator_spark.checkpoint import restore_table, table_row_count
+    out = table["out"]
+    from curator_spark.checkpoint import make_ledger
+    v_pre = table_row_count(out)
+    v_log = make_ledger(out, "commitlog").latest_version()
+    _append(spark, table, 78, 150)
+    # roll back the append → its files become vacuum-able orphans
+    restore_table(out, version=v_log)
+    rc = cli.main(["--output", out, "--consume", "aud",
+                   "--consume-out", str(tmp_path / "b"),
+                   "--vacuum-dry-run", "--vacuum-min-age-sec", "0",
+                   "--local-cores", "4"])
+    assert rc == 0
+    s = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert s["files_vacuumable"] > 0
+    # nothing deleted: the rolled-back era still time-travel-reads
+    assert table_row_count(out) == v_pre
