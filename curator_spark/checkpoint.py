@@ -1554,6 +1554,10 @@ def table_changes(out_dir: str, since_version: int,
     seen_parts = set(ledger.committed(version=since_version))
     inserts: dict[int, dict] = {}
     ins_ver: dict[tuple[int, str], int] = {}  # when each file was inserted
+    # in-window inserts displaced by a later recompute/delete/remove,
+    # remembered with their insert version: a RESTORE whose target
+    # predates the displacement revives them, and the feed must too
+    retired: dict[tuple[int, str], tuple[int, dict]] = {}
     recomputed: set[int] = set()
     rows_deleted = 0
     versions: list[int] = []
@@ -1577,6 +1581,8 @@ def table_changes(out_dir: str, since_version: int,
                 # an `add` REPLACES the partition: earlier in-window
                 # inserts are superseded, reading both would
                 # double-count their content
+                for fn_, meta_ in (inserts.get(p) or {}).items():
+                    retired[(p, fn_)] = (ins_ver.get((p, fn_), v), meta_)
                 inserts[p] = dict(files)
                 for fn_ in files:
                     ins_ver[(p, fn_)] = v
@@ -1588,19 +1594,44 @@ def table_changes(out_dir: str, since_version: int,
                     ins_ver[(p, fn_)] = v
                 seen_parts.add(p)
             elif t == "delete":
+                p = int(a["part"])
                 rm = a.get("remove_files") or []
-                before = sum(
-                    int(v_.get("n_rows", 0))
-                    for fn_, v_ in (inserts.get(int(a["part"])) or {}).items()
-                    if fn_ in rm)
-                # deletes of rows inserted WITHIN the window shrink the
-                # window's own insert set; deletes of older rows are
-                # reported but cannot be attributed to files here
-                for fn_ in rm:
-                    (inserts.get(int(a["part"])) or {}).pop(fn_, None)
-                after = sum(int(v_.get("n_rows", 0))
-                            for v_ in (a.get("add_files") or {}).values())
-                rows_deleted += max(0, before - after) if before else 0
+                part_ins = inserts.get(p) or {}
+                touched = [fn_ for fn_ in rm if fn_ in part_ins]
+                before = sum(int(part_ins[fn_].get("n_rows", 0))
+                             for fn_ in touched)
+                add = a.get("add_files") or {}
+                after = sum(int(v_.get("n_rows", 0)) for v_ in add.values())
+                # a delete swaps touched files for their FILTERED
+                # rewrites: when the displaced originals are in-window
+                # inserts, the rewrite's SURVIVING rows replace them in
+                # the feed (dropping them would make a post-delete
+                # bootstrap lose live rows). If rm mixes in-window and
+                # pre-window files, pre-window survivors re-feed — the
+                # at-least-once contract idempotent sinks absorb.
+                # A purely pre-window delete contributes nothing: its
+                # rows were fed before the window and the feed cannot
+                # un-feed them (rows_deleted reports the shrink).
+                for fn_ in touched:
+                    retired[(p, fn_)] = (ins_ver.get((p, fn_), v),
+                                         part_ins.pop(fn_))
+                if touched:
+                    part_ins.update(add)
+                    inserts[p] = part_ins
+                    for fn_ in add:
+                        ins_ver[(p, fn_)] = v
+                    rows_deleted += max(0, before - after)
+            elif t == "remove":
+                # a dropped partition's in-window inserts must leave the
+                # feed with it (its pre-window rows were already fed and
+                # cannot be un-fed; rows_deleted reports the shrink)
+                p = int(a["part"])
+                dropped = inserts.pop(p, None) or {}
+                for fn_, meta_ in dropped.items():
+                    retired[(p, fn_)] = (ins_ver.get((p, fn_), v), meta_)
+                rows_deleted += sum(int(v_.get("n_rows", 0))
+                                    for v_ in dropped.values())
+                seen_parts.discard(p)
             elif t == "restore":
                 # a rollback re-points live state at OLD files — those
                 # rows were fed when originally inserted, so the restore
@@ -1620,10 +1651,28 @@ def table_changes(out_dir: str, since_version: int,
                     dropped = [fn_ for fn_ in inserts[p]
                                if ins_ver.get((p, fn_), v) > to_v]
                     for fn_ in dropped:
+                        retired[(p, fn_)] = (ins_ver[(p, fn_)],
+                                             inserts[p][fn_])
                         rows_deleted += int(
                             inserts[p].pop(fn_).get("n_rows", 0))
                     if not inserts[p]:
                         del inserts[p]
+                # ...and the rollback REVIVES in-window inserts that a
+                # later in-window recompute/delete/remove had displaced:
+                # the restored state references them again, so a
+                # bootstrap consumer must receive them (an incremental
+                # consumer whose cursor predates their insertion was fed
+                # them when they landed — retired only ever holds
+                # in-window inserts, so nothing pre-window re-feeds)
+                for p_s, m_ in (a.get("parts") or {}).items():
+                    p = int(p_s)
+                    for fn_ in ((m_ or {}).get("files") or {}):
+                        if fn_ in (inserts.get(p) or {}):
+                            continue
+                        rv = retired.get((p, fn_))
+                        if rv is not None and rv[0] <= to_v:
+                            inserts.setdefault(p, {})[fn_] = rv[1]
+                            ins_ver[(p, fn_)] = rv[0]
                 # after a rollback the live parts are exactly the
                 # restored set — a later `add` on one of them replaces
                 # content (a recompute), on anything else it's fresh

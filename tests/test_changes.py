@@ -75,3 +75,24 @@ def test_changes_requires_commitlog_and_valid_versions(spark, tmp_path, table):
 def test_changes_since_beyond_log_raises(table):
     with pytest.raises(ValueError, match="does not exist"):
         table_changes(table["out"], 10_000)
+
+
+def test_bootstrap_feed_after_delete_equals_table(spark, table):
+    """A row-level DELETE swaps touched files for filtered rewrites; a
+    consumer that bootstraps AFTERWARDS (cursor 0) must still receive
+    exactly the live table — the rewrite's SURVIVING rows replace the
+    displaced originals in the feed, they don't vanish with them."""
+    from curator_spark.checkpoint import delete_conversations, read_changes
+    out = table["out"]
+    head0 = read_committed(spark, out)
+    ids = sorted(r.conv_id for r in
+                 head0.select("conv_id").distinct().limit(2).collect())
+    s = delete_conversations(spark, out, ids)
+    assert s["rows_deleted"] > 0 and s["files_rewritten"] > 0
+    live = read_committed(spark, out).orderBy("conv_id", "turn_idx") \
+        .toPandas()
+    boot = read_changes(spark, out, since_version=0) \
+        .orderBy("conv_id", "turn_idx").toPandas()
+    assert len(boot) == len(live)
+    assert boot[["conv_id", "turn_idx", "text"]].equals(
+        live[["conv_id", "turn_idx", "text"]])

@@ -32,6 +32,7 @@ OP = st.one_of(
     st.tuples(st.just("compact"), st.integers(0, 3)),
     st.tuples(st.just("stale_swap"), st.integers(0, 3)),
     st.tuples(st.just("delete_one"), st.integers(0, 3)),
+    st.tuples(st.just("delete_partial"), st.integers(0, 3)),
     st.tuples(st.just("remove"), st.integers(0, 3)),
     st.tuples(st.just("txn"), st.integers(0, 2), st.integers(0, 9)),
     st.tuples(st.just("meta"), st.integers(0, 2), st.integers(0, 9)),
@@ -47,7 +48,7 @@ def _apply(led, op):
     first (exactly how the real maintenance code works)."""
     kind = op[0]
     parts = led.committed() if kind in (
-        "compact", "stale_swap", "delete_one") else None
+        "compact", "stale_swap", "delete_one", "delete_partial") else None
     if kind == "add":
         _, p, nf = op
         files = {f"f{next(_seq)}-{i}.parquet": {"n_rows": 10 + i}
@@ -79,6 +80,18 @@ def _apply(led, op):
         if m and m.get("files"):
             victim = sorted(m["files"])[0]
             led.delete_rewrite(p, [victim], {})
+    elif kind == "delete_partial":
+        # filtered rewrite keeping some survivors — the delete shape
+        # row-level right-to-be-forgotten actually produces
+        _, p = op
+        m = parts.get(p)
+        if m and m.get("files"):
+            victim = sorted(m["files"])[-1]
+            n = int(m["files"][victim].get("n_rows", 0))
+            if n > 1:
+                led.delete_rewrite(p, [victim],
+                                   {f"d{next(_seq)}.parquet":
+                                    {"n_rows": n - 1}})
     elif kind == "remove":
         led.drop_part(op[1])
     elif kind == "txn":
@@ -126,6 +139,19 @@ def test_random_programs_preserve_protocol_invariants(ops, data):
     for _, m in led.committed().items():
         if m:
             assert not any(fn.startswith("x") for fn in m.get("files") or {})
+
+    # (1b) BOOTSTRAP FEED IDENTITY: over the full history, the change
+    # feed's insert set carries exactly the live table's rows — under
+    # ANY interleaving of adds, appends, compactions, partial deletes,
+    # part drops, and restores. (A fresh consumer at cursor 0 must
+    # never receive more or fewer rows than the table holds.)
+    from curator_spark.checkpoint import table_changes
+    if head:
+        live_rows = sum(int((m or {}).get("n_rows", 0))
+                        for m in led.committed().values())
+        ch = table_changes(os.path.dirname(led.dir), 0, head)
+        assert ch["rows_inserted"] == live_rows, \
+            "full-history feed != live table"
 
     # (2) checkpoints are pure acceleration: remove them all, replay
     # from scratch — every answer identical
