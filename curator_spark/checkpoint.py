@@ -1561,6 +1561,17 @@ def table_changes(out_dir: str, since_version: int,
     recomputed: set[int] = set()
     rows_deleted = 0
     versions: list[int] = []
+
+    def _inwindow_rows() -> int:
+        """Feed rows attributable to THIS window (insert version past
+        the cursor) — the quantity rows_deleted accounting compares;
+        pre-window files a restore revives don't count (the cursor
+        already covers them, and the final pass strips them)."""
+        return sum(int(m_.get("n_rows", 0))
+                   for p_ in inserts
+                   for fn_, m_ in inserts[p_].items()
+                   if ins_ver.get((p_, fn_), int(since_version) + 1)
+                   > int(since_version))
     for fn in ledger._versions(upto=until_version):
         v = int(fn[1:-5])
         if v <= int(since_version):
@@ -1598,26 +1609,52 @@ def table_changes(out_dir: str, since_version: int,
                 rm = a.get("remove_files") or []
                 part_ins = inserts.get(p) or {}
                 touched = [fn_ for fn_ in rm if fn_ in part_ins]
-                before = sum(int(part_ins[fn_].get("n_rows", 0))
-                             for fn_ in touched)
                 add = a.get("add_files") or {}
                 after = sum(int(v_.get("n_rows", 0)) for v_ in add.values())
                 # a delete swaps touched files for their FILTERED
                 # rewrites: when the displaced originals are in-window
                 # inserts, the rewrite's SURVIVING rows replace them in
                 # the feed (dropping them would make a post-delete
-                # bootstrap lose live rows). If rm mixes in-window and
-                # pre-window files, pre-window survivors re-feed — the
-                # at-least-once contract idempotent sinks absorb.
-                # A purely pre-window delete contributes nothing: its
-                # rows were fed before the window and the feed cannot
-                # un-feed them (rows_deleted reports the shrink).
-                for fn_ in touched:
-                    retired[(p, fn_)] = (ins_ver.get((p, fn_), v),
-                                         part_ins.pop(fn_))
-                if touched:
+                # bootstrap lose live rows). A purely pre-window delete
+                # contributes nothing: its rows were fed before the
+                # window and cannot be un-fed (rows_deleted reports the
+                # shrink).
+                if part_ins and not set(rm) <= set(part_ins):
+                    # the removed files are not this window's insert
+                    # files (an earlier COMPACTION renamed rows across
+                    # file boundaries, breaking file-level lineage) —
+                    # fall back to the partition's LIVE post-delete
+                    # manifest so a bootstrap reads exactly the live
+                    # rows; survivors an incremental consumer already
+                    # has re-feed (the at-least-once contract
+                    # idempotent sinks absorb)
+                    before = sum(int(m_.get("n_rows", 0))
+                                 for m_ in part_ins.values())
+                    for fn_, meta_ in part_ins.items():
+                        retired[(p, fn_)] = (ins_ver.get((p, fn_), v),
+                                             meta_)
+                    live_m = ledger.committed(version=v).get(p) or {}
+                    files = dict(live_m.get("files") or {})
+                    if files:
+                        inserts[p] = files
+                        for fn_ in files:
+                            ins_ver[(p, fn_)] = v
+                    else:
+                        inserts.pop(p, None)
+                    now_rows = sum(int(m_.get("n_rows", 0))
+                                   for m_ in files.values())
+                    rows_deleted += max(0, before - now_rows)
+                elif touched:
+                    before = sum(int(part_ins[fn_].get("n_rows", 0))
+                                 for fn_ in touched)
+                    for fn_ in touched:
+                        retired[(p, fn_)] = (ins_ver.get((p, fn_), v),
+                                             part_ins.pop(fn_))
                     part_ins.update(add)
-                    inserts[p] = part_ins
+                    if part_ins:
+                        inserts[p] = part_ins
+                    else:
+                        inserts.pop(p, None)
                     for fn_ in add:
                         ins_ver[(p, fn_)] = v
                     rows_deleted += max(0, before - after)
@@ -1647,36 +1684,59 @@ def table_changes(out_dir: str, since_version: int,
                 # discards are beyond file attribution, like pre-window
                 # deletes above.)
                 to_v = int(a.get("to_version", 0))
+                restored = {int(k): dict((m_ or {}).get("files") or {})
+                            for k, m_ in (a.get("parts") or {}).items()}
+                before_rows = _inwindow_rows()
+                # parts the rollback drops leave the feed wholesale
                 for p in list(inserts):
-                    dropped = [fn_ for fn_ in inserts[p]
-                               if ins_ver.get((p, fn_), v) > to_v]
-                    for fn_ in dropped:
-                        retired[(p, fn_)] = (ins_ver[(p, fn_)],
-                                             inserts[p][fn_])
-                        rows_deleted += int(
-                            inserts[p].pop(fn_).get("n_rows", 0))
-                    if not inserts[p]:
+                    if p not in restored:
+                        for fn_, meta_ in inserts[p].items():
+                            retired.setdefault(
+                                (p, fn_), (ins_ver.get((p, fn_), v), meta_))
                         del inserts[p]
-                # ...and the rollback REVIVES in-window inserts that a
-                # later in-window recompute/delete/remove had displaced:
-                # the restored state references them again, so a
-                # bootstrap consumer must receive them (an incremental
-                # consumer whose cursor predates their insertion was fed
-                # them when they landed — retired only ever holds
-                # in-window inserts, so nothing pre-window re-feeds)
-                for p_s, m_ in (a.get("parts") or {}).items():
-                    p = int(p_s)
-                    for fn_ in ((m_ or {}).get("files") or {}):
-                        if fn_ in (inserts.get(p) or {}):
-                            continue
+                # ...and every restored partition that saw in-window
+                # insert activity is CANONICALIZED to its restored live
+                # file set (per-file patching is not enough — compaction
+                # and delete rewrites rename rows across file
+                # boundaries, the same lineage break as the delete
+                # fallback above; and the target state may itself come
+                # from an earlier in-window restore). Files keep their
+                # recorded insert version when one exists (≤ target),
+                # else the target version. Partitions with no in-window
+                # activity stay untouched: their rows were fed before
+                # the window and nothing in it changed them.
+                for p, files in restored.items():
+                    if p not in inserts and \
+                            not any(k[0] == p for k in retired):
+                        continue
+                    for fn_, meta_ in (inserts.get(p) or {}).items():
+                        retired.setdefault(
+                            (p, fn_), (ins_ver.get((p, fn_), v), meta_))
+                    if not files:
+                        inserts.pop(p, None)
+                        continue
+                    inserts[p] = files
+                    for fn_ in files:
                         rv = retired.get((p, fn_))
-                        if rv is not None and rv[0] <= to_v:
-                            inserts.setdefault(p, {})[fn_] = rv[1]
-                            ins_ver[(p, fn_)] = rv[0]
+                        ins_ver[(p, fn_)] = rv[0] \
+                            if rv is not None and rv[0] <= to_v else to_v
+                rows_deleted += max(0, before_rows - _inwindow_rows())
                 # after a rollback the live parts are exactly the
                 # restored set — a later `add` on one of them replaces
                 # content (a recompute), on anything else it's fresh
-                seen_parts = {int(k) for k in (a.get("parts") or {})}
+                seen_parts = set(restored)
+    # final pass: anything whose insert version is AT OR BEFORE the
+    # window start was live-and-delivered before the cursor — it can
+    # re-enter `inserts` only via restore canonicalization reviving a
+    # pre-window era, and the consumer already has those rows
+    for p in list(inserts):
+        stale = [fn_ for fn_ in inserts[p]
+                 if ins_ver.get((p, fn_), since_version + 1)
+                 <= int(since_version)]
+        for fn_ in stale:
+            inserts[p].pop(fn_)
+        if not inserts[p]:
+            del inserts[p]
     rows = sum(int(m.get("n_rows", 0))
                for fs in inserts.values() for m in fs.values())
     return {"inserts": inserts, "rows_inserted": rows,

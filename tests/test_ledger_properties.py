@@ -114,7 +114,8 @@ def _manifest_rows_consistent(parts):
                                       for v in m["files"].values())
 
 
-@settings(max_examples=40, deadline=None)
+@settings(max_examples=int(os.environ.get("LEDGER_PROP_EXAMPLES", "40")),
+          deadline=None)
 @given(st.lists(OP, min_size=1, max_size=40), st.data())
 def test_random_programs_preserve_protocol_invariants(ops, data):
     root = f"/tmp/ledger_props/{uuid.uuid4().hex}"
