@@ -533,16 +533,20 @@ class CommitLogLedger:
                        datetime.now(timezone.utc).isoformat()}])
 
     def delete_rewrite(self, part: int, remove_files: list[str],
-                       add_files: dict, stats: dict | None = None) -> None:
+                       add_files: dict, stats: dict | None = None) -> int:
         """Row-level delete as a file-set swap (Delta's DELETE shape):
         the touched files' filtered rewrites replace them in one log
         version; replay recomputes n_rows from the surviving manifest
-        and applies the same stale-swap conflict rule as compaction."""
-        self._append([{"type": "delete", "part": int(part),
-                       "remove_files": sorted(remove_files),
-                       "add_files": add_files, "stats": stats or {},
-                       "updated_at":
-                       datetime.now(timezone.utc).isoformat()}])
+        and applies the same stale-swap conflict rule as compaction.
+        Returns the committed version so the caller can verify the swap
+        actually applied (DELETE, unlike compaction, is not
+        row-preserving — a silently-ignored stale swap loses a
+        right-to-be-forgotten request)."""
+        return self._append([{"type": "delete", "part": int(part),
+                              "remove_files": sorted(remove_files),
+                              "add_files": add_files, "stats": stats or {},
+                              "updated_at":
+                              datetime.now(timezone.utc).isoformat()}])
 
     def restore(self, to_version: int, parts: dict[int, dict | None],
                 success: dict | None, meta: dict,
@@ -754,6 +758,12 @@ def _file_may_match(stats: dict | None, col: str, op: str, val) -> bool:
         val = _stats_value(val)
     numeric = lambda x: isinstance(x, (int, float)) \
         and not isinstance(x, bool)  # noqa: E731
+    if isinstance(val, float) and val != val:
+        # NaN literal: every Python comparison below is False, which
+        # would prune EVERY file — while Spark orders NaN above all
+        # doubles and NaN==NaN is true under its semantics, so rows can
+        # match. Never prune on a NaN probe.
+        return True
     same_kind = (type(val) is type(mn)
                  or (numeric(val) and numeric(mn))
                  or (isinstance(val, bool) and isinstance(mn, bool)))
@@ -1658,16 +1668,44 @@ def table_changes(out_dir: str, since_version: int,
                     for fn_ in add:
                         ins_ver[(p, fn_)] = v
                     rows_deleted += max(0, before - after)
+                elif rm:
+                    # purely PRE-WINDOW delete (the partition has no
+                    # in-window inserts — the common shape: deleting old
+                    # data a regular consumer fed long ago). The rows
+                    # cannot be un-fed, but rows_deleted is the
+                    # downstream right-to-be-forgotten signal and must
+                    # still report the shrink. The removed files' row
+                    # counts live in the pre-delete manifest; the same
+                    # lookup applies replay's stale-swap rule (a swap
+                    # whose removed files were already replaced was
+                    # ignored and shrank nothing).
+                    prev_files = ((ledger.committed(version=v - 1)
+                                   .get(p) or {}).get("files") or {})
+                    if set(rm) <= set(prev_files):
+                        before = sum(
+                            int((prev_files[fn_] or {}).get("n_rows", 0))
+                            for fn_ in rm)
+                        rows_deleted += max(0, before - after)
             elif t == "remove":
                 # a dropped partition's in-window inserts must leave the
                 # feed with it (its pre-window rows were already fed and
-                # cannot be un-fed; rows_deleted reports the shrink)
+                # cannot be un-fed). rows_deleted reports the FULL
+                # shrink — the partition's live row count just before
+                # the drop (pre-window rows included: a consumer that
+                # fed them long ago still needs the forget signal),
+                # falling back to the in-window insert total when the
+                # part is somehow absent from the prior state.
                 p = int(a["part"])
                 dropped = inserts.pop(p, None) or {}
                 for fn_, meta_ in dropped.items():
                     retired[(p, fn_)] = (ins_ver.get((p, fn_), v), meta_)
-                rows_deleted += sum(int(v_.get("n_rows", 0))
-                                    for v_ in dropped.values())
+                prev_m = ledger.committed(version=v - 1).get(p) or {}
+                prev_total = sum(
+                    int((m_ or {}).get("n_rows", 0))
+                    for m_ in (prev_m.get("files") or {}).values())
+                rows_deleted += max(prev_total,
+                                    sum(int(v_.get("n_rows", 0))
+                                        for v_ in dropped.values()))
                 seen_parts.discard(p)
             elif t == "restore":
                 # a rollback re-points live state at OLD files — those
@@ -2078,6 +2116,16 @@ def compact_partition(spark: SparkSession, out_dir: str, part: int,
             "n_rows": n_rows}
 
 
+class ConcurrentDeleteError(RuntimeError):
+    """A row-level DELETE's file swap was invalidated by a concurrent
+    rewrite (compaction/recompute replaced a candidate file between the
+    snapshot read and the delete commit). Replay ignores the stale swap
+    — raising is mandatory because, unlike compaction, DELETE is not
+    row-preserving: silently no-opping would report a
+    right-to-be-forgotten request as done while the rows stay live
+    (Delta raises the same conflict for DELETE vs OPTIMIZE)."""
+
+
 def delete_conversations(spark: SparkSession, out_dir: str,
                          conv_ids, backend: str | None = None,
                          key: str = "conv_id") -> dict:
@@ -2150,8 +2198,12 @@ def delete_conversations(spark: SparkSession, out_dir: str,
         reader = spark.read.schema(declared) if declared is not None \
             else spark.read
         before = sum(int(files[f].get("n_rows", 0)) for f in cand)
+        # NULL-key rows must SURVIVE: `~isin` evaluates to NULL for a
+        # NULL key and the filter would silently drop (= delete)
+        # untargeted rows on any nullable key column
         kept = reader.parquet(*paths).filter(
-            ~F.col(key).isin([str(c) for c in conv_ids]))
+            (~F.col(key).isin([str(c) for c in conv_ids]))
+            | F.col(key).isNull())
         tag = uuid.uuid4().hex[:12]
         staging = os.path.join(out_dir, f"_compact-{tag}")  # vacuum-known
         kept.coalesce(max(1, len(cand))).write.parquet(staging)
@@ -2184,7 +2236,23 @@ def delete_conversations(spark: SparkSession, out_dir: str,
             for f in man:
                 os.remove(os.path.join(pdir, f))
             continue
-        ledger.delete_rewrite(int(part), cand, man, stats=new_stats)
+        ver = ledger.delete_rewrite(int(part), cand, man, stats=new_stats)
+        # verify the swap APPLIED: replay honors it only when every
+        # removed file was still referenced at version-1 — re-check that
+        # exact condition rather than trusting our (possibly stale)
+        # snapshot. A concurrent compact/recompute that replaced a
+        # candidate in between makes the swap a silent no-op in replay;
+        # the caller must not be told rows were deleted when they
+        # weren't.
+        prev_files = set(((ledger.committed(version=ver - 1)
+                           .get(int(part)) or {}).get("files") or {}))
+        if not set(cand) <= prev_files:
+            raise ConcurrentDeleteError(
+                f"delete of part {part} conflicted with a concurrent "
+                f"rewrite: files {sorted(set(cand) - prev_files)} were "
+                f"replaced between snapshot and commit (v{ver}); the "
+                "swap was ignored by replay — retry the delete against "
+                "the new snapshot")
         summary["rows_deleted"] += before - after
         summary["files_rewritten"] += len(cand)
         summary["parts_touched"].append(int(part))

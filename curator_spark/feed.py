@@ -75,6 +75,34 @@ def _commit_cursor(out_dir: str, consumer_id: str, version: int,
         pass  # a racing consumer with the same id committed the same window
     finally:
         os.unlink(tmp)
+    _gc_cursors(d, keep_tail=CURSOR_KEEP_TAIL)
+
+
+# how many superseded cursor files to retain behind the max — a small
+# crash-safety tail (a racer mid-commit may still be fsyncing an older
+# cursor; position only ever reads the max, so the tail is purely
+# forensic)
+CURSOR_KEEP_TAIL = 4
+
+
+def _gc_cursors(d: str, keep_tail: int = CURSOR_KEEP_TAIL) -> None:
+    """Best-effort reclaim of superseded cursor files. Cursors are
+    write-once and position is max(listdir), so without GC a long-lived
+    consumer accretes one file per advancing poll and the listdir scan
+    grows with table age — the same unbounded-history problem log
+    checkpoints solve for the commit log. Keeping the max plus a short
+    tail preserves crash-safety (the max is never removed; a concurrent
+    committer's new max only ever extends the kept set)."""
+    try:
+        vs = sorted(int(fn[7:-5]) for fn in os.listdir(d)
+                    if fn.startswith("cursor-") and fn.endswith(".json"))
+    except OSError:
+        return
+    for v_ in vs[:-(keep_tail + 1)] if len(vs) > keep_tail + 1 else []:
+        try:
+            os.unlink(os.path.join(d, f"cursor-{v_:012d}.json"))
+        except OSError:
+            pass
 
 
 def consume_changes(spark: SparkSession, out_dir: str, consumer_id: str,

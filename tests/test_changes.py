@@ -77,6 +77,42 @@ def test_changes_since_beyond_log_raises(table):
         table_changes(table["out"], 10_000)
 
 
+def test_pre_window_delete_still_reports_rows_deleted(spark, table):
+    """The common forget shape: a consumer's cursor is at head (its
+    polls long ago fed the rows), THEN old conversations are deleted.
+    The window holds no in-window inserts, so nothing re-feeds — but
+    rows_deleted must still report the shrink: it is the downstream
+    right-to-be-forgotten signal, and a regular poller would otherwise
+    never learn rows were deleted."""
+    from curator_spark.checkpoint import delete_conversations
+    out = table["out"]
+    head = make_ledger(out, "commitlog").latest_version()
+    ids = sorted(r.conv_id for r in read_committed(spark, out)
+                 .select("conv_id").distinct().limit(2).collect())
+    s = delete_conversations(spark, out, ids)
+    assert s["rows_deleted"] > 0
+    ch = table_changes(out, since_version=head)
+    assert ch["rows_inserted"] == 0          # nothing re-feeds
+    assert ch["rows_deleted"] == s["rows_deleted"]
+
+
+def test_partition_remove_reports_full_shrink(spark, table):
+    """Dropping a whole partition whose rows were fed PRE-window:
+    rows_deleted reports the partition's full live row count, not just
+    its (empty) in-window insert total."""
+    out = table["out"]
+    led = make_ledger(out, "commitlog")
+    head = led.latest_version()
+    part, marker = next(iter(sorted(led.committed().items())))
+    n_part = sum(int(m.get("n_rows", 0))
+                 for m in (marker.get("files") or {}).values())
+    assert n_part > 0
+    led.drop_part(part)
+    ch = table_changes(out, since_version=head)
+    assert ch["rows_inserted"] == 0
+    assert ch["rows_deleted"] == n_part
+
+
 def test_bootstrap_feed_after_delete_equals_table(spark, table):
     """A row-level DELETE swaps touched files for filtered rewrites; a
     consumer that bootstraps AFTERWARDS (cursor 0) must still receive

@@ -88,6 +88,63 @@ def test_delete_refuses_markers_backend(spark, tmp_path):
         delete_conversations(spark, out, ["conv-0052-00000000"])
 
 
+def test_delete_by_nullable_key_keeps_null_rows(spark, table):
+    """Deleting on a NULLABLE key (any non-default key=): rows whose key
+    is NULL are not targets and must SURVIVE the rewrite — `~isin`
+    alone evaluates to NULL for them and would silently delete
+    untargeted rows."""
+    out = table["out"]
+    before = read_committed(spark, out)
+    tools = [r.tool for r in before.select("tool").distinct().collect()
+             if r.tool is not None]
+    target = sorted(tools)[0]
+    n_target = before.filter(before.tool == target).count()
+    n_null = before.filter(before.tool.isNull()).count()
+    assert n_target > 0 and n_null > 0
+    s = delete_conversations(spark, out, [target], key="tool")
+    assert s["rows_deleted"] == n_target
+    after = read_committed(spark, out)
+    assert after.filter(after.tool == target).count() == 0
+    # the NULL-key rows all survived
+    assert after.filter(after.tool.isNull()).count() == n_null
+    assert after.count() == before.count() - n_target
+
+
+def test_delete_conflicting_with_concurrent_compaction_raises(
+        spark, table, monkeypatch):
+    """DELETE vs concurrent OPTIMIZE: a compaction that replaces a
+    candidate file between the delete's snapshot read and its commit
+    makes the swap stale — replay ignores it, so the delete MUST raise
+    (Delta's conflict rule) instead of reporting rows_deleted while the
+    rows stay live."""
+    from curator_spark.checkpoint import (
+        CommitLogLedger, ConcurrentDeleteError, compact_partition)
+    out, pdf = table["out"], table["pdf"]
+    ids = sorted(pdf["conv_id"].unique())[:3]
+    n_before = table_row_count(out)
+
+    orig = CommitLogLedger.delete_rewrite
+
+    def racing(self, part, remove_files, add_files, stats=None):
+        # a concurrent writer compacts the partition AFTER the delete
+        # read its snapshot and BEFORE its commit lands
+        compact_partition(spark, out, int(part), target_files=1)
+        return orig(self, part, remove_files, add_files, stats=stats)
+
+    monkeypatch.setattr(CommitLogLedger, "delete_rewrite", racing)
+    with pytest.raises(ConcurrentDeleteError, match="concurrent"):
+        delete_conversations(spark, out, ids)
+    monkeypatch.undo()
+    # the stale swap was ignored: no rows were lost
+    assert table_row_count(out) == n_before
+    assert read_committed(spark, out).count() == n_before
+    # the retry against the fresh snapshot succeeds
+    n_target = int(pdf["conv_id"].isin(ids).sum())
+    s = delete_conversations(spark, out, ids)
+    assert s["rows_deleted"] == n_target
+    assert table_row_count(out) == n_before - n_target
+
+
 def test_rerun_after_delete_does_not_resurrect(spark, table, tmp_path):
     """Deletion is administrative table state, not run state: re-running
     the same checkpointed job afterwards memoizes (manifests still

@@ -116,6 +116,28 @@ def test_independent_consumers_and_maintenance_versions(spark, table):
         read_changes(spark, out, consumer_position(out, "C"), v_mid)
 
 
+def test_cursor_files_are_garbage_collected(tmp_path):
+    """Cursors are write-once and position reads max(listdir): without
+    GC a long-lived consumer accretes one file per advancing poll and
+    the scan grows with table age. Committing cursor N reclaims all but
+    the max plus a short crash-safety tail — and never the max."""
+    from curator_spark.feed import (
+        CURSOR_KEEP_TAIL, _commit_cursor, _cursor_dir, consumer_position)
+    import os
+    out = str(tmp_path / "t")
+    for v in range(1, 41):
+        _commit_cursor(out, "trainer", v, rows=v * 10)
+    assert consumer_position(out, "trainer") == 40
+    d = _cursor_dir(out, "trainer")
+    kept = sorted(fn for fn in os.listdir(d) if fn.startswith("cursor-"))
+    assert len(kept) == CURSOR_KEEP_TAIL + 1
+    assert kept[-1] == "cursor-000000000040.json"
+    # an out-of-order late commit (a crashed racer replaying an old
+    # window) neither resurrects history nor moves the position back
+    _commit_cursor(out, "trainer", 3, rows=30)
+    assert consumer_position(out, "trainer") == 40
+
+
 def test_feed_refuses_markers_backend(spark, tmp_path):
     p = str(tmp_path / "in.parquet")
     fixtures.write_transcripts_parquet(p, 200, seed=77, n_parts=2)

@@ -252,6 +252,11 @@ def test_file_stats_null_and_float_semantics(tmp_path):
     assert not _file_may_match(st, "ppl", "=", 9.0)
     assert _file_may_match(st, "ppl", ">", 99.0)
     assert _file_may_match(st, "ppl", ">=", 99.0)
+    # NaN literal: every Python comparison is False (would prune ALL
+    # files) while Spark's NaN semantics can match rows — never prune
+    assert _file_may_match(st, "ppl", "=", float("nan"))
+    assert _file_may_match(st, "ppl", "<", float("nan"))
+    assert _file_may_match(st, "ppl", "<=", float("nan"))
     # kind mismatch: keep the file
     assert _file_may_match(st, "conv_id", "=", 7)
     # missing stats: keep the file
