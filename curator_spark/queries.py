@@ -631,7 +631,8 @@ def q73_ngram_lm_train(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "rank"))
 
 
-def q78_ccnet_lm_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q78_ccnet_lm_filter(spark: SparkSession, sf_dir: str,
+                        approx: bool = False) -> DataFrame:
     """The CCNet loop CLOSED (Wenzek et al. 2020): train the LM on the
     corpus (q73's job), score every document with it, and cut each
     language into head/middle/tail thirds by LM score — train-then-
@@ -652,13 +653,23 @@ def q78_ccnet_lm_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     exchange-sharing trick); scoring = equi-join of doc bigrams onto
     the model on (w1, w2) — hot function-word bigrams skew that key,
     which AQE skew-join splits (the model side is one row per bigram,
-    so a split never duplicates matches); V is a 1-row broadcast. The
-    per-language ntile is an exact full sort per lang — the
-    correctness baseline; at 100 TB the cuts come from
-    approx-quantile thresholds on a sample, exactly as CCNet does
-    (same caveat as q35's exact percentiles vs q45's sketches).
+    so a split never duplicates matches); V is a 1-row broadcast.
     Docs with <2 tokens have no bigrams: bucket 'unscored', never
-    silently ranked."""
+    silently ranked.
+
+    Two cut strategies (CCNet computes thresholds once on a sample and
+    streams the corpus through them — it never globally sorts):
+    * approx=False (default; the oracle-checked baseline): exact
+      per-language thirds via ntile(3) — Window.partitionBy("lang")
+      is a full single-task sort PER LANGUAGE, the classic skew-killer
+      at 100 TB (one task would hold every English document). Exact,
+      oracle-comparable, and deliberately NOT the scale path.
+    * approx=True (the 100 TB path): head/middle/tail thresholds from
+      percentile_approx per language — a map-side-combinable sketch
+      aggregate (no per-lang sort, no single giant task), broadcast-
+      joined back; every doc then buckets with a narrow comparison.
+      Matches the exact path everywhere except quantile-boundary ties
+      (test_corpus_queries asserts >=90% agreement on the fixture)."""
     docs = _t(spark, sf_dir, "documents")
     toks = F.filter(F.split(F.lower(F.col("text")), " "), lambda t: t != "")
     staged = docs.select("doc_id", "lang", toks.alias("toks"))
@@ -684,12 +695,28 @@ def q78_ccnet_lm_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     spine = staged.select("doc_id", "lang").join(per_doc, "doc_id", "left")
     scored = (spine.filter(F.col("n_bigrams").isNotNull())
               .withColumn("ppl_milli", F.expr("cost_sum div n_bigrams")))
-    w = Window.partitionBy("lang").orderBy("ppl_milli", "doc_id")
-    scored = (scored.withColumn("nt", F.ntile(3).over(w))
-              .select("doc_id", "lang", "ppl_milli", "n_bigrams",
-                      F.when(F.col("nt") == 1, "head")
-                      .when(F.col("nt") == 2, "middle")
-                      .otherwise("tail").alias("bucket")))
+    if approx:
+        # CCNet's actual method: per-language cut thresholds from a
+        # mergeable quantile sketch (partial-aggregated, no per-lang
+        # sort), broadcast back onto the scored docs
+        cuts = scored.groupBy("lang").agg(
+            F.percentile_approx(
+                "ppl_milli", F.array(F.lit(1 / 3), F.lit(2 / 3)),
+                F.lit(10000)).alias("qs"))
+        scored = (scored.join(F.broadcast(cuts), "lang")
+                  .select("doc_id", "lang", "ppl_milli", "n_bigrams",
+                          F.when(F.col("ppl_milli") <= F.col("qs")[0],
+                                 "head")
+                          .when(F.col("ppl_milli") <= F.col("qs")[1],
+                                "middle")
+                          .otherwise("tail").alias("bucket")))
+    else:
+        w = Window.partitionBy("lang").orderBy("ppl_milli", "doc_id")
+        scored = (scored.withColumn("nt", F.ntile(3).over(w))
+                  .select("doc_id", "lang", "ppl_milli", "n_bigrams",
+                          F.when(F.col("nt") == 1, "head")
+                          .when(F.col("nt") == 2, "middle")
+                          .otherwise("tail").alias("bucket")))
     unscored = (spine.filter(F.col("n_bigrams").isNull())
                 .select("doc_id", "lang",
                         F.lit(None).cast("long").alias("ppl_milli"),
@@ -718,27 +745,35 @@ def q79_source_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     source.
 
     Plan: ONE token explode feeds training (map-side-combined
-    groupBy(source, tok); per-source totals via the q73
-    window-over-aggregate trick; V a 1-row broadcast) AND scoring (doc
+    groupBy(source, tok); V a 1-row broadcast) AND scoring (doc
     tokens equi-join the weight table on tok — fan-out × n_sources,
     which is O(5), then ONE groupBy(doc_id, source)); the dense
     doc×source spine is a broadcast cross join against the k-row
     source table, so absent pairs get their floor without any outer
     shuffle; the final argmax is a row_number window on doc_id over k
-    rows per doc. Text never shuffles."""
+    rows per doc. Text never shuffles.
+
+    Per-source totals are k≈n_sources numbers: a groupBy("source")
+    rollup broadcast-joined back onto the weight table — NEVER
+    Window.partitionBy("source") over the (source, token) aggregate,
+    which would single-task a full per-source vocabulary (~10^8 rows
+    per task at web scale). The identical groupBy(source, tok)
+    exchange under weights/src_totals is reused at runtime
+    (ReusedExchange), so the rollup costs one k-row pass, not a
+    recompute of the token counts."""
     docs = _t(spark, sf_dir, "documents")
     toks = F.filter(F.split(F.lower(F.col("text")), " "), lambda t: t != "")
     staged = docs.select("doc_id", "source", toks.alias("toks"))
     tok = staged.select("doc_id", "source", F.explode("toks").alias("tok"))
     cnt = tok.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("c"))
-    wsrc = Window.partitionBy("source")
     vocab = tok.agg(F.countDistinct("tok").alias("v"))
-    weights = (cnt.withColumn("n_src", F.sum("c").over(wsrc))
+    src_totals = cnt.groupBy("source").agg(F.sum("c").alias("n_src"))
+    weights = (cnt.join(F.broadcast(src_totals), "source")
                .crossJoin(F.broadcast(vocab))
                .select("source", "tok",
                        F.expr("((c + 1) * 1000) div (n_src + v)")
                        .alias("w_milli")))
-    floors = (cnt.groupBy("source").agg(F.sum("c").alias("n_src"))
+    floors = (src_totals
               .crossJoin(F.broadcast(vocab))
               .select(F.col("source").alias("src"),
                       F.expr("1000 div (n_src + v)").alias("floor_milli")))

@@ -93,3 +93,26 @@ def test_bigram_pmi_ranking(spark):
         if out["pmi_ratio_x1000"][i] > out["pmi_ratio_x1000"][i + 1]:
             continue
         assert out["bg"][i] < out["bg"][i + 1]
+
+
+def test_ccnet_approx_cuts_agree_with_exact(spark):
+    """q78's two cut strategies on the same scored corpus: the exact
+    ntile baseline vs the percentile_approx threshold path (CCNet's
+    method, the 100 TB shape). They may differ only at quantile-
+    boundary ties — require the same doc universe, identical 'unscored'
+    handling, identical scores, and >=90% bucket agreement."""
+    from curator_spark.queries import q78_ccnet_lm_filter
+    exact = q78_ccnet_lm_filter(spark, SF).toPandas().set_index("doc_id")
+    approx = q78_ccnet_lm_filter(spark, SF, approx=True) \
+        .toPandas().set_index("doc_id")
+    assert set(exact.index) == set(approx.index)
+    approx = approx.reindex(exact.index)
+    # scores are computed by the shared dataflow — identical
+    assert (exact["ppl_milli"].fillna(-1)
+            == approx["ppl_milli"].fillna(-1)).all()
+    assert ((exact["bucket"] == "unscored")
+            == (approx["bucket"] == "unscored")).all()
+    agree = (exact["bucket"] == approx["bucket"]).mean()
+    assert agree >= 0.90, f"bucket agreement {agree:.3f}"
+    # both paths keep exactly the head bucket
+    assert (approx["keep"] == (approx["bucket"] == "head")).all()

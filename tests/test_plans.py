@@ -354,3 +354,30 @@ def test_funnel_stage_joins_never_product(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert plan.count("BroadcastHashJoin") + plan.count("SortMergeJoin") \
         + plan.count("ShuffledHashJoin") >= 5
+
+
+def test_ccnet_approx_cuts_have_no_per_lang_sort(spark):
+    """q78 approx=True (the 100 TB path): the per-language cuts come
+    from a map-side-combinable percentile_approx sketch broadcast back
+    — NO ntile and NO window partitioned by lang (which would
+    single-task every document of a language). The only window left is
+    the model's c_ctx over the aggregated bigram table (partitioned by
+    w1 — millions of partitions, not one per language)."""
+    plan = plan_of(queries.q78_ccnet_lm_filter(spark, SF, approx=True))
+    assert "ntile(" not in plan
+    assert "windowspecdefinition(lang" not in plan
+    assert "partial_percentile_approx" in plan   # sketch partial-aggregates
+    assert "CartesianProduct" not in plan
+    # the exact baseline, by contrast, IS the per-lang ntile sort
+    exact = plan_of(queries.q78_ccnet_lm_filter(spark, SF))
+    assert "ntile(" in exact
+
+
+def test_source_classifier_totals_broadcast_not_windowed(spark):
+    """q79: per-source totals are a k-row groupBy broadcast-joined back
+    — never Window.partitionBy(source) over the (source, token)
+    aggregate, which would put a full per-source vocabulary in one
+    task. The only window is the k-rows-per-doc argmax on doc_id."""
+    plan = plan_of(queries.q79_source_classifier(spark, SF))
+    assert "windowspecdefinition(source" not in plan
+    assert "windowspecdefinition(doc_id" in plan   # the argmax stays
