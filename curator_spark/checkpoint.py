@@ -2181,6 +2181,12 @@ def delete_conversations(spark: SparkSession, out_dir: str,
 
     summary = {"rows_deleted": 0, "files_rewritten": 0,
                "files_untouched": 0, "parts_touched": []}
+    # NULL-key rows must SURVIVE: `~isin` evaluates to NULL for a
+    # NULL key and the filter would silently drop (= delete)
+    # untargeted rows on any nullable key column
+    targets = [str(c) for c in conv_ids]
+    keep_fn = lambda df: df.filter(  # noqa: E731
+        (~F.col(key).isin(targets)) | F.col(key).isNull())
     for part, marker in sorted(committed.items()):
         files = (marker or {}).get("files") or {}
         if keep_parts is not None and int(part) not in keep_parts:
@@ -2193,70 +2199,189 @@ def delete_conversations(spark: SparkSession, out_dir: str,
         summary["files_untouched"] += len(files) - len(cand)
         if not cand:
             continue
-        pdir = os.path.join(out_dir, "data", f"part={int(part)}")
-        paths = [os.path.join(pdir, f) for f in cand]
-        reader = spark.read.schema(declared) if declared is not None \
-            else spark.read
-        before = sum(int(files[f].get("n_rows", 0)) for f in cand)
-        # NULL-key rows must SURVIVE: `~isin` evaluates to NULL for a
-        # NULL key and the filter would silently drop (= delete)
-        # untargeted rows on any nullable key column
-        kept = reader.parquet(*paths).filter(
-            (~F.col(key).isin([str(c) for c in conv_ids]))
-            | F.col(key).isNull())
-        tag = uuid.uuid4().hex[:12]
-        staging = os.path.join(out_dir, f"_compact-{tag}")  # vacuum-known
-        kept.coalesce(max(1, len(cand))).write.parquet(staging)
-        man: dict = {}
-        new_stats: dict = {}
-        after = 0
-        i = 0
-        for f in sorted(os.listdir(staging)):
-            if not f.endswith(".parquet"):
-                continue
-            src = os.path.join(staging, f)
-            rows = pq.ParquetFile(src).metadata.num_rows
-            if rows == 0:
-                continue  # fully-deleted file: remove, add nothing
-            newname = f"delete-{tag}-{i:05d}.parquet"
-            man[newname] = {"n_rows": int(rows),
-                            "n_bytes": os.path.getsize(src)}
-            new_stats[newname] = file_column_stats(src)
-            after += int(rows)
-            os.replace(src, os.path.join(pdir, newname))
-            i += 1
-        shutil.rmtree(staging, ignore_errors=True)
-        if after > before:
-            raise RuntimeError(
-                f"delete rewrite of part {part} produced {after} rows "
-                f"from {before} — aborted before commit, table unchanged")
-        if after == before:
-            # stats false positive: no target actually present — leave
-            # the original files alone; the rewrites are orphans
-            for f in man:
-                os.remove(os.path.join(pdir, f))
-            continue
-        ver = ledger.delete_rewrite(int(part), cand, man, stats=new_stats)
-        # verify the swap APPLIED: replay honors it only when every
-        # removed file was still referenced at version-1 — re-check that
-        # exact condition rather than trusting our (possibly stale)
-        # snapshot. A concurrent compact/recompute that replaced a
-        # candidate in between makes the swap a silent no-op in replay;
-        # the caller must not be told rows were deleted when they
-        # weren't.
-        prev_files = set(((ledger.committed(version=ver - 1)
-                           .get(int(part)) or {}).get("files") or {}))
-        if not set(cand) <= prev_files:
-            raise ConcurrentDeleteError(
-                f"delete of part {part} conflicted with a concurrent "
-                f"rewrite: files {sorted(set(cand) - prev_files)} were "
-                f"replaced between snapshot and commit (v{ver}); the "
-                "swap was ignored by replay — retry the delete against "
-                "the new snapshot")
-        summary["rows_deleted"] += before - after
-        summary["files_rewritten"] += len(cand)
-        summary["parts_touched"].append(int(part))
+        _swap_filtered_rewrite(spark, out_dir, ledger, declared,
+                               int(part), cand, files, keep_fn, summary)
     return summary
+
+
+def _swap_filtered_rewrite(spark, out_dir, ledger, declared, part,
+                           cand, files, keep_fn, summary) -> None:
+    """The DELETE rewrite core shared by the id-list and DataFrame key
+    paths: read the candidate files, keep `keep_fn(df)`, stage the
+    survivors, swap atomically via one `delete` log version, and verify
+    the swap APPLIED (raising ConcurrentDeleteError on a stale swap —
+    see delete_conversations). A rewrite that removes nothing (stats
+    false positive) leaves the originals untouched and commits no
+    version. Mutates `summary` in place."""
+    import shutil
+    import uuid
+
+    import pyarrow.parquet as pq
+
+    pdir = os.path.join(out_dir, "data", f"part={int(part)}")
+    paths = [os.path.join(pdir, f) for f in cand]
+    reader = spark.read.schema(declared) if declared is not None \
+        else spark.read
+    before = sum(int(files[f].get("n_rows", 0)) for f in cand)
+    kept = keep_fn(reader.parquet(*paths))
+    tag = uuid.uuid4().hex[:12]
+    staging = os.path.join(out_dir, f"_compact-{tag}")  # vacuum-known
+    kept.coalesce(max(1, len(cand))).write.parquet(staging)
+    man: dict = {}
+    new_stats: dict = {}
+    after = 0
+    i = 0
+    for f in sorted(os.listdir(staging)):
+        if not f.endswith(".parquet"):
+            continue
+        src = os.path.join(staging, f)
+        rows = pq.ParquetFile(src).metadata.num_rows
+        if rows == 0:
+            continue  # fully-deleted file: remove, add nothing
+        newname = f"delete-{tag}-{i:05d}.parquet"
+        man[newname] = {"n_rows": int(rows),
+                        "n_bytes": os.path.getsize(src)}
+        new_stats[newname] = file_column_stats(src)
+        after += int(rows)
+        os.replace(src, os.path.join(pdir, newname))
+        i += 1
+    shutil.rmtree(staging, ignore_errors=True)
+    if after > before:
+        raise RuntimeError(
+            f"delete rewrite of part {part} produced {after} rows "
+            f"from {before} — aborted before commit, table unchanged")
+    if after == before:
+        # stats false positive: no target actually present — leave
+        # the original files alone; the rewrites are orphans
+        for f in man:
+            os.remove(os.path.join(pdir, f))
+        return
+    ver = ledger.delete_rewrite(int(part), cand, man, stats=new_stats)
+    # verify the swap APPLIED: replay honors it only when every
+    # removed file was still referenced at version-1 — re-check that
+    # exact condition rather than trusting our (possibly stale)
+    # snapshot. A concurrent compact/recompute that replaced a
+    # candidate in between makes the swap a silent no-op in replay;
+    # the caller must not be told rows were deleted when they
+    # weren't.
+    prev_files = set(((ledger.committed(version=ver - 1)
+                       .get(int(part)) or {}).get("files") or {}))
+    if not set(cand) <= prev_files:
+        raise ConcurrentDeleteError(
+            f"delete of part {part} conflicted with a concurrent "
+            f"rewrite: files {sorted(set(cand) - prev_files)} were "
+            f"replaced between snapshot and commit (v{ver}); the "
+            "swap was ignored by replay — retry the delete against "
+            "the new snapshot")
+    summary["rows_deleted"] += before - after
+    summary["files_rewritten"] += len(cand)
+    summary["parts_touched"].append(int(part))
+
+
+def delete_matching(spark: SparkSession, out_dir: str, keys: DataFrame,
+                    key: str = "conv_id",
+                    backend: str | None = None) -> dict:
+    """Distributed row-level DELETE: the targets arrive as a DATAFRAME
+    of keys, never as a driver-side list — the shape an upsert that
+    revises 10^7 conversations needs (delete_conversations' Python list
+    is for administrative requests, this is for data-plane volumes).
+
+    The key set is staged once to scratch parquet (cutting the lineage
+    so the possibly-expensive producing plan — e.g. a fingerprint
+    comparison join — runs exactly once, not once per partition), then:
+    * partition pruning: each key's bucket is computed DISTRIBUTEDLY
+      with the table's recorded bucket transform (an Arrow-batched
+      pandas UDF over the same BUCKET_FNS registry the planner uses);
+      only per-part (min, max) key ranges ever reach the driver —
+      O(n_parts) state regardless of key volume;
+    * file pruning: a file is a candidate only if its manifest [min,
+      max] overlaps its partition's key range;
+    * the rewrite keeps survivors via LEFT ANTI join against the staged
+      keys (NULL keys never match an anti-join probe, so NULL-key rows
+      survive — same contract as delete_conversations), sharing the
+      same atomic swap + stale-swap verification core.
+
+    Returns {rows_deleted, files_rewritten, files_untouched,
+    parts_touched, n_keys}."""
+    import shutil
+    import uuid
+
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import StructType
+
+    backend = backend or detect_backend(out_dir)
+    ledger = make_ledger(out_dir, backend)
+    if not getattr(ledger, "log_defined_visibility", False):
+        raise ValueError(
+            f"delete requires a log-defined-visibility ledger, not "
+            f"'{backend}': a filtered file swap cannot be atomic when "
+            "the directory content IS the committed state")
+    committed, _success, meta, _txns = ledger.snapshot()
+    bucket = meta.get("bucket") or {}
+    declared = None
+    if meta.get("schema"):
+        declared = StructType.fromJson(meta["schema"])
+        declared = StructType([f for f in declared.fields
+                               if f.name != "part"])  # files hold no part
+
+    summary = {"rows_deleted": 0, "files_rewritten": 0,
+               "files_untouched": 0, "parts_touched": [], "n_keys": 0}
+    scratch = os.path.join(out_dir, f"_compact-{uuid.uuid4().hex[:12]}-keys")
+    try:
+        (keys.select(F.col(key).cast("string").alias(key))
+         .filter(F.col(key).isNotNull()).distinct()
+         .write.parquet(scratch))
+        kdf = spark.read.parquet(scratch)
+        n_keys = kdf.count()
+        summary["n_keys"] = int(n_keys)
+        if n_keys == 0:
+            summary["files_untouched"] = sum(
+                len((m or {}).get("files") or {})
+                for m in committed.values())
+            return summary
+
+        bucketed = (bucket.get("col") == key
+                    and bucket.get("fn") in BUCKET_FNS
+                    and bucket.get("n_parts"))
+        if bucketed:
+            fn_name, n_parts = bucket["fn"], int(bucket["n_parts"])
+
+            def _bucket_series(s):
+                f = BUCKET_FNS[fn_name]
+                return s.map(lambda v: f(v, n_parts)).astype("int32")
+
+            _bucket_of = pandas_udf(_bucket_series, "int")
+            ranges = {int(r["part"]): (r["kmin"], r["kmax"]) for r in
+                      (kdf.groupBy(_bucket_of(F.col(key)).alias("part"))
+                       .agg(F.min(key).alias("kmin"),
+                            F.max(key).alias("kmax")).collect())}
+        else:
+            r = kdf.agg(F.min(key).alias("kmin"),
+                        F.max(key).alias("kmax")).collect()[0]
+            ranges = {int(p): (r["kmin"], r["kmax"]) for p in committed}
+
+        keep_fn = lambda df: df.join(kdf, [key], "left_anti")  # noqa: E731
+        for part, marker in sorted(committed.items()):
+            files = (marker or {}).get("files") or {}
+            if int(part) not in ranges:
+                summary["files_untouched"] += len(files)
+                continue
+            kmin, kmax = ranges[int(part)]
+            stats = (marker or {}).get("stats") or {}
+            # candidate iff the file's [min, max] overlaps the keys'
+            # [kmin, kmax]: may contain a row <= kmax AND a row >= kmin
+            cand = [fn_ for fn_ in sorted(files)
+                    if _file_may_match(stats.get(fn_), key, "<=", kmax)
+                    and _file_may_match(stats.get(fn_), key, ">=", kmin)]
+            summary["files_untouched"] += len(files) - len(cand)
+            if not cand:
+                continue
+            _swap_filtered_rewrite(spark, out_dir, ledger, declared,
+                                   int(part), cand, files, keep_fn,
+                                   summary)
+        return summary
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
 
 
 def read_metrics(spark: SparkSession, out_dir: str) -> DataFrame:

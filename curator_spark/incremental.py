@@ -108,33 +108,36 @@ def upsert_conversations(spark: SparkSession, input_path: str,
     re-delivery or a redaction re-run lands without rewriting the
     table.
 
-    Revised conv_ids pass through the driver (delete-by-key is an
-    administrative operation, not a data-plane join) — fine for
-    correction batches, not for replacing half the corpus.
+    The revised key set stays a DATAFRAME end to end — fingerprints
+    join, distributed delete (checkpoint.delete_matching: bucket-pruned
+    via a pandas-UDF bucket transform, file-pruned by manifest ranges,
+    survivors kept by LEFT ANTI join), counts from aggregates. Nothing
+    key-volume-proportional ever reaches the driver, so a batch that
+    revises 10^7 conversations costs the same driver memory as one that
+    revises 10.
 
     Returns the append summary plus convs_revised."""
     t0 = time.monotonic()
     run_id = run_fingerprint(input_path, {"kind": "upsert",
                                           **(params or {})})
     new = spark.read.schema(schema.TRANSCRIPTS_SCHEMA).parquet(input_path)
-    from .checkpoint import delete_conversations
+    from .checkpoint import delete_matching
     backend = detect_backend(out_dir)
     existing = read_committed(spark, out_dir, backend)
     batch_fps = conv_fingerprints(new)
     table_fps = conv_fingerprints(
         existing.select("conv_id", "turn_idx", "role", "text"))
-    revised = [r.conv_id for r in
-               (batch_fps.alias("b")
-                .join(table_fps.alias("t"), "conv_id")
-                .filter(F.col("b.conv_fp") != F.col("t.conv_fp"))
-                .select("conv_id").distinct().collect())]
-    if revised:
-        delete_conversations(spark, out_dir, revised, backend)
+    revised = (batch_fps.alias("b")
+               .join(table_fps.alias("t"), "conv_id")
+               .filter(F.col("b.conv_fp") != F.col("t.conv_fp"))
+               .select("conv_id"))
+    d = delete_matching(spark, out_dir, revised, key="conv_id",
+                        backend=backend)
     summary = append_batch_df(spark, new, out_dir, run_id=run_id,
                               input_desc=input_path, params=params,
                               broadcast_conv_aggs=broadcast_conv_aggs,
                               t0=t0)
-    summary["convs_revised"] = len(revised)
+    summary["convs_revised"] = int(d["n_keys"])
     return summary
 
 

@@ -161,3 +161,37 @@ def test_rerun_after_delete_does_not_resurrect(spark, table, tmp_path):
                                  "fn": "md5full"})
     assert r["memoized"] and r["parts_invalidated"] == 0
     assert read_committed(spark, out).count() == n_after
+
+
+def test_delete_matching_dataframe_keys(spark, table):
+    """delete_matching: the DataFrame-of-keys DELETE — bucket pruning
+    happens distributedly (pandas-UDF bucket transform, O(n_parts)
+    driver state), NULL keys are dropped from the target set, absent
+    keys are no-ops, survivors are byte-identical."""
+    from curator_spark.checkpoint import delete_matching
+    out, pdf = table["out"], table["pdf"]
+    ids = sorted(pdf["conv_id"].unique())[:3]
+    n_target = int(pdf["conv_id"].isin(ids).sum())
+    before = read_committed(spark, out).orderBy(
+        "conv_id", "turn_idx").toPandas()
+
+    keys = spark.createDataFrame(
+        [(i,) for i in ids] + [(None,), ("conv-9999-00000000",), (ids[0],)],
+        "conv_id string")
+    s = delete_matching(spark, out, keys)
+    assert s["n_keys"] == len(ids) + 1            # distinct, NULL dropped
+    assert s["rows_deleted"] == n_target
+    assert s["files_untouched"] > 0               # pruning did real work
+    want_parts = {fixtures.part_of(c, 4) for c in ids}
+    assert set(s["parts_touched"]) <= want_parts
+
+    after = read_committed(spark, out).orderBy(
+        "conv_id", "turn_idx").toPandas()
+    survivors = before[~before["conv_id"].isin(ids)].reset_index(drop=True)
+    assert survivors.equals(after.reset_index(drop=True))
+    # empty key set: pure no-op, no commit
+    led = make_ledger(out, "commitlog")
+    v = led.latest_version()
+    s0 = delete_matching(spark, out, keys.filter("conv_id IS NULL"))
+    assert s0["n_keys"] == 0 and s0["rows_deleted"] == 0
+    assert led.latest_version() == v

@@ -174,3 +174,50 @@ def test_upsert_replaces_revised_keeps_same_adds_new(spark, tmp_path):
     s2 = upsert_conversations(spark, p2, out)
     assert s2["convs_revised"] == 0 and s2["rows_appended"] == 0
     assert read_committed(spark, out).count() == len(b1) + len(fresh)
+
+
+def test_upsert_never_materializes_revised_keys_on_driver(
+        spark, tmp_path, monkeypatch):
+    """The upsert's delete leg is data-plane volume: a batch revising
+    10^7 conversations must not collect them as a Python list. Guard:
+    every DataFrame.collect() during the upsert returns O(n_parts)
+    rows (bucket ranges, per-part metrics) — never O(revised keys)."""
+    import pandas as pd
+    from pyspark.sql import DataFrame
+
+    from curator_spark.checkpoint import run_checkpointed
+    from curator_spark.incremental import upsert_conversations
+
+    p1 = str(tmp_path / "b1.parquet")
+    b1 = fixtures.write_transcripts_parquet(p1, 2000, seed=64, n_parts=4)
+    out = str(tmp_path / "out")
+    run_checkpointed(spark, p1, out, ledger_backend="commitlog",
+                     bucket={"col": "conv_id", "n_parts": 4,
+                             "fn": "md5full"})
+    # revise EVERY conversation (the replace-half-the-corpus shape)
+    batch = b1.copy()
+    batch["text"] = batch["text"] + " [rev2]"
+    n_revised = batch["conv_id"].nunique()
+    assert n_revised >= 100
+    p2 = str(tmp_path / "b2.parquet")
+    fixtures.to_spark_parquet(batch, p2)
+
+    sizes: list[int] = []
+    orig = DataFrame.collect
+
+    def counting(self):
+        rows = orig(self)
+        sizes.append(len(rows))
+        return rows
+
+    monkeypatch.setattr(DataFrame, "collect", counting)
+    s = upsert_conversations(spark, p2, out)
+    monkeypatch.undo()
+    assert s["convs_revised"] == n_revised
+    assert s["rows_appended"] == len(batch)
+    assert max(sizes, default=0) <= 64, (
+        f"a collect materialized {max(sizes)} rows — key-volume-"
+        "proportional driver state")
+    table = read_committed(spark, out)
+    assert table.count() == len(b1)               # replaced, not added
+    assert table.filter("text LIKE '%[rev2]%'").count() == len(batch)
