@@ -77,6 +77,80 @@ def run_fingerprint(input_path: str, params: dict | None = None) -> str:
     return hashlib.md5(json.dumps(basis, sort_keys=True, default=str).encode()).hexdigest()[:16]
 
 
+class OsLinkStore:
+    """put-if-absent on a POSIX filesystem: `os.link` from a fsynced
+    tmp file is an atomic create-with-full-content that FAILS when the
+    name exists. The default store on local/NFS/HDFS-fuse paths."""
+
+    name = "oslink"
+
+    def put_if_absent(self, path: str, data: bytes) -> bool:
+        """Publish `data` at `path` iff nothing is there. True on
+        success; False when the name already exists (a racer won —
+        whatever is there is complete, never half-written). Raises on
+        any other I/O failure."""
+        import uuid
+        tmp = os.path.join(os.path.dirname(path),
+                           f".put-{uuid.uuid4().hex}.tmp")
+        with open(tmp, "wb") as f:
+            f.write(data)
+            f.flush()
+            os.fsync(f.fileno())
+        try:
+            os.link(tmp, path)
+            return True
+        except FileExistsError:
+            return False
+        finally:
+            os.unlink(tmp)
+
+
+class CondPutStore:
+    """put-if-absent via an If-None-Match-style conditional PUT: take
+    an exclusive lock (standing in for the object store's server-side
+    serialization), check existence, publish full content atomically.
+    This is the literal shape of S3 `PUT If-None-Match: *` /
+    GCS `if-generation-match: 0` / Azure `If-None-Match: *` — running
+    the whole ledger suite over this store proves the commit protocol
+    depends ONLY on the conditional-put contract (exactly-one winner
+    per name, complete content or nothing), not on os.link errno
+    behavior. An S3 adapter is this class with the lock+check+replace
+    replaced by one botocore call."""
+
+    name = "condput"
+
+    def put_if_absent(self, path: str, data: bytes) -> bool:
+        import fcntl
+        import uuid
+        d = os.path.dirname(path)
+        os.makedirs(d, exist_ok=True)
+        lockfile = os.path.join(d, ".store-lock")
+        with open(lockfile, "a+") as lf:
+            fcntl.flock(lf, fcntl.LOCK_EX)  # released on close
+            if os.path.exists(path):
+                return False               # 412 Precondition Failed
+            tmp = os.path.join(d, f".put-{uuid.uuid4().hex}.tmp")
+            with open(tmp, "wb") as f:
+                f.write(data)
+                f.flush()
+                os.fsync(f.fileno())
+            os.replace(tmp, path)          # 200 OK
+            return True
+
+
+ATOMIC_STORES = {"oslink": OsLinkStore, "condput": CondPutStore}
+
+
+def get_atomic_store():
+    """The process-wide put-if-absent primitive for commit publishing
+    (env CURATOR_SPARK_ATOMIC_STORE selects; default os.link). One
+    seam: every log commit, checkpoint, and consumer cursor publishes
+    through it, so pointing this at an object-store adapter moves the
+    WHOLE protocol's atomicity to S3/GCS/Azure unchanged."""
+    return ATOMIC_STORES[os.environ.get(
+        "CURATOR_SPARK_ATOMIC_STORE", "oslink")]()
+
+
 class MarkerLedger:
     """Commit ledger as one JSON marker file per partition plus a
     whole-run _SUCCESS_RUN marker, each published with a POSIX
@@ -190,9 +264,13 @@ class CommitLogLedger:
     # works and a corrupt/missing checkpoint degrades to a full replay.
     CKPT_INTERVAL = 16
 
-    def __init__(self, out_dir: str) -> None:
+    def __init__(self, out_dir: str, store=None) -> None:
         self.out_dir = out_dir
         self.dir = os.path.join(out_dir, "_commitlog")
+        # the ONE atomicity primitive (put_if_absent): os.link locally,
+        # a conditional-PUT adapter on object stores — every commit,
+        # checkpoint, and retry loop below goes through it
+        self.store = store or get_atomic_store()
 
     # -- log primitives ----------------------------------------------
     def _versions(self, upto: int | None = None) -> list[str]:
@@ -215,27 +293,18 @@ class CommitLogLedger:
 
     def _append(self, actions: list[dict]) -> int:
         """Publish one commit containing `actions`; returns its version."""
-        import uuid
         os.makedirs(self.dir, exist_ok=True)
         vs = self._versions()
         n = 1 + (int(vs[-1][1:-5]) if vs else 0)
-        tmp = os.path.join(self.dir, f".tx-{uuid.uuid4().hex}.tmp")
-        with open(tmp, "w") as f:
-            json.dump({"actions": actions,
-                       "writer_pid": os.getpid(),
-                       "ts": datetime.now(timezone.utc).isoformat()}, f)
-            f.flush()
-            os.fsync(f.fileno())
-        try:
-            while True:
-                target = os.path.join(self.dir, f"v{n:012d}.json")
-                try:
-                    os.link(tmp, target)  # atomic put-if-absent, full content
-                    break
-                except FileExistsError:
-                    n += 1                # lost the race: retry next version
-        finally:
-            os.unlink(tmp)
+        payload = json.dumps({
+            "actions": actions, "writer_pid": os.getpid(),
+            "ts": datetime.now(timezone.utc).isoformat()}).encode()
+        # atomic put-if-absent, full content; losing the race means a
+        # concurrent writer owns this number — retry at the next one
+        # (optimistic concurrency, no lost updates)
+        while not self.store.put_if_absent(
+                os.path.join(self.dir, f"v{n:012d}.json"), payload):
+            n += 1
         if n % self.CKPT_INTERVAL == 0:
             # best-effort: a failed checkpoint never fails the commit —
             # readers just replay a longer tail; racing writers compute
@@ -256,24 +325,16 @@ class CommitLogLedger:
     def _write_checkpoint(self, version: int) -> None:
         # incremental: computing the state at `version` itself starts
         # from the previous checkpoint
-        import uuid
         state = self._replay(upto=version)
-        # uuid tmp: two racing writers checkpointing the same version
-        # must not scribble over each other's half-written tmp
-        tmp = os.path.join(self.dir, f".ckpt-{uuid.uuid4().hex}.tmp")
-        with open(tmp, "w") as f:
-            json.dump({"version": int(version),
-                       "parts": {str(k): v for k, v in state[0].items()},
-                       "success": state[1], "meta": state[2],
-                       "txns": state[3]}, f)
-            f.flush()
-            os.fsync(f.fileno())
-        try:
-            os.link(tmp, os.path.join(self.dir, f"ckpt-{version:012d}.json"))
-        except FileExistsError:
-            pass  # a racing writer published the identical state first
-        finally:
-            os.unlink(tmp)
+        payload = json.dumps({
+            "version": int(version),
+            "parts": {str(k): v for k, v in state[0].items()},
+            "success": state[1], "meta": state[2],
+            "txns": state[3]}).encode()
+        # a racing writer publishing the identical state first is fine
+        # (both computed the same replay at `version`)
+        self.store.put_if_absent(
+            os.path.join(self.dir, f"ckpt-{version:012d}.json"), payload)
 
     def _load_checkpoint(self, upto: int | None):
         """Latest readable checkpoint at version <= upto (or any), as

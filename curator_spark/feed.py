@@ -60,21 +60,16 @@ def consumer_position(out_dir: str, consumer_id: str) -> int:
 
 def _commit_cursor(out_dir: str, consumer_id: str, version: int,
                    rows: int) -> None:
-    import uuid
+    from .checkpoint import get_atomic_store
     d = _cursor_dir(out_dir, consumer_id)
     os.makedirs(d, exist_ok=True)
-    tmp = os.path.join(d, f".cur-{uuid.uuid4().hex}.tmp")
-    with open(tmp, "w") as f:
-        json.dump({"version": int(version), "rows": int(rows),
-                   "pid": os.getpid()}, f)
-        f.flush()
-        os.fsync(f.fileno())
-    try:
-        os.link(tmp, os.path.join(d, f"cursor-{int(version):012d}.json"))
-    except FileExistsError:
-        pass  # a racing consumer with the same id committed the same window
-    finally:
-        os.unlink(tmp)
+    payload = json.dumps({"version": int(version), "rows": int(rows),
+                          "pid": os.getpid()}).encode()
+    # same put-if-absent seam as the commit log: a racing consumer with
+    # the same id committing the same window is a success (identical
+    # content), and the primitive transfers to object stores unchanged
+    get_atomic_store().put_if_absent(
+        os.path.join(d, f"cursor-{int(version):012d}.json"), payload)
     _gc_cursors(d, keep_tail=CURSOR_KEEP_TAIL)
 
 

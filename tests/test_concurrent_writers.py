@@ -33,7 +33,14 @@ spark.stop()
 """
 
 
-def test_processes_race_appends_without_lost_updates(spark, tmp_path):
+# both put-if-absent stores must serialize real multi-process races:
+# os.link natively, the conditional-put emulation via its server-side-
+# style lock — the same contract an S3 If-None-Match adapter provides
+@pytest.mark.parametrize("store_name", ["oslink", "condput"])
+def test_processes_race_appends_without_lost_updates(spark, tmp_path,
+                                                     store_name,
+                                                     monkeypatch):
+    monkeypatch.setenv("CURATOR_SPARK_ATOMIC_STORE", store_name)
     p0 = str(tmp_path / "base.parquet")
     fixtures.write_transcripts_parquet(p0, 400, seed=91, n_parts=4)
     out = str(tmp_path / "out")
@@ -47,7 +54,8 @@ def test_processes_race_appends_without_lost_updates(spark, tmp_path):
                                                  n_parts=4)
         batches.append((p, pdf))
 
-    env = dict(os.environ, PYTHONPATH=REPO)
+    env = dict(os.environ, PYTHONPATH=REPO,
+               CURATOR_SPARK_ATOMIC_STORE=store_name)
     procs = [subprocess.Popen(
         [sys.executable, "-c", WRITER, p, out],
         env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
@@ -73,3 +81,35 @@ def test_processes_race_appends_without_lost_updates(spark, tmp_path):
     n_appends = sum(1 for h in led.history()
                     if "add_files" in h["operations"])
     assert n_appends >= len(batches)
+
+
+@pytest.mark.parametrize("store_name", ["oslink", "condput"])
+def test_atomic_store_contract_under_thread_races(tmp_path, store_name):
+    """The put_if_absent contract both stores must honor: for one name,
+    exactly ONE writer wins, the loser learns it (False — never an
+    exception), and the published content is one writer's payload IN
+    FULL (complete content or nothing, never an interleaving)."""
+    import threading
+
+    from curator_spark.checkpoint import ATOMIC_STORES
+    store = ATOMIC_STORES[store_name]()
+    for round_ in range(8):
+        path = str(tmp_path / f"v{round_:03d}.json")
+        results: dict[int, bool] = {}
+        payloads = {i: (f'{{"writer": {i}, "round": {round_}}}'
+                        * 200).encode() for i in range(6)}
+        barrier = threading.Barrier(6)
+
+        def attempt(i):
+            barrier.wait()
+            results[i] = store.put_if_absent(path, payloads[i])
+
+        ts = [threading.Thread(target=attempt, args=(i,)) for i in range(6)]
+        [t.start() for t in ts]
+        [t.join() for t in ts]
+        winners = [i for i, ok in results.items() if ok]
+        assert len(winners) == 1, results
+        with open(path, "rb") as f:
+            assert f.read() == payloads[winners[0]]  # full content
+        # and a later put against the existing name just loses
+        assert store.put_if_absent(path, b"late") is False

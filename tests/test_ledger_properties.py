@@ -20,9 +20,10 @@ import itertools
 import os
 import uuid
 
+import pytest
 from hypothesis import given, settings, strategies as st
 
-from curator_spark.checkpoint import make_ledger
+from curator_spark.checkpoint import ATOMIC_STORES, make_ledger
 
 # one op = (kind, small ints); the interpreter below maps them onto
 # ledger calls against whatever state the log has reached
@@ -114,12 +115,18 @@ def _manifest_rows_consistent(parts):
                                       for v in m["files"].values())
 
 
+# the whole property suite runs once per atomic store: os.link and the
+# If-None-Match conditional-put emulation must satisfy every protocol
+# invariant identically — the proof that the ledger depends only on the
+# put-if-absent CONTRACT (PROTOCOL.md §2), not on POSIX link semantics
+@pytest.mark.parametrize("store_name", sorted(ATOMIC_STORES))
 @settings(max_examples=int(os.environ.get("LEDGER_PROP_EXAMPLES", "40")),
           deadline=None)
 @given(st.lists(OP, min_size=1, max_size=40), st.data())
-def test_random_programs_preserve_protocol_invariants(ops, data):
+def test_random_programs_preserve_protocol_invariants(store_name, ops, data):
     root = f"/tmp/ledger_props/{uuid.uuid4().hex}"
     led = make_ledger(root, "commitlog")
+    led.store = ATOMIC_STORES[store_name]()
     led.CKPT_INTERVAL = 8  # cross checkpoint boundaries often
 
     timeline: dict[int, tuple] = {}  # version → deep-copied state
