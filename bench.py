@@ -470,36 +470,92 @@ def main() -> None:
 
 
 def measure_table_ops() -> dict:
-    """Read-planning cost on a LONG-LIVED commitlog table (the
+    """Read/feed-planning cost on a LONG-LIVED commitlog table (the
     continuous-ingestion regime: one commit per appended partition per
-    batch → thousands of versions per year). Builds a 128-commit log
-    (pure protocol; planning never touches data), then measures a
-    snapshot plan WITH log checkpoints vs with them deleted (full
-    replay). The decisive number is FILES OPENED per plan — a
-    deterministic, host-independent measure of planning I/O; wall time
-    (min of 5) is reported alongside. At 10^5 versions the full replay
-    is 10^5 opens per plan; the checkpointed plan stays O(interval)."""
+    batch → thousands of versions per year). Builds a ~4k-version
+    MIXED-action log — appends dominating, periodic compactions,
+    row-level deletes, partition drops, and two restores, the action
+    mix a real table accretes — then measures, WITH log checkpoints vs
+    with them deleted (full replay):
+
+    * one snapshot plan (read_committed's metadata phase);
+    * one change-feed bootstrap plan (table_changes 0→head — a new
+      consumer's first poll);
+    * one 64-version tail poll (table_changes head-64→head — a regular
+      consumer's steady-state poll);
+    * one consume_changes metadata-only poll (a maintenance-only
+      window: the cursor must advance without running a Spark job).
+
+    The decisive number is FILES OPENED per plan — deterministic and
+    host-independent; wall time (min of 5) is reported alongside. At
+    10^5 versions a full replay opens 10^5 files per plan; the
+    checkpointed plan stays O(interval)."""
     import builtins
     import shutil
     import uuid
     from unittest.mock import patch
 
-    from curator_spark.checkpoint import make_ledger, table_row_count
+    from curator_spark.checkpoint import make_ledger, table_changes, \
+        table_row_count
+    from curator_spark.feed import _commit_cursor, consume_changes
 
     root = f"/tmp/curator_bench/tableops-{uuid.uuid4().hex[:8]}"
     led = make_ledger(root, "commitlog")
-    n_commits = 128
-    for i in range(n_commits):
-        led.append_part(i % 8, {f"f{i}.parquet": {"n_rows": 100}}, 100,
-                        run_id=f"r{i}")
+    n_commits = 4096
+    n_parts = 8
+    actions = {"append": 0, "compact": 0, "delete": 0, "remove": 0,
+               "restore": 0}
+    i = 0
+    while (led.latest_version() or 0) < n_commits:
+        i += 1
+        v = led.latest_version() or 0
+        r = i % 64
+        p = i % n_parts
+        if v in (1500, 3000):          # two rollbacks mid-history
+            t = v - 40
+            s = led.snapshot(version=t)
+            led.restore(t, s[0], s[1], s[2], txns=s[3])
+            actions["restore"] += 1
+        elif r == 63:                  # row-level delete of an old file
+            m = led.committed().get(p)
+            if m and m.get("files"):
+                led.delete_rewrite(p, [sorted(m["files"])[0]], {})
+                actions["delete"] += 1
+                continue
+        elif r == 62 and i % 512 == 62:  # rare partition drop
+            if led.committed().get(p):
+                led.drop_part(p)
+                actions["remove"] += 1
+                continue
+        elif r == 31:                  # compaction
+            m = led.committed().get(p)
+            if m and m.get("files"):
+                led.compact_part(p, sorted(m["files"]),
+                                 {f"c{i}.parquet": {"n_rows": m["n_rows"]}})
+                actions["compact"] += 1
+                continue
+        else:
+            led.append_part(p, {f"f{i}.parquet": {"n_rows": 100}}, 100,
+                            run_id=f"r{i}")
+            actions["append"] += 1
+    # a maintenance-only tail (compactions, no inserts): the window a
+    # steady consumer polls right after an OPTIMIZE pass
+    for j in range(4):
+        p = j % n_parts
+        m = led.committed().get(p)
+        if m and m.get("files"):
+            led.compact_part(p, sorted(m["files"]),
+                             {f"t{j}.parquet": {"n_rows": m["n_rows"]}})
+    head = led.latest_version()
 
     real_open = builtins.open
 
-    def plan_cost():
+    def plan_cost(fn):
         opened = [0]
 
         def spy(path, *a, **kw):
-            if isinstance(path, str) and "_commitlog" in path:
+            if isinstance(path, str) and (
+                    "_commitlog" in path or "_consumers" in path):
                 opened[0] += 1
             return real_open(path, *a, **kw)
 
@@ -508,27 +564,64 @@ def measure_table_ops() -> dict:
             opened[0] = 0
             t0 = time.monotonic()
             with patch.object(builtins, "open", side_effect=spy):
-                led.snapshot()
+                fn()
             best = min(best, time.monotonic() - t0)
         return opened[0], round(best * 1000, 2)
 
-    opens_ckpt, ms_ckpt = plan_cost()
+    def measure_modes():
+        modes = {}
+        modes["snapshot"] = plan_cost(led.snapshot)
+        modes["feed_bootstrap"] = plan_cost(
+            lambda: table_changes(root, 0, head))
+        modes["feed_tail_poll"] = plan_cost(
+            lambda: table_changes(root, head - 64, head))
+        return modes
+
+    with_ckpt = measure_modes()
+    # consume_changes on the maintenance-only window: rows_inserted is 0
+    # from the log alone, so the cursor advances with NO Spark session
+    # (spark=None proves no job could even be constructed)
+    _commit_cursor(root, "bench", head - 4, 0)
+    r = consume_changes(None, root, "bench",
+                        sink=lambda df, s, u: (_ for _ in ()).throw(
+                            AssertionError("metadata-only poll ran Spark")))
+    assert r["advanced"] and r["consumed_rows"] == 0
+    # each min-of-5 iteration gets its OWN consumer so every call is a
+    # real ADVANCING poll (a shared cursor would no-op after the first)
+    for k in range(5):
+        _commit_cursor(root, f"bench-{k}", head - 4, 0)
+    ids = iter([f"bench-{k}" for k in range(5)])
+    with_ckpt["consume_poll"] = plan_cost(
+        lambda: consume_changes(None, root, next(ids),
+                                sink=lambda df, s, u: None))
+
     n_rows = table_row_count(root)
     for c in led._checkpoints():
         os.remove(os.path.join(led.dir, f"ckpt-{c:012d}.json"))
-    opens_full, ms_full = plan_cost()
+    full = measure_modes()
     shutil.rmtree(root, ignore_errors=True)
     out = {
-        "versions": n_commits, "ckpt_interval": led.CKPT_INTERVAL,
+        "versions": head, "ckpt_interval": led.CKPT_INTERVAL,
+        "action_mix": actions,
         "rows_metadata_count": n_rows,
-        "plan_files_opened_with_ckpt": opens_ckpt,
-        "plan_ms_with_ckpt": ms_ckpt,
-        "plan_files_opened_full_replay": opens_full,
-        "plan_ms_full_replay": ms_full,
+        "modes": {k: {"with_ckpt": {"files": with_ckpt[k][0],
+                                    "ms": with_ckpt[k][1]},
+                      **({"full_replay": {"files": full[k][0],
+                                          "ms": full[k][1]}}
+                         if k in full else {})}
+                  for k in with_ckpt},
+        # back-compat keys (r03 comparison)
+        "plan_files_opened_with_ckpt": with_ckpt["snapshot"][0],
+        "plan_ms_with_ckpt": with_ckpt["snapshot"][1],
+        "plan_files_opened_full_replay": full["snapshot"][0],
+        "plan_ms_full_replay": full["snapshot"][1],
     }
-    log(f"table ops: plan opens {opens_ckpt} files with checkpoints vs "
-        f"{opens_full} full replay ({ms_ckpt} ms vs {ms_full} ms) on a "
-        f"{n_commits}-version table")
+    log(f"table ops ({head} versions, {actions}): snapshot "
+        f"{with_ckpt['snapshot']} ckpt vs {full['snapshot']} full; "
+        f"bootstrap {with_ckpt['feed_bootstrap']} vs "
+        f"{full['feed_bootstrap']}; tail poll {with_ckpt['feed_tail_poll']} "
+        f"vs {full['feed_tail_poll']}; consume poll "
+        f"{with_ckpt['consume_poll']}")
     return out
 
 
@@ -554,16 +647,20 @@ def write_bench_md(result: dict) -> None:
         "",
         f"sf={result['sf']} headline total: **{result['value']} s**",
         "",
-        f"Host-speed calibration (single-core Python loop, divide "
-        f"wall-times by this to compare across rounds/hosts): "
+        f"Host-speed calibration (single-core Python loop; the "
+        f"`calibrated` column is sec ÷ this, the cross-round/host "
+        f"comparison number — hosts swing ~2.5× between rounds): "
         f"**{result['cpu_calib_sec']} s**",
         "",
-        "| query | sec | shuffle-read MB | scan MB |",
-        "|---|---|---|---|",
+        "| query | sec | calibrated (sec/calib) | shuffle-read MB | scan MB |",
+        "|---|---|---|---|---|",
     ]
+    calib = float(result.get("cpu_calib_sec") or 0) or None
     for name, sec in result["queries"].items():
         q_io = (result.get("io_mb") or {}).get(name) or {}
-        lines.append(f"| {name} | {sec} | {q_io.get('shuffle_read', '—')} "
+        xcal = round(sec / calib, 1) if calib else "—"
+        lines.append(f"| {name} | {sec} | {xcal} "
+                     f"| {q_io.get('shuffle_read', '—')} "
                      f"| {q_io.get('input', '—')} |")
     if result.get("io_mb"):
         lines += [
@@ -701,29 +798,51 @@ def write_bench_md(result: dict) -> None:
         ]
     if "table_ops" in result:
         t = result["table_ops"]
+        mix = t.get("action_mix") or {}
         lines += [
             "",
             "## Table-format planning cost (long-lived table)",
             "",
             f"A continuous-ingestion table accretes one commit per appended",
             f"partition per batch; this scenario builds a",
-            f"{t['versions']}-version commit log and measures ONE snapshot",
-            "plan (pure protocol — planning never touches data files).",
-            "Files opened is deterministic and host-independent; wall time",
-            "is min-of-5.",
+            f"{t['versions']}-version commit log with the action mix a",
+            f"real table accretes ({mix.get('append', '?')} appends,",
+            f"{mix.get('compact', '?')} compactions, {mix.get('delete', '?')}"
+            f" row-level deletes, {mix.get('remove', '?')} partition drops,",
+            f"{mix.get('restore', '?')} restores) and measures each",
+            "planning operation (pure protocol — planning never touches",
+            "data files). Files opened is deterministic and",
+            "host-independent; wall time is min-of-5.",
             "",
-            "| planning mode | log files opened | wall ms |",
-            "|---|---|---|",
-            f"| with log checkpoints (every {t['ckpt_interval']}) | "
-            f"{t['plan_files_opened_with_ckpt']} | {t['plan_ms_with_ckpt']} |",
-            f"| full replay (checkpoints deleted) | "
-            f"{t['plan_files_opened_full_replay']} | {t['plan_ms_full_replay']} |",
+            "| operation | ckpt files | ckpt ms | full-replay files | full-replay ms |",
+            "|---|---|---|---|---|",
+        ]
+        label = {
+            "snapshot": "snapshot plan (read_committed)",
+            "feed_bootstrap": "change-feed bootstrap (0→head)",
+            "feed_tail_poll": "feed tail poll (head−64→head)",
+            "consume_poll": "consume_changes metadata-only poll",
+        }
+        for k, m in (t.get("modes") or {}).items():
+            w = m.get("with_ckpt") or {}
+            fr = m.get("full_replay") or {}
+            lines.append(
+                f"| {label.get(k, k)} | {w.get('files', '—')} | "
+                f"{w.get('ms', '—')} | {fr.get('files', '—')} | "
+                f"{fr.get('ms', '—')} |")
+        lines += [
             "",
-            "Checkpointed planning is O(interval) regardless of table age —",
-            "at 10^5 versions the full replay would open 10^5 files per",
-            "plan, the checkpointed plan still ~"
-            f"{t['plan_files_opened_with_ckpt']}. Metadata-only COUNT(*)",
-            "rides the same replay (zero data I/O, zero Spark jobs).",
+            f"Checkpointed planning is O(interval = {t['ckpt_interval']})",
+            "regardless of table age — at 10^5 versions the full replay",
+            "opens 10^5 files per plan; the checkpointed snapshot stays ~"
+            f"{t['plan_files_opened_with_ckpt']}. The feed windows replay",
+            "only (since, head] plus a checkpointed state lookup per",
+            "in-window delete/remove (their rows_deleted accounting needs",
+            "the pre-action manifest); the consume poll on a",
+            "maintenance-only window advances the durable cursor with NO",
+            "Spark session at all (spark=None in the bench). Metadata-only",
+            "COUNT(*) rides the same replay (zero data I/O, zero Spark",
+            "jobs).",
         ]
     with open(os.path.join(REPO, "BENCH.md"), "w") as f:
         f.write("\n".join(lines) + "\n")

@@ -2177,6 +2177,62 @@ def compact_partition(spark: SparkSession, out_dir: str, part: int,
             "n_rows": n_rows}
 
 
+def optimize_table(spark: SparkSession, out_dir: str,
+                   target_files: int = 1,
+                   small_file_bytes: int | None = None,
+                   sort_by=None, zorder: bool = False,
+                   backend: str | None = None) -> dict:
+    """Whole-table OPTIMIZE (Delta's `OPTIMIZE` without a WHERE): walk
+    every committed partition and compact the ones whose live layout
+    warrants it, each in its OWN atomic `compact` commit — the table
+    stays readable throughout, and a concurrent append conflicts
+    per-partition under the stale-swap rule, never table-wide.
+
+    Selection: a partition qualifies when it holds more than
+    `target_files` live files AND (when `small_file_bytes` is set) at
+    least one of them is smaller than that threshold — the
+    accreted-small-files signature of continuous ingestion; with
+    `sort_by`/`zorder`, every partition is rewritten unconditionally
+    (re-clustering equal-size files still sharpens manifest-stats
+    skipping). At 100 TB this is the nightly maintenance job: the
+    manifest carries per-file n_bytes, so selection is pure metadata —
+    no data file is opened for partitions that don't qualify.
+
+    Returns {parts_compacted, parts_skipped, files_before, files_after,
+    n_rows} (files counted over the compacted partitions only)."""
+    backend = backend or detect_backend(out_dir)
+    ledger = make_ledger(out_dir, backend)
+    if not getattr(ledger, "log_defined_visibility", False):
+        raise ValueError(
+            f"compaction requires a log-defined-visibility ledger, not "
+            f"'{backend}': the markers backend's dir content IS its "
+            "committed state, so a file swap there cannot be atomic")
+    committed = ledger.committed()
+    out = {"parts_compacted": [], "parts_skipped": [],
+           "files_before": 0, "files_after": 0, "n_rows": 0}
+    for part, marker in sorted(committed.items()):
+        files = (marker or {}).get("files") or {}
+        needs = len(files) > int(target_files) and (
+            small_file_bytes is None
+            or any(int((m or {}).get("n_bytes", 0)) < int(small_file_bytes)
+                   for m in files.values()))
+        if not (needs or sort_by):
+            out["parts_skipped"].append(int(part))
+            continue
+        r = compact_partition(spark, out_dir, int(part),
+                              target_files=int(target_files),
+                              sort_by=sort_by, zorder=zorder,
+                              backend=backend)
+        if r["compacted"]:
+            out["parts_compacted"].append(int(part))
+            out["files_before"] += r["files_before"]
+            out["files_after"] += r["files_after"]
+            out["n_rows"] += r["n_rows"]
+        else:
+            out["parts_skipped"].append(int(part))
+    return out
+
+
 class ConcurrentDeleteError(RuntimeError):
     """A row-level DELETE's file swap was invalidated by a concurrent
     rewrite (compaction/recompute replaced a candidate file between the

@@ -90,6 +90,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="after the run, rewrite any committed partition "
                         "holding more than N files into N (small-file "
                         "OPTIMIZE; commitlog backend only)")
+    p.add_argument("--zorder-by", type=str, default=None, metavar="COLS",
+                   help="with --compact: cluster every rewrite by these "
+                        "comma-separated columns — one column range-sorts "
+                        "(disjoint per-file key ranges), 2+ interleave as "
+                        "a Morton/Z-order key (OPTIMIZE ... ZORDER BY), "
+                        "so manifest-stats probes prune on ANY listed "
+                        "column")
     p.add_argument("--consume", type=str, default=None, metavar="ID",
                    help="poll --output's change feed as consumer ID and "
                         "write the new rows to --consume-out/"
@@ -210,15 +217,16 @@ def main(argv: list[str] | None = None) -> int:
         if governing != "commitlog":
             build_parser().error(
                 "--compact requires a commitlog-governed table")
-        from curator_spark.checkpoint import compact_partition, make_ledger
-        compacted = []
-        for part in sorted(make_ledger(args.output, governing).committed()):
-            r = compact_partition(spark, args.output, part,
-                                  target_files=args.compact,
-                                  backend=governing)
-            if r["compacted"]:
-                compacted.append(r)
-        summary["parts_compacted"] = len(compacted)
+        from curator_spark.checkpoint import optimize_table
+        sort_by = args.zorder_by.split(",") if args.zorder_by else None
+        opt = optimize_table(spark, args.output,
+                             target_files=args.compact,
+                             sort_by=sort_by,
+                             zorder=bool(sort_by) and len(sort_by) >= 2,
+                             backend=governing)
+        summary["parts_compacted"] = len(opt["parts_compacted"])
+    elif args.zorder_by:
+        build_parser().error("--zorder-by requires --compact")
     if args.vacuum or args.vacuum_dry_run:
         if governing != "commitlog":
             build_parser().error(

@@ -180,3 +180,59 @@ def test_zorder_guards(spark, table):
     with pytest.raises(ValueError, match="linear order"):
         compact_partition(spark, table, 0, target_files=2,
                           sort_by=["conv_id", "ts"], zorder=True)
+
+
+def test_optimize_table_selects_by_size_and_compacts(spark, tmp_path):
+    """Whole-table OPTIMIZE: metadata-only selection (manifest n_bytes)
+    picks exactly the partitions with accreted small files, each
+    compacts in its own commit, rows are untouched, and a second pass
+    is a no-op."""
+    from curator_spark.checkpoint import (
+        optimize_table, table_row_count)
+    b1 = fixtures.generate_transcripts(900, seed=33, n_parts=4)
+    p1 = str(tmp_path / "b1.parquet")
+    fixtures.to_spark_parquet(b1, p1)
+    out = str(tmp_path / "out")
+    run_checkpointed(spark, p1, out, ledger_backend="commitlog")
+    b2 = fixtures.generate_transcripts(500, seed=34, n_parts=4)
+    p2 = str(tmp_path / "b2.parquet")
+    fixtures.to_spark_parquet(b2, p2)
+    append_new_conversations(spark, p2, out)
+
+    led = make_ledger(out, "commitlog")
+    all_parts = sorted(led.committed())
+    multi = sorted(p for p, m in led.committed().items()
+                   if len(m["files"]) > 1)
+    assert multi
+    n0 = table_row_count(out)
+
+    # 1-byte smallness threshold: no live file is that small → nothing
+    # qualifies, nothing is read, nothing commits
+    v = led.latest_version()
+    r0 = optimize_table(spark, out, target_files=1, small_file_bytes=1)
+    assert r0["parts_compacted"] == [] and led.latest_version() == v
+    assert sorted(r0["parts_skipped"]) == all_parts
+
+    r = optimize_table(spark, out, target_files=1,
+                       small_file_bytes=128 << 20)
+    assert sorted(r["parts_compacted"]) == multi
+    assert r["files_after"] == len(multi)       # one file per partition
+    assert r["files_before"] > r["files_after"]
+    assert r["n_rows"] > 0 and table_row_count(out) == n0
+    for p, m in make_ledger(out, "commitlog").committed().items():
+        assert len(m["files"]) == 1
+    assert read_committed(spark, out).count() == n0
+
+    # second pass: everything already at target → pure-metadata no-op
+    v = make_ledger(out, "commitlog").latest_version()
+    r2 = optimize_table(spark, out, target_files=1)
+    assert r2["parts_compacted"] == []
+    assert make_ledger(out, "commitlog").latest_version() == v
+
+    # CLI wiring: --compact 1 --zorder-by runs the clustered rewrite
+    from curator_spark import cli
+    rc = cli.main(["--input", p1, "--output", out, "--local-cores", "4",
+                   "--ledger", "commitlog", "--compact", "1",
+                   "--zorder-by", "ts,turn_idx"])
+    assert rc == 0
+    assert read_committed(spark, out).count() == n0
