@@ -219,6 +219,80 @@ class MarkerLedger:
             pass
 
 
+# -- protocol versioning (Delta's `protocol` action) ------------------
+# What THIS library build can read and write. A table carries a minimum
+# protocol requirement in its log; an implementation below it must
+# refuse the whole table rather than silently mis-read state whose
+# actions it does not understand (the failure Delta's reader/writer
+# versions exist to prevent: an old reader replaying a log containing
+# e.g. deletion vectors would resurrect deleted rows).
+READER_VERSION = 2
+WRITER_VERSION = 2
+# named capabilities this build implements, for feature-gated tables
+# (Delta 3/7-style table features) — each maps to real code in this repo
+SUPPORTED_READER_FEATURES = frozenset({
+    "stats-skipping", "schema-in-log", "time-travel", "restore",
+    "change-feed", "row-feed", "log-checkpoints"})
+SUPPORTED_WRITER_FEATURES = frozenset({
+    "append", "compaction", "row-delete", "txn-markers", "restore",
+    "schema-evolution"})
+
+
+class ProtocolError(RuntimeError):
+    """This table requires a protocol version / feature this build does
+    not implement — refusing loudly instead of mis-replaying the log."""
+
+
+def _merge_protocol(cur: dict | None, new: dict | None) -> dict | None:
+    """Monotone merge: field-wise max + feature union. Protocol only
+    ever ratchets UP — in particular a RESTORE never downgrades it
+    (Delta's rule: rollback restores data, not the protocol)."""
+    if not cur:
+        return dict(new) if new else None
+    if not new:
+        return dict(cur)
+    return {
+        "min_reader": max(int(cur.get("min_reader", 1)),
+                          int(new.get("min_reader", 1))),
+        "min_writer": max(int(cur.get("min_writer", 1)),
+                          int(new.get("min_writer", 1))),
+        "reader_features": sorted(set(cur.get("reader_features") or [])
+                                  | set(new.get("reader_features") or [])),
+        "writer_features": sorted(set(cur.get("writer_features") or [])
+                                  | set(new.get("writer_features") or [])),
+    }
+
+
+def _check_reader_protocol(proto: dict | None) -> None:
+    if not proto:
+        return
+    if int(proto.get("min_reader", 1)) > READER_VERSION:
+        raise ProtocolError(
+            f"table requires reader version {proto['min_reader']}, this "
+            f"build reads up to {READER_VERSION} — upgrade the library")
+    unsupported = set(proto.get("reader_features") or []) \
+        - SUPPORTED_READER_FEATURES
+    if unsupported:
+        raise ProtocolError(
+            f"table requires reader feature(s) {sorted(unsupported)} "
+            "this build does not implement — upgrade the library")
+
+
+def _check_writer_protocol(proto: dict | None) -> None:
+    if not proto:
+        return
+    if int(proto.get("min_writer", 1)) > WRITER_VERSION:
+        raise ProtocolError(
+            f"table requires writer version {proto['min_writer']}, this "
+            f"build writes up to {WRITER_VERSION} — reads may still work")
+    unsupported = set(proto.get("writer_features") or []) \
+        - SUPPORTED_WRITER_FEATURES
+    if unsupported:
+        raise ProtocolError(
+            f"table requires writer feature(s) {sorted(unsupported)} "
+            "this build does not implement — reads may still work")
+
+
 class CommitLogLedger:
     """Versioned transactional commit log — the Delta/Iceberg commit
     protocol re-expressed minimally, replacing per-partition rename
@@ -294,6 +368,13 @@ class CommitLogLedger:
     def _append(self, actions: list[dict]) -> int:
         """Publish one commit containing `actions`; returns its version."""
         os.makedirs(self.dir, exist_ok=True)
+        # writer gate: a table whose protocol demands a writer version /
+        # feature this build lacks must not be appended to (the replay
+        # below is checkpoint-bounded — O(CKPT_INTERVAL) log files, not
+        # O(table age)); the replay itself enforces the READER gate,
+        # and a protocol-upgrade commit is checked against the
+        # pre-upgrade requirement, which is exactly Delta's rule
+        _check_writer_protocol(self._replay()[2].get("_protocol"))
         vs = self._versions()
         n = 1 + (int(vs[-1][1:-5]) if vs else 0)
         payload = json.dumps({
@@ -301,10 +382,13 @@ class CommitLogLedger:
             "ts": datetime.now(timezone.utc).isoformat()}).encode()
         # atomic put-if-absent, full content; losing the race means a
         # concurrent writer owns this number — retry at the next one
-        # (optimistic concurrency, no lost updates)
+        # (optimistic concurrency, no lost updates). A lost race also
+        # re-checks the writer gate: the commit we lost to may have been
+        # a protocol upgrade (Delta's recheck-on-conflict rule)
         while not self.store.put_if_absent(
                 os.path.join(self.dir, f"v{n:012d}.json"), payload):
             n += 1
+            _check_writer_protocol(self._replay()[2].get("_protocol"))
         if n % self.CKPT_INTERVAL == 0:
             # best-effort: a failed checkpoint never fails the commit —
             # readers just replay a longer tail; racing writers compute
@@ -459,6 +543,12 @@ class CommitLogLedger:
                     v_ = int(a["txn_version"])
                     prev = txns.get(app)
                     txns[app] = v_ if prev is None else max(prev, v_)
+                elif t == "protocol":
+                    # protocol requirement ratchet (Delta's `protocol`
+                    # action): monotone merge so requirements only ever
+                    # tighten; enforcement happens once, after replay
+                    meta["_protocol"] = _merge_protocol(
+                        meta.get("_protocol"), a.get("protocol"))
                 elif t == "restore":
                     # RESTORE TABLE ... TO VERSION AS OF (Delta's
                     # RESTORE): the action embeds the FULL state at the
@@ -469,13 +559,24 @@ class CommitLogLedger:
                     # together. History is preserved: the rollback is
                     # itself a new version, and the rolled-back era
                     # stays time-travel-readable until vacuum reclaims
-                    # its now-unreferenced files.
+                    # its now-unreferenced files. The PROTOCOL is the
+                    # one facet that does NOT roll back (Delta's rule):
+                    # merge keeps the strongest requirement either side
+                    # carries.
+                    proto = meta.get("_protocol")
                     parts = {int(k): m for k, m in
                              (a.get("parts") or {}).items()}
                     success = a.get("success")
                     meta = dict(a.get("meta") or {})
+                    meta_proto = _merge_protocol(proto,
+                                                 meta.get("_protocol"))
+                    if meta_proto:
+                        meta["_protocol"] = meta_proto
                     txns = {str(k): int(v_) for k, v_ in
                             (a.get("txns") or {}).items()}
+        # a table demanding a reader this build isn't must be refused
+        # WHOLESALE — partial understanding of a log mis-states the table
+        _check_reader_protocol(meta.get("_protocol"))
         return parts, success, meta, txns
 
     # -- ledger interface --------------------------------------------
@@ -1885,6 +1986,52 @@ def table_history(out_dir: str, backend: str | None = None) -> list[dict]:
     if not getattr(ledger, "log_defined_visibility", False):
         raise ValueError("history requires the commitlog ledger")
     return ledger.history()
+
+
+def table_protocol(out_dir: str, backend: str | None = None) -> dict:
+    """The table's current protocol requirement — {min_reader,
+    min_writer, reader_features, writer_features}. A table that never
+    ratcheted is at the implicit floor (1, 1, none, none)."""
+    ledger = make_ledger(out_dir, backend or detect_backend(out_dir))
+    if not getattr(ledger, "log_defined_visibility", False):
+        raise ValueError("protocol versioning requires the commitlog "
+                         "ledger")
+    proto = ledger.table_meta().get("_protocol")
+    return dict(proto) if proto else {
+        "min_reader": 1, "min_writer": 1,
+        "reader_features": [], "writer_features": []}
+
+
+def upgrade_protocol(out_dir: str, min_reader: int | None = None,
+                     min_writer: int | None = None,
+                     reader_features=(), writer_features=(),
+                     backend: str | None = None) -> int:
+    """Ratchet the table's protocol requirement (Delta's ALTER TABLE
+    SET TBLPROPERTIES minReaderVersion / table-feature upgrade): one
+    log commit; replay merges monotonically, so concurrent upgrades
+    compose and nothing ever downgrades — in particular RESTORE
+    preserves the strongest requirement (rollback restores data, not
+    the protocol). Refuses a requirement THIS build cannot itself
+    honor: an upgrade beyond the running code would brick the table
+    for its own writer. Returns the commit version."""
+    ledger = make_ledger(out_dir, backend or detect_backend(out_dir))
+    if not getattr(ledger, "log_defined_visibility", False):
+        raise ValueError("protocol versioning requires the commitlog "
+                         "ledger")
+    req = {"min_reader": int(min_reader or 1),
+           "min_writer": int(min_writer or 1),
+           "reader_features": sorted(set(reader_features)),
+           "writer_features": sorted(set(writer_features))}
+    if req["min_reader"] > READER_VERSION \
+            or req["min_writer"] > WRITER_VERSION \
+            or set(req["reader_features"]) - SUPPORTED_READER_FEATURES \
+            or set(req["writer_features"]) - SUPPORTED_WRITER_FEATURES:
+        raise ProtocolError(
+            f"cannot require {req}: this build supports reader "
+            f"{READER_VERSION} / writer {WRITER_VERSION} with features "
+            f"{sorted(SUPPORTED_READER_FEATURES)} / "
+            f"{sorted(SUPPORTED_WRITER_FEATURES)}")
+    return ledger._append([{"type": "protocol", "protocol": req}])
 
 
 def restore_table(out_dir: str, version: int | None = None,

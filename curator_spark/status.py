@@ -68,9 +68,10 @@ def run_status(out_dir: str, backend: str | None = None) -> dict:
     if getattr(ledger, "log_defined_visibility", False):
         committed, success, _meta, txns = ledger.snapshot()  # ONE replay
         version = ledger.latest_version()
+        protocol = _meta.get("_protocol")
     else:
         committed, success = ledger.committed(), ledger.run_success()
-        txns, version = {}, None
+        txns, version, protocol = {}, None, None
     # downstream feed consumers (feed.py): how far each has read
     consumers: dict[str, int] = {}
     cdir = os.path.join(out_dir, "_consumers")
@@ -111,6 +112,7 @@ def run_status(out_dir: str, backend: str | None = None) -> dict:
         "keep_rate": keep_rate,
         "per_part": per_part,
         "version": version,          # latest commit (commitlog only)
+        "protocol": protocol,        # reader/writer requirement, if raised
         "txns": txns,                # idempotent-writer marks
         "consumers": consumers,      # feed cursors: id → last version read
         "as_of": datetime.now(timezone.utc).isoformat(timespec="seconds"),
@@ -154,6 +156,14 @@ def format_run_status(out_dir: str, backend: str | None = None,
         lines.append("  (no partitions committed yet)")
     if s.get("version") is not None:
         lines.append(f"  table version: v{s['version']}")
+    if s.get("protocol"):
+        p = s["protocol"]
+        feats = sorted(set(p.get("reader_features") or [])
+                       | set(p.get("writer_features") or []))
+        lines.append(
+            f"  protocol: reader>={p.get('min_reader', 1)} "
+            f"writer>={p.get('min_writer', 1)}"
+            + (f" features={','.join(feats)}" if feats else ""))
     if s.get("txns"):
         lines.append("  writers: " + ", ".join(
             f"{a}@{v}" for a, v in sorted(s["txns"].items())))
