@@ -42,6 +42,10 @@ def get_spark(app_name: str = "curator-spark", parallelism: int | None = None,
         # against them broadcast well past the 10MB default so the wide
         # turn table never shuffles for the agg join (AQE still decides)
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        # the curator_table Python data source implements pushFilters
+        # (manifest-stats file skipping + bucket pruning); Spark 4
+        # refuses a pushdown-capable source unless this is on
+        .config("spark.sql.python.filterPushdown.enabled", "true")
     )
     for k, v in extra_conf.items():
         b = b.config(k, v)
