@@ -57,12 +57,16 @@ CHANGE_COL = "_change_type"
 
 
 def _changed_file_sets(ledger, since: int, until: int
-                       ) -> tuple[dict, dict, list[int]]:
+                       ) -> tuple[dict, dict, list[int], dict, dict]:
     """Pure-metadata planning: ({part: {file: meta}} removed,
-    {part: {file: meta}} added, [parts skipped as compaction-only]).
-    Files referenced by both snapshots are dropped from both sides —
-    immutable files mean identical content, so their rows cancel in the
-    multiset diff without any I/O."""
+    {part: {file: meta}} added, [parts skipped as compaction-only],
+    before-side dv {path-key: rows}, after-side dv). Files referenced
+    by both snapshots WITH THE SAME deletion vector are dropped from
+    both sides — immutable files + identical masks mean identical live
+    content, so their rows cancel in the multiset diff without any
+    I/O. A file whose dv GREW in the window appears on BOTH sides
+    (each read minus its own side's mask); exceptAll then nets exactly
+    the newly-masked rows as deletes."""
     before = ledger.committed(version=since)
     after = ledger.committed(version=until)
     # action-type scan over the window: the ONLY metadata shortcut taken
@@ -88,22 +92,35 @@ def _changed_file_sets(ledger, since: int, until: int
     removed: dict[int, dict] = {}
     added: dict[int, dict] = {}
     skipped: list[int] = []
+    dv_before: dict[tuple[int, str], list] = {}
+    dv_after: dict[tuple[int, str], list] = {}
     for p in sorted(set(before) | set(after)):
         bf = dict(((before.get(p) or {}).get("files")) or {})
         af = dict(((after.get(p) or {}).get("files")) or {})
-        if set(bf) == set(af):
+        bdv = (before.get(p) or {}).get("dv") or {}
+        adv = (after.get(p) or {}).get("dv") or {}
+        # identity = (file, its deletion vector): same name + same mask
+        # cancels; a dv change puts the file on both sides
+        same = {f for f in set(bf) & set(af)
+                if sorted(bdv.get(f) or []) == sorted(adv.get(f) or [])}
+        if same == set(bf) == set(af):
             continue
         if not window_restore and touched.get(p) == {"compact"}:
             skipped.append(p)
             continue
-        common = set(bf) & set(af)
-        rm = {f: m for f, m in bf.items() if f not in common}
-        ad = {f: m for f, m in af.items() if f not in common}
+        rm = {f: m for f, m in bf.items() if f not in same}
+        ad = {f: m for f, m in af.items() if f not in same}
+        for f in rm:
+            if bdv.get(f):
+                dv_before[(p, f)] = [int(r) for r in bdv[f]]
+        for f in ad:
+            if adv.get(f):
+                dv_after[(p, f)] = [int(r) for r in adv[f]]
         if rm:
             removed[p] = rm
         if ad:
             added[p] = ad
-    return removed, added, skipped
+    return removed, added, skipped, dv_before, dv_after
 
 
 def _side_paths(out_dir: str, sides: dict[int, dict]) -> list[str]:
@@ -138,10 +155,14 @@ def row_changes(spark: SparkSession, out_dir: str, since_version: int,
     # not silently read as an empty delta
     ledger._versions(upto=until)
     ledger._versions(upto=since_version)
-    removed, added, _ = _changed_file_sets(ledger, int(since_version),
-                                           int(until))
+    removed, added, _, dv_b, dv_a = _changed_file_sets(
+        ledger, int(since_version), int(until))
     before_paths = _side_paths(out_dir, removed)
     after_paths = _side_paths(out_dir, added)
+
+    def _dv_paths(dv_side: dict) -> dict:
+        return {os.path.join(out_dir, "data", f"part={int(p)}", fn): rows
+                for (p, fn), rows in dv_side.items()}
     missing = [p for p in before_paths + after_paths
                if not os.path.exists(p)]
     if missing:
@@ -154,19 +175,25 @@ def row_changes(spark: SparkSession, out_dir: str, since_version: int,
         if meta.get("schema") else None
     data_dir = os.path.join(out_dir, "data")
 
-    def _read(paths: list[str], schema) -> DataFrame:
+    def _read(paths: list[str], schema, dv=None) -> DataFrame:
+        from .checkpoint import _apply_dv
         if not paths:
             return spark.createDataFrame([], schema or _schema.OUTPUT_SCHEMA)
         reader = spark.read.schema(schema) if schema is not None \
             else spark.read
-        return reader.option("basePath", data_dir).parquet(*paths)
+        return _apply_dv(spark,
+                         reader.option("basePath", data_dir).parquet(*paths),
+                         dv or {})
 
     if declared is None and (before_paths or after_paths):
         # no declared schema (hand-built table): infer ONE schema from
         # whichever side has files so exceptAll sees identical shapes
         declared = _read(after_paths or before_paths, None).schema
-    after_df = _read(after_paths, declared)
-    before_df = _read(before_paths, declared)
+    # each side reads minus ITS OWN snapshot's deletion vectors, so a
+    # file whose mask grew contributes exactly the newly-masked rows
+    # as deletes through the multiset diff
+    after_df = _read(after_paths, declared, _dv_paths(dv_a))
+    before_df = _read(before_paths, declared, _dv_paths(dv_b))
     # exceptAll is POSITIONAL and the parquet scan appends partition
     # columns last regardless of the declared order — canonicalize both
     # sides to the declared column order (a silent misalignment between
@@ -216,7 +243,7 @@ def consume_row_changes(spark: SparkSession, out_dir: str,
     if head <= since:
         return {"since": since, "until": since, "advanced": False,
                 "planned_files": 0}
-    removed, added, _ = _changed_file_sets(ledger, since, head)
+    removed, added, _, _dvb, _dva = _changed_file_sets(ledger, since, head)
     n_files = sum(len(v) for v in removed.values()) \
         + sum(len(v) for v in added.values())
     if n_files:

@@ -232,7 +232,7 @@ WRITER_VERSION = 2
 # (Delta 3/7-style table features) — each maps to real code in this repo
 SUPPORTED_READER_FEATURES = frozenset({
     "stats-skipping", "schema-in-log", "time-travel", "restore",
-    "change-feed", "row-feed", "log-checkpoints"})
+    "change-feed", "row-feed", "log-checkpoints", "deletion-vectors"})
 SUPPORTED_WRITER_FEATURES = frozenset({
     "append", "compaction", "row-delete", "txn-markers", "restore",
     "schema-evolution"})
@@ -508,14 +508,51 @@ class CommitLogLedger:
                         files.update(a.get("add_files") or {})
                         m = dict(m)
                         m["files"] = files
+                        # deletion vectors ride their file: a swap that
+                        # removes a DV'd file MATERIALIZED the dv in
+                        # its rewrite (compact/delete read minus-dv),
+                        # so the mask is dropped with the original
+                        dv = {k: v for k, v in (m.get("dv") or {}).items()
+                              if k in files}
+                        if dv:
+                            m["dv"] = dv
+                        else:
+                            m.pop("dv", None)
                         m["n_rows"] = sum(int(v.get("n_rows", 0))
-                                          for v in files.values())
+                                          for v in files.values()) \
+                            - sum(len(v) for v in dv.values())
                         stats = dict(m.get("stats") or {})
                         for fn in rm:
                             stats.pop(fn, None)
                         stats.update(a.get("stats") or {})
                         if stats:
                             m["stats"] = stats
+                        if a.get("updated_at"):
+                            m["updated_at"] = a["updated_at"]
+                        parts[p] = m
+                elif t == "add_dv":
+                    # deletion vector (Delta's DV shape, inlined in the
+                    # log): mark row positions of ONE immutable file
+                    # deleted without rewriting it — a k-row delete
+                    # costs O(k) log bytes instead of O(file). Masks
+                    # union monotonically; the same stale rule as
+                    # swaps applies (a dv against a file no longer
+                    # referenced must not resurrect it).
+                    p = int(a["part"])
+                    m = parts.get(p)
+                    fn_ = a.get("file")
+                    if m and fn_ in (m.get("files") or {}):
+                        m = dict(m)
+                        dv = {k: list(v) for k, v in
+                              (m.get("dv") or {}).items()}
+                        dv[fn_] = sorted(
+                            set(dv.get(fn_) or [])
+                            | {int(r) for r in (a.get("rows") or [])})
+                        m["dv"] = dv
+                        m["n_rows"] = sum(
+                            int(v.get("n_rows", 0))
+                            for v in m["files"].values()) \
+                            - sum(len(v) for v in dv.values())
                         if a.get("updated_at"):
                             m["updated_at"] = a["updated_at"]
                         parts[p] = m
@@ -709,6 +746,22 @@ class CommitLogLedger:
                               "add_files": add_files, "stats": stats or {},
                               "updated_at":
                               datetime.now(timezone.utc).isoformat()}])
+
+    def add_dv(self, marks: list[tuple[int, str, list[int]]]) -> int:
+        """Publish deletion vectors: for each (part, file, positions),
+        mark those row indexes of the immutable file deleted — no data
+        rewrite (Delta's deletion-vector action, inlined in the log:
+        right-sized for targeted deletes, where a k-row
+        right-to-be-forgotten costs O(k) bytes; bulk deletes belong to
+        the rewrite path). ONE atomic commit across every touched
+        partition; replay unions masks and ignores marks against
+        files no longer referenced (same stale rule as swaps).
+        Returns the committed version."""
+        now = datetime.now(timezone.utc).isoformat()
+        return self._append([
+            {"type": "add_dv", "part": int(p), "file": str(fn),
+             "rows": sorted({int(r) for r in rows}), "updated_at": now}
+            for p, fn, rows in marks])
 
     def restore(self, to_version: int, parts: dict[int, dict | None],
                 success: dict | None, meta: dict,
@@ -1521,9 +1574,12 @@ def snapshot_files(out_dir: str, backend: str | None = None,
 
 def _snapshot_plan(out_dir: str, backend: str | None = None,
                    version: int | None = None,
-                   where=None) -> tuple[list[str], dict]:
-    """(surviving file paths, table_meta) in one log replay — the
-    shared planning core of snapshot_files and read_committed."""
+                   where=None) -> tuple[list[str], dict, dict]:
+    """(surviving file paths, table_meta, deletion vectors keyed by
+    path) in one log replay — the shared planning core of
+    snapshot_files and read_committed. A scan of any surviving file
+    that carries a dv MUST mask those row positions out (the protocol
+    gate makes builds that can't refuse the table wholesale)."""
     ledger = make_ledger(out_dir, backend or detect_backend(out_dir))
     if version is not None and \
             not getattr(ledger, "log_defined_visibility", False):
@@ -1565,16 +1621,64 @@ def _snapshot_plan(out_dir: str, backend: str | None = None,
 
     data_dir = os.path.join(out_dir, "data")
     paths = []
+    dv_by_path: dict[str, list[int]] = {}
     for part, marker in sorted(committed.items()):
         if keep_parts is not None and int(part) not in keep_parts:
             continue
         files = (marker or {}).get("files") or {}
         stats = (marker or {}).get("stats") or {}
+        dv = (marker or {}).get("dv") or {}
         for fn in sorted(files):
             if all(_file_may_match(stats.get(fn), c, op, v)
                    for c, op, v in conj):
-                paths.append(os.path.join(data_dir, f"part={int(part)}", fn))
-    return paths, meta
+                p = os.path.join(data_dir, f"part={int(part)}", fn)
+                paths.append(p)
+                if dv.get(fn):
+                    dv_by_path[p] = [int(r) for r in dv[fn]]
+    return paths, meta, dv_by_path
+
+
+def _dv_suffix(path: str) -> str:
+    """DV join key: the path's last two components (`part=N/file`) —
+    stable across scheme/prefix differences in `_metadata.file_path`
+    (file:// URIs vs plain paths) and unique within a table because
+    file names are write-unique."""
+    return "/".join(path.rsplit("/", 2)[-2:])
+
+
+def _apply_dv(spark: SparkSession, df: DataFrame,
+              dv_by_path: dict[str, list[int]]) -> DataFrame:
+    """Mask deletion-vector positions out of a file-source scan using
+    the parquet reader's `_metadata.file_path` + `row_index` columns —
+    the Spark-native DV application: no data rewrite ever happened,
+    the mask is applied at read. Two plans by dv size: a literal
+    predicate (stays inside WholeStageCodegen, zero shuffle) for the
+    common small-dv case, else a BROADCAST anti-join against the
+    (file, row_index) pairs — still shuffle-free on the corpus side.
+    Bulk deletes belong to the rewrite path, so dv volume is small by
+    contract."""
+    if not dv_by_path:
+        return df
+    total = sum(len(v) for v in dv_by_path.values())
+    if total <= 4096:
+        cond = None
+        for path, rows in sorted(dv_by_path.items()):
+            c = (F.col("_metadata.file_path").endswith(_dv_suffix(path))
+                 & F.col("_metadata.row_index")
+                 .isin([int(r) for r in rows]))
+            cond = c if cond is None else (cond | c)
+        return df.where(~cond)
+    pairs = [(_dv_suffix(p), int(r))
+             for p, rows in dv_by_path.items() for r in rows]
+    dv_df = spark.createDataFrame(pairs, ["_dv_suffix", "_dv_row"])
+    parts_ = F.split(F.col("_metadata.file_path"), "/")
+    keyed = df.withColumn(
+        "_dv_suffix", F.concat_ws("/", F.element_at(parts_, -2),
+                                  F.element_at(parts_, -1))) \
+        .withColumn("_dv_row", F.col("_metadata.row_index"))
+    return (keyed.join(F.broadcast(dv_df), ["_dv_suffix", "_dv_row"],
+                       "left_anti")
+            .drop("_dv_suffix", "_dv_row"))
 
 
 def read_committed(spark: SparkSession, out_dir: str,
@@ -1619,7 +1723,7 @@ def read_committed(spark: SparkSession, out_dir: str,
         if not getattr(ledger, "log_defined_visibility", False):
             raise ValueError("time travel requires the commitlog ledger")
         version = ledger.version_at(as_of)
-    paths, meta = _snapshot_plan(out_dir, backend, version, where)
+    paths, meta, dv = _snapshot_plan(out_dir, backend, version, where)
     declared = StructType.fromJson(meta["schema"]) \
         if meta.get("schema") else None
     data_dir = os.path.join(out_dir, "data")
@@ -1638,6 +1742,7 @@ def read_committed(spark: SparkSession, out_dir: str,
               .option("basePath", data_dir).parquet(*paths))
     else:
         df = spark.read.option("basePath", data_dir).parquet(*paths)
+    df = _apply_dv(spark, df, dv)
     for col, op, val in _normalize_where(where):
         c = F.col(col)
         df = df.filter({"=": c == val, "<": c < val, "<=": c <= val,
@@ -1670,9 +1775,11 @@ def table_column_minmax(out_dir: str, col: str,
         if version is not None else ledger.committed()
     lo = hi = None
     n_files = n_covered = 0
+    any_dv = False
     for m in committed.values():
         files = (m or {}).get("files") or {}
         stats = (m or {}).get("stats") or {}
+        any_dv = any_dv or bool((m or {}).get("dv"))
         for fn in files:
             n_files += 1
             st = (stats.get(fn) or {}).get(col)
@@ -1683,9 +1790,13 @@ def table_column_minmax(out_dir: str, col: str,
                 lo = st["min"] if lo is None else min(lo, st["min"])
             if st.get("max") is not None:
                 hi = st["max"] if hi is None else max(hi, st["max"])
+    # a pending deletion vector may have masked the extreme value
+    # itself: footer stats still BOUND the live rows, but exactness
+    # needs a scan (or a compaction, which materializes the masks)
     return {"col": col, "min": lo, "max": hi, "n_files": n_files,
             "n_files_with_stats": n_covered,
-            "complete": n_files > 0 and n_covered == n_files}
+            "complete": n_files > 0 and n_covered == n_files
+            and not any_dv}
 
 
 def table_row_count(out_dir: str, backend: str | None = None,
@@ -1725,6 +1836,12 @@ def table_changes(out_dir: str, since_version: int,
     ledger._versions(upto=since_version)
     seen_parts = set(ledger.committed(version=since_version))
     inserts: dict[int, dict] = {}
+
+    def _eff(meta_: dict) -> int:
+        """A feed entry's LIVE rows: physical minus any deletion-vector
+        positions annotated on it (an in-window dv masks rows out of
+        the very files the feed will read)."""
+        return int(meta_.get("n_rows", 0)) - len(meta_.get("dv") or [])
     ins_ver: dict[tuple[int, str], int] = {}  # when each file was inserted
     # in-window inserts displaced by a later recompute/delete/remove,
     # remembered with their insert version: a RESTORE whose target
@@ -1739,7 +1856,7 @@ def table_changes(out_dir: str, since_version: int,
         the cursor) — the quantity rows_deleted accounting compares;
         pre-window files a restore revives don't count (the cursor
         already covers them, and the final pass strips them)."""
-        return sum(int(m_.get("n_rows", 0))
+        return sum(_eff(m_)
                    for p_ in inserts
                    for fn_, m_ in inserts[p_].items()
                    if ins_ver.get((p_, fn_), int(since_version) + 1)
@@ -1800,25 +1917,27 @@ def table_changes(out_dir: str, since_version: int,
                     # rows; survivors an incremental consumer already
                     # has re-feed (the at-least-once contract
                     # idempotent sinks absorb)
-                    before = sum(int(m_.get("n_rows", 0))
-                                 for m_ in part_ins.values())
+                    before = sum(_eff(m_) for m_ in part_ins.values())
                     for fn_, meta_ in part_ins.items():
                         retired[(p, fn_)] = (ins_ver.get((p, fn_), v),
                                              meta_)
                     live_m = ledger.committed(version=v).get(p) or {}
-                    files = dict(live_m.get("files") or {})
+                    live_dv = live_m.get("dv") or {}
+                    files = {
+                        fn_: ({**dict(m_), "dv": list(live_dv[fn_])}
+                              if live_dv.get(fn_) else dict(m_))
+                        for fn_, m_ in
+                        (live_m.get("files") or {}).items()}
                     if files:
                         inserts[p] = files
                         for fn_ in files:
                             ins_ver[(p, fn_)] = v
                     else:
                         inserts.pop(p, None)
-                    now_rows = sum(int(m_.get("n_rows", 0))
-                                   for m_ in files.values())
+                    now_rows = sum(_eff(m_) for m_ in files.values())
                     rows_deleted += max(0, before - now_rows)
                 elif touched:
-                    before = sum(int(part_ins[fn_].get("n_rows", 0))
-                                 for fn_ in touched)
+                    before = sum(_eff(part_ins[fn_]) for fn_ in touched)
                     for fn_ in touched:
                         retired[(p, fn_)] = (ins_ver.get((p, fn_), v),
                                              part_ins.pop(fn_))
@@ -1844,10 +1963,39 @@ def table_changes(out_dir: str, since_version: int,
                     prev_files = ((ledger.committed(version=v - 1)
                                    .get(p) or {}).get("files") or {})
                     if set(rm) <= set(prev_files):
+                        prev_dv = (ledger.committed(version=v - 1)
+                                   .get(p) or {}).get("dv") or {}
                         before = sum(
                             int((prev_files[fn_] or {}).get("n_rows", 0))
+                            - len(prev_dv.get(fn_) or [])
                             for fn_ in rm)
                         rows_deleted += max(0, before - after)
+            elif t == "add_dv":
+                # deletion vector: rows of ONE immutable file masked
+                # out in place. An in-window insert must now be fed
+                # MINUS the mask (the dv annotation rides the feed
+                # entry and read_changes applies it); pre-window rows
+                # cannot be un-fed, but rows_deleted still reports the
+                # shrink (the right-to-be-forgotten signal). Re-marks
+                # of already-masked positions shrink nothing.
+                p = int(a["part"])
+                fn_ = a.get("file")
+                new_pos = {int(r) for r in (a.get("rows") or [])}
+                part_ins = inserts.get(p) or {}
+                if fn_ in part_ins:
+                    meta_ = dict(part_ins[fn_])
+                    cur = set(meta_.get("dv") or [])
+                    fresh = new_pos - cur
+                    meta_["dv"] = sorted(cur | new_pos)
+                    part_ins[fn_] = meta_
+                    inserts[p] = part_ins
+                    rows_deleted += len(fresh)
+                else:
+                    prev_m = ledger.committed(version=v - 1).get(p) or {}
+                    if fn_ in (prev_m.get("files") or {}):
+                        prev_dv = set(
+                            (prev_m.get("dv") or {}).get(fn_) or [])
+                        rows_deleted += len(new_pos - prev_dv)
             elif t == "remove":
                 # a dropped partition's in-window inserts must leave the
                 # feed with it (its pre-window rows were already fed and
@@ -1862,11 +2010,13 @@ def table_changes(out_dir: str, since_version: int,
                 for fn_, meta_ in dropped.items():
                     retired[(p, fn_)] = (ins_ver.get((p, fn_), v), meta_)
                 prev_m = ledger.committed(version=v - 1).get(p) or {}
+                prev_dv = prev_m.get("dv") or {}
                 prev_total = sum(
                     int((m_ or {}).get("n_rows", 0))
-                    for m_ in (prev_m.get("files") or {}).values())
+                    - len(prev_dv.get(fn_) or [])
+                    for fn_, m_ in (prev_m.get("files") or {}).items())
                 rows_deleted += max(prev_total,
-                                    sum(int(v_.get("n_rows", 0))
+                                    sum(_eff(v_)
                                         for v_ in dropped.values()))
                 seen_parts.discard(p)
             elif t == "restore":
@@ -1884,8 +2034,18 @@ def table_changes(out_dir: str, since_version: int,
                 # discards are beyond file attribution, like pre-window
                 # deletes above.)
                 to_v = int(a.get("to_version", 0))
-                restored = {int(k): dict((m_ or {}).get("files") or {})
-                            for k, m_ in (a.get("parts") or {}).items()}
+                # the restored state's deletion vectors ride onto the
+                # canonicalized feed entries: a bootstrap after the
+                # rollback must read the revived files MINUS their
+                # masks, exactly as the live table does
+                restored = {}
+                for k, m_ in (a.get("parts") or {}).items():
+                    fs = dict((m_ or {}).get("files") or {})
+                    rdv = (m_ or {}).get("dv") or {}
+                    restored[int(k)] = {
+                        fn_: ({**dict(fm), "dv": list(rdv[fn_])}
+                              if rdv.get(fn_) else dict(fm))
+                        for fn_, fm in fs.items()}
                 before_rows = _inwindow_rows()
                 # parts the rollback drops leave the feed wholesale
                 for p in list(inserts):
@@ -1937,8 +2097,7 @@ def table_changes(out_dir: str, since_version: int,
             inserts[p].pop(fn_)
         if not inserts[p]:
             del inserts[p]
-    rows = sum(int(m.get("n_rows", 0))
-               for fs in inserts.values() for m in fs.values())
+    rows = sum(_eff(m) for fs in inserts.values() for m in fs.values())
     return {"inserts": inserts, "rows_inserted": rows,
             "parts_recomputed": sorted(recomputed),
             "rows_deleted": rows_deleted, "versions": versions}
@@ -1962,8 +2121,15 @@ def read_changes(spark: SparkSession, out_dir: str, since_version: int,
     declared = StructType.fromJson(meta["schema"]) \
         if meta.get("schema") else None
     data_dir = os.path.join(out_dir, "data")
-    paths = [os.path.join(data_dir, f"part={int(p)}", fn)
-             for p, fs in sorted(ch["inserts"].items()) for fn in sorted(fs)]
+    paths, dv = [], {}
+    for p, fs in sorted(ch["inserts"].items()):
+        for fn in sorted(fs):
+            path = os.path.join(data_dir, f"part={int(p)}", fn)
+            paths.append(path)
+            if fs[fn].get("dv"):
+                # an in-window deletion vector masks rows out of the
+                # very file the feed reads — deliver live rows only
+                dv[path] = [int(r) for r in fs[fn]["dv"]]
     missing = [p for p in paths if not os.path.exists(p)]
     if missing:
         raise FileNotFoundError(
@@ -1975,7 +2141,9 @@ def read_changes(spark: SparkSession, out_dir: str, since_version: int,
         return spark.createDataFrame([], declared or _schema.OUTPUT_SCHEMA)
     reader = spark.read.schema(declared) if declared is not None \
         else spark.read
-    return reader.option("basePath", data_dir).parquet(*paths)
+    return _apply_dv(spark,
+                     reader.option("basePath", data_dir).parquet(*paths),
+                     dv)
 
 
 def table_history(out_dir: str, backend: str | None = None) -> list[dict]:
@@ -2265,19 +2433,26 @@ def compact_partition(spark: SparkSession, out_dir: str, part: int,
     if not marker or not marker.get("files"):
         raise ValueError(f"partition {part} has no committed files")
     old_files = dict(marker["files"])
+    old_dv = {k: list(v) for k, v in (marker.get("dv") or {}).items()}
+    live = sum(int(v.get("n_rows", 0)) for v in old_files.values()) \
+        - sum(len(v) for v in old_dv.values())
     # an already-small partition is a no-op UNLESS the caller asked for
-    # clustering — re-sorting equal-count files still sharpens stats
-    if len(old_files) <= target_files and not sort_by:
+    # clustering (re-sorting equal-count files still sharpens stats) or
+    # deletion vectors are pending — compaction is also PURGE: the
+    # rewrite materializes the masks and replay drops them with the
+    # swapped files
+    if len(old_files) <= target_files and not sort_by and not old_dv:
         return {"part": int(part), "compacted": False,
                 "files_before": len(old_files),
                 "files_after": len(old_files),
-                "n_rows": sum(int(v.get("n_rows", 0))
-                              for v in old_files.values())}
+                "n_rows": live}
     pdir = os.path.join(out_dir, "data", f"part={int(part)}")
     paths = [os.path.join(pdir, fn) for fn in sorted(old_files)]
     tag = uuid.uuid4().hex[:12]
     staging = os.path.join(out_dir, f"_compact-{tag}")
-    src = spark.read.parquet(*paths)
+    src = _apply_dv(spark, spark.read.parquet(*paths),
+                    {os.path.join(pdir, fn): rows
+                     for fn, rows in old_dv.items()})
     if zorder:
         if not sort_by or len(sort_by) < 2:
             raise ValueError(
@@ -2311,13 +2486,12 @@ def compact_partition(spark: SparkSession, out_dir: str, part: int,
         os.replace(fsrc, os.path.join(pdir, newname))
         i += 1
     shutil.rmtree(staging, ignore_errors=True)
-    expected = sum(int(v.get("n_rows", 0)) for v in old_files.values())
-    if n_rows != expected:
+    if n_rows != live:
         # abandon BEFORE the commit: the rewrites are unreferenced
         # orphans (vacuum reclaims them); the table is untouched
         raise RuntimeError(
             f"compaction of part {part} rewrote {n_rows} rows but the "
-            f"manifest records {expected} — aborted, table unchanged")
+            f"manifest records {live} live — aborted, table unchanged")
     ledger.compact_part(int(part), sorted(old_files), man, stats=stats)
     return {"part": int(part), "compacted": True,
             "files_before": len(old_files), "files_after": len(man),
@@ -2464,19 +2638,133 @@ def delete_conversations(spark: SparkSession, out_dir: str,
         if not cand:
             continue
         _swap_filtered_rewrite(spark, out_dir, ledger, declared,
-                               int(part), cand, files, keep_fn, summary)
+                               int(part), cand, files, keep_fn, summary,
+                               dv=(marker or {}).get("dv"))
+    return summary
+
+
+def delete_rows_dv(spark: SparkSession, out_dir: str, conv_ids,
+                   key: str = "conv_id",
+                   backend: str | None = None) -> dict:
+    """Row-level DELETE via deletion vectors (Delta's DV mode): mark
+    the matching row POSITIONS of each candidate file deleted in the
+    log, rewriting nothing — a k-row targeted delete costs O(k) log
+    bytes and zero data I/O beyond locating the rows, vs the rewrite
+    path's O(touched file bytes). The right tool for point deletes on
+    a 100 TB table; bulk deletes still belong to
+    delete_conversations/delete_matching (a mask covering most of a
+    file is worse than its rewrite). Compaction MATERIALIZES masks
+    (its rewrite reads minus-dv and replay drops the dv with the
+    swapped file), and vacuum of the displaced originals is still the
+    point of physical deletion.
+
+    Protocol: the first dv on a table ratchets the reader requirement
+    with the `deletion-vectors` feature — a build that would not apply
+    masks must refuse the whole table rather than resurrect deleted
+    rows (exactly why Delta gates DVs behind a table feature).
+
+    Candidate files are pruned by the bucket transform + manifest
+    stats like the rewrite path; positions are found in ONE Spark job
+    over the candidates via `_metadata.file_path`/`row_index`.
+    Atomicity: ALL partitions' marks land in ONE log version (the
+    rewrite path commits per partition). Same conflict rule: if a
+    concurrent rewrite displaced a candidate between snapshot and
+    commit, replay ignored that mark — verified after commit, raising
+    ConcurrentDeleteError rather than reporting rows deleted that are
+    still live.
+
+    Returns {rows_deleted, files_marked, files_untouched,
+    parts_touched}."""
+    backend = backend or detect_backend(out_dir)
+    ledger = make_ledger(out_dir, backend)
+    if not getattr(ledger, "log_defined_visibility", False):
+        raise ValueError(
+            "deletion vectors require the commitlog ledger: the mask "
+            "lives in the log, and enforcement needs the protocol "
+            "action")
+    targets = sorted({str(c) for c in conv_ids})
+    committed, _success, meta, _txns = ledger.snapshot()
+    bucket = meta.get("bucket") or {}
+    keep_parts = None
+    if bucket.get("col") == key and bucket.get("fn") in BUCKET_FNS \
+            and bucket.get("n_parts"):
+        fn = BUCKET_FNS[bucket["fn"]]
+        keep_parts = {fn(c, bucket["n_parts"]) for c in targets}
+
+    summary = {"rows_deleted": 0, "files_marked": 0,
+               "files_untouched": 0, "parts_touched": []}
+    data_dir = os.path.join(out_dir, "data")
+    cand: list[tuple[int, str, str, set]] = []  # (part, fn, path, prior)
+    for part, marker in sorted(committed.items()):
+        files = (marker or {}).get("files") or {}
+        if keep_parts is not None and int(part) not in keep_parts:
+            summary["files_untouched"] += len(files)
+            continue
+        stats = (marker or {}).get("stats") or {}
+        dv = (marker or {}).get("dv") or {}
+        hit = [fn_ for fn_ in sorted(files)
+               if any(_file_may_match(stats.get(fn_), key, "=", c)
+                      for c in targets)]
+        summary["files_untouched"] += len(files) - len(hit)
+        for fn_ in hit:
+            cand.append((int(part), fn_,
+                         os.path.join(data_dir, f"part={int(part)}", fn_),
+                         set(int(r) for r in (dv.get(fn_) or []))))
+    if not cand:
+        return summary
+
+    # ratchet BEFORE the first mask lands: a reader that would not
+    # apply dvs must refuse the table wholesale from this point on
+    proto = meta.get("_protocol") or {}
+    if "deletion-vectors" not in set(proto.get("reader_features") or []):
+        upgrade_protocol(out_dir, reader_features=["deletion-vectors"],
+                         backend=backend)
+
+    hits = (spark.read.option("basePath", data_dir)
+            .parquet(*[c[2] for c in cand])
+            .where(F.col(key).isin(targets))
+            .select(F.col("_metadata.file_path").alias("fp"),
+                    F.col("_metadata.row_index").alias("ri"))
+            .collect())  # bounded by the targets' row count
+    by_suffix: dict[str, set] = {}
+    for r in hits:
+        by_suffix.setdefault(_dv_suffix(r["fp"]), set()).add(int(r["ri"]))
+    marks = []
+    for part, fn_, path, prior in cand:
+        pos = by_suffix.get(_dv_suffix(path), set()) - prior
+        if pos:
+            marks.append((part, fn_, sorted(pos)))
+    if not marks:
+        return summary
+    ver = ledger.add_dv(marks)
+    prev = ledger.committed(version=ver - 1)
+    stale = [fn_ for part, fn_, _pos in marks
+             if fn_ not in ((prev.get(part) or {}).get("files") or {})]
+    if stale:
+        raise ConcurrentDeleteError(
+            f"dv delete conflicted with a concurrent rewrite: files "
+            f"{stale} were replaced between snapshot and commit "
+            f"(v{ver}); their marks were ignored by replay — retry "
+            "against the new snapshot")
+    summary["rows_deleted"] = sum(len(pos) for _, _, pos in marks)
+    summary["files_marked"] = len(marks)
+    summary["parts_touched"] = sorted({p for p, _, _ in marks})
     return summary
 
 
 def _swap_filtered_rewrite(spark, out_dir, ledger, declared, part,
-                           cand, files, keep_fn, summary) -> None:
+                           cand, files, keep_fn, summary,
+                           dv: dict | None = None) -> None:
     """The DELETE rewrite core shared by the id-list and DataFrame key
     paths: read the candidate files, keep `keep_fn(df)`, stage the
     survivors, swap atomically via one `delete` log version, and verify
     the swap APPLIED (raising ConcurrentDeleteError on a stale swap —
     see delete_conversations). A rewrite that removes nothing (stats
     false positive) leaves the originals untouched and commits no
-    version. Mutates `summary` in place."""
+    version. Candidates carrying deletion vectors are read MINUS their
+    masks (the rewrite materializes prior dv deletes; resurrecting
+    them would undo committed right-to-be-forgotten requests) and the
+    row accounting compares live counts. Mutates `summary` in place."""
     import shutil
     import uuid
 
@@ -2486,8 +2774,12 @@ def _swap_filtered_rewrite(spark, out_dir, ledger, declared, part,
     paths = [os.path.join(pdir, f) for f in cand]
     reader = spark.read.schema(declared) if declared is not None \
         else spark.read
-    before = sum(int(files[f].get("n_rows", 0)) for f in cand)
-    kept = keep_fn(reader.parquet(*paths))
+    dv = {f: rows for f, rows in (dv or {}).items() if f in cand}
+    before = sum(int(files[f].get("n_rows", 0)) for f in cand) \
+        - sum(len(v) for v in dv.values())
+    kept = keep_fn(_apply_dv(
+        spark, reader.parquet(*paths),
+        {os.path.join(pdir, f): rows for f, rows in dv.items()}))
     tag = uuid.uuid4().hex[:12]
     staging = os.path.join(out_dir, f"_compact-{tag}")  # vacuum-known
     kept.coalesce(max(1, len(cand))).write.parquet(staging)
@@ -2642,7 +2934,7 @@ def delete_matching(spark: SparkSession, out_dir: str, keys: DataFrame,
                 continue
             _swap_filtered_rewrite(spark, out_dir, ledger, declared,
                                    int(part), cand, files, keep_fn,
-                                   summary)
+                                   summary, dv=(marker or {}).get("dv"))
         return summary
     finally:
         shutil.rmtree(scratch, ignore_errors=True)

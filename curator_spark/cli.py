@@ -83,6 +83,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "--output (right-to-be-forgotten; commitlog "
                         "only; physical after --vacuum) and exit — "
                         "no --input needed")
+    p.add_argument("--delete-mode", choices=["rewrite", "dv"],
+                   default="rewrite",
+                   help="--delete-ids strategy: 'rewrite' swaps the "
+                        "touched files for filtered rewrites; 'dv' "
+                        "marks row positions deleted in the log "
+                        "(deletion vectors — O(k) for k rows, "
+                        "protocol-gated, materialized by --compact)")
     p.add_argument("--vacuum", action="store_true",
                    help="after the run, reclaim data files no commit "
                         "manifest references (commitlog backend only)")
@@ -181,9 +188,11 @@ def main(argv: list[str] | None = None) -> int:
                 args.consume_out, f"batch-v{since + 1}-v{until}"))
         summary = consume_changes(spark, args.output, args.consume, _sink)
     elif args.delete_ids:
-        from curator_spark.checkpoint import delete_conversations
-        summary = delete_conversations(
-            spark, args.output, args.delete_ids.split(","))
+        from curator_spark.checkpoint import (delete_conversations,
+                                              delete_rows_dv)
+        fn = delete_rows_dv if args.delete_mode == "dv" \
+            else delete_conversations
+        summary = fn(spark, args.output, args.delete_ids.split(","))
     elif args.upsert:
         from curator_spark.incremental import upsert_conversations
         summary = upsert_conversations(

@@ -63,6 +63,9 @@ from pyspark.sql.types import IntegerType, StructField, StructType
 class _FilePartition(InputPartition):
     part: int
     path: str
+    # deletion-vector positions of this file (row indexes masked out
+    # at read — the file itself is immutable)
+    dv: tuple = ()
 
 
 def _declared_schema(table_dir: str) -> StructType:
@@ -89,6 +92,12 @@ def _read_file_as_arrow(partition: _FilePartition, schema: StructType):
     from pyspark.sql.pandas.types import to_arrow_schema
     target = to_arrow_schema(schema)
     table = pq.read_table(partition.path)
+    if partition.dv:
+        # apply the deletion vector: mask the marked row positions out
+        mask = [True] * table.num_rows
+        for r in partition.dv:
+            mask[int(r)] = False
+        table = table.filter(pa.array(mask))
     n = table.num_rows
     arrays = []
     for field in target:
@@ -141,12 +150,13 @@ class _SnapshotReader(DataSourceReader):
     def partitions(self):
         import os
         from .checkpoint import _snapshot_plan
-        paths, _meta = _snapshot_plan(
+        paths, _meta, dv = _snapshot_plan(
             self._dir, None, self._version, self._where or None)
         out = []
         for p in paths:
             d = os.path.basename(os.path.dirname(p))
-            out.append(_FilePartition(int(d.split("=", 1)[1]), p))
+            out.append(_FilePartition(int(d.split("=", 1)[1]), p,
+                                      dv=tuple(dv.get(p) or ())))
         return out
 
     def read(self, partition: _FilePartition):
@@ -188,7 +198,8 @@ class _ChangeStreamReader(DataSourceStreamReader):
         ch = table_changes(self._dir, lo, hi)
         data = os.path.join(self._dir, "data")
         return [
-            _FilePartition(int(p), os.path.join(data, f"part={int(p)}", fn))
+            _FilePartition(int(p), os.path.join(data, f"part={int(p)}", fn),
+                           dv=tuple(fs[fn].get("dv") or ()))
             for p, fs in sorted(ch["inserts"].items())
             for fn in sorted(fs)]
 

@@ -72,7 +72,7 @@ def test_pure_append_window_is_insert_only(spark, table):
     kinds = {r[0] for r in delta.select(CHANGE_COL).distinct().collect()}
     assert kinds == {"insert"}
     # and the planner read nothing from the before side
-    removed, added, _ = _changed_file_sets(
+    removed, added, _, _dvb, _dva = _changed_file_sets(
         make_ledger(out, "commitlog"), v1,
         make_ledger(out, "commitlog").latest_version())
     assert removed == {} and added
@@ -101,7 +101,7 @@ def test_compaction_only_window_plans_zero_files(spark, table):
     head0 = led.latest_version()
     part = max(led.committed(), key=lambda p: len(led.committed()[p]["files"]))
     assert compact_partition(spark, out, part)["compacted"]
-    removed, added, skipped = _changed_file_sets(
+    removed, added, skipped, _dvb, _dva = _changed_file_sets(
         led, head0, led.latest_version())
     assert removed == {} and added == {} and skipped == [part]
     delta = row_changes(spark, out, head0)

@@ -34,6 +34,8 @@ OP = st.one_of(
     st.tuples(st.just("stale_swap"), st.integers(0, 3)),
     st.tuples(st.just("delete_one"), st.integers(0, 3)),
     st.tuples(st.just("delete_partial"), st.integers(0, 3)),
+    st.tuples(st.just("dv"), st.integers(0, 3), st.integers(0, 9)),
+    st.tuples(st.just("dv_stale"), st.integers(0, 3)),
     st.tuples(st.just("remove"), st.integers(0, 3)),
     st.tuples(st.just("txn"), st.integers(0, 2), st.integers(0, 9)),
     st.tuples(st.just("meta"), st.integers(0, 2), st.integers(0, 9)),
@@ -49,7 +51,8 @@ def _apply(led, op):
     first (exactly how the real maintenance code works)."""
     kind = op[0]
     parts = led.committed() if kind in (
-        "compact", "stale_swap", "delete_one", "delete_partial") else None
+        "compact", "stale_swap", "delete_one", "delete_partial",
+        "dv") else None
     if kind == "add":
         _, p, nf = op
         files = {f"f{next(_seq)}-{i}.parquet": {"n_rows": 10 + i}
@@ -93,6 +96,20 @@ def _apply(led, op):
                 led.delete_rewrite(p, [victim],
                                    {f"d{next(_seq)}.parquet":
                                     {"n_rows": n - 1}})
+    elif kind == "dv":
+        # deletion vector: mark one row position of one live file —
+        # repeats hit already-marked positions (union idempotence)
+        _, p, r = op
+        m = parts.get(p)
+        if m and m.get("files"):
+            victim = sorted(m["files"])[0]
+            n_phys = int(m["files"][victim].get("n_rows", 0))
+            if n_phys > 0:
+                led.add_dv([(p, victim, [r % n_phys])])
+    elif kind == "dv_stale":
+        # dv against a file no manifest references: replay must ignore
+        # it entirely (the mask analogue of a stale swap)
+        led.add_dv([(op[1], "never-existed.parquet", [0])])
     elif kind == "remove":
         led.drop_part(op[1])
     elif kind == "txn":
@@ -111,8 +128,12 @@ def _apply(led, op):
 def _manifest_rows_consistent(parts):
     for m in parts.values():
         if m and m.get("files"):
+            dv = m.get("dv") or {}
+            # masks only ever reference live files, positions unique
+            assert set(dv) <= set(m["files"])
             assert m["n_rows"] == sum(int(v.get("n_rows", 0))
-                                      for v in m["files"].values())
+                                      for v in m["files"].values()) \
+                - sum(len(v) for v in dv.values())
 
 
 # the whole property suite runs once per atomic store: os.link and the
