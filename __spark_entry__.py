@@ -100,9 +100,11 @@ DRIVER_WINDOW = [
     "q66_ivfpq_search",
     # sequence packing / context windows
     "q52_sequence_pack", "q55_context_windows",
-    # sampling / splits / mixtures
-    "q40_hash_split", "q59_stratified_split", "q46_mixture_sample",
-    "q82_temperature_mixture",
+    # sampling / splits / mixtures (q46 fixed-rate mixture stays
+    # selfcheck-verified; q82 covers the family in-window)
+    "q40_hash_split", "q59_stratified_split", "q82_temperature_mixture",
+    # table mutation verbs (the commitlog MERGE expression)
+    "q83_merge_upsert",
     # corpus-scale training ops
     "q73_ngram_lm_train", "q74_feature_hash_embed", "q75_dsir_resample",
     "q76_bm25_topk", "q77_langid_train", "q78_ccnet_lm_filter",

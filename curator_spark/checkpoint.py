@@ -747,6 +747,17 @@ class CommitLogLedger:
                               "updated_at":
                               datetime.now(timezone.utc).isoformat()}])
 
+    def merge_commit(self, actions: list[dict]) -> int:
+        """Publish a MERGE's full action set — per-partition file swaps
+        (``delete`` actions carrying the matched legs' rewrites) plus
+        ``add_files`` actions carrying the not-matched inserts — as ONE
+        atomic log version, so readers never observe the updates
+        without the inserts (Delta writes MERGE the same way: one
+        commit, many remove/add actions). Each action replays under its
+        own existing rule, including the stale-swap conflict rule the
+        caller (merge.py) verifies post-commit. Returns the version."""
+        return self._append(list(actions))
+
     def add_dv(self, marks: list[tuple[int, str, list[int]]]) -> int:
         """Publish deletion vectors: for each (part, file, positions),
         mark those row indexes of the immutable file deleted — no data

@@ -78,6 +78,26 @@ def build_parser() -> argparse.ArgumentParser:
                    help="MERGE: like --append, but a batch conv_id that "
                         "exists with DIFFERENT content REPLACES its old "
                         "rows (corrected re-delivery / redaction re-run)")
+    p.add_argument("--merge", action="store_true",
+                   help="MERGE INTO: treat --input as an arbitrary "
+                        "source table (any schema matching --output) "
+                        "and conditionally upsert it on --merge-key — "
+                        "matched rows update (or delete with "
+                        "--merge-matched delete), unmatched rows "
+                        "insert, one atomic commit (commitlog only)")
+    p.add_argument("--merge-key", type=str, default="conv_id",
+                   help="MERGE join key column (default conv_id)")
+    p.add_argument("--merge-matched", choices=["update", "delete", "none"],
+                   default="update",
+                   help="WHEN MATCHED clause for --merge")
+    p.add_argument("--merge-not-matched", choices=["insert", "none"],
+                   default="insert",
+                   help="WHEN NOT MATCHED clause for --merge")
+    p.add_argument("--merge-condition", type=str, default=None,
+                   metavar="EXPR",
+                   help="extra WHEN MATCHED AND <expr> condition over "
+                        "aliases s (source) / t (target), e.g. "
+                        "'s.ts > t.ts'")
     p.add_argument("--delete-ids", type=str, default=None, metavar="IDS",
                    help="comma-separated conv_ids to delete from "
                         "--output (right-to-be-forgotten; commitlog "
@@ -193,6 +213,17 @@ def main(argv: list[str] | None = None) -> int:
         fn = delete_rows_dv if args.delete_mode == "dv" \
             else delete_conversations
         summary = fn(spark, args.output, args.delete_ids.split(","))
+    elif args.merge:
+        from curator_spark.merge import merge_into
+        summary = merge_into(
+            spark, args.output, spark.read.parquet(args.input),
+            key=args.merge_key,
+            when_matched=None if args.merge_matched == "none"
+            else args.merge_matched,
+            when_not_matched=None if args.merge_not_matched == "none"
+            else args.merge_not_matched,
+            matched_condition=args.merge_condition,
+        )
     elif args.upsert:
         from curator_spark.incremental import upsert_conversations
         summary = upsert_conversations(

@@ -329,6 +329,42 @@ def q81_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("reached_purchase")))
 
 
+def q83_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics as one declarative DataFrame plan
+    (merge.merge_dataframes — the expression the table-level
+    merge_into commits): customers whose source row passes the matched
+    condition are updated in place, brand-new keys are inserted,
+    everything else survives untouched.
+
+    Source legs are deterministic projections of the table itself:
+    every 7th customer arrives re-segmented with a negated balance
+    (the matched condition ``s.bal_cents > t.bal_cents`` keeps only
+    the overdrawn ones — a CONDITIONAL update), every 97th arrives
+    key-shifted by 1M (pure inserts). Balances are compared in exact
+    integer cents (the _cents rule).
+
+    Plan: one left equi-join (update leg) + one left-anti equi-join
+    (insert leg), both on the key — AQE broadcasts the small source;
+    no window, no collect, no product. Reference parity: the batch
+    resubmission loop's id-keyed replace-or-append
+    (base_batch_request_processor.py:300-309) as a declarative verb."""
+    from .merge import merge_dataframes
+    base = (_t(spark, sf_dir, "customer")
+            .select("c_custkey", "c_name", "c_mktsegment",
+                    _cents("c_acctbal").alias("bal_cents")))
+    upd = (base.filter(F.col("c_custkey") % 7 == 0)
+           .select("c_custkey", "c_name",
+                   F.lit("MERGED").alias("c_mktsegment"),
+                   (-F.col("bal_cents")).alias("bal_cents")))
+    ins = (base.filter(F.col("c_custkey") % 97 == 0)
+           .select((F.col("c_custkey") + 1_000_000).alias("c_custkey"),
+                   F.concat(F.lit("NEW-"), F.col("c_name")).alias("c_name"),
+                   F.lit("NEWSEG").alias("c_mktsegment"),
+                   F.lit(0).cast("long").alias("bal_cents")))
+    return merge_dataframes(base, upd.unionByName(ins), "c_custkey",
+                            matched_condition="s.bal_cents > t.bal_cents")
+
+
 RANGE_BIN_US = 3_600_000_000  # 1 h bins for the session range join
 
 
@@ -2544,6 +2580,39 @@ ORACLES: dict[str, str] = {
                    chr(31))) AS tok_fp
         FROM documents
     """,
+    "q83_merge_upsert": """
+        WITH base AS (
+            SELECT c_custkey, c_name, c_mktsegment,
+                   CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+            FROM customer),
+        upd AS (
+            SELECT c_custkey, c_name, 'MERGED' AS c_mktsegment,
+                   -bal_cents AS bal_cents
+            FROM base WHERE c_custkey % 7 = 0),
+        ins AS (
+            SELECT c_custkey + 1000000 AS c_custkey,
+                   'NEW-' || c_name AS c_name,
+                   'NEWSEG' AS c_mktsegment,
+                   CAST(0 AS BIGINT) AS bal_cents
+            FROM base WHERE c_custkey % 97 = 0),
+        src AS (SELECT * FROM upd UNION ALL SELECT * FROM ins)
+        SELECT t.c_custkey,
+               CASE WHEN s.c_custkey IS NOT NULL
+                         AND s.bal_cents > t.bal_cents
+                    THEN s.c_name ELSE t.c_name END AS c_name,
+               CASE WHEN s.c_custkey IS NOT NULL
+                         AND s.bal_cents > t.bal_cents
+                    THEN s.c_mktsegment ELSE t.c_mktsegment
+                    END AS c_mktsegment,
+               CASE WHEN s.c_custkey IS NOT NULL
+                         AND s.bal_cents > t.bal_cents
+                    THEN s.bal_cents ELSE t.bal_cents END AS bal_cents
+        FROM base t LEFT JOIN src s ON t.c_custkey = s.c_custkey
+        UNION ALL
+        SELECT s.* FROM src s
+        WHERE NOT EXISTS
+            (SELECT 1 FROM base t WHERE t.c_custkey = s.c_custkey)
+    """,
     "q43_window_breadth": """
         SELECT c_custkey, c_mktsegment,
                CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents,
@@ -2667,4 +2736,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q77_langid_train": q77_langid_train,
     "q69_quality_buckets": q69_quality_buckets,
     "q45_sketch_accuracy": q45_sketch_accuracy,
+    "q83_merge_upsert": q83_merge_upsert,
 }
