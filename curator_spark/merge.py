@@ -62,7 +62,8 @@ class ConcurrentMergeError(RuntimeError):
     (already-inserted rows become same-value updates)."""
 
 
-def _validate_clauses(when_matched, when_not_matched):
+def _validate_clauses(when_matched, when_not_matched,
+                      matched_delete_condition=None):
     if when_matched not in ("update", "delete", None):
         raise ValueError(
             f"when_matched must be 'update', 'delete' or None, got "
@@ -74,49 +75,74 @@ def _validate_clauses(when_matched, when_not_matched):
     if when_matched is None and when_not_matched is None:
         raise ValueError("MERGE with no clauses is a no-op; give at "
                          "least one of when_matched / when_not_matched")
+    if matched_delete_condition is not None and when_matched != "update":
+        raise ValueError(
+            "matched_delete_condition is the prioritized WHEN MATCHED "
+            "AND <cond> THEN DELETE clause of a 3-clause merge — it "
+            "requires when_matched='update' (for a pure delete use "
+            "when_matched='delete')")
 
 
 def merge_dataframes(target: DataFrame, source: DataFrame, key: str,
                      when_matched: str | None = "update",
                      when_not_matched: str | None = "insert",
-                     matched_condition: str | None = None) -> DataFrame:
+                     matched_condition: str | None = None,
+                     matched_delete_condition: str | None = None,
+                     not_matched_condition: str | None = None
+                     ) -> DataFrame:
     """MERGE semantics as one declarative DataFrame plan (no table, no
     commit): target rows matched by source key are updated to the
-    source row (or deleted), unmatched source rows are inserted. The
-    optional `matched_condition` is a Spark SQL boolean over aliases
-    `s` (source) and `t` (target), e.g. ``"s.ts > t.ts"`` — a matched
-    row failing it keeps its target version (update) / survives
-    (delete).
+    source row (or deleted), unmatched source rows are inserted.
+
+    Conditions are Spark SQL booleans over aliases `s` (source) and
+    `t` (target) — extra source-only columns (e.g. CDC metadata) are
+    in scope for conditions but never land in the output:
+    * `matched_condition` — a matched row failing it keeps its target
+      version (update) / survives (delete);
+    * `matched_delete_condition` — Delta's 3-clause form: WHEN MATCHED
+      AND <this> THEN DELETE, evaluated BEFORE the update clause (a
+      row satisfying both is deleted), requires when_matched='update';
+    * `not_matched_condition` — WHEN NOT MATCHED AND <this> THEN
+      INSERT (source columns in scope; e.g. ``"NOT __is_delete"`` so
+      CDC delete events for absent keys are no-ops).
 
     One left join + one anti join, both key equi-joins Catalyst can
     broadcast or shuffle-hash as sizes dictate — no window, no
     collect. NULL keys follow SQL equality: a NULL target key never
     matches (row kept), NULL-key source rows are dropped.
     """
-    _validate_clauses(when_matched, when_not_matched)
+    _validate_clauses(when_matched, when_not_matched,
+                      matched_delete_condition)
     cols = target.columns
     missing = [c for c in cols if c not in source.columns]
     if missing and (when_matched == "update" or when_not_matched):
         raise ValueError(f"source lacks target columns {missing}")
-    src = (source.select(*[c for c in cols if c in source.columns])
-           .filter(F.col(key).isNotNull()))
+    src = source.filter(F.col(key).isNotNull())
 
     cond = F.expr(matched_condition) if matched_condition else F.lit(True)
-    matched = F.col(f"s.{key}").isNotNull() & cond
+    mdel = F.expr(matched_delete_condition) if matched_delete_condition \
+        else F.lit(False)
+    mkey = F.col(f"s.{key}").isNotNull()
+    del_hit = F.coalesce(mkey & mdel, F.lit(False))
+    upd_hit = F.coalesce(mkey & cond, F.lit(False)) & ~del_hit
     j = target.alias("t").join(
         src.alias("s"), F.col(f"t.{key}") == F.col(f"s.{key}"), "left")
     if when_matched == "update":
-        upd = j.select(*[
-            F.when(matched, F.col(f"s.{c}")).otherwise(F.col(f"t.{c}"))
+        upd = j.filter(~del_hit).select(*[
+            F.when(upd_hit, F.col(f"s.{c}")).otherwise(F.col(f"t.{c}"))
             .alias(c) for c in cols])
     elif when_matched == "delete":
-        upd = j.filter(~F.coalesce(matched, F.lit(False))) \
+        upd = j.filter(~upd_hit) \
             .select(*[F.col(f"t.{c}").alias(c) for c in cols])
     else:
         upd = target
     if when_not_matched == "insert":
-        ins = src.join(target.select(key).filter(F.col(key).isNotNull()),
-                       [key], "left_anti").select(*cols)
+        ins = src.alias("s")
+        if not_matched_condition:
+            ins = ins.filter(F.expr(not_matched_condition))
+        ins = ins.join(
+            target.select(key).filter(F.col(key).isNotNull()),
+            [key], "left_anti").select(*cols)
         upd = upd.unionByName(ins)
     return upd
 
@@ -126,26 +152,42 @@ def merge_into(spark: SparkSession, out_dir: str, source: DataFrame,
                when_matched: str | None = "update",
                when_not_matched: str | None = "insert",
                matched_condition: str | None = None,
+               matched_delete_condition: str | None = None,
+               not_matched_condition: str | None = None,
+               txn: tuple[str, int] | None = None,
                backend: str | None = None) -> dict:
     """MERGE `source` into the committed commitlog table at `out_dir`
     on key equality, atomically (one log version carrying every file
     swap and every new file — see module docstring for the plan shape
-    and the concurrency contract).
+    and the concurrency contract). The three condition parameters form
+    Delta's full clause set (see merge_dataframes): WHEN MATCHED AND
+    matched_delete_condition THEN DELETE / WHEN MATCHED [AND
+    matched_condition] THEN UPDATE / WHEN NOT MATCHED [AND
+    not_matched_condition] THEN INSERT — extra source-only columns
+    (CDC metadata) are in scope for conditions, never in the output.
 
     Duplicate source keys are refused (Delta's multiple-source-match
     error: the result would be nondeterministic). NULL-key source rows
     are dropped (SQL equality); NULL-key target rows always survive.
 
+    txn=(app_id, version): idempotent-writer mark (Delta's txn action)
+    committed IN THE SAME log version as the merge — if the table has
+    already recorded `version` (or later) for `app_id`, the merge
+    returns immediately with txn_skipped=True and NO Spark work. This
+    is the exactly-once handle for streaming CDC apply (a replayed
+    foreachBatch epoch is a cheap no-op).
+
     Returns {version, rows_updated, rows_deleted, rows_inserted,
     files_rewritten, files_added, files_untouched, parts_touched,
-    n_source_rows}. A merge that changes nothing commits no version
-    (version is None).
+    n_source_rows, txn_skipped}. A merge that changes nothing commits
+    no version (version is None).
     """
     import pyarrow.parquet as pq
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import StructType
 
-    _validate_clauses(when_matched, when_not_matched)
+    _validate_clauses(when_matched, when_not_matched,
+                      matched_delete_condition)
     backend = backend or detect_backend(out_dir)
     ledger = make_ledger(out_dir, backend)
     if not getattr(ledger, "log_defined_visibility", False):
@@ -173,16 +215,28 @@ def merge_into(spark: SparkSession, out_dir: str, source: DataFrame,
     summary = {"version": None, "rows_updated": 0, "rows_deleted": 0,
                "rows_inserted": 0, "files_rewritten": 0, "files_added": 0,
                "files_untouched": 0, "parts_touched": [],
-               "n_source_rows": 0}
+               "n_source_rows": 0, "txn_skipped": False}
+    if txn is not None:
+        last = ledger.last_txn(str(txn[0]))
+        if last is not None and int(txn[1]) <= last:
+            # replayed work unit (Delta's txn fast path): the epoch's
+            # merge already landed — no Spark job, no new version
+            summary["txn_skipped"] = True
+            return summary
     tag = uuid.uuid4().hex[:12]
     scratch = os.path.join(out_dir, f"_compact-{tag}-src")
     data_dir = os.path.join(out_dir, "data")
     try:
         # Stage the source once: lineage cut + exactly-one evaluation.
+        # Target columns are cast to the declared schema; extra
+        # source-only columns (CDC metadata) ride along untouched for
+        # the condition expressions.
+        dtypes = {f.name: f.dataType for f in declared.fields}
         proj = cols if need_full_row else [key]
-        (source.select(*[F.col(c).cast(dict(
-            (f.name, f.dataType) for f in declared.fields)[c]).alias(c)
-            for c in proj])
+        staged_cols = ([F.col(c).cast(dtypes[c]).alias(c) for c in proj]
+                       + [F.col(c) for c in source.columns
+                          if c not in cols])
+        (source.select(*staged_cols)
          .filter(F.col(key).isNotNull())
          .write.parquet(scratch))
         src = spark.read.parquet(scratch)
@@ -227,6 +281,8 @@ def merge_into(spark: SparkSession, out_dir: str, source: DataFrame,
         reader = spark.read.schema(declared)
         cond = F.expr(matched_condition) if matched_condition \
             else F.lit(True)
+        mdel = F.expr(matched_delete_condition) \
+            if matched_delete_condition else F.lit(False)
 
         if when_matched is not None:
             for part, marker in sorted(committed.items()):
@@ -251,23 +307,27 @@ def merge_into(spark: SparkSession, out_dir: str, source: DataFrame,
                 t = _apply_dv(
                     spark, reader.parquet(*paths),
                     {os.path.join(pdir, f): rows for f, rows in dv.items()})
-                matched = F.col(f"s.{key}").isNotNull() & cond
+                mkey = F.col(f"s.{key}").isNotNull()
+                del_hit = F.coalesce(mkey & mdel, F.lit(False))
+                upd_hit = F.coalesce(mkey & cond, F.lit(False)) & ~del_hit
                 j = t.alias("t").join(
                     src.alias("s"),
                     F.col(f"t.{key}") == F.col(f"s.{key}"), "left")
-                n_matched = j.filter(
-                    F.coalesce(matched, F.lit(False))).count()
-                if n_matched == 0:
+                hits = j.agg(
+                    F.sum(F.when(del_hit, 1).otherwise(0)).alias("d"),
+                    F.sum(F.when(upd_hit, 1).otherwise(0)).alias("u")
+                ).collect()[0]
+                n_del, n_upd = int(hits["d"] or 0), int(hits["u"] or 0)
+                if n_del + n_upd == 0:
                     summary["files_untouched"] += len(cand)
                     continue  # stats false positive: leave files alone
                 if when_matched == "update":
-                    out = j.select(*[
-                        F.when(matched, F.col(f"s.{c}"))
+                    out = j.filter(~del_hit).select(*[
+                        F.when(upd_hit, F.col(f"s.{c}"))
                         .otherwise(F.col(f"t.{c}")).alias(c)
                         for c in cols])
-                    summary["rows_updated"] += int(n_matched)
                 else:  # delete
-                    out = j.filter(~F.coalesce(matched, F.lit(False))) \
+                    out = j.filter(~upd_hit) \
                         .select(*[F.col(f"t.{c}").alias(c) for c in cols])
                 staging = os.path.join(out_dir,
                                        f"_compact-{tag}-p{int(part)}")
@@ -295,11 +355,15 @@ def merge_into(spark: SparkSession, out_dir: str, source: DataFrame,
                             f"{before} → {after} rows; aborted, table "
                             "unchanged")
                     summary["rows_deleted"] += before - after
-                elif after != before:
-                    raise RuntimeError(
-                        f"merge-update rewrite of part {part} changed the "
-                        f"row count {before} → {after}; aborted, table "
-                        "unchanged")
+                else:
+                    if after != before - n_del:
+                        raise RuntimeError(
+                            f"merge rewrite of part {part} changed the "
+                            f"row count {before} → {after} (expected "
+                            f"{before - n_del} after {n_del} clause "
+                            "deletes); aborted, table unchanged")
+                    summary["rows_updated"] += n_upd
+                    summary["rows_deleted"] += n_del
                 from datetime import datetime, timezone
                 actions.append({"type": "delete", "part": int(part),
                                 "remove_files": sorted(cand),
@@ -316,7 +380,10 @@ def merge_into(spark: SparkSession, out_dir: str, source: DataFrame,
             from .checkpoint import read_committed
             tkeys = read_committed(spark, out_dir, backend) \
                 .select(key).filter(F.col(key).isNotNull())
-            ins = src.join(tkeys, [key], "left_anti").select(*cols)
+            ins = src.alias("s")
+            if not_matched_condition:
+                ins = ins.filter(F.expr(not_matched_condition))
+            ins = ins.join(tkeys, [key], "left_anti").select(*cols)
             if bucketed:
                 ins = ins.withColumn(
                     "part", _bucket_of(F.col(key)).cast("int"))
@@ -364,6 +431,12 @@ def merge_into(spark: SparkSession, out_dir: str, source: DataFrame,
 
         if not actions:
             return summary
+        if txn is not None:
+            # the idempotence mark rides the SAME atomic version as the
+            # merge: a crash can never record the txn without the data
+            # or the data without the txn
+            actions.append({"type": "txn", "app_id": str(txn[0]),
+                            "txn_version": int(txn[1])})
         ver = ledger.merge_commit(actions)
         summary["version"] = int(ver)
         summary["parts_touched"].sort()

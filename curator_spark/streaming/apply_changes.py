@@ -1,0 +1,124 @@
+"""Streaming CDC apply (APPLY CHANGES INTO): consume a change stream
+of row images — upserts and delete tombstones, each stamped with a
+per-key sequence — and keep a commitlog table continuously equal to
+the latest state per key, exactly-once.
+
+The Delta Live Tables / Flink-upsert-sink shape, composed from pieces
+this engine already has:
+
+* per micro-batch, the changes COLLAPSE to the newest image per key
+  (`max_by` over the sequence — ONE shuffled aggregation, no window
+  sort, so a hot key costs one combiner chain, not a single-task
+  sort);
+* the collapsed batch lands through ONE 3-clause MERGE
+  (merge.merge_into): WHEN MATCHED AND tombstone THEN DELETE, WHEN
+  MATCHED THEN UPDATE, WHEN NOT MATCHED AND NOT tombstone THEN INSERT
+  — a tombstone for a key the table never saw is a no-op, matching
+  upsert-stream semantics;
+* exactly-once: foreachBatch replays epochs at-least-once, and the
+  merge commits Delta's txn action (app id, epoch id) IN THE SAME
+  atomic log version as the data — a replayed epoch short-circuits
+  before any Spark work (txn_skipped). Crash between data and marker
+  is impossible by construction, unlike mark-after-write designs.
+
+Scale shape at 10^12 turns: the collapse shuffles only the micro-batch
+(CDC volume, not table volume); the merge prunes touched files via the
+bucket transform + manifest stats, so an epoch touching 0.1% of keys
+rewrites ~0.1% of files. No step scans the full table except the
+insert leg's column-pruned key anti-join.
+
+Reference parity: the reference's batch polling loop re-delivers
+corrected responses keyed by request id over the run's lifetime
+(base_batch_request_processor.py:300-309, 538-582); this is that loop
+as an event-driven, sequence-ordered, exactly-once table maintainer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..merge import merge_into
+
+__all__ = ["apply_cdc_batch", "collapse_cdc", "run_apply_changes_stream"]
+
+
+def collapse_cdc(batch: DataFrame, key: str, sequence_col: str
+                 ) -> DataFrame:
+    """Newest change per key: ONE groupBy with `max_by` over the
+    sequence (ties are resolved arbitrarily — give each key's changes
+    distinct sequence values, e.g. a source LSN/offset, for
+    deterministic results). Deliberately not a row_number window: the
+    aggregation map-side-combines, so a hot key (one conversation
+    updated 10^6 times in an epoch) never serializes into one task's
+    sort."""
+    rest = [c for c in batch.columns if c != key]
+    return (batch.groupBy(key)
+            .agg(F.max_by(F.struct(*[F.col(c) for c in rest]),
+                          F.col(sequence_col)).alias("_r"))
+            .select(key, "_r.*"))
+
+
+def apply_cdc_batch(spark: SparkSession, batch: DataFrame, out_dir: str,
+                    key: str = "conv_id",
+                    sequence_col: str | None = "seq",
+                    delete_col: str | None = "is_delete",
+                    txn: tuple[str, int] | None = None) -> dict:
+    """Apply one batch of CDC row images to the table: collapse to the
+    newest image per key (if sequence_col), then one atomic 3-clause
+    merge. Delete tombstones need only a valid key — their other
+    columns may be NULL. Returns the merge summary."""
+    b = collapse_cdc(batch, key, sequence_col) if sequence_col else batch
+    kwargs: dict = {}
+    if delete_col:
+        # NULL tombstone flags read as upserts on both legs
+        kwargs = {"matched_delete_condition":
+                  f"coalesce(s.{delete_col}, false)",
+                  "not_matched_condition":
+                  f"NOT coalesce({delete_col}, false)"}
+    return merge_into(spark, out_dir, b, key=key, txn=txn, **kwargs)
+
+
+def run_apply_changes_stream(spark: SparkSession, input_dir: str,
+                             out_dir: str, checkpoint_dir: str,
+                             schema, key: str = "conv_id",
+                             sequence_col: str | None = "seq",
+                             delete_col: str | None = "is_delete",
+                             txn_app_id: str | None = None,
+                             available_now: bool = True,
+                             max_files_per_trigger: int | None = None,
+                             trigger_interval: str | None = None):
+    """Follow (or drain, with available_now) a directory of CDC files
+    into the committed table at out_dir. Exactly-once across restarts:
+    Spark's offset checkpoint pins each epoch's file set, and the
+    merge's same-version txn action makes replayed epochs no-ops.
+
+    Returns (query, summaries): summaries is a driver-local list of
+    per-epoch merge summaries, appended as epochs complete.
+    """
+    r = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        r = r.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = r.parquet(input_dir)
+
+    # app id defaults to the stream's checkpoint identity (the
+    # append_stream convention): epoch numbering is only meaningful
+    # within one checkpoint lineage, so a FRESH checkpoint dir must be
+    # a fresh app id or its epoch 0 would be falsely skipped
+    app = txn_app_id or f"cdc-apply:{checkpoint_dir}"
+    summaries: list[dict] = []
+
+    def _epoch(batch: DataFrame, epoch_id: int) -> None:
+        summaries.append(apply_cdc_batch(
+            spark, batch, out_dir, key=key, sequence_col=sequence_col,
+            delete_col=delete_col, txn=(app, int(epoch_id))))
+
+    w = stream.writeStream.foreachBatch(_epoch) \
+        .option("checkpointLocation", checkpoint_dir)
+    if available_now:
+        w = w.trigger(availableNow=True)
+    elif trigger_interval:
+        w = w.trigger(processingTime=trigger_interval)
+    q = w.start()
+    if available_now:
+        q.awaitTermination()
+    return q, summaries

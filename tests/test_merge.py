@@ -220,6 +220,78 @@ def test_merge_into_refuses_markers_backend(spark, tmp_path,
         merge_into(spark, out, _toy(spark, 3))
 
 
+def test_merge_df_three_clause(spark):
+    """Delta's full clause set in one statement: WHEN MATCHED AND
+    <del> THEN DELETE / WHEN MATCHED THEN UPDATE / WHEN NOT MATCHED
+    AND <ins> THEN INSERT. CDC metadata (is_del) steers clauses but
+    never lands in the output."""
+    src = spark.createDataFrame(
+        [("k1", 0, 0.0, True),     # tombstone for existing → delete
+         ("k2", 20, 2.5, False),   # upsert for existing → update
+         ("k8", 80, 8.0, True),    # tombstone for absent → no-op
+         ("k9", 90, 99.0, False)],  # upsert for absent → insert
+        "key string, seq int, val double, is_del boolean")
+    got = _ms(merge_dataframes(
+        _target(spark), src, "key",
+        matched_delete_condition="s.is_del",
+        not_matched_condition="NOT is_del"))
+    assert got == _sorted([
+        ("k2", 20, 2.5), ("k3", 3, 30.0), (None, 4, 40.0),
+        ("k9", 90, 99.0)])
+
+
+def test_merge_df_delete_condition_requires_update(spark):
+    with pytest.raises(ValueError, match="3-clause"):
+        merge_dataframes(_target(spark), _source(spark), "key",
+                         when_matched="delete",
+                         matched_delete_condition="s.val > 0")
+
+
+def test_merge_into_three_clause_single_version(spark, table):
+    led = make_ledger(table, "commitlog")
+    v0 = led.latest_version()
+    upd = (_toy(spark, 20, ppl_base=1000.0)
+           .withColumn("is_del", F.col("conv_id").isin(
+               "conv-1", "conv-2", "conv-3")))
+    ins = (_toy(spark, 3).withColumn(
+        "conv_id", F.concat(F.lit("new-"), F.col("conv_id")))
+        .withColumn("is_del", F.col("conv_id") == "new-conv-0"))
+    s = merge_into(spark, table, upd.unionByName(ins),
+                   matched_delete_condition="s.is_del",
+                   not_matched_condition="NOT is_del")
+    assert s["rows_deleted"] == 3      # matched tombstones
+    assert s["rows_updated"] == 17
+    assert s["rows_inserted"] == 2     # absent tombstone is a no-op
+    assert led.latest_version() == v0 + 1   # still ONE atomic commit
+    after = read_committed(spark, table)
+    assert after.count() == N0 - 3 + 2
+    assert after.filter(F.col("conv_id").isin(
+        "conv-1", "conv-2", "conv-3")).count() == 0
+    assert after.filter(F.col("conv_id") == "new-conv-0").count() == 0
+    assert after.filter(F.col("ppl") >= 1000.0).count() == 17
+    # the CDC metadata column never lands in the table
+    assert "is_del" not in after.columns
+
+
+def test_merge_into_txn_same_version_idempotent(spark, table):
+    """txn=(app, v) rides the SAME commit as the merge; a replay of the
+    same work unit is a no-op BEFORE any Spark work."""
+    led = make_ledger(table, "commitlog")
+    src = _toy(spark, 10, ppl_base=1000.0)
+    s1 = merge_into(spark, table, src, txn=("cdc", 0))
+    assert s1["rows_updated"] == 10 and not s1["txn_skipped"]
+    assert led.last_txn("cdc") == 0    # mark landed with the data
+    v1 = led.latest_version()
+    s2 = merge_into(spark, table, src, txn=("cdc", 0))   # replay
+    assert s2["txn_skipped"] and s2["version"] is None
+    assert led.latest_version() == v1  # nothing committed
+    # the next work unit applies normally
+    s3 = merge_into(spark, table, _toy(spark, 5, ppl_base=2000.0),
+                    txn=("cdc", 1))
+    assert s3["rows_updated"] == 5 and not s3["txn_skipped"]
+    assert led.last_txn("cdc") == 1
+
+
 def test_cli_merge_verb(spark, table, tmp_path, capsys):
     import json
 
