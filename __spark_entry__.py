@@ -109,10 +109,13 @@ DRIVER_WINDOW = [
     "q73_ngram_lm_train", "q74_feature_hash_embed", "q75_dsir_resample",
     "q76_bm25_topk", "q77_langid_train", "q78_ccnet_lm_filter",
     "q79_source_classifier",
-    # text analysis
-    "q14_doc_quality", "q16_fingerprint", "q44_bpe_tokens",
+    # text analysis (q44 BPE token counts stay selfcheck-verified;
+    # q72 fertility covers tokenization in-window)
+    "q14_doc_quality", "q16_fingerprint",
     "q67_luhn_cc_scrub", "q68_repetition_stats", "q72_tokenizer_fertility",
     "q45_sketch_accuracy",
+    # distributed total order (no single-task global window)
+    "q84_global_rank",
     # corpus statistics / indexing
     "q60_bigram_pmi", "q62_inverted_index",
     # relational surface representatives

@@ -365,6 +365,27 @@ def q83_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
                             matched_condition="s.bal_cents > t.bal_cents")
 
 
+def q84_global_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact global total-order rank (operators/ranking.global_rank):
+    every order ranked by price, ties broken by key — the order-
+    restore / leaderboard shape, but WITHOUT the empty-PARTITION-BY
+    window that would serialize the corpus into one task.
+
+    Plan: driver-literal quantile boundaries → codegen'd bucket
+    expression → k parallel per-bucket row_numbers → prefix-sum
+    offsets (k driver integers) broadcast back. Plan-asserted: no
+    SinglePartition exchange. The oracle is the naive global
+    ROW_NUMBER, so the distributed decomposition is verified
+    rank-exact."""
+    from .operators.ranking import global_rank
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", _cents("o_totalprice").alias("total_cents"))
+    return global_rank(
+        o, "total_cents", descending=True,
+        order_by=[F.col("total_cents").desc(), F.col("o_orderkey")],
+        rank_col="price_rank")
+
+
 RANGE_BIN_US = 3_600_000_000  # 1 h bins for the session range join
 
 
@@ -2580,6 +2601,14 @@ ORACLES: dict[str, str] = {
                    chr(31))) AS tok_fp
         FROM documents
     """,
+    "q84_global_rank": """
+        SELECT o_orderkey,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS total_cents,
+               CAST(ROW_NUMBER() OVER (
+                   ORDER BY CAST(round(o_totalprice * 100) AS BIGINT)
+                       DESC, o_orderkey) AS BIGINT) AS price_rank
+        FROM orders
+    """,
     "q83_merge_upsert": """
         WITH base AS (
             SELECT c_custkey, c_name, c_mktsegment,
@@ -2737,4 +2766,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q69_quality_buckets": q69_quality_buckets,
     "q45_sketch_accuracy": q45_sketch_accuracy,
     "q83_merge_upsert": q83_merge_upsert,
+    "q84_global_rank": q84_global_rank,
 }
