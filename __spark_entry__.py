@@ -156,4 +156,7 @@ def oracle_sql() -> dict[str, str]:
     out["q30_multimodal_features"] = (
         "SELECT media_id, n_bytes, sha256, entropy_proxy, thumb_w, "
         f"thumb_h, feature_fp FROM read_parquet('{GOLDEN_DIR}/q30.parquet')")
+    out["q85_bpe_train"] = (
+        'SELECT step, "left", "right", pair_count '
+        f"FROM read_parquet('{GOLDEN_DIR}/q85_sf0.01.parquet')")
     return out

@@ -365,6 +365,31 @@ def q83_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
                             matched_condition="s.bal_cents > t.bal_cents")
 
 
+BPE_N_MERGES = 24
+
+
+def q85_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training (models/bpe.py): learn the
+    first 24 merge rules from the documents corpus. ONE corpus-scale
+    pass (pre-tokenize + word count, map-side combined); every merge
+    step then moves only the DISTINCT-word table (Zipf: thousands of
+    times smaller) — explode pairs → one agg → 1-row argmax → JVM-side
+    fold merge, localCheckpoint keeping the plan flat. Ties break by
+    (count desc, left, right) so the rule sequence is deterministic.
+
+    Oracle: committed golden parquet from an independent pure-Python
+    BPE (tools/make_golden.py) — the train loop has no SQL
+    re-expression (iterative argmax), so it gets the q00/q30
+    golden-hash treatment."""
+    from .models.bpe import train_bpe, word_counts
+    merges = train_bpe(
+        word_counts(_t(spark, sf_dir, "documents")), BPE_N_MERGES)
+    return spark.createDataFrame(
+        [(m["step"], m["left"], m["right"], m["pair_count"])
+         for m in merges],
+        "step int, left string, right string, pair_count long")
+
+
 def q84_global_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact global total-order rank (operators/ranking.global_rank):
     every order ranked by price, ties broken by key — the order-
@@ -2767,4 +2792,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q45_sketch_accuracy": q45_sketch_accuracy,
     "q83_merge_upsert": q83_merge_upsert,
     "q84_global_rank": q84_global_rank,
+    "q85_bpe_train": q85_bpe_train,
 }

@@ -134,6 +134,57 @@ def golden_q30(n: int = 96, seed: int = 5) -> pa.Table:
     })
 
 
+def golden_q85(sf_dir: str, n_merges: int = 24) -> pa.Table:
+    """Independent pure-Python BPE trainer (no Spark code paths beyond
+    the shared merge-fold SPEC, re-written here): Counter-based word
+    counts from the same regex pre-tokenizer, pair counting per
+    adjacent position weighted by word frequency, argmax with the
+    (count desc, left, right) tiebreak, greedy left-to-right merge."""
+    import collections
+    import re
+
+    docs = pd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["text"])
+    words: collections.Counter = collections.Counter()
+    for text in docs["text"]:
+        for w in re.findall("[A-Za-z]+", text or ""):
+            words[w.lower()] += 1
+    syms = {w: tuple(w) for w in words}
+
+    def merge_word(s, a, b, ab):
+        out = []
+        for x in s:
+            if out and out[-1] == a and x == b:
+                out[-1] = ab
+            else:
+                out.append(x)
+        return tuple(out)
+
+    merges = []
+    for step in range(n_merges):
+        pc: collections.Counter = collections.Counter()
+        for w, c in words.items():
+            s = syms[w]
+            for i in range(len(s) - 1):
+                pc[(s[i], s[i + 1])] += c
+        if not pc:
+            break
+        (left, right), cnt = min(pc.items(),
+                                 key=lambda kv: (-kv[1], kv[0]))
+        if cnt < 2:
+            break
+        merges.append((step, left, right, cnt))
+        ab = left + right
+        for w in list(syms):
+            syms[w] = merge_word(syms[w], left, right, ab)
+    return pa.table({
+        "step": pa.array([m[0] for m in merges], pa.int32()),
+        "left": pa.array([m[1] for m in merges], pa.string()),
+        "right": pa.array([m[2] for m in merges], pa.string()),
+        "pair_count": pa.array([m[3] for m in merges], pa.int64()),
+    })
+
+
 def main() -> None:
     os.makedirs(GOLDEN_DIR, exist_ok=True)
     for sf_dir in SF_DIRS:
@@ -146,6 +197,12 @@ def main() -> None:
     out = os.path.join(GOLDEN_DIR, "q30.parquet")
     pq.write_table(tbl, out, compression="zstd")
     print(f"{out}: {tbl.num_rows} rows")
+    for sf_dir in SF_DIRS:
+        tag = os.path.basename(sf_dir.rstrip("/"))
+        tbl = golden_q85(sf_dir)
+        out = os.path.join(GOLDEN_DIR, f"q85_{tag}.parquet")
+        pq.write_table(tbl, out, compression="zstd")
+        print(f"{out}: {tbl.num_rows} rows")
 
 
 if __name__ == "__main__":

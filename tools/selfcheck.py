@@ -69,7 +69,8 @@ def main() -> int:
     # targets the driver's sf0.01; retarget when checking another SF
     tag = os.path.basename(sf_dir.rstrip("/"))
     if tag != "sf0.01":
-        oracles = {k: v.replace("/q00_sf0.01.parquet", f"/q00_{tag}.parquet")
+        # every per-SF golden follows the q{NN}_{tag}.parquet convention
+        oracles = {k: v.replace("_sf0.01.parquet", f"_{tag}.parquet")
                    for k, v in oracles.items()}
     failures = 0
     for name, fn in qs.items():
