@@ -22,14 +22,19 @@ idiom generalized to a declarative table verb.
 Scale shape (the Delta MERGE plan, re-expressed on the commitlog):
 * the source is staged ONCE to scratch parquet (lineage cut — the
   possibly-expensive producing plan runs once, not once per partition);
-* touched-file discovery is pruning, not scanning: the source keys'
-  per-bucket [min, max] ranges (computed distributedly; only O(n_parts)
-  numbers reach the driver) intersect each file's manifest stats, so a
-  merge touching 0.1% of conversations rewrites ~0.1% of files;
-* the matched leg rewrites ONLY candidate files via a key equi-join
-  (AQE broadcasts a small source side); the not-matched leg is one
-  LEFT ANTI join against the table's key column (scanned with column
-  pruning — ReadSchema is the key alone);
+* touched-file discovery is two-pass, exactly like Delta's: a
+  metadata-only prune (per-bucket source-key [min, max] intervals vs
+  each file's manifest stats) bounds the read set, then ONE
+  findTouchedFiles probe job (candidate rows inner-joined to source
+  keys, clause hits counted per `_metadata.file_path`) makes the
+  rewrite set FILE-EXACT — a stats false positive costs a probe read,
+  never a rewrite (bench-evidenced: a 1%-key merge over 2048 files
+  rewrites only the 32 holding matches);
+* the matched leg rewrites only those files via a key equi-join (AQE
+  broadcasts a small source side), partitions rewritten as CONCURRENT
+  Spark jobs from a driver pool; the not-matched leg is one LEFT ANTI
+  join against the table's key column (scanned with column pruning —
+  ReadSchema is the key alone);
 * everything lands in ONE log version (swaps + add_files together),
   so readers see the merge atomically — never the deletes without the
   inserts;
@@ -284,7 +289,17 @@ def merge_into(spark: SparkSession, out_dir: str, source: DataFrame,
         mdel = F.expr(matched_delete_condition) \
             if matched_delete_condition else F.lit(False)
 
+        mkey = F.col(f"s.{key}").isNotNull()
+        del_hit = F.coalesce(mkey & mdel, F.lit(False))
+        upd_hit = F.coalesce(mkey & cond, F.lit(False)) & ~del_hit
+
         if when_matched is not None:
+            # ---- pass 1a: coarse manifest prune (metadata-only).
+            # Deliberately loose: the per-bucket [kmin, kmax] interval
+            # covers EVERY source key in the bucket (insert keys
+            # included), so it only bounds the probe read, never the
+            # rewrite set.
+            cand_by_part: dict[int, tuple[list[str], dict]] = {}
             for part, marker in sorted(committed.items()):
                 files = (marker or {}).get("files") or {}
                 if int(part) not in ranges:
@@ -296,42 +311,90 @@ def merge_into(spark: SparkSession, out_dir: str, source: DataFrame,
                         if _file_may_match(stats.get(fn), key, "<=", kmax)
                         and _file_may_match(stats.get(fn), key, ">=", kmin)]
                 summary["files_untouched"] += len(files) - len(cand)
-                if not cand:
-                    continue
-                pdir = os.path.join(data_dir, f"part={int(part)}")
-                paths = [os.path.join(pdir, f) for f in cand]
-                dv = {f: rows for f, rows in
-                      ((marker or {}).get("dv") or {}).items() if f in cand}
-                before = sum(int(files[f].get("n_rows", 0)) for f in cand) \
+                if cand:
+                    cand_by_part[int(part)] = (cand, marker or {})
+
+            # ---- pass 1b: findTouchedFiles — ONE probe job over all
+            # coarse candidates (Delta's first MERGE pass): inner-join
+            # candidate rows to the source on the key and count clause
+            # hits per file via _metadata.file_path. Only files that
+            # actually HOLD a matched row get rewritten — a stats
+            # false positive (or an interval blown open by unrelated
+            # keys) costs a probe read, never a rewrite. The collect
+            # is bounded by the candidate-file count.
+            touched: dict[int, dict[str, tuple[int, int]]] = {}
+            if cand_by_part:
+                all_paths, dv_all = [], {}
+                for part, (cand, marker) in cand_by_part.items():
+                    pdir = os.path.join(data_dir, f"part={part}")
+                    all_paths += [os.path.join(pdir, f) for f in cand]
+                    for fn, rows_ in (marker.get("dv") or {}).items():
+                        if fn in cand:
+                            dv_all[os.path.join(pdir, fn)] = rows_
+                t_all = _apply_dv(spark, reader.parquet(*all_paths),
+                                  dv_all)
+                fparts = F.split(F.col("_metadata.file_path"), "/")
+                t_all = t_all.withColumn(
+                    "__path", F.concat_ws(
+                        "/", F.element_at(fparts, -2),
+                        F.element_at(fparts, -1)))
+                for r in (t_all.alias("t")
+                          .join(src.alias("s"),
+                                F.col(f"t.{key}") == F.col(f"s.{key}"),
+                                "inner")
+                          .groupBy("__path")
+                          .agg(F.sum(F.when(del_hit, 1).otherwise(0))
+                               .alias("d"),
+                               F.sum(F.when(upd_hit, 1).otherwise(0))
+                               .alias("u"))
+                          .filter((F.col("d") + F.col("u")) > 0)
+                          .collect()):
+                    pstr, fn = r["__path"].split("/", 1)
+                    touched.setdefault(int(pstr.split("=", 1)[1]),
+                                       {})[fn] = (int(r["d"]),
+                                                  int(r["u"]))
+            for part, (cand, _m) in cand_by_part.items():
+                hit = touched.get(part, {})
+                summary["files_untouched"] += len(cand) - len(hit)
+
+            # ---- pass 2: rewrite EXACTLY the touched files, per
+            # partition (the swap unit of the log protocol). Rewrites
+            # are independent per partition, so they run as CONCURRENT
+            # Spark jobs from a driver thread pool — staged files are
+            # invisible until the single commit below, so concurrency
+            # never weakens atomicity.
+            def _rewrite_part(part: int) -> dict:
+                _cand, marker = cand_by_part[part]
+                tfiles = sorted(touched[part])
+                n_del = sum(d for d, _ in touched[part].values())
+                n_upd = sum(u for _, u in touched[part].values())
+                files = marker.get("files") or {}
+                pdir = os.path.join(data_dir, f"part={part}")
+                paths = [os.path.join(pdir, f) for f in tfiles]
+                dv = {f: rows_ for f, rows_ in
+                      (marker.get("dv") or {}).items() if f in tfiles}
+                before = sum(int(files[f].get("n_rows", 0))
+                             for f in tfiles) \
                     - sum(len(v) for v in dv.values())
                 t = _apply_dv(
                     spark, reader.parquet(*paths),
-                    {os.path.join(pdir, f): rows for f, rows in dv.items()})
-                mkey = F.col(f"s.{key}").isNotNull()
-                del_hit = F.coalesce(mkey & mdel, F.lit(False))
-                upd_hit = F.coalesce(mkey & cond, F.lit(False)) & ~del_hit
+                    {os.path.join(pdir, f): r for f, r in dv.items()})
                 j = t.alias("t").join(
                     src.alias("s"),
                     F.col(f"t.{key}") == F.col(f"s.{key}"), "left")
-                hits = j.agg(
-                    F.sum(F.when(del_hit, 1).otherwise(0)).alias("d"),
-                    F.sum(F.when(upd_hit, 1).otherwise(0)).alias("u")
-                ).collect()[0]
-                n_del, n_upd = int(hits["d"] or 0), int(hits["u"] or 0)
-                if n_del + n_upd == 0:
-                    summary["files_untouched"] += len(cand)
-                    continue  # stats false positive: leave files alone
                 if when_matched == "update":
                     out = j.filter(~del_hit).select(*[
                         F.when(upd_hit, F.col(f"s.{c}"))
                         .otherwise(F.col(f"t.{c}")).alias(c)
                         for c in cols])
-                else:  # delete
+                    expect = before - n_del
+                else:  # delete: upd_hit marks the rows to remove
                     out = j.filter(~upd_hit) \
                         .select(*[F.col(f"t.{c}").alias(c) for c in cols])
+                    expect = before - n_upd
                 staging = os.path.join(out_dir,
-                                       f"_compact-{tag}-p{int(part)}")
-                out.coalesce(max(1, len(cand))).write.parquet(staging)
+                                       f"_compact-{tag}-p{part}")
+                out.coalesce(max(1, len(tfiles))).write.parquet(staging)
                 man, new_stats, after, i = {}, {}, 0, 0
                 for f in sorted(os.listdir(staging)):
                     if not f.endswith(".parquet"):
@@ -340,7 +403,7 @@ def merge_into(spark: SparkSession, out_dir: str, source: DataFrame,
                     rows = pq.ParquetFile(fsrc).metadata.num_rows
                     if rows == 0:
                         continue
-                    newname = f"merge-{tag}-{int(part)}-{i:05d}.parquet"
+                    newname = f"merge-{tag}-{part}-{i:05d}.parquet"
                     man[newname] = {"n_rows": int(rows),
                                     "n_bytes": os.path.getsize(fsrc)}
                     new_stats[newname] = file_column_stats(fsrc)
@@ -348,31 +411,38 @@ def merge_into(spark: SparkSession, out_dir: str, source: DataFrame,
                     os.replace(fsrc, os.path.join(pdir, newname))
                     i += 1
                 shutil.rmtree(staging, ignore_errors=True)
-                if when_matched == "delete":
-                    if after > before:
-                        raise RuntimeError(
-                            f"merge-delete rewrite of part {part} grew "
-                            f"{before} → {after} rows; aborted, table "
-                            "unchanged")
-                    summary["rows_deleted"] += before - after
-                else:
-                    if after != before - n_del:
-                        raise RuntimeError(
-                            f"merge rewrite of part {part} changed the "
-                            f"row count {before} → {after} (expected "
-                            f"{before - n_del} after {n_del} clause "
-                            "deletes); aborted, table unchanged")
-                    summary["rows_updated"] += n_upd
-                    summary["rows_deleted"] += n_del
+                if after != expect:
+                    raise RuntimeError(
+                        f"merge rewrite of part {part} produced {after} "
+                        f"rows where the probe predicted {expect} "
+                        f"({before} before, {n_del} clause deletes, "
+                        f"{n_upd} updates); aborted, table unchanged")
+                return {"part": part, "tfiles": tfiles, "man": man,
+                        "stats": new_stats, "n_del": n_del,
+                        "n_upd": n_upd}
+
+            if touched:
+                from concurrent.futures import ThreadPoolExecutor
+                with ThreadPoolExecutor(
+                        max_workers=min(8, len(touched))) as pool:
+                    results = list(pool.map(_rewrite_part,
+                                            sorted(touched)))
                 from datetime import datetime, timezone
-                actions.append({"type": "delete", "part": int(part),
-                                "remove_files": sorted(cand),
-                                "add_files": man, "stats": new_stats,
-                                "updated_at": datetime.now(
-                                    timezone.utc).isoformat()})
-                verify_swaps.append((int(part), sorted(cand)))
-                summary["files_rewritten"] += len(cand)
-                summary["parts_touched"].append(int(part))
+                now = datetime.now(timezone.utc).isoformat()
+                for r in results:   # deterministic action order
+                    if when_matched == "update":
+                        summary["rows_updated"] += r["n_upd"]
+                        summary["rows_deleted"] += r["n_del"]
+                    else:
+                        summary["rows_deleted"] += r["n_upd"]
+                    actions.append({"type": "delete", "part": r["part"],
+                                    "remove_files": r["tfiles"],
+                                    "add_files": r["man"],
+                                    "stats": r["stats"],
+                                    "updated_at": now})
+                    verify_swaps.append((r["part"], r["tfiles"]))
+                    summary["files_rewritten"] += len(r["tfiles"])
+                    summary["parts_touched"].append(r["part"])
 
         if when_not_matched == "insert":
             # one anti join against the key column only (column-pruned
