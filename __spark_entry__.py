@@ -159,4 +159,7 @@ def oracle_sql() -> dict[str, str]:
     out["q85_bpe_train"] = (
         'SELECT step, "left", "right", pair_count '
         f"FROM read_parquet('{GOLDEN_DIR}/q85_sf0.01.parquet')")
+    out["q86_bpe_encode"] = (
+        "SELECT doc_id, n_words, n_subwords, subword_fp "
+        f"FROM read_parquet('{GOLDEN_DIR}/q86_sf0.01.parquet')")
     return out

@@ -390,6 +390,45 @@ def q85_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         "step int, left string, right string, pair_count long")
 
 
+def q86_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-scale BPE tokenization with the q85-trained merges: per
+    document, the subword count and a fingerprint of the full subword
+    SEQUENCE (order-sensitive — it pins the tokenization itself, not
+    just its size).
+
+    The scale trick is Zipf: the encode UDF (Arrow-batched, rank table
+    in closure) runs over DISTINCT words only — thousands of times
+    fewer rows than the corpus — and a key equi-join fans the
+    encodings back out to (doc, position); the per-doc sequence is
+    then reassembled with collect_list over a (doc_id, pos) window —
+    one shuffle on doc_id, bounded by document length. Oracle: golden
+    parquet (independent Python tokenizer over the same merges)."""
+    from .models.bpe import WORD_PATTERN, bpe_encode_words, train_bpe, \
+        word_counts
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all(F.col("text"), F.lit(WORD_PATTERN), 0)
+    words = docs.select(
+        "doc_id", F.posexplode(F.transform(toks, F.lower))
+        .alias("pos", "word"))
+    # persisted: the distinct-word table feeds BOTH the trainer and
+    # the encoder — one corpus-scale counting pass, not two
+    wc = word_counts(docs).persist()
+    merges = train_bpe(wc, BPE_N_MERGES)
+    enc = bpe_encode_words(wc.select("word"), merges).select(
+        "word", F.size("subwords").alias("n_sub"),
+        F.concat_ws("\x1f", "subwords").alias("sub_str"))
+    per_doc = (words.join(enc, "word")
+               .groupBy("doc_id")
+               .agg(F.count(F.lit(1)).alias("n_words"),
+                    F.sum("n_sub").alias("n_subwords"),
+                    F.md5(F.concat_ws("\x1e", F.array_sort(
+                        F.collect_list(F.struct("pos", "sub_str"))
+                    ).getField("sub_str"))).alias("subword_fp")))
+    return per_doc.select("doc_id", "n_words",
+                          F.col("n_subwords").cast("long")
+                          .alias("n_subwords"), "subword_fp")
+
+
 def q84_global_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact global total-order rank (operators/ranking.global_rank):
     every order ranked by price, ties broken by key — the order-
@@ -2793,4 +2832,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q83_merge_upsert": q83_merge_upsert,
     "q84_global_rank": q84_global_rank,
     "q85_bpe_train": q85_bpe_train,
+    "q86_bpe_encode": q86_bpe_encode,
 }

@@ -185,6 +185,66 @@ def golden_q85(sf_dir: str, n_merges: int = 24) -> pa.Table:
     })
 
 
+def golden_q86(sf_dir: str, n_merges: int = 24) -> pa.Table:
+    """Independent Python tokenizer for q86: per-document subword
+    count + order-sensitive fingerprint of the full subword sequence,
+    encoding with the SAME merges golden_q85 derives (re-derived here
+    so this oracle shares no state with the Spark path)."""
+    import collections
+    import hashlib
+    import re
+
+    docs = pd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text"])
+    words: collections.Counter = collections.Counter()
+    doc_tokens = {}
+    for doc_id, text in zip(docs["doc_id"], docs["text"]):
+        toks = [w.lower() for w in re.findall("[A-Za-z]+", text or "")]
+        doc_tokens[int(doc_id)] = toks
+        words.update(toks)
+    syms = {w: tuple(w) for w in words}
+
+    def merge_word(s, a, b, ab):
+        out = []
+        for x in s:
+            if out and out[-1] == a and x == b:
+                out[-1] = ab
+            else:
+                out.append(x)
+        return tuple(out)
+
+    for step in range(n_merges):
+        pc: collections.Counter = collections.Counter()
+        for w, c in words.items():
+            s = syms[w]
+            for i in range(len(s) - 1):
+                pc[(s[i], s[i + 1])] += c
+        if not pc:
+            break
+        (left, right), cnt = min(pc.items(),
+                                 key=lambda kv: (-kv[1], kv[0]))
+        if cnt < 2:
+            break
+        ab = left + right
+        for w in list(syms):
+            syms[w] = merge_word(syms[w], left, right, ab)
+
+    rows = []
+    for doc_id, toks in sorted(doc_tokens.items()):
+        if not toks:
+            continue  # no words → no row (join semantics)
+        seq = ["\x1f".join(syms[t]) for t in toks]
+        fp = hashlib.md5("\x1e".join(seq).encode()).hexdigest()
+        rows.append((doc_id, len(toks),
+                     sum(len(syms[t]) for t in toks), fp))
+    return pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "n_words": pa.array([r[1] for r in rows], pa.int64()),
+        "n_subwords": pa.array([r[2] for r in rows], pa.int64()),
+        "subword_fp": pa.array([r[3] for r in rows], pa.string()),
+    })
+
+
 def main() -> None:
     os.makedirs(GOLDEN_DIR, exist_ok=True)
     for sf_dir in SF_DIRS:
@@ -201,6 +261,10 @@ def main() -> None:
         tag = os.path.basename(sf_dir.rstrip("/"))
         tbl = golden_q85(sf_dir)
         out = os.path.join(GOLDEN_DIR, f"q85_{tag}.parquet")
+        pq.write_table(tbl, out, compression="zstd")
+        print(f"{out}: {tbl.num_rows} rows")
+        tbl = golden_q86(sf_dir)
+        out = os.path.join(GOLDEN_DIR, f"q86_{tag}.parquet")
         pq.write_table(tbl, out, compression="zstd")
         print(f"{out}: {tbl.num_rows} rows")
 
