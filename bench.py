@@ -502,7 +502,10 @@ def measure_merge(spark) -> dict:
     per = n // appends
 
     def rows(lo, cnt, ppl_base=0.0):
-        return spark.range(lo, lo + cnt).select(
+        # 4 writer tasks per append → 4 contiguous-range files per
+        # bucket per append (not one per core): the file-count shape a
+        # real ingester produces, and a bounded probe read
+        return spark.range(lo, lo + cnt, numPartitions=4).select(
             F.format_string("conv-%09d", F.col("id")).alias("conv_id"),
             (F.col("id") % 5).cast("int").alias("turn_idx"),
             F.lit("user").alias("role"),

@@ -160,6 +160,7 @@ def merge_into(spark: SparkSession, out_dir: str, source: DataFrame,
                matched_delete_condition: str | None = None,
                not_matched_condition: str | None = None,
                txn: tuple[str, int] | None = None,
+               evolve_schema: bool = False,
                backend: str | None = None) -> dict:
     """MERGE `source` into the committed commitlog table at `out_dir`
     on key equality, atomically (one log version carrying every file
@@ -170,6 +171,14 @@ def merge_into(spark: SparkSession, out_dir: str, source: DataFrame,
     matched_condition] THEN UPDATE / WHEN NOT MATCHED [AND
     not_matched_condition] THEN INSERT — extra source-only columns
     (CDC metadata) are in scope for conditions, never in the output.
+
+    evolve_schema=True (Delta's schema autoMerge): extra source
+    columns instead BECOME table columns — appended nullable to the
+    logged schema via the additive-evolution rule, recorded as a
+    table_meta action IN THE SAME commit as the merge. Untouched files
+    read NULL for the new columns (the evolution contract); only
+    matched/inserted rows carry values. Leave False for CDC apply,
+    where sequence/tombstone metadata must never land in the table.
 
     Duplicate source keys are refused (Delta's multiple-source-match
     error: the result would be nondeterministic). NULL-key source rows
@@ -216,6 +225,21 @@ def merge_into(spark: SparkSession, out_dir: str, source: DataFrame,
     missing = [c for c in cols if c not in source.columns]
     if need_full_row and missing:
         raise ValueError(f"source lacks target columns {missing}")
+
+    schema_action = None
+    if evolve_schema:
+        from pyspark.sql.types import StructField
+        add = [StructField(f.name, f.dataType, True)
+               for f in source.schema.fields if f.name not in cols]
+        if add:
+            from .checkpoint import _merge_schema_json
+            merged_json = _merge_schema_json(
+                meta["schema"],
+                StructType(declared.fields + add).jsonValue())
+            schema_action = {"type": "table_meta",
+                             "meta": {"schema": merged_json}}
+            declared = StructType(declared.fields + add)
+            cols = cols + [f.name for f in add]
 
     summary = {"version": None, "rows_updated": 0, "rows_deleted": 0,
                "rows_inserted": 0, "files_rewritten": 0, "files_added": 0,
@@ -501,6 +525,11 @@ def merge_into(spark: SparkSession, out_dir: str, source: DataFrame,
 
         if not actions:
             return summary
+        if schema_action is not None:
+            # the widened schema and the data that needs it land in
+            # ONE version (Delta commits metaData + adds together); a
+            # no-op merge never evolves the schema
+            actions.insert(0, schema_action)
         if txn is not None:
             # the idempotence mark rides the SAME atomic version as the
             # merge: a crash can never record the txn without the data

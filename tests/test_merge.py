@@ -292,6 +292,66 @@ def test_merge_into_txn_same_version_idempotent(spark, table):
     assert led.last_txn("cdc") == 1
 
 
+def test_merge_evolve_schema_widens_in_same_commit(spark, table):
+    """Delta's schema autoMerge: an extra source column becomes a
+    nullable table column, recorded as a table_meta action in the SAME
+    atomic version as the merge — untouched rows read NULL, only
+    matched/inserted rows carry values."""
+    led = make_ledger(table, "commitlog")
+    v0 = led.latest_version()
+    src = (_toy(spark, 10, ppl_base=1000.0)
+           .withColumn("quality", F.lit("gold"))
+           .unionByName(_toy(spark, 2)
+                        .withColumn("conv_id", F.concat(
+                            F.lit("new-"), F.col("conv_id")))
+                        .withColumn("quality", F.lit("fresh"))))
+    s = merge_into(spark, table, src, evolve_schema=True)
+    assert s["rows_updated"] == 10 and s["rows_inserted"] == 2
+    assert led.latest_version() == v0 + 1          # ONE commit
+    fields = {f["name"] for f in led.table_meta()["schema"]["fields"]}
+    assert "quality" in fields
+    after = read_committed(spark, table)
+    assert "quality" in after.columns
+    assert after.filter(F.col("quality") == "gold").count() == 10
+    assert after.filter(F.col("quality") == "fresh").count() == 2
+    # untouched rows read NULL for the evolved column
+    assert after.filter(F.col("quality").isNull()).count() == N0 - 10
+
+
+def test_merge_default_never_lands_extra_columns(spark, table):
+    src = _toy(spark, 5).withColumn("seq", F.lit(7))
+    merge_into(spark, table, src, when_not_matched=None,
+               matched_condition="s.seq > 0")
+    after = read_committed(spark, table)
+    assert "seq" not in after.columns
+    fields = {f["name"] for f in
+              make_ledger(table, "commitlog").table_meta()
+              ["schema"]["fields"]}
+    assert "seq" not in fields
+
+
+def test_merge_crash_before_commit_leaves_table_unchanged(spark, table,
+                                                          monkeypatch):
+    """Kill the merge after every rewrite is staged/placed but before
+    the log commit: readers see the pre-merge table exactly; the
+    placed-but-unreferenced outputs are orphans vacuum reclaims."""
+    from curator_spark.checkpoint import vacuum
+    before = _ms(read_committed(spark, table))
+    v = make_ledger(table, "commitlog").latest_version()
+
+    def boom(self, actions):
+        raise RuntimeError("simulated crash at commit")
+
+    monkeypatch.setattr(CommitLogLedger, "merge_commit", boom)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        merge_into(spark, table, _toy(spark, 20, ppl_base=1000.0))
+    led = make_ledger(table, "commitlog")
+    assert led.latest_version() == v               # nothing committed
+    assert _ms(read_committed(spark, table)) == before
+    assert vacuum(table, min_age_s=0) > 0          # orphans reclaimed
+    assert _ms(read_committed(spark, table)) == before
+
+
 def test_cli_merge_verb(spark, table, tmp_path, capsys):
     import json
 
