@@ -381,3 +381,24 @@ def test_source_classifier_totals_broadcast_not_windowed(spark):
     plan = plan_of(queries.q79_source_classifier(spark, SF))
     assert "windowspecdefinition(source" not in plan
     assert "windowspecdefinition(doc_id" in plan   # the argmax stays
+
+
+def test_merge_expression_is_two_equijoins(spark):
+    """q83: MERGE as a DataFrame plan = one left equi-join (update leg)
+    + one left-anti equi-join (insert leg) — never a product, never a
+    window; both joins broadcastable by AQE."""
+    plan = plan_of(queries.q83_merge_upsert(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "LeftAnti" in plan
+    assert "windowspecdefinition" not in plan.lower()
+
+
+def test_bpe_encode_reassembly_shuffles_on_doc(spark):
+    """q86: the corpus tokenization joins DISTINCT-word encodings back
+    by key (equi-join) and reassembles sequences with ONE doc_id
+    aggregation — no product, no global window."""
+    plan = plan_of(queries.q86_bpe_encode(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SinglePartition" not in plan
