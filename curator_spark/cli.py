@@ -98,6 +98,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="extra WHEN MATCHED AND <expr> condition over "
                         "aliases s (source) / t (target), e.g. "
                         "'s.ts > t.ts'")
+    p.add_argument("--merge-evolve-schema", action="store_true",
+                   help="schema autoMerge: extra source columns become "
+                        "nullable table columns, widened in the same "
+                        "atomic commit as the merge")
     p.add_argument("--delete-ids", type=str, default=None, metavar="IDS",
                    help="comma-separated conv_ids to delete from "
                         "--output (right-to-be-forgotten; commitlog "
@@ -223,6 +227,7 @@ def main(argv: list[str] | None = None) -> int:
             when_not_matched=None if args.merge_not_matched == "none"
             else args.merge_not_matched,
             matched_condition=args.merge_condition,
+            evolve_schema=args.merge_evolve_schema,
         )
     elif args.upsert:
         from curator_spark.incremental import upsert_conversations

@@ -365,6 +365,16 @@ def test_cli_merge_verb(spark, table, tmp_path, capsys):
     assert out["rows_updated"] == 10 and out["rows_inserted"] == 0
     assert (read_committed(spark, table)
             .filter(F.col("ppl") >= 1000.0).count() == 10)
+    # autoMerge via the CLI: a new source column widens the table
+    src2 = str(tmp_path / "src2.parquet")
+    (_toy(spark, 4).withColumn("grade", F.lit("A"))
+     .write.parquet(src2))
+    rc = cli.main(["--input", src2, "--output", table, "--merge",
+                   "--merge-evolve-schema", "--local-cores", "4"])
+    assert rc == 0
+    after = read_committed(spark, table)
+    assert after.filter(F.col("grade") == "A").count() == 4
+    assert after.filter(F.col("grade").isNull()).count() == N0 - 4
 
 
 def test_merge_into_concurrent_compaction_raises(spark, table,
