@@ -352,6 +352,26 @@ def test_merge_crash_before_commit_leaves_table_unchanged(spark, table,
     assert _ms(read_committed(spark, table)) == before
 
 
+def test_merge_over_deletion_vector_does_not_resurrect(spark, table):
+    """A candidate file carrying a deletion vector: the merge's probe
+    and rewrite both read minus-mask, and the swap materializes the
+    mask — DV'd rows must never reappear, and untouched masked rows
+    must stay gone."""
+    from curator_spark.checkpoint import delete_rows_dv
+    s0 = delete_rows_dv(spark, table, ["conv-1", "conv-2"])
+    assert s0["rows_deleted"] == 2
+    assert read_committed(spark, table).count() == N0 - 2
+    # update conv-3 (same bucket space, possibly same files)
+    s = merge_into(spark, table, _toy(spark, 10, ppl_base=1000.0),
+                   when_not_matched=None)
+    assert s["rows_updated"] == 8     # conv-1/conv-2 are masked out
+    after = read_committed(spark, table)
+    assert after.count() == N0 - 2
+    assert after.filter(F.col("conv_id").isin(
+        "conv-1", "conv-2")).count() == 0
+    assert after.filter(F.col("ppl") >= 1000.0).count() == 8
+
+
 def test_cli_merge_verb(spark, table, tmp_path, capsys):
     import json
 
