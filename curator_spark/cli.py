@@ -102,6 +102,22 @@ def build_parser() -> argparse.ArgumentParser:
                    help="schema autoMerge: extra source columns become "
                         "nullable table columns, widened in the same "
                         "atomic commit as the merge")
+    p.add_argument("--delete-where", type=str, default=None,
+                   metavar="EXPR",
+                   help="DELETE FROM --output WHERE <Spark SQL "
+                        "boolean> and exit (stats-pruned, probe-exact "
+                        "rewrite, one atomic commit; NULL-predicate "
+                        "rows survive; commitlog only) — no --input "
+                        "needed")
+    p.add_argument("--update-set", type=str, default=None,
+                   metavar="COL=EXPR[;COL=EXPR...]",
+                   help="UPDATE --output SET assignments (Spark SQL "
+                        "expressions over the row), requires "
+                        "--update-where; one atomic commit; no "
+                        "--input needed")
+    p.add_argument("--update-where", type=str, default=None,
+                   metavar="EXPR",
+                   help="WHERE predicate for --update-set")
     p.add_argument("--delete-ids", type=str, default=None, metavar="IDS",
                    help="comma-separated conv_ids to delete from "
                         "--output (right-to-be-forgotten; commitlog "
@@ -178,10 +194,13 @@ def main(argv: list[str] | None = None) -> int:
         return 0
     if args.consume and not args.consume_out:
         build_parser().error("--consume requires --consume-out")
-    if not args.input and not args.delete_ids and not args.consume:
+    if args.update_set and not args.update_where:
+        build_parser().error("--update-set requires --update-where")
+    if not args.input and not args.delete_ids and not args.consume \
+            and not args.delete_where and not args.update_set:
         build_parser().error(
-            "--input is required unless "
-            "--status/--history/--restore/--delete-ids/--consume")
+            "--input is required unless --status/--history/--restore/"
+            "--delete-ids/--delete-where/--update-set/--consume")
     ledger_backend = args.ledger or "markers"
 
     if args.local_cores:
@@ -217,6 +236,15 @@ def main(argv: list[str] | None = None) -> int:
         fn = delete_rows_dv if args.delete_mode == "dv" \
             else delete_conversations
         summary = fn(spark, args.output, args.delete_ids.split(","))
+    elif args.delete_where:
+        from curator_spark.dml import delete_where
+        summary = delete_where(spark, args.output, args.delete_where)
+    elif args.update_set:
+        from curator_spark.dml import update_where
+        sets = dict(kv.split("=", 1)
+                    for kv in args.update_set.split(";") if kv)
+        summary = update_where(spark, args.output, sets,
+                               args.update_where)
     elif args.merge:
         from curator_spark.merge import merge_into
         summary = merge_into(
