@@ -235,7 +235,7 @@ SUPPORTED_READER_FEATURES = frozenset({
     "change-feed", "row-feed", "log-checkpoints", "deletion-vectors"})
 SUPPORTED_WRITER_FEATURES = frozenset({
     "append", "compaction", "row-delete", "txn-markers", "restore",
-    "schema-evolution"})
+    "schema-evolution", "check-constraints"})
 
 
 class ProtocolError(RuntimeError):

@@ -102,6 +102,16 @@ def build_parser() -> argparse.ArgumentParser:
                    help="schema autoMerge: extra source columns become "
                         "nullable table columns, widened in the same "
                         "atomic commit as the merge")
+    p.add_argument("--add-constraint", type=str, default=None,
+                   metavar="NAME=EXPR",
+                   help="ALTER TABLE ADD CONSTRAINT: register a CHECK "
+                        "invariant (validated against existing rows "
+                        "first; enforced at every subsequent write; "
+                        "ratchets the check-constraints writer "
+                        "feature) and exit — no --input needed")
+    p.add_argument("--drop-constraint", type=str, default=None,
+                   metavar="NAME",
+                   help="ALTER TABLE DROP CONSTRAINT and exit")
     p.add_argument("--delete-where", type=str, default=None,
                    metavar="EXPR",
                    help="DELETE FROM --output WHERE <Spark SQL "
@@ -197,10 +207,12 @@ def main(argv: list[str] | None = None) -> int:
     if args.update_set and not args.update_where:
         build_parser().error("--update-set requires --update-where")
     if not args.input and not args.delete_ids and not args.consume \
-            and not args.delete_where and not args.update_set:
+            and not args.delete_where and not args.update_set \
+            and not args.add_constraint and not args.drop_constraint:
         build_parser().error(
             "--input is required unless --status/--history/--restore/"
-            "--delete-ids/--delete-where/--update-set/--consume")
+            "--delete-ids/--delete-where/--update-set/"
+            "--add-constraint/--drop-constraint/--consume")
     ledger_backend = args.ledger or "markers"
 
     if args.local_cores:
@@ -236,6 +248,17 @@ def main(argv: list[str] | None = None) -> int:
         fn = delete_rows_dv if args.delete_mode == "dv" \
             else delete_conversations
         summary = fn(spark, args.output, args.delete_ids.split(","))
+    elif args.add_constraint:
+        from curator_spark.constraints import add_constraint
+        name, expr = args.add_constraint.split("=", 1)
+        summary = {"constraint": name.strip(),
+                   "version": add_constraint(spark, args.output,
+                                             name.strip(), expr)}
+    elif args.drop_constraint:
+        from curator_spark.constraints import drop_constraint
+        summary = {"constraint": args.drop_constraint,
+                   "version": drop_constraint(args.output,
+                                              args.drop_constraint)}
     elif args.delete_where:
         from curator_spark.dml import delete_where
         summary = delete_where(spark, args.output, args.delete_where)

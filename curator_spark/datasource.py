@@ -350,8 +350,31 @@ class _LedgerWriter(DataSourceArrowWriter):
         record_table_schema(ledger, declared)
         return ledger
 
+    def _enforce_constraints(self, ledger, messages) -> None:
+        """CHECK enforcement at the sink: staged files validate before
+        the commit publishes; a violation unlinks them and raises, so
+        the table never holds a row failing a committed constraint."""
+        cons = dict(ledger.table_meta().get("constraints") or {})
+        if not cons:
+            return
+        import os
+
+        from pyspark.sql import SparkSession
+
+        from .constraints import ConstraintViolation, check_files
+        paths = [os.path.join(self._dir, "data", f"part={int(p)}", fn_)
+                 for m in messages or []
+                 for p, fn_, *_rest in (m.entries if m else [])]
+        spark = SparkSession.getActiveSession()
+        try:
+            check_files(spark, paths, cons, where=" by write")
+        except ConstraintViolation:
+            _unlink_staged(self._dir, messages)
+            raise
+
     def commit(self, messages) -> None:
         ledger = self._ledger()
+        self._enforce_constraints(ledger, messages)
         actions, _ = self._actions(messages)
         if self._overwrite:
             # remove-all + add in the SAME log version: readers see the
@@ -391,6 +414,7 @@ class _LedgerStreamWriter(_LedgerWriter, DataSourceStreamArrowWriter):
             # this attempt's staged files are orphans
             _unlink_staged(self._dir, messages)
             return
+        self._enforce_constraints(ledger, messages)
         actions, _ = self._actions(messages)
         ledger._append(
             [{"type": "txn", "app_id": str(self._app_id),

@@ -210,6 +210,15 @@ def _rewrite_where(spark: SparkSession, out_dir: str, where,
         summary["rows_matched"] += r["matched"]
         summary["files_rewritten"] += len(r["tfiles"])
         summary["parts_touched"].append(r["part"])
+    cons = dict(meta.get("constraints") or {})
+    if cons:
+        # CHECK enforcement: staged outputs validate before the
+        # commit publishes (UPDATE could write a violating value)
+        from .constraints import check_files
+        check_files(spark, [os.path.join(data_dir, f"part={a['part']}",
+                                         fn)
+                            for a in actions for fn in a["add_files"]],
+                    cons, where=f" by {op_name.upper()}")
     ver = ledger.merge_commit(actions)
     summary["version"] = int(ver)
     summary["parts_touched"].sort()

@@ -525,6 +525,20 @@ def merge_into(spark: SparkSession, out_dir: str, source: DataFrame,
 
         if not actions:
             return summary
+        cons = dict(meta.get("constraints") or {})
+        if cons:
+            # CHECK enforcement: validate every staged/placed output
+            # file BEFORE the commit publishes (violation → abort, the
+            # placed files are vacuum-able orphans). Rewritten
+            # survivors re-validate for free — the table is fully
+            # valid by induction (add_constraint scanned existing
+            # rows), so only genuinely new values can fail.
+            from .constraints import check_files
+            new_paths = [
+                os.path.join(data_dir, f"part={a['part']}", fn)
+                for a in actions if a["type"] in ("delete", "add_files")
+                for fn in (a.get("add_files") or a.get("files") or {})]
+            check_files(spark, new_paths, cons, where=" by MERGE")
         if schema_action is not None:
             # the widened schema and the data that needs it land in
             # ONE version (Delta commits metaData + adds together); a
