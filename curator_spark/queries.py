@@ -365,6 +365,50 @@ def q83_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
                             matched_condition="s.bal_cents > t.bal_cents")
 
 
+DEDUP_WIN = 2  # window size exercised by the synthetic corpus; real
+# deployments use 8-32-token windows — same plan, one constant
+
+
+def q87_remove_repeated_windows(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Within-document repetition REMOVAL (the destructive side of
+    q68's repetition stats, and the within-doc complement of q70's
+    cross-doc boilerplate removal): chunk each document's token stream
+    into fixed DEDUP_WIN-token windows, drop every window whose exact text
+    already appeared earlier in the SAME document, and reassemble the
+    survivors in order — the Gopher/C4-style "remove duplicated
+    passages" cleanup.
+
+    Plan: one posexplode to (doc, window_idx, chunk) — window text
+    built by a grouped aggregation on (doc_id, win) — then a
+    keep-first window over (doc_id, chunk) ordered by window index,
+    then one ordered reassembly aggregation per doc. Every shuffle
+    key includes doc_id, so parallelism is document-count and a
+    million-doc corpus never serializes; window state is bounded by
+    the longest document, not the corpus."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = (docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok"))
+        .filter(F.col("tok") != ""))
+    wins = (toks.groupBy("doc_id",
+                         (F.col("pos") / DEDUP_WIN).cast("int")
+                         .alias("win"))
+            .agg(F.concat_ws(
+                " ", F.array_sort(
+                    F.collect_list(F.struct("pos", "tok"))
+                ).getField("tok")).alias("chunk")))
+    first = Window.partitionBy("doc_id", "chunk").orderBy("win")
+    marked = wins.withColumn("rn", F.row_number().over(first))
+    return (marked.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_windows"),
+                 F.sum(F.when(F.col("rn") > 1, 1).otherwise(0))
+                 .cast("long").alias("n_dup_windows"),
+                 F.md5(F.concat_ws(" ", F.array_sort(
+                     F.collect_list(F.when(F.col("rn") == 1,
+                                           F.struct("win", "chunk")))
+                 ).getField("chunk"))).alias("cleaned_fp")))
+
+
 BPE_N_MERGES = 24
 
 
@@ -2665,6 +2709,33 @@ ORACLES: dict[str, str] = {
                    chr(31))) AS tok_fp
         FROM documents
     """,
+    "q87_remove_repeated_windows": """
+        WITH toks AS (
+            SELECT doc_id, unnest(l) AS tok,
+                   generate_subscripts(l, 1) - 1 AS pos
+            FROM (SELECT doc_id, string_split(text, ' ') AS l
+                  FROM documents)
+        ),
+        wins AS (
+            SELECT doc_id, CAST(pos // 2 AS INT) AS win,
+                   string_agg(tok, ' ' ORDER BY pos) AS chunk
+            FROM toks WHERE tok <> ''
+            GROUP BY doc_id, CAST(pos // 2 AS INT)
+        ),
+        marked AS (
+            SELECT doc_id, win, chunk,
+                   row_number() OVER (PARTITION BY doc_id, chunk
+                                      ORDER BY win) AS rn
+            FROM wins
+        )
+        SELECT doc_id,
+               count(*) AS n_windows,
+               CAST(coalesce(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END),
+                             0) AS BIGINT) AS n_dup_windows,
+               md5(string_agg(chunk, ' ' ORDER BY win)
+                   FILTER (WHERE rn = 1)) AS cleaned_fp
+        FROM marked GROUP BY doc_id
+    """,
     "q84_global_rank": """
         SELECT o_orderkey,
                CAST(round(o_totalprice * 100) AS BIGINT) AS total_cents,
@@ -2833,4 +2904,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q84_global_rank": q84_global_rank,
     "q85_bpe_train": q85_bpe_train,
     "q86_bpe_encode": q86_bpe_encode,
+    "q87_remove_repeated_windows": q87_remove_repeated_windows,
 }
