@@ -69,9 +69,10 @@ def run_status(out_dir: str, backend: str | None = None) -> dict:
         committed, success, _meta, txns = ledger.snapshot()  # ONE replay
         version = ledger.latest_version()
         protocol = _meta.get("_protocol")
+        constraints = dict(_meta.get("constraints") or {})
     else:
         committed, success = ledger.committed(), ledger.run_success()
-        txns, version, protocol = {}, None, None
+        txns, version, protocol, constraints = {}, None, None, {}
     # downstream feed consumers (feed.py): how far each has read
     consumers: dict[str, int] = {}
     cdir = os.path.join(out_dir, "_consumers")
@@ -113,6 +114,7 @@ def run_status(out_dir: str, backend: str | None = None) -> dict:
         "per_part": per_part,
         "version": version,          # latest commit (commitlog only)
         "protocol": protocol,        # reader/writer requirement, if raised
+        "constraints": constraints,  # CHECK invariants in force
         "txns": txns,                # idempotent-writer marks
         "consumers": consumers,      # feed cursors: id → last version read
         "as_of": datetime.now(timezone.utc).isoformat(timespec="seconds"),
@@ -164,6 +166,10 @@ def format_run_status(out_dir: str, backend: str | None = None,
             f"  protocol: reader>={p.get('min_reader', 1)} "
             f"writer>={p.get('min_writer', 1)}"
             + (f" features={','.join(feats)}" if feats else ""))
+    if s.get("constraints"):
+        lines.append("  constraints: " + "; ".join(
+            f"{n} CHECK ({e})" for n, e in
+            sorted(s["constraints"].items())))
     if s.get("txns"):
         lines.append("  writers: " + ", ".join(
             f"{a}@{v}" for a, v in sorted(s["txns"].items())))

@@ -134,6 +134,14 @@ def test_cli_constraint_verbs(spark, table, capsys):
     assert table_constraints(table) == {}
 
 
+def test_status_surfaces_constraints(spark, table):
+    from curator_spark.status import format_run_status, run_status
+    add_constraint(spark, table, "ppl_nonneg", "ppl >= 0")
+    s = run_status(table)
+    assert s["constraints"] == {"ppl_nonneg": "ppl >= 0"}
+    assert "ppl_nonneg CHECK (ppl >= 0)" in format_run_status(table)
+
+
 def test_drop_constraint_reopens_writes(spark, table):
     add_constraint(spark, table, "ppl_nonneg", "ppl >= 0")
     drop_constraint(table, "ppl_nonneg")

@@ -397,6 +397,64 @@ def test_cli_merge_verb(spark, table, tmp_path, capsys):
     assert after.filter(F.col("grade").isNull()).count() == N0 - 4
 
 
+def test_merge_random_op_soup_matches_model(spark, table):
+    """Seeded random sequence of upsert-merges, delete-merges, CDC
+    batches (update+tombstone+insert mixed), and compactions, folded
+    against a plain-dict model — the table must equal the model after
+    every op. Catches interaction bugs no single-shape test hits."""
+    import random
+
+    from curator_spark.checkpoint import compact_partition
+    from curator_spark.streaming.apply_changes import apply_cdc_batch
+
+    rng = random.Random(17)
+    model = {f"conv-{i}": float(i % 97) for i in range(N0)}
+
+    def mk(rows):  # rows: [(conv_id, ppl)]
+        return spark.createDataFrame(
+            [(k, 0, "user", v) for k, v in rows],
+            "conv_id string, turn_idx int, role string, ppl double")
+
+    def sample_keys(n):
+        pool = list(model) + [f"x-{rng.randrange(10_000)}"
+                              for _ in range(3)]
+        return rng.sample(pool, min(n, len(pool)))
+
+    for step in range(8):
+        op = rng.choice(["upsert", "delete", "cdc", "compact"])
+        if op == "upsert":
+            rows = [(k, float(1000 + step)) for k in sample_keys(25)]
+            merge_into(spark, table, mk(rows))
+            model.update(dict(rows))
+        elif op == "delete":
+            keys = sample_keys(15)
+            merge_into(spark, table, mk([(k, 0.0) for k in keys]),
+                       when_matched="delete", when_not_matched=None)
+            for k in keys:
+                model.pop(k, None)
+        elif op == "cdc":
+            batch = []
+            for i, k in enumerate(sample_keys(20)):
+                tomb = rng.random() < 0.3
+                batch.append((k, 0, "user",
+                              None if tomb else float(2000 + step),
+                              i, tomb))
+                if tomb:
+                    model.pop(k, None)
+                else:
+                    model[k] = float(2000 + step)
+            apply_cdc_batch(spark, spark.createDataFrame(
+                batch, "conv_id string, turn_idx int, role string, "
+                       "ppl double, seq long, is_delete boolean"),
+                table)
+        else:
+            compact_partition(spark, table, rng.randrange(8))
+        got = {r["conv_id"]: r["ppl"] for r in
+               read_committed(spark, table)
+               .select("conv_id", "ppl").collect()}
+        assert got == model, f"diverged after step {step} ({op})"
+
+
 def test_merge_into_concurrent_compaction_raises(spark, table,
                                                  monkeypatch):
     """Delta's MERGE-vs-OPTIMIZE conflict: a compaction that replaces a
