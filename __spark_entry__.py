@@ -105,13 +105,14 @@ DRIVER_WINDOW = [
     "q40_hash_split", "q59_stratified_split", "q82_temperature_mixture",
     # table mutation verbs (the commitlog MERGE expression)
     "q83_merge_upsert",
-    # corpus-scale training ops
+    # corpus-scale training ops (incl. BPE tokenizer training, the
+    # round-4 family; q86 corpus encode stays selfcheck-verified)
     "q73_ngram_lm_train", "q74_feature_hash_embed", "q75_dsir_resample",
     "q76_bm25_topk", "q77_langid_train", "q78_ccnet_lm_filter",
-    "q79_source_classifier",
-    # text analysis (q44 BPE token counts stay selfcheck-verified;
-    # q72 fertility covers tokenization in-window)
-    "q14_doc_quality", "q16_fingerprint",
+    "q79_source_classifier", "q85_bpe_train",
+    # text analysis (q44 BPE token counts and q16 fingerprinting stay
+    # selfcheck-verified; q72 fertility covers tokenization in-window)
+    "q14_doc_quality",
     "q67_luhn_cc_scrub", "q68_repetition_stats", "q72_tokenizer_fertility",
     "q45_sketch_accuracy",
     # distributed total order (no single-task global window)
