@@ -86,14 +86,28 @@ def run_apply_changes_stream(spark: SparkSession, input_dir: str,
                              txn_app_id: str | None = None,
                              available_now: bool = True,
                              max_files_per_trigger: int | None = None,
-                             trigger_interval: str | None = None):
+                             trigger_interval: str | None = None,
+                             compact_every: int | None = None,
+                             compact_target: int = 4):
     """Follow (or drain, with available_now) a directory of CDC files
     into the committed table at out_dir. Exactly-once across restarts:
     Spark's offset checkpoint pins each epoch's file set, and the
     merge's same-version txn action makes replayed epochs no-ops.
 
+    compact_every=N: every Nth epoch, run a whole-table OPTIMIZE pass
+    (partitions holding more than compact_target files compact down to
+    it). Each merge epoch adds up to one file per touched partition —
+    unbounded epochs mean unbounded file counts without this; inline
+    auto-compaction keeps scan cost flat for the table's readers. Safe
+    by protocol: compaction is row-preserving, replayed epochs skip on
+    the txn mark BEFORE compaction runs, and a compaction racing a
+    crashed epoch just makes that epoch's stale swap a no-op that the
+    retry re-applies.
+
     Returns (query, summaries): summaries is a driver-local list of
-    per-epoch merge summaries, appended as epochs complete.
+    per-epoch merge summaries (compaction results attached under
+    "optimize" on the epochs that ran one), appended as epochs
+    complete.
     """
     r = spark.readStream.schema(schema)
     if max_files_per_trigger:
@@ -108,9 +122,15 @@ def run_apply_changes_stream(spark: SparkSession, input_dir: str,
     summaries: list[dict] = []
 
     def _epoch(batch: DataFrame, epoch_id: int) -> None:
-        summaries.append(apply_cdc_batch(
+        s = apply_cdc_batch(
             spark, batch, out_dir, key=key, sequence_col=sequence_col,
-            delete_col=delete_col, txn=(app, int(epoch_id))))
+            delete_col=delete_col, txn=(app, int(epoch_id)))
+        if compact_every and int(epoch_id) % int(compact_every) \
+                == int(compact_every) - 1:
+            from ..checkpoint import optimize_table
+            s["optimize"] = optimize_table(
+                spark, out_dir, target_files=int(compact_target))
+        summaries.append(s)
 
     w = stream.writeStream.foreachBatch(_epoch) \
         .option("checkpointLocation", checkpoint_dir)

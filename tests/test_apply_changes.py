@@ -154,6 +154,42 @@ def test_redelivery_fresh_checkpoint_converges(spark, table, stream_env):
     assert _state(spark, table) == before
 
 
+def test_auto_compaction_bounds_file_counts(spark, table, tmp_path):
+    """Many small CDC epochs accrete one file per touched partition
+    per epoch; compact_every keeps per-partition file counts bounded
+    WITHOUT changing the table's contents."""
+    import pandas as pd
+
+    from curator_spark.checkpoint import make_ledger
+    sdir = tmp_path / "cdc"
+    sdir.mkdir()
+    for j in range(8):   # 8 epochs, each touching the same keys
+        pd.DataFrame({
+            "conv_id": [f"conv-{i}" for i in range(10)],
+            "turn_idx": pd.array([0] * 10, dtype="int32"),
+            "role": ["user"] * 10,
+            "ppl": [float(100 * j + i) for i in range(10)],
+            "seq": pd.array([j] * 10, dtype="int64"),
+            "is_delete": [False] * 10,
+        }).to_parquet(str(sdir / f"e{j}.parquet"), index=False)
+    q, summaries = run_apply_changes_stream(
+        spark, str(sdir), table,
+        checkpoint_dir=str(tmp_path / "ck"),
+        schema=CDC_SCHEMA, max_files_per_trigger=1,
+        compact_every=3, compact_target=2)
+    assert len(summaries) == 8
+    assert any("optimize" in s for s in summaries)
+    led = make_ledger(table, "commitlog")
+    worst = max(len((m or {}).get("files") or {})
+                for m in led.committed().values())
+    assert worst <= 2 + 3   # target + at most compact_every new epochs
+    # contents: last epoch's values won, nothing lost
+    st = _state(spark, table)
+    assert len(st) == 400
+    for i in range(10):
+        assert st[f"conv-{i}"] == float(700 + i)
+
+
 def test_replayed_epoch_is_skipped_before_any_work(spark, table):
     """Crash-replay of one epoch (foreachBatch at-least-once): the
     second application of the same (app, epoch) is a txn fast-path
