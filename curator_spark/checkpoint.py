@@ -2003,7 +2003,40 @@ def table_changes(out_dir: str, since_version: int,
                     rows_deleted += len(fresh)
                 else:
                     prev_m = ledger.committed(version=v - 1).get(p) or {}
-                    if fn_ in (prev_m.get("files") or {}):
+                    in_prev = fn_ in (prev_m.get("files") or {})
+                    if part_ins and in_prev:
+                        # the masked file is OUTSIDE this window's
+                        # insert lineage while the partition HAS
+                        # in-window inserts: an earlier compaction
+                        # renamed rows across file boundaries — the
+                        # same lineage break as the delete fallback
+                        # above. Reading the original insert files
+                        # would now DELIVER the masked-out rows, so
+                        # canonicalize the feed entry to the live
+                        # post-dv manifest; survivors an incremental
+                        # consumer already has re-feed (the
+                        # at-least-once contract idempotent sinks
+                        # absorb).
+                        before = sum(_eff(m_) for m_ in part_ins.values())
+                        for f2, meta_ in part_ins.items():
+                            retired[(p, f2)] = (ins_ver.get((p, f2), v),
+                                                meta_)
+                        live_m = ledger.committed(version=v).get(p) or {}
+                        live_dv = live_m.get("dv") or {}
+                        files = {
+                            f2: ({**dict(m_), "dv": list(live_dv[f2])}
+                                 if live_dv.get(f2) else dict(m_))
+                            for f2, m_ in
+                            (live_m.get("files") or {}).items()}
+                        if files:
+                            inserts[p] = files
+                            for f2 in files:
+                                ins_ver[(p, f2)] = v
+                        else:
+                            inserts.pop(p, None)
+                        now_rows = sum(_eff(m_) for m_ in files.values())
+                        rows_deleted += max(0, before - now_rows)
+                    elif in_prev:
                         prev_dv = set(
                             (prev_m.get("dv") or {}).get(fn_) or [])
                         rows_deleted += len(new_pos - prev_dv)

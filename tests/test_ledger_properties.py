@@ -199,3 +199,30 @@ def test_random_programs_preserve_protocol_invariants(store_name, ops, data):
         led.restore(target, parts_t, success_t, meta_t, txns=txns_t)
         assert led.snapshot() == timeline[target]
         assert led.latest_version() > head  # rollback grew history
+
+
+def test_dv_after_compaction_canonicalizes_feed():
+    """Regression (found by the property harness, program
+    add → compact → dv): a deletion vector landing on a COMPACTION
+    OUTPUT — a file outside the feed's insert lineage — must still
+    shrink the bootstrap feed. Reading the original insert files would
+    deliver the masked-out rows; the fix canonicalizes the feed entry
+    to the live post-dv manifest, exactly like the delete fallback."""
+    from curator_spark.checkpoint import table_changes
+    root = f"/tmp/ledger_props/{uuid.uuid4().hex}"
+    led = make_ledger(root, "commitlog")
+    _apply(led, ("add", 0, 1))    # one file, 10 rows
+    _apply(led, ("compact", 0))   # rows renamed across file boundaries
+    _apply(led, ("dv", 0, 0))     # mask row 0 of the compacted file
+    head = led.latest_version()
+    live = sum(int((m or {}).get("n_rows", 0))
+               for m in led.committed().values())
+    assert live == 9
+    ch = table_changes(os.path.dirname(led.dir), 0, head)
+    assert ch["rows_inserted"] == live, "feed would deliver deleted rows"
+    assert ch["rows_deleted"] == 1
+    # the feed entry now points at the live (compacted) file with the
+    # mask annotated on it, not at the superseded original
+    (files,) = ch["inserts"].values()
+    (fn, meta), = files.items()
+    assert fn.startswith("c") and meta.get("dv") == [0]
