@@ -19,6 +19,9 @@ __version__ = "0.1.0"
 # Public API — the stable user-facing surface. Deeper internals
 # (pipeline stages, checkpoint internals, query batteries) are
 # importable from their modules but may change shape between versions.
+from .alter import (                                    # noqa: E402,F401
+    add_column, drop_column, rename_column,
+)
 from .api import QualityFilter                          # noqa: E402,F401
 from .checkpoint import (                               # noqa: E402,F401
     cancel_run, compact_partition, delete_conversations, read_changes,
@@ -39,7 +42,8 @@ from .ingest import (                                   # noqa: E402,F401
 from .status import format_run_status, run_status       # noqa: E402,F401
 
 __all__ = [
-    "QualityFilter", "run_checkpointed", "read_committed", "vacuum",
+    "QualityFilter", "rename_column", "drop_column", "add_column",
+    "run_checkpointed", "read_committed", "vacuum",
     "compact_partition", "cancel_run", "append_new_conversations",
     "snapshot_files", "table_history", "table_row_count",
     "table_column_minmax",

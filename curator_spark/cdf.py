@@ -176,14 +176,18 @@ def row_changes(spark: SparkSession, out_dir: str, since_version: int,
     data_dir = os.path.join(out_dir, "data")
 
     def _read(paths: list[str], schema, dv=None) -> DataFrame:
-        from .checkpoint import _apply_dv
+        from .checkpoint import _apply_dv, physical_struct, to_logical
         if not paths:
             return spark.createDataFrame([], schema or _schema.OUTPUT_SCHEMA)
-        reader = spark.read.schema(schema) if schema is not None \
-            else spark.read
-        return _apply_dv(spark,
-                         reader.option("basePath", data_dir).parquet(*paths),
-                         dv or {})
+        # scan physical (what files hold), surface logical — both sides
+        # use the mapping AS OF `until`, so they stay shape-identical
+        reader = spark.read.schema(physical_struct(meta)) \
+            if schema is not None else spark.read
+        return to_logical(
+            _apply_dv(spark,
+                      reader.option("basePath", data_dir).parquet(*paths),
+                      dv or {}),
+            meta)
 
     if declared is None and (before_paths or after_paths):
         # no declared schema (hand-built table): infer ONE schema from

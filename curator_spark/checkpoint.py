@@ -232,10 +232,11 @@ WRITER_VERSION = 2
 # (Delta 3/7-style table features) — each maps to real code in this repo
 SUPPORTED_READER_FEATURES = frozenset({
     "stats-skipping", "schema-in-log", "time-travel", "restore",
-    "change-feed", "row-feed", "log-checkpoints", "deletion-vectors"})
+    "change-feed", "row-feed", "log-checkpoints", "deletion-vectors",
+    "column-mapping"})
 SUPPORTED_WRITER_FEATURES = frozenset({
     "append", "compaction", "row-delete", "txn-markers", "restore",
-    "schema-evolution", "check-constraints"})
+    "schema-evolution", "check-constraints", "column-mapping"})
 
 
 class ProtocolError(RuntimeError):
@@ -1050,7 +1051,126 @@ def record_table_schema(ledger, spark_schema) -> None:
     new = spark_schema.jsonValue()
     merged = _merge_schema_json(old, new) if old else new
     if merged != old:
-        ledger.set_table_meta({"schema": merged})
+        meta_patch = {"schema": merged}
+        cm = ledger.table_meta().get("column_mapping")
+        if cm and old:
+            # column mapping active (ALTER happened): implicit additive
+            # evolution must mint PHYSICAL names for the new logical
+            # fields — fresh (never a retired physical name), so a
+            # re-added column can never resurrect values a dropped
+            # column left behind in old files
+            have = {f["name"] for f in old["fields"]}
+            added = [f["name"] for f in merged["fields"]
+                     if f["name"] not in have]
+            if added:
+                cm = dict(cm)
+                taken = set(cm.values()) | \
+                    set(ledger.table_meta().get("retired_physical") or [])
+                minted = False
+                for name in added:
+                    if name in cm:
+                        continue  # pre-minted by the writer (e.g. the
+                        # datasource sink stages files before commit)
+                    cm[name] = _mint_physical(name, taken)
+                    taken.add(cm[name])
+                    minted = True
+                if minted:
+                    meta_patch["column_mapping"] = cm
+        ledger.set_table_meta(meta_patch)
+
+
+def _mint_physical(logical: str, taken: set[str]) -> str:
+    """A physical column name for a new logical field: the logical name
+    itself when no file has ever held that physical name, else a
+    uuid-suffixed fresh one (Delta's column-mapping id rule — re-using
+    a retired physical name would read a dropped column's stale values
+    out of old files)."""
+    if logical not in taken:
+        return logical
+    import uuid as _uuid
+    return f"{logical}_{_uuid.uuid4().hex[:8]}"
+
+
+def column_mapping(meta: dict) -> dict:
+    """The table's logical→physical column map (Delta's column-mapping
+    name mode). Empty dict when the feature was never activated — every
+    column's physical name equals its logical name and all mapped code
+    paths are no-ops. Physical names are IMMUTABLE once assigned:
+    RENAME changes only the logical name, so files written before and
+    after any ALTER share one physical layout and are read with one
+    schema — never per-file remapping."""
+    return dict(meta.get("column_mapping") or {})
+
+
+def physical_name(meta: dict, col: str) -> str:
+    """Physical (in-file) name of logical column `col` — identity when
+    mapping is inactive or the column is unmapped (e.g. `part`, which
+    is a directory-derived partition column, never in file footers)."""
+    return (meta.get("column_mapping") or {}).get(col, col)
+
+
+def physical_struct(meta: dict):
+    """The declared READ schema over data files: the logical schema
+    with every field renamed to its physical name (field order, types,
+    nullability unchanged). None when the log records no schema."""
+    from pyspark.sql.types import StructField, StructType
+    if not meta.get("schema"):
+        return None
+    logical = StructType.fromJson(meta["schema"])
+    cm = meta.get("column_mapping") or {}
+    if not cm:
+        return logical
+    return StructType([
+        StructField(cm.get(f.name, f.name), f.dataType, f.nullable,
+                    f.metadata) for f in logical.fields])
+
+
+def to_logical(df: DataFrame, meta: dict) -> DataFrame:
+    """Alias a physically-named scan back to logical column names — a
+    pure projection Catalyst collapses into the scan (filters and
+    pruning push straight through). Columns outside the mapping (part,
+    _metadata) pass through untouched. No-op when mapping is off."""
+    cm = meta.get("column_mapping") or {}
+    if not cm:
+        return df
+    phys_to_log = {p: l for l, p in cm.items()}
+    return df.select([F.col(c).alias(phys_to_log[c])
+                      if c in phys_to_log else F.col(c)
+                      for c in df.columns])
+
+
+def to_physical(df: DataFrame, meta: dict) -> DataFrame:
+    """Project a logically-named DataFrame to physical column names for
+    a data-file write. Every writer that lands files in a mapped table
+    MUST route through this — files carry physical names by protocol
+    (PROTOCOL.md §7). No-op when mapping is off."""
+    cm = meta.get("column_mapping") or {}
+    if not cm:
+        return df
+    return df.select([F.col(c).alias(cm[c]) if c in cm else F.col(c)
+                      for c in df.columns])
+
+
+def stats_columns(meta: dict) -> tuple:
+    """The stats allowlist in PHYSICAL names — footer statistics are
+    read from data files, which hold physical columns. Equals
+    STATS_COLUMNS verbatim until a rename touches one of them."""
+    cm = meta.get("column_mapping") or {}
+    if not cm:
+        return STATS_COLUMNS
+    return tuple(cm.get(c, c) for c in STATS_COLUMNS)
+
+
+def _refuse_mapped(meta: dict, verb: str) -> None:
+    """Write verbs that have not (yet) been taught the physical-name
+    projection must REFUSE on a mapped table rather than silently land
+    logically-named files the physical read schema would surface as
+    all-null columns."""
+    if meta.get("column_mapping"):
+        raise ProtocolError(
+            f"{verb} does not support tables with active column "
+            "mapping (ALTER history); operate via the mapping-aware "
+            "verbs or restore the table to its pre-ALTER schema")
 
 
 def revalidate_committed(out_dir: str, ledger=None) -> tuple[set[int], set[int]]:
@@ -1421,14 +1541,28 @@ def _run_checkpointed_grouped(spark, input_path, out_dir, params,
             # bounded file count AND no single-task serialization of a huge
             # part.
             n_out = max(len(todo) * WRITE_SALTS, 8)
-            (result.repartition(n_out, F.col("part"),
-                                F.pmod(F.col("turn_idx"), F.lit(WRITE_SALTS)))
+            tmeta: dict = {}
+            if getattr(ledger, "log_defined_visibility", False):
+                tmeta = ledger.table_meta()
+                if tmeta.get("column_mapping"):
+                    # mapped table (ALTER history): record the schema
+                    # FIRST so any new logical columns get physical
+                    # names minted, then land physically-named files —
+                    # idempotent with the publish-time record below
+                    record_table_schema(ledger, result.schema)
+                    tmeta = ledger.table_meta()
+            (to_physical(
+                result.repartition(n_out, F.col("part"),
+                                   F.pmod(F.col("turn_idx"),
+                                          F.lit(WRITE_SALTS))),
+                tmeta)
              .write.mode("overwrite").partitionBy("part")
              .parquet(stage_out))
 
             # Per-part metrics from the staged output (column-pruned scan).
             mrows = (
-                spark.read.parquet(stage_out).groupBy("part").agg(
+                to_logical(spark.read.parquet(stage_out),
+                           tmeta).groupBy("part").agg(
                     F.count(F.lit(1)).alias("n_in"),
                     F.sum(F.col("keep").cast("long")).alias("n_kept"),
                     F.sum((F.col("scrubbed_text") != F.col("text")).cast("long"))
@@ -1491,7 +1625,8 @@ def _run_checkpointed_grouped(spark, input_path, out_dir, params,
                         man[newname] = {
                             "n_rows": pq.ParquetFile(fsrc).metadata.num_rows,
                             "n_bytes": os.path.getsize(fsrc)}
-                        stats[newname] = file_column_stats(fsrc)
+                        stats[newname] = file_column_stats(
+                            fsrc, stats_columns(tmeta))
                         os.replace(fsrc, os.path.join(dst, newname))
                     shard_files[int(p)] = man
                     shard_stats[int(p)] = stats
@@ -1606,6 +1741,12 @@ def _snapshot_plan(out_dir: str, backend: str | None = None,
         meta = {}
         bucket = {}
     conj = _normalize_where(where)
+    # predicates arrive in LOGICAL column names; footer stats are keyed
+    # by the immutable PHYSICAL names files actually hold — translate
+    # once (identity when column mapping is inactive; `part` and the
+    # bucket column are never renameable, so their branches below see
+    # unchanged names)
+    conj = [(physical_name(meta, c), op, v) for c, op, v in conj]
 
     # Partition-level pruning, decided from the log alone:
     # * an explicit predicate on the `part` bucket column;
@@ -1749,8 +1890,15 @@ def read_committed(spark: SparkSession, out_dir: str,
     if not paths:
         df = spark.createDataFrame([], declared or _schema.OUTPUT_SCHEMA)
     elif declared is not None:
-        df = (spark.read.schema(declared)
+        # scan with the PHYSICAL schema (what files actually hold —
+        # identical to `declared` until an ALTER renames something),
+        # alias back to logical names after the dv mask; time travel
+        # uses the mapping AS OF the read version, so pre-rename
+        # snapshots show pre-rename names
+        df = (spark.read.schema(physical_struct(meta))
               .option("basePath", data_dir).parquet(*paths))
+        df = to_logical(_apply_dv(spark, df, dv), meta)
+        dv = {}
     else:
         df = spark.read.option("basePath", data_dir).parquet(*paths)
     df = _apply_dv(spark, df, dv)
@@ -1782,8 +1930,11 @@ def table_column_minmax(out_dir: str, col: str,
     if version is not None and \
             not getattr(ledger, "log_defined_visibility", False):
         raise ValueError("time travel requires the commitlog ledger")
-    committed = ledger.committed(version=version) \
-        if version is not None else ledger.committed()
+    if getattr(ledger, "log_defined_visibility", False):
+        committed, _s, meta_, _t = ledger.snapshot(version=version)
+        col = physical_name(meta_, col)  # stats are keyed physically
+    else:
+        committed = ledger.committed()
     lo = hi = None
     n_files = n_covered = 0
     any_dv = False
@@ -2183,11 +2334,15 @@ def read_changes(spark: SparkSession, out_dir: str, since_version: int,
             "window")
     if not paths:
         return spark.createDataFrame([], declared or _schema.OUTPUT_SCHEMA)
-    reader = spark.read.schema(declared) if declared is not None \
-        else spark.read
-    return _apply_dv(spark,
-                     reader.option("basePath", data_dir).parquet(*paths),
-                     dv)
+    reader = spark.read.schema(physical_struct(meta)) \
+        if declared is not None else spark.read
+    # feed rows surface under the CURRENT logical names (head mapping):
+    # physical names are immutable, so files from any era alias cleanly
+    return to_logical(
+        _apply_dv(spark,
+                  reader.option("basePath", data_dir).parquet(*paths),
+                  dv),
+        meta)
 
 
 def table_history(out_dir: str, backend: str | None = None) -> list[dict]:
@@ -2473,9 +2628,15 @@ def compact_partition(spark: SparkSession, out_dir: str, part: int,
             f"compaction requires a log-defined-visibility ledger, not "
             f"'{backend}': the markers backend's dir content IS its "
             "committed state, so a file swap there cannot be atomic")
-    marker = ledger.committed().get(int(part))
+    committed_, _s_, meta_, _t_ = ledger.snapshot()
+    marker = committed_.get(int(part))
     if not marker or not marker.get("files"):
         raise ValueError(f"partition {part} has no committed files")
+    # the rewrite is physical-in/physical-out (footer-inferred read,
+    # as-is write), so column mapping only touches the caller-facing
+    # names: sort keys arrive logical, files hold physical
+    if sort_by:
+        sort_by = [physical_name(meta_, c) for c in sort_by]
     old_files = dict(marker["files"])
     old_dv = {k: list(v) for k, v in (marker.get("dv") or {}).items()}
     live = sum(int(v.get("n_rows", 0)) for v in old_files.values()) \
@@ -2525,7 +2686,7 @@ def compact_partition(spark: SparkSession, out_dir: str, part: int,
         rows = pq.ParquetFile(fsrc).metadata.num_rows
         man[newname] = {"n_rows": int(rows),
                         "n_bytes": os.path.getsize(fsrc)}
-        stats[newname] = file_column_stats(fsrc)
+        stats[newname] = file_column_stats(fsrc, stats_columns(meta_))
         n_rows += int(rows)
         os.replace(fsrc, os.path.join(pdir, newname))
         i += 1
@@ -2651,9 +2812,12 @@ def delete_conversations(spark: SparkSession, out_dir: str,
     bucket = meta.get("bucket") or {}
     declared = None
     if meta.get("schema"):
-        declared = StructType.fromJson(meta["schema"])
+        declared = physical_struct(meta)  # files hold physical names
         declared = StructType([f for f in declared.fields
                                if f.name != "part"])  # files hold no part
+    # the rewrite runs physical-in/physical-out; only the caller's key
+    # column arrives logical
+    pkey = physical_name(meta, key)
 
     keep_parts = None
     if bucket.get("col") == key and bucket.get("fn") in BUCKET_FNS \
@@ -2668,7 +2832,7 @@ def delete_conversations(spark: SparkSession, out_dir: str,
     # untargeted rows on any nullable key column
     targets = [str(c) for c in conv_ids]
     keep_fn = lambda df: df.filter(  # noqa: E731
-        (~F.col(key).isin(targets)) | F.col(key).isNull())
+        (~F.col(pkey).isin(targets)) | F.col(pkey).isNull())
     for part, marker in sorted(committed.items()):
         files = (marker or {}).get("files") or {}
         if keep_parts is not None and int(part) not in keep_parts:
@@ -2676,14 +2840,15 @@ def delete_conversations(spark: SparkSession, out_dir: str,
             continue
         stats = (marker or {}).get("stats") or {}
         cand = [fn_ for fn_ in sorted(files)
-                if any(_file_may_match(stats.get(fn_), key, "=", c)
+                if any(_file_may_match(stats.get(fn_), pkey, "=", c)
                        for c in conv_ids)]
         summary["files_untouched"] += len(files) - len(cand)
         if not cand:
             continue
         _swap_filtered_rewrite(spark, out_dir, ledger, declared,
                                int(part), cand, files, keep_fn, summary,
-                               dv=(marker or {}).get("dv"))
+                               dv=(marker or {}).get("dv"),
+                               stats_cols=stats_columns(meta))
     return summary
 
 
@@ -2729,6 +2894,7 @@ def delete_rows_dv(spark: SparkSession, out_dir: str, conv_ids,
     targets = sorted({str(c) for c in conv_ids})
     committed, _success, meta, _txns = ledger.snapshot()
     bucket = meta.get("bucket") or {}
+    pkey = physical_name(meta, key)  # files + stats hold physical names
     keep_parts = None
     if bucket.get("col") == key and bucket.get("fn") in BUCKET_FNS \
             and bucket.get("n_parts"):
@@ -2747,7 +2913,7 @@ def delete_rows_dv(spark: SparkSession, out_dir: str, conv_ids,
         stats = (marker or {}).get("stats") or {}
         dv = (marker or {}).get("dv") or {}
         hit = [fn_ for fn_ in sorted(files)
-               if any(_file_may_match(stats.get(fn_), key, "=", c)
+               if any(_file_may_match(stats.get(fn_), pkey, "=", c)
                       for c in targets)]
         summary["files_untouched"] += len(files) - len(hit)
         for fn_ in hit:
@@ -2766,7 +2932,7 @@ def delete_rows_dv(spark: SparkSession, out_dir: str, conv_ids,
 
     hits = (spark.read.option("basePath", data_dir)
             .parquet(*[c[2] for c in cand])
-            .where(F.col(key).isin(targets))
+            .where(F.col(pkey).isin(targets))
             .select(F.col("_metadata.file_path").alias("fp"),
                     F.col("_metadata.row_index").alias("ri"))
             .collect())  # bounded by the targets' row count
@@ -2798,7 +2964,8 @@ def delete_rows_dv(spark: SparkSession, out_dir: str, conv_ids,
 
 def _swap_filtered_rewrite(spark, out_dir, ledger, declared, part,
                            cand, files, keep_fn, summary,
-                           dv: dict | None = None) -> None:
+                           dv: dict | None = None,
+                           stats_cols: tuple = STATS_COLUMNS) -> None:
     """The DELETE rewrite core shared by the id-list and DataFrame key
     paths: read the candidate files, keep `keep_fn(df)`, stage the
     survivors, swap atomically via one `delete` log version, and verify
@@ -2841,7 +3008,7 @@ def _swap_filtered_rewrite(spark, out_dir, ledger, declared, part,
         newname = f"delete-{tag}-{i:05d}.parquet"
         man[newname] = {"n_rows": int(rows),
                         "n_bytes": os.path.getsize(src)}
-        new_stats[newname] = file_column_stats(src)
+        new_stats[newname] = file_column_stats(src, stats_cols)
         after += int(rows)
         os.replace(src, os.path.join(pdir, newname))
         i += 1
@@ -2920,9 +3087,10 @@ def delete_matching(spark: SparkSession, out_dir: str, keys: DataFrame,
     bucket = meta.get("bucket") or {}
     declared = None
     if meta.get("schema"):
-        declared = StructType.fromJson(meta["schema"])
+        declared = physical_struct(meta)  # files hold physical names
         declared = StructType([f for f in declared.fields
                                if f.name != "part"])  # files hold no part
+    pkey = physical_name(meta, key)
 
     summary = {"rows_deleted": 0, "files_rewritten": 0,
                "files_untouched": 0, "parts_touched": [], "n_keys": 0}
@@ -2960,7 +3128,8 @@ def delete_matching(spark: SparkSession, out_dir: str, keys: DataFrame,
                         F.max(key).alias("kmax")).collect()[0]
             ranges = {int(p): (r["kmin"], r["kmax"]) for p in committed}
 
-        keep_fn = lambda df: df.join(kdf, [key], "left_anti")  # noqa: E731
+        pkdf = kdf.withColumnRenamed(key, pkey)  # probe physical scans
+        keep_fn = lambda df: df.join(pkdf, [pkey], "left_anti")  # noqa: E731
         for part, marker in sorted(committed.items()):
             files = (marker or {}).get("files") or {}
             if int(part) not in ranges:
@@ -2971,14 +3140,15 @@ def delete_matching(spark: SparkSession, out_dir: str, keys: DataFrame,
             # candidate iff the file's [min, max] overlaps the keys'
             # [kmin, kmax]: may contain a row <= kmax AND a row >= kmin
             cand = [fn_ for fn_ in sorted(files)
-                    if _file_may_match(stats.get(fn_), key, "<=", kmax)
-                    and _file_may_match(stats.get(fn_), key, ">=", kmin)]
+                    if _file_may_match(stats.get(fn_), pkey, "<=", kmax)
+                    and _file_may_match(stats.get(fn_), pkey, ">=", kmin)]
             summary["files_untouched"] += len(files) - len(cand)
             if not cand:
                 continue
             _swap_filtered_rewrite(spark, out_dir, ledger, declared,
                                    int(part), cand, files, keep_fn,
-                                   summary, dv=(marker or {}).get("dv"))
+                                   summary, dv=(marker or {}).get("dv"),
+                                   stats_cols=stats_columns(meta))
         return summary
     finally:
         shutil.rmtree(scratch, ignore_errors=True)

@@ -112,6 +112,24 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--drop-constraint", type=str, default=None,
                    metavar="NAME",
                    help="ALTER TABLE DROP CONSTRAINT and exit")
+    p.add_argument("--rename-column", type=str, default=None,
+                   metavar="OLD=NEW",
+                   help="ALTER TABLE RENAME COLUMN: one metadata "
+                        "commit, zero data I/O at any table size "
+                        "(column mapping — physical in-file names are "
+                        "immutable; ratchets the column-mapping "
+                        "reader+writer feature) and exit — no Spark "
+                        "session, no --input needed")
+    p.add_argument("--drop-column", type=str, default=None,
+                   metavar="COL",
+                   help="ALTER TABLE DROP COLUMN (metadata-only; the "
+                        "physical name is retired so a re-add never "
+                        "resurrects old values) and exit")
+    p.add_argument("--add-column", type=str, default=None,
+                   metavar="COL:TYPE",
+                   help="ALTER TABLE ADD COLUMN (nullable; existing "
+                        "files read NULL), e.g. quality:double, and "
+                        "exit")
     p.add_argument("--delete-where", type=str, default=None,
                    metavar="EXPR",
                    help="DELETE FROM --output WHERE <Spark SQL "
@@ -202,6 +220,28 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps(restore_table(args.output, version=args.restore,
                                        backend=args.ledger)))  # None=detect
         return 0
+    if args.rename_column or args.drop_column or args.add_column:
+        # metadata-only column DDL: pure log commits, no Spark session
+        from curator_spark import alter
+        out = {}
+        if args.rename_column:
+            old, new = args.rename_column.split("=", 1)
+            out["version"] = alter.rename_column(
+                args.output, old.strip(), new.strip(),
+                backend=args.ledger)
+            out["renamed"] = [old.strip(), new.strip()]
+        if args.drop_column:
+            out["version"] = alter.drop_column(
+                args.output, args.drop_column, backend=args.ledger)
+            out["dropped"] = args.drop_column
+        if args.add_column:
+            col, typ = args.add_column.split(":", 1)
+            out["version"] = alter.add_column(
+                args.output, col.strip(), typ.strip(),
+                backend=args.ledger)
+            out["added"] = [col.strip(), typ.strip()]
+        print(json.dumps(out))
+        return 0
     if args.consume and not args.consume_out:
         build_parser().error("--consume requires --consume-out")
     if args.update_set and not args.update_where:
@@ -212,7 +252,8 @@ def main(argv: list[str] | None = None) -> int:
         build_parser().error(
             "--input is required unless --status/--history/--restore/"
             "--delete-ids/--delete-where/--update-set/"
-            "--add-constraint/--drop-constraint/--consume")
+            "--add-constraint/--drop-constraint/--consume/"
+            "--rename-column/--drop-column/--add-column")
     ledger_backend = args.ledger or "markers"
 
     if args.local_cores:

@@ -69,26 +69,47 @@ def check_df(df: DataFrame, constraints: dict, where: str = "") -> None:
 
 
 def check_files(spark: SparkSession | None, paths: list,
-                constraints: dict, where: str = "") -> None:
+                constraints: dict, where: str = "",
+                mapping: dict | None = None) -> None:
     """Validate staged parquet files before their commit publishes.
     With a SparkSession: one Spark aggregation. Without one (the
     Python data source's commit() runs in a sessionless process):
     DuckDB evaluates the same expressions over the same files —
     constraint expressions are therefore required to be
     engine-portable ANSI boolean expressions, the repo's established
-    oracle discipline."""
+    oracle discipline.
+
+    mapping: the table's logical→physical column map when column
+    mapping is active — constraint expressions speak LOGICAL names,
+    staged files hold PHYSICAL ones, so both engines evaluate through
+    the renaming projection."""
     if not constraints or not paths:
         return
+    renames = {p: l for l, p in (mapping or {}).items() if p != l}
     if spark is not None:
-        check_df(spark.read.parquet(*paths), constraints, where)
+        df = spark.read.parquet(*paths)
+        if renames:
+            df = df.select([F.col(c).alias(renames.get(c, c))
+                            for c in df.columns])
+        check_df(df, constraints, where)
         return
     import duckdb
     con = duckdb.connect()
+    src = "read_parquet($paths)"
+    if renames:
+        # explicit aliasing projection (DuckDB 1.0 has no RENAME star
+        # modifier): physical column names come from the staged files
+        # themselves — every staged file of one write shares a schema
+        import pyarrow.parquet as pq
+        phys_cols = pq.read_schema(paths[0]).names
+        sel = ", ".join(f'"{c}" AS "{renames[c]}"' if c in renames
+                        else f'"{c}"' for c in phys_cols)
+        src = f"(SELECT {sel} FROM read_parquet($paths))"
     bad = {}
     for name in sorted(constraints):
         expr = constraints[name]
         n = con.execute(
-            f"SELECT count(*) FROM read_parquet($paths) "
+            f"SELECT count(*) FROM {src} "
             f"WHERE NOT coalesce(({expr}), TRUE)",
             {"paths": list(paths)}).fetchone()[0]
         if n:

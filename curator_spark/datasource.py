@@ -83,14 +83,19 @@ def _declared_schema(table_dir: str) -> StructType:
     return StructType(fields)
 
 
-def _read_file_as_arrow(partition: _FilePartition, schema: StructType):
+def _read_file_as_arrow(partition: _FilePartition, schema: StructType,
+                        cm: dict | None = None):
     """Executor-side: one committed parquet file → arrow batches cast
     to the table schema (partition column materialized from the
-    assignment; evolution-missing columns filled with nulls)."""
+    assignment; evolution-missing columns filled with nulls). `cm` is
+    the table's logical→physical column map when column mapping is
+    active: the schema Spark sees is logical, the file holds the
+    immutable physical names."""
     import pyarrow as pa
     import pyarrow.parquet as pq
     from pyspark.sql.pandas.types import to_arrow_schema
     target = to_arrow_schema(schema)
+    cm = cm or {}
     table = pq.read_table(partition.path)
     if partition.dv:
         # apply the deletion vector: mask the marked row positions out
@@ -101,11 +106,12 @@ def _read_file_as_arrow(partition: _FilePartition, schema: StructType):
     n = table.num_rows
     arrays = []
     for field in target:
+        phys = cm.get(field.name, field.name)
         if field.name == "part" and "part" not in table.column_names:
             arrays.append(pa.array([partition.part] * n,
                                    type=pa.int32()).cast(field.type))
-        elif field.name in table.column_names:
-            arrays.append(table.column(field.name).cast(field.type))
+        elif phys in table.column_names:
+            arrays.append(table.column(phys).cast(field.type))
         else:  # pre-evolution file: later-added column reads as null
             arrays.append(pa.nulls(n, type=field.type))
     yield from pa.Table.from_arrays(arrays, schema=target).to_batches()
@@ -130,6 +136,9 @@ class _SnapshotReader(DataSourceReader):
         ledger = make_ledger(table_dir, detect_backend(table_dir))
         self._version = ledger.latest_version() if getattr(
             ledger, "log_defined_visibility", False) else None
+        meta = ledger.table_meta() if getattr(
+            ledger, "log_defined_visibility", False) else {}
+        self._cm = dict(meta.get("column_mapping") or {})
 
     def pushFilters(self, filters):
         """Record the pushable conjuncts for manifest-stats file
@@ -160,7 +169,7 @@ class _SnapshotReader(DataSourceReader):
         return out
 
     def read(self, partition: _FilePartition):
-        return _read_file_as_arrow(partition, self._schema)
+        return _read_file_as_arrow(partition, self._schema, self._cm)
 
 
 class _ChangeStreamReader(DataSourceStreamReader):
@@ -173,6 +182,11 @@ class _ChangeStreamReader(DataSourceStreamReader):
     def __init__(self, schema: StructType, table_dir: str) -> None:
         self._schema = schema
         self._dir = table_dir
+        from .checkpoint import detect_backend, make_ledger
+        _led = make_ledger(table_dir, detect_backend(table_dir))
+        _meta = _led.table_meta() if getattr(
+            _led, "log_defined_visibility", False) else {}
+        self._cm = dict(_meta.get("column_mapping") or {})
 
     def _ledger(self):
         from .checkpoint import detect_backend, make_ledger
@@ -204,7 +218,7 @@ class _ChangeStreamReader(DataSourceStreamReader):
             for fn in sorted(fs)]
 
     def read(self, partition: _FilePartition):
-        return _read_file_as_arrow(partition, self._schema)
+        return _read_file_as_arrow(partition, self._schema, self._cm)
 
     def commit(self, end: dict) -> None:
         pass  # Spark's checkpoint owns progress; the log is immutable
@@ -250,6 +264,23 @@ class _LedgerWriter(DataSourceArrowWriter):
                 "partitions (see incremental.py)")
         meta = ledger.table_meta() if getattr(
             ledger, "log_defined_visibility", False) else {}
+        # column mapping (ALTER history): tasks stage files under the
+        # immutable PHYSICAL names. New columns this write introduces
+        # get physical names minted ONCE here on the driver (tasks must
+        # agree), committed alongside the widened schema.
+        from .checkpoint import _mint_physical, stats_columns
+        self._cm = dict(meta.get("column_mapping") or {})
+        self._cm_patch = False
+        if self._cm:
+            taken = set(self._cm.values()) | set(
+                meta.get("retired_physical") or [])
+            for f in schema.fields:
+                if f.name != "part" and f.name not in self._cm:
+                    self._cm[f.name] = _mint_physical(f.name, taken)
+                    taken.add(self._cm[f.name])
+                    self._cm_patch = True
+        self._stats_cols = stats_columns(
+            {**meta, "column_mapping": self._cm} if self._cm else meta)
         self._bucket = meta.get("bucket")
         self._new_bucket = False
         if "part" in schema.fieldNames():
@@ -307,13 +338,16 @@ class _LedgerWriter(DataSourceArrowWriter):
         token = uuid.uuid4().hex  # job+task-unique staging name
         for p, chunks in sorted(acc.items()):
             merged = pa.concat_tables(chunks)
+            if self._cm:  # mapped table: files hold physical names
+                merged = merged.rename_columns(
+                    [self._cm.get(c, c) for c in merged.column_names])
             d = os.path.join(self._dir, "data", f"part={p}")
             os.makedirs(d, exist_ok=True)
             fn_ = f"ds-{token}-{p:05d}.parquet"
             fp = os.path.join(d, fn_)
             pq.write_table(merged, fp)
             out.append((p, fn_, merged.num_rows, os.path.getsize(fp),
-                        file_column_stats(fp)))
+                        file_column_stats(fp, self._stats_cols)))
         return _StagedFiles(entries=out)
 
     # -- driver side ----------------------------------------------------
@@ -344,6 +378,12 @@ class _LedgerWriter(DataSourceArrowWriter):
         if self._new_bucket:
             ledger.set_table_meta({"bucket": dict(self._bucket)})
             self._new_bucket = False
+        if self._cm_patch:
+            # publish the driver-minted physical names BEFORE the
+            # schema widens (inert for columns not yet in the schema;
+            # record_table_schema then skips re-minting them)
+            ledger.set_table_meta({"column_mapping": dict(self._cm)})
+            self._cm_patch = False
         declared = StructType(
             [f for f in self._schema.fields if f.name != "part"]
             + [StructField("part", IntegerType(), False)])
@@ -367,7 +407,8 @@ class _LedgerWriter(DataSourceArrowWriter):
                  for p, fn_, *_rest in (m.entries if m else [])]
         spark = SparkSession.getActiveSession()
         try:
-            check_files(spark, paths, cons, where=" by write")
+            check_files(spark, paths, cons, where=" by write",
+                        mapping=self._cm or None)
         except ConstraintViolation:
             _unlink_staged(self._dir, messages)
             raise

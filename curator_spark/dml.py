@@ -41,7 +41,8 @@ from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
 from .checkpoint import (
     _apply_dv, _file_may_match, _normalize_where, detect_backend,
-    file_column_stats, make_ledger)
+    file_column_stats, make_ledger, physical_name, physical_struct,
+    stats_columns, to_logical, to_physical)
 
 __all__ = ["ConcurrentDMLError", "delete_where", "update_where"]
 
@@ -72,11 +73,17 @@ def _pred_column(where) -> Column:
     return cond
 
 
-def _stats_candidates(committed: dict, where) -> dict[int, tuple]:
+def _stats_candidates(committed: dict, where,
+                      meta: dict | None = None) -> dict[int, tuple]:
     """Pass 1: {part: (candidate files, marker)} via manifest stats.
-    String predicates keep every file (no structure to prune on)."""
+    String predicates keep every file (no structure to prune on).
+    Predicate columns arrive logical; footer stats are keyed by the
+    physical names files hold (identity until an ALTER renames)."""
     triples = _normalize_where(where) if not isinstance(where, str) \
         else []
+    if meta:
+        triples = [(physical_name(meta, c), op, v)
+                   for c, op, v in triples]
     out: dict[int, tuple] = {}
     skipped = 0
     for part, marker in sorted(committed.items()):
@@ -112,16 +119,15 @@ def _rewrite_where(spark: SparkSession, out_dir: str, where,
     if not meta.get("schema"):
         raise ValueError(f"{op_name} requires the table schema in "
                          "table_meta")
-    declared = StructType([f for f in
-                           StructType.fromJson(meta["schema"]).fields
-                           if f.name != "part"])
+    declared = StructType([f for f in physical_struct(meta).fields
+                           if f.name != "part"])  # files: physical names
     reader = spark.read.schema(declared)
     pred = _pred_column(where)
     hit = F.coalesce(pred, F.lit(False))   # SQL WHERE: NULL = no match
 
     summary = {"version": None, "rows_matched": 0, "files_rewritten": 0,
                "files_untouched": 0, "parts_touched": []}
-    cand_by_part, skipped = _stats_candidates(committed, where)
+    cand_by_part, skipped = _stats_candidates(committed, where, meta)
     summary["files_untouched"] += skipped
     if not cand_by_part:
         return summary
@@ -134,9 +140,14 @@ def _rewrite_where(spark: SparkSession, out_dir: str, where,
         for fn, rows_ in (marker.get("dv") or {}).items():
             if fn in cand:
                 dv_all[os.path.join(pdir, fn)] = rows_
-    # findTouchedFiles: one probe job, bounded collect (≤ n files)
+    # findTouchedFiles: one probe job, bounded collect (≤ n files).
+    # The predicate is LOGICAL; the scan is physical — materialize the
+    # file path BEFORE the logical aliasing (the `_metadata` pseudo-
+    # column resolves only against the scan, not through a projection)
     t_all = _apply_dv(spark, reader.parquet(*all_paths), dv_all)
-    fparts = F.split(F.col("_metadata.file_path"), "/")
+    t_all = to_logical(
+        t_all.withColumn("__fp", F.col("_metadata.file_path")), meta)
+    fparts = F.split(F.col("__fp"), "/")
     touched: dict[int, dict[str, int]] = {}
     for r in (t_all.filter(hit)
               .groupBy(F.concat_ws(
@@ -169,7 +180,8 @@ def _rewrite_where(spark: SparkSession, out_dir: str, where,
             spark, reader.parquet(*[os.path.join(pdir, f)
                                     for f in tfiles]),
             {os.path.join(pdir, f): r for f, r in dv.items()})
-        out = transform(t, hit)
+        # transform speaks logical names; files are written physical
+        out = to_physical(transform(to_logical(t, meta), hit), meta)
         staging = os.path.join(out_dir, f"_compact-{tag}-p{part}")
         out.coalesce(max(1, len(tfiles))).write.parquet(staging)
         man, new_stats, after, i = {}, {}, 0, 0
@@ -183,7 +195,8 @@ def _rewrite_where(spark: SparkSession, out_dir: str, where,
             newname = f"{op_name}-{tag}-{part}-{i:05d}.parquet"
             man[newname] = {"n_rows": int(rows),
                             "n_bytes": os.path.getsize(fsrc)}
-            new_stats[newname] = file_column_stats(fsrc)
+            new_stats[newname] = file_column_stats(
+                fsrc, stats_columns(meta))
             after += int(rows)
             os.replace(fsrc, os.path.join(pdir, newname))
             i += 1
@@ -213,12 +226,18 @@ def _rewrite_where(spark: SparkSession, out_dir: str, where,
     cons = dict(meta.get("constraints") or {})
     if cons:
         # CHECK enforcement: staged outputs validate before the
-        # commit publishes (UPDATE could write a violating value)
-        from .constraints import check_files
-        check_files(spark, [os.path.join(data_dir, f"part={a['part']}",
-                                         fn)
-                            for a in actions for fn in a["add_files"]],
-                    cons, where=f" by {op_name.upper()}")
+        # commit publishes (UPDATE could write a violating value).
+        # Constraint expressions speak logical names; mapped tables
+        # validate through the logical aliasing of the physical files.
+        from .constraints import check_df, check_files
+        paths_ = [os.path.join(data_dir, f"part={a['part']}", fn)
+                  for a in actions for fn in a["add_files"]]
+        if meta.get("column_mapping") and paths_:
+            check_df(to_logical(spark.read.parquet(*paths_), meta),
+                     cons, where=f" by {op_name.upper()}")
+        else:
+            check_files(spark, paths_, cons,
+                        where=f" by {op_name.upper()}")
     ver = ledger.merge_commit(actions)
     summary["version"] = int(ver)
     summary["parts_touched"].sort()

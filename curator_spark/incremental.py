@@ -217,11 +217,24 @@ def append_batch_df(spark: SparkSession, new: DataFrame, out_dir: str,
         f.write(str(os.getpid()))
     stage_out = os.path.join(scratch_root, "out")
     try:
-        (result.repartition(max(8, WRITE_SALTS * 8), F.col("part"),
-                            F.pmod(F.col("turn_idx"), F.lit(WRITE_SALTS)))
+        from .checkpoint import (
+            record_table_schema, stats_columns, to_logical, to_physical)
+        tmeta = ledger.table_meta() if getattr(
+            ledger, "log_defined_visibility", False) else {}
+        if tmeta.get("column_mapping"):
+            # mapped table (ALTER history): mint physical names for any
+            # new logical columns first, then land physical files
+            record_table_schema(ledger, result.schema)
+            tmeta = ledger.table_meta()
+        (to_physical(
+            result.repartition(max(8, WRITE_SALTS * 8), F.col("part"),
+                               F.pmod(F.col("turn_idx"),
+                                      F.lit(WRITE_SALTS))),
+            tmeta)
          .write.mode("overwrite").partitionBy("part").parquet(stage_out))
 
-        mrows = (spark.read.parquet(stage_out).groupBy("part").agg(
+        mrows = (to_logical(spark.read.parquet(stage_out),
+                            tmeta).groupBy("part").agg(
             F.count(F.lit(1)).alias("n_in"),
             F.sum(F.col("keep").cast("long")).alias("n_kept"),
             F.sum((F.col("scrubbed_text") != F.col("text")).cast("long"))
@@ -258,7 +271,8 @@ def append_batch_df(spark: SparkSession, new: DataFrame, out_dir: str,
                 man[newname] = {
                     "n_rows": pq.ParquetFile(fsrc).metadata.num_rows,
                     "n_bytes": os.path.getsize(fsrc)}
-                stats[newname] = file_column_stats(fsrc)
+                stats[newname] = file_column_stats(
+                    fsrc, stats_columns(tmeta))
                 os.replace(fsrc, os.path.join(dst, newname))
             ledger.append_part(p, man, n_rows, run_id, stats=stats)
             rows_appended += n_rows

@@ -55,7 +55,8 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .checkpoint import (
     BUCKET_FNS, _apply_dv, _file_may_match, detect_backend,
-    file_column_stats, make_ledger)
+    file_column_stats, make_ledger, physical_name, stats_columns,
+    to_logical, to_physical)
 
 __all__ = ["ConcurrentMergeError", "merge_dataframes", "merge_into"]
 
@@ -227,17 +228,30 @@ def merge_into(spark: SparkSession, out_dir: str, source: DataFrame,
         raise ValueError(f"source lacks target columns {missing}")
 
     schema_action = None
+    eff_meta = meta  # meta whose mapping covers this merge's columns
     if evolve_schema:
         from pyspark.sql.types import StructField
         add = [StructField(f.name, f.dataType, True)
                for f in source.schema.fields if f.name not in cols]
         if add:
-            from .checkpoint import _merge_schema_json
+            from .checkpoint import (
+                _merge_schema_json, _mint_physical, column_mapping)
             merged_json = _merge_schema_json(
                 meta["schema"],
                 StructType(declared.fields + add).jsonValue())
-            schema_action = {"type": "table_meta",
-                             "meta": {"schema": merged_json}}
+            patch = {"schema": merged_json}
+            cm = column_mapping(meta)
+            if cm:
+                # mapped table: the evolved columns need physical
+                # names minted in the SAME commit as the schema
+                taken = set(cm.values()) | set(
+                    meta.get("retired_physical") or [])
+                for f_ in add:
+                    cm[f_.name] = _mint_physical(f_.name, taken)
+                    taken.add(cm[f_.name])
+                patch["column_mapping"] = cm
+                eff_meta = {**meta, "column_mapping": cm}
+            schema_action = {"type": "table_meta", "meta": patch}
             declared = StructType(declared.fields + add)
             cols = cols + [f.name for f in add]
 
@@ -307,7 +321,17 @@ def merge_into(spark: SparkSession, out_dir: str, source: DataFrame,
 
         actions: list[dict] = []
         verify_swaps: list[tuple[int, list[str]]] = []
-        reader = spark.read.schema(declared)
+        # scan with PHYSICAL names (what files hold; identity until an
+        # ALTER), alias to logical right after each read — the whole
+        # merge dataflow below speaks logical names
+        from pyspark.sql.types import StructField
+        _cm_eff = eff_meta.get("column_mapping") or {}
+        pdeclared = StructType([
+            StructField(_cm_eff.get(f.name, f.name), f.dataType,
+                        f.nullable, f.metadata)
+            for f in declared.fields])
+        reader = spark.read.schema(pdeclared)
+        pkey = physical_name(eff_meta, key)
         cond = F.expr(matched_condition) if matched_condition \
             else F.lit(True)
         mdel = F.expr(matched_delete_condition) \
@@ -332,8 +356,8 @@ def merge_into(spark: SparkSession, out_dir: str, source: DataFrame,
                 kmin, kmax = ranges[int(part)]
                 stats = (marker or {}).get("stats") or {}
                 cand = [fn for fn in sorted(files)
-                        if _file_may_match(stats.get(fn), key, "<=", kmax)
-                        and _file_may_match(stats.get(fn), key, ">=", kmin)]
+                        if _file_may_match(stats.get(fn), pkey, "<=", kmax)
+                        and _file_may_match(stats.get(fn), pkey, ">=", kmin)]
                 summary["files_untouched"] += len(files) - len(cand)
                 if cand:
                     cand_by_part[int(part)] = (cand, marker or {})
@@ -358,10 +382,10 @@ def merge_into(spark: SparkSession, out_dir: str, source: DataFrame,
                 t_all = _apply_dv(spark, reader.parquet(*all_paths),
                                   dv_all)
                 fparts = F.split(F.col("_metadata.file_path"), "/")
-                t_all = t_all.withColumn(
+                t_all = to_logical(t_all.withColumn(
                     "__path", F.concat_ws(
                         "/", F.element_at(fparts, -2),
-                        F.element_at(fparts, -1)))
+                        F.element_at(fparts, -1))), eff_meta)
                 for r in (t_all.alias("t")
                           .join(src.alias("s"),
                                 F.col(f"t.{key}") == F.col(f"s.{key}"),
@@ -400,9 +424,10 @@ def merge_into(spark: SparkSession, out_dir: str, source: DataFrame,
                 before = sum(int(files[f].get("n_rows", 0))
                              for f in tfiles) \
                     - sum(len(v) for v in dv.values())
-                t = _apply_dv(
+                t = to_logical(_apply_dv(
                     spark, reader.parquet(*paths),
-                    {os.path.join(pdir, f): r for f, r in dv.items()})
+                    {os.path.join(pdir, f): r for f, r in dv.items()}),
+                    eff_meta)
                 j = t.alias("t").join(
                     src.alias("s"),
                     F.col(f"t.{key}") == F.col(f"s.{key}"), "left")
@@ -418,7 +443,8 @@ def merge_into(spark: SparkSession, out_dir: str, source: DataFrame,
                     expect = before - n_upd
                 staging = os.path.join(out_dir,
                                        f"_compact-{tag}-p{part}")
-                out.coalesce(max(1, len(tfiles))).write.parquet(staging)
+                (to_physical(out, eff_meta)
+                 .coalesce(max(1, len(tfiles))).write.parquet(staging))
                 man, new_stats, after, i = {}, {}, 0, 0
                 for f in sorted(os.listdir(staging)):
                     if not f.endswith(".parquet"):
@@ -430,7 +456,8 @@ def merge_into(spark: SparkSession, out_dir: str, source: DataFrame,
                     newname = f"merge-{tag}-{part}-{i:05d}.parquet"
                     man[newname] = {"n_rows": int(rows),
                                     "n_bytes": os.path.getsize(fsrc)}
-                    new_stats[newname] = file_column_stats(fsrc)
+                    new_stats[newname] = file_column_stats(
+                        fsrc, stats_columns(eff_meta))
                     after += int(rows)
                     os.replace(fsrc, os.path.join(pdir, newname))
                     i += 1
@@ -485,7 +512,8 @@ def merge_into(spark: SparkSession, out_dir: str, source: DataFrame,
                 home = max((int(p) for p in committed), default=0)
                 ins = ins.withColumn("part", F.lit(int(home)))
             staging = os.path.join(out_dir, f"_compact-{tag}-ins")
-            (ins.repartition("part").write.partitionBy("part")
+            (to_physical(ins, eff_meta)
+             .repartition("part").write.partitionBy("part")
              .parquet(staging))
             from datetime import datetime, timezone
             for d in sorted(os.listdir(staging)):
@@ -505,7 +533,8 @@ def merge_into(spark: SparkSession, out_dir: str, source: DataFrame,
                     newname = f"merge-{tag}-ins-{part}-{i:05d}.parquet"
                     man[newname] = {"n_rows": int(rows),
                                     "n_bytes": os.path.getsize(fsrc)}
-                    new_stats[newname] = file_column_stats(fsrc)
+                    new_stats[newname] = file_column_stats(
+                        fsrc, stats_columns(eff_meta))
                     n_rows += int(rows)
                     os.replace(fsrc, os.path.join(pdir, newname))
                     i += 1
@@ -533,12 +562,19 @@ def merge_into(spark: SparkSession, out_dir: str, source: DataFrame,
             # survivors re-validate for free — the table is fully
             # valid by induction (add_constraint scanned existing
             # rows), so only genuinely new values can fail.
-            from .constraints import check_files
+            from .constraints import check_df, check_files
             new_paths = [
                 os.path.join(data_dir, f"part={a['part']}", fn)
                 for a in actions if a["type"] in ("delete", "add_files")
                 for fn in (a.get("add_files") or a.get("files") or {})]
-            check_files(spark, new_paths, cons, where=" by MERGE")
+            if eff_meta.get("column_mapping") and new_paths:
+                # constraint expressions speak logical names; placed
+                # files hold physical — validate through the aliasing
+                check_df(to_logical(spark.read.parquet(*new_paths),
+                                    eff_meta),
+                         cons, where=" by MERGE")
+            else:
+                check_files(spark, new_paths, cons, where=" by MERGE")
         if schema_action is not None:
             # the widened schema and the data that needs it land in
             # ONE version (Delta commits metaData + adds together); a

@@ -77,10 +77,12 @@ def test_unknown_writer_feature_blocks_writes_not_reads(tmp_path):
 
 
 def test_unknown_reader_feature_refuses_the_table(tmp_path):
+    # (this test once used "column-mapping" as its unknown example —
+    # that feature is implemented now, so a fictional one stands in)
     out, led = _table(tmp_path)
     led._append([{"type": "protocol", "protocol": {
-        "min_reader": 1, "reader_features": ["column-mapping"]}}])
-    with pytest.raises(ProtocolError, match="column-mapping"):
+        "min_reader": 1, "reader_features": ["holographic-manifests"]}}])
+    with pytest.raises(ProtocolError, match="holographic-manifests"):
         table_protocol(out)
 
 
