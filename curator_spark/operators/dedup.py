@@ -456,6 +456,71 @@ def remove_duplicate_segments(docs: DataFrame, text_col: str = "text",
         (F.col("n_segs") - F.col("n_kept")).cast("long").alias("n_removed"))
 
 
+def remove_duplicate_spans(docs: DataFrame, text_col: str = "text",
+                           id_col: str = "doc_id", n: int = 5,
+                           min_df: int = 2) -> DataFrame:
+    """MAXIMAL-span exact-substring dedup (Lee et al. 2021
+    "Deduplicating Training Data Makes Language Models Better", the
+    suffix-array span semantics re-expressed over sliding word
+    n-grams): a token is removed iff ANY corpus-duplicated n-gram
+    window covers it, so overlapping duplicated windows merge into one
+    maximal removed span — a 50-token boilerplate block is cut whole,
+    not in `seg_words` quanta (contrast remove_duplicate_segments,
+    whose disjoint fixed segments miss duplicates that straddle a
+    segment boundary).
+
+    A window is duplicated when its exact text occurs in >= min_df
+    DISTINCT documents. Survivor tokens reassemble in original order;
+    a doc shorter than n tokens has no windows and is untouched.
+
+    Plan shape at 100 TB: sliding-window explode (narrow; text is
+    dropped immediately) → ONE map-side-combined groupBy(window) for
+    distinct-doc frequency → left-semi back on the same window key
+    (exchange reuse) → groupBy(doc) collects the doc's duplicated
+    START POSITIONS (bounded by doc length, never corpus-sized) →
+    one doc-keyed join back, then the coverage mask is pure array
+    math inside codegen: position j is covered iff a start s exists
+    with s <= j < s+n. Two data-proportional shuffles (window key,
+    doc key), no window functions, no all-pairs anything. Per-row
+    cost is O(n_toks × n_dup_starts) in the mask fold — bounded in
+    practice by the quality pipeline's doc-length caps; a pathological
+    fully-duplicated long doc degrades that one ROW, not the stage.
+
+    Returns (id, clean_text, n_tokens:bigint, n_removed:bigint)."""
+    toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+    staged = docs.select(F.col(id_col), toks.alias("toks"),
+                         F.size(toks).alias("n_toks"))
+    nw = F.col("n_toks") - F.lit(n - 1)
+    wins = (staged.filter(F.col("n_toks") >= n)
+            .select(id_col, F.explode(F.transform(
+                F.sequence(F.lit(1), nw),
+                lambda i: F.struct(
+                    i.alias("i"),
+                    F.array_join(F.slice("toks", i, n), " ")
+                    .alias("w")))).alias("s"))
+            .select(id_col, F.col("s.i").alias("i"),
+                    F.col("s.w").alias("w")))
+    dupw = (wins.groupBy("w")
+            .agg(F.countDistinct(id_col).alias("wdf"))
+            .filter(F.col("wdf") >= min_df).select("w"))
+    starts = (wins.join(dupw, "w", "left_semi")
+              .groupBy(id_col)
+              .agg(F.array_sort(F.collect_list("i")).alias("starts")))
+    out = staged.join(starts, id_col, "left")
+    sarr = F.coalesce(F.col("starts"), F.array().cast("array<int>"))
+    pos = F.when(F.col("n_toks") >= 1,
+                 F.sequence(F.lit(1), F.col("n_toks"))).otherwise(
+        F.array().cast("array<int>"))
+    kept = F.filter(pos, lambda j: ~F.exists(
+        sarr, lambda s: (s <= j) & (j < s + F.lit(n))))
+    clean = F.array_join(
+        F.transform(kept, lambda j: F.element_at(F.col("toks"), j)), " ")
+    return out.select(
+        F.col(id_col), clean.alias("clean_text"),
+        F.col("n_toks").cast("long").alias("n_tokens"),
+        (F.col("n_toks") - F.size(kept)).cast("long").alias("n_removed"))
+
+
 def duplicate_span_stats(docs: DataFrame, text_col: str = "text",
                          id_col: str = "doc_id", n: int = 5,
                          min_df: int = 2,

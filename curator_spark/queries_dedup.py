@@ -141,6 +141,17 @@ PACK_BUDGET = 128
 PACK_BUCKETS = 8
 
 
+def q88_remove_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-span exact-substring dedup (Lee et al. 2021): cut every
+    token covered by ANY corpus-duplicated sliding 5-gram window, so
+    overlapping duplicated windows merge into one maximal removed span
+    — the suffix-array span semantics q70's disjoint fixed segments
+    approximate. See operators/dedup.remove_duplicate_spans for the
+    two-shuffle plan shape."""
+    return dedup.remove_duplicate_spans(_docs(spark, sf_dir), n=5,
+                                        min_df=2)
+
+
 def q51_dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicated-span statistics (operators/dedup.duplicate_span_stats):
     per doc, the fraction of its distinct word n-grams occurring in >= 2
@@ -1121,6 +1132,49 @@ ORACLES: dict[str, str] = {
         LEFT JOIN totals t USING (doc_id)
         LEFT JOIN rebuilt r USING (doc_id)
     """,
+    "q88_remove_dup_spans": """
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split(text, ' '), t -> t <> '') AS toks
+            FROM documents
+        ), wins AS (
+            SELECT doc_id, i,
+                   array_to_string(toks[i : i+4], ' ') AS w
+            FROM toks, unnest(range(1, len(toks) - 5 + 2)) AS u(i)
+            WHERE len(toks) >= 5
+        ), dupw AS (
+            SELECT w FROM wins GROUP BY w
+            HAVING count(DISTINCT doc_id) >= 2
+        ), starts AS (
+            SELECT DISTINCT doc_id, i FROM wins JOIN dupw USING (w)
+        ), pos AS (
+            SELECT doc_id, j, toks[j] AS tok
+            FROM toks, unnest(range(1, len(toks) + 1)) AS u(j)
+        ), removed AS (
+            SELECT DISTINCT p.doc_id, p.j
+            FROM pos p JOIN starts s
+              ON s.doc_id = p.doc_id AND p.j BETWEEN s.i AND s.i + 4
+        ), kept AS (
+            SELECT p.doc_id, p.j, p.tok
+            FROM pos p ANTI JOIN removed r
+              ON r.doc_id = p.doc_id AND r.j = p.j
+        ), rebuilt AS (
+            SELECT doc_id,
+                   array_to_string(list(tok ORDER BY j), ' ')
+                       AS clean_text,
+                   count(*) AS n_kept
+            FROM kept GROUP BY doc_id
+        ), totals AS (
+            SELECT doc_id, len(toks) AS n_tokens FROM toks
+        )
+        SELECT t.doc_id,
+               coalesce(r.clean_text, '') AS clean_text,
+               CAST(t.n_tokens AS BIGINT) AS n_tokens,
+               CAST(t.n_tokens - coalesce(r.n_kept, 0) AS BIGINT)
+                   AS n_removed
+        FROM totals t
+        LEFT JOIN rebuilt r USING (doc_id)
+    """,
     "q52_sequence_pack": _PACK_SQL,
     "q53_contamination_frac": _CONTAM_FRAC_SQL,
     "q57_kmeans_clusters": _KMEANS_SQL,
@@ -1159,4 +1213,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q65_pq_encode": q65_pq_encode,
     "q66_ivfpq_search": q66_ivfpq_search,
     "q70_remove_boilerplate": q70_remove_boilerplate,
+    "q88_remove_dup_spans": q88_remove_dup_spans,
 }

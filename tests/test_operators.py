@@ -427,3 +427,77 @@ def test_remove_duplicate_segments(spark):
         docs3, seg_words=4, min_df=2).collect()}
     assert out3[1]["clean_text"] == "" and out3[1]["n_removed"] == 1
     assert out3[3]["clean_text"] == "a" and out3[3]["n_segs"] == 1
+
+
+def _brute_span_dedup(texts: dict, n: int, min_df: int) -> dict:
+    """Pure-Python oracle for remove_duplicate_spans: per doc, a token
+    is removed iff covered by any sliding n-gram whose exact text
+    occurs in >= min_df distinct docs."""
+    toks = {d: [t for t in s.split(" ") if t] for d, s in texts.items()}
+    df: dict = {}
+    for d, ts in toks.items():
+        for w in {" ".join(ts[i:i + n]) for i in range(len(ts) - n + 1)}:
+            df[w] = df.get(w, 0) + 1
+    out = {}
+    for d, ts in toks.items():
+        covered = [False] * len(ts)
+        for i in range(len(ts) - n + 1):
+            if df[" ".join(ts[i:i + n])] >= min_df:
+                for j in range(i, i + n):
+                    covered[j] = True
+        kept = [t for t, c in zip(ts, covered) if not c]
+        out[d] = (" ".join(kept), len(ts), len(ts) - len(kept))
+    return out
+
+
+def test_remove_duplicate_spans_maximal_merge(spark):
+    """The sliding-window span dedup cuts a shared block WHOLE even
+    when it straddles any fixed segment boundary (the case q70's
+    disjoint segments split), and overlapping duplicated windows merge
+    into one maximal span."""
+    from curator_spark.operators.dedup import remove_duplicate_spans
+    block = "please subscribe to our mailing list today friends"  # 8 toks
+    docs = spark.createDataFrame([
+        (1, f"alpha beta gamma {block} delta epsilon"),
+        (2, f"one two {block} three four five"),
+        (3, "totally unique content here nothing repeated at all nine"),
+    ], "doc_id: long, text: string")
+    out = {r["doc_id"]: r for r in
+           remove_duplicate_spans(docs, n=5, min_df=2).collect()}
+    # the whole 8-token block disappears from both docs — maximal span,
+    # not 5-token quanta
+    assert out[1]["clean_text"] == "alpha beta gamma delta epsilon"
+    assert out[1]["n_removed"] == 8 and out[1]["n_tokens"] == 13
+    assert out[2]["clean_text"] == "one two three four five"
+    assert out[3]["n_removed"] == 0
+
+    # docs shorter than n have no windows: identical 3-token docs stay
+    # (exact-dedup's job, not span removal's)
+    short = spark.createDataFrame(
+        [(1, "tiny dup doc"), (2, "tiny dup doc")],
+        "doc_id: long, text: string")
+    outs = {r["doc_id"]: r for r in
+            remove_duplicate_spans(short, n=5, min_df=2).collect()}
+    assert outs[1]["clean_text"] == "tiny dup doc"
+    assert outs[1]["n_removed"] == 0
+
+
+def test_remove_duplicate_spans_matches_brute_force(spark):
+    """Operator == pure-Python oracle on a deterministic corpus with
+    overlapping repeats, full-dup docs, short docs, and empty text."""
+    from curator_spark.operators.dedup import remove_duplicate_spans
+    words = ["w%d" % (i % 17) for i in range(60)]
+    texts = {
+        1: " ".join(words[0:20]),
+        2: " ".join(words[5:30]),       # overlaps doc 1 and doc 3
+        3: " ".join(words[17:45]),
+        4: " ".join(words[0:20]),       # exact dup of doc 1
+        5: "unique alpha beta gamma delta epsilon zeta eta theta",
+        6: "sho rt",
+        7: "",
+    }
+    docs = spark.createDataFrame(sorted(texts.items()),
+                                 "doc_id: long, text: string")
+    got = {r["doc_id"]: (r["clean_text"], r["n_tokens"], r["n_removed"])
+           for r in remove_duplicate_spans(docs, n=4, min_df=2).collect()}
+    assert got == _brute_span_dedup(texts, n=4, min_df=2)
