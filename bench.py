@@ -663,6 +663,24 @@ def measure_table_ops() -> dict:
         lambda: consume_changes(None, root, next(ids),
                                 sink=lambda df, s, u: None))
 
+    # metadata-only ALTER on the same aged table: RENAME COLUMN is one
+    # commit whose planning is the identical O(interval) replay as any
+    # read — the measured form of the 100 TB rename-vs-rewrite claim
+    # (a data rewrite would be O(table); this is O(log tail)).
+    from pyspark.sql.types import (DoubleType, LongType, StringType,
+                                   StructField, StructType)
+
+    from curator_spark.alter import rename_column
+    from curator_spark.checkpoint import record_table_schema
+    record_table_schema(led, StructType([
+        StructField("conv_id", StringType()),
+        StructField("turn_idx", LongType()),
+        StructField("ppl", DoubleType())]))
+    chain = iter([("ppl", "p1"), ("p1", "p2"), ("p2", "p3"),
+                  ("p3", "p4"), ("p4", "p5")])
+    with_ckpt["alter_rename"] = plan_cost(
+        lambda: rename_column(root, *next(chain)))
+
     n_rows = table_row_count(root)
     for c in led._checkpoints():
         os.remove(os.path.join(led.dir, f"ckpt-{c:012d}.json"))
@@ -915,6 +933,7 @@ def write_bench_md(result: dict) -> None:
             "feed_bootstrap": "change-feed bootstrap (0→head)",
             "feed_tail_poll": "feed tail poll (head−64→head)",
             "consume_poll": "consume_changes metadata-only poll",
+            "alter_rename": "ALTER RENAME COLUMN (metadata-only DDL)",
         }
         for k, m in (t.get("modes") or {}).items():
             w = m.get("with_ckpt") or {}
