@@ -93,7 +93,9 @@ DRIVER_WINDOW = [
     "q17_exact_dedup", "q18_jaccard_pairs", "q19_minhash_lsh",
     "q20_simhash", "q24_dedup_pipeline", "q31_conv_dedup",
     "q39_dedup_components", "q47_decontaminate", "q70_remove_boilerplate",
-    "q51_dup_span_stats",
+    # maximal-span substring removal (Lee et al. 2021) — the strongest
+    # span-family representative; q51's span STATS stay selfcheck-run
+    "q88_remove_dup_spans",
     # similarity / ANN / clustering
     "q21_cosine_topk", "q23_embedding_neardup", "q49_multiprobe_neardup",
     "q56_knn_join", "q57_kmeans_clusters", "q61_semdedup",
