@@ -29,6 +29,9 @@ from .checkpoint import (                               # noqa: E402,F401
     table_changes, table_column_minmax, table_history, table_row_count,
     vacuum,
 )
+from .dml import (                                      # noqa: E402,F401
+    delete_where, insert_overwrite_where, update_where,
+)
 from .feed import (                                     # noqa: E402,F401
     consume_changes, consumer_position,
 )
@@ -48,6 +51,7 @@ __all__ = [
     "snapshot_files", "table_history", "table_row_count",
     "table_column_minmax",
     "delete_conversations", "upsert_conversations", "restore_table",
+    "delete_where", "update_where", "insert_overwrite_where",
     "read_changes", "table_changes", "consume_changes",
     "consumer_position",
     "coerce_to_transcripts", "docs_to_transcripts",

@@ -130,6 +130,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="ALTER TABLE ADD COLUMN (nullable; existing "
                         "files read NULL), e.g. quality:double, and "
                         "exit")
+    p.add_argument("--replace-where", type=str, default=None,
+                   metavar="EXPR",
+                   help="INSERT OVERWRITE WHERE (Delta's replaceWhere): "
+                        "atomically replace exactly the rows matching "
+                        "<Spark SQL boolean> with --input's rows — the "
+                        "backfill idiom; every input row must itself "
+                        "satisfy the predicate; one atomic commit")
     p.add_argument("--delete-where", type=str, default=None,
                    metavar="EXPR",
                    help="DELETE FROM --output WHERE <Spark SQL "
@@ -309,6 +316,11 @@ def main(argv: list[str] | None = None) -> int:
                     for kv in args.update_set.split(";") if kv)
         summary = update_where(spark, args.output, sets,
                                args.update_where)
+    elif args.replace_where:
+        from curator_spark.dml import insert_overwrite_where
+        summary = insert_overwrite_where(
+            spark, args.output, spark.read.parquet(args.input),
+            where=args.replace_where)
     elif args.merge:
         from curator_spark.merge import merge_into
         summary = merge_into(

@@ -44,7 +44,8 @@ from .checkpoint import (
     file_column_stats, make_ledger, physical_name, physical_struct,
     stats_columns, to_logical, to_physical)
 
-__all__ = ["ConcurrentDMLError", "delete_where", "update_where"]
+__all__ = ["ConcurrentDMLError", "delete_where",
+           "insert_overwrite_where", "update_where"]
 
 
 class ConcurrentDMLError(RuntimeError):
@@ -100,12 +101,18 @@ def _stats_candidates(committed: dict, where,
 
 def _rewrite_where(spark: SparkSession, out_dir: str, where,
                    transform, verify, op_name: str,
-                   backend: str | None = None) -> dict:
+                   backend: str | None = None,
+                   extra_actions: list | None = None) -> dict:
     """Common engine: prune → probe → rewrite touched files →
     one atomic commit → stale-swap verification.
 
     transform(df, pred) -> rewritten df; verify(before, matched,
-    after) -> None or error message."""
+    after) -> None or error message.
+
+    extra_actions: pre-built log actions (e.g. replaceWhere's insert
+    leg add_files) committed in the SAME atomic version as the
+    rewrites — and committed even when the predicate touches no file
+    (an overwrite of an empty region is a plain insert)."""
     import pyarrow.parquet as pq
     from pyspark.sql.types import StructType
 
@@ -127,40 +134,43 @@ def _rewrite_where(spark: SparkSession, out_dir: str, where,
 
     summary = {"version": None, "rows_matched": 0, "files_rewritten": 0,
                "files_untouched": 0, "parts_touched": []}
+    extra_actions = list(extra_actions or [])
     cand_by_part, skipped = _stats_candidates(committed, where, meta)
     summary["files_untouched"] += skipped
-    if not cand_by_part:
+    if not cand_by_part and not extra_actions:
         return summary
 
     data_dir = os.path.join(out_dir, "data")
-    all_paths, dv_all = [], {}
-    for part, (cand, marker) in cand_by_part.items():
-        pdir = os.path.join(data_dir, f"part={part}")
-        all_paths += [os.path.join(pdir, f) for f in cand]
-        for fn, rows_ in (marker.get("dv") or {}).items():
-            if fn in cand:
-                dv_all[os.path.join(pdir, fn)] = rows_
-    # findTouchedFiles: one probe job, bounded collect (≤ n files).
-    # The predicate is LOGICAL; the scan is physical — materialize the
-    # file path BEFORE the logical aliasing (the `_metadata` pseudo-
-    # column resolves only against the scan, not through a projection)
-    t_all = _apply_dv(spark, reader.parquet(*all_paths), dv_all)
-    t_all = to_logical(
-        t_all.withColumn("__fp", F.col("_metadata.file_path")), meta)
-    fparts = F.split(F.col("__fp"), "/")
     touched: dict[int, dict[str, int]] = {}
-    for r in (t_all.filter(hit)
-              .groupBy(F.concat_ws(
-                  "/", F.element_at(fparts, -2),
-                  F.element_at(fparts, -1)).alias("__path"))
-              .agg(F.count(F.lit(1)).alias("m")).collect()):
-        pstr, fn = r["__path"].split("/", 1)
-        touched.setdefault(int(pstr.split("=", 1)[1]),
-                           {})[fn] = int(r["m"])
-    for part, (cand, _m) in cand_by_part.items():
-        summary["files_untouched"] += len(cand) - len(
-            touched.get(part, {}))
-    if not touched:
+    if cand_by_part:
+        all_paths, dv_all = [], {}
+        for part, (cand, marker) in cand_by_part.items():
+            pdir = os.path.join(data_dir, f"part={part}")
+            all_paths += [os.path.join(pdir, f) for f in cand]
+            for fn, rows_ in (marker.get("dv") or {}).items():
+                if fn in cand:
+                    dv_all[os.path.join(pdir, fn)] = rows_
+        # findTouchedFiles: one probe job, bounded collect (≤ n files).
+        # The predicate is LOGICAL; the scan is physical — materialize
+        # the file path BEFORE the logical aliasing (the `_metadata`
+        # pseudo-column resolves only against the scan, not through a
+        # projection)
+        t_all = _apply_dv(spark, reader.parquet(*all_paths), dv_all)
+        t_all = to_logical(
+            t_all.withColumn("__fp", F.col("_metadata.file_path")), meta)
+        fparts = F.split(F.col("__fp"), "/")
+        for r in (t_all.filter(hit)
+                  .groupBy(F.concat_ws(
+                      "/", F.element_at(fparts, -2),
+                      F.element_at(fparts, -1)).alias("__path"))
+                  .agg(F.count(F.lit(1)).alias("m")).collect()):
+            pstr, fn = r["__path"].split("/", 1)
+            touched.setdefault(int(pstr.split("=", 1)[1]),
+                               {})[fn] = int(r["m"])
+        for part, (cand, _m) in cand_by_part.items():
+            summary["files_untouched"] += len(cand) - len(
+                touched.get(part, {}))
+    if not touched and not extra_actions:
         return summary
 
     tag = uuid.uuid4().hex[:12]
@@ -209,9 +219,11 @@ def _rewrite_where(spark: SparkSession, out_dir: str, where,
         return {"part": part, "tfiles": tfiles, "man": man,
                 "stats": new_stats, "matched": matched}
 
-    from concurrent.futures import ThreadPoolExecutor
-    with ThreadPoolExecutor(max_workers=min(8, len(touched))) as pool:
-        results = list(pool.map(_one, sorted(touched)))
+    results = []
+    if touched:
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=min(8, len(touched))) as pool:
+            results = list(pool.map(_one, sorted(touched)))
     from datetime import datetime, timezone
     now = datetime.now(timezone.utc).isoformat()
     for r in results:
@@ -223,6 +235,8 @@ def _rewrite_where(spark: SparkSession, out_dir: str, where,
         summary["rows_matched"] += r["matched"]
         summary["files_rewritten"] += len(r["tfiles"])
         summary["parts_touched"].append(r["part"])
+    actions += extra_actions  # e.g. replaceWhere's insert leg — one
+    # atomic version carries the delete rewrites AND the new files
     cons = dict(meta.get("constraints") or {})
     if cons:
         # CHECK enforcement: staged outputs validate before the
@@ -231,7 +245,8 @@ def _rewrite_where(spark: SparkSession, out_dir: str, where,
         # validate through the logical aliasing of the physical files.
         from .constraints import check_df, check_files
         paths_ = [os.path.join(data_dir, f"part={a['part']}", fn)
-                  for a in actions for fn in a["add_files"]]
+                  for a in actions
+                  for fn in (a.get("add_files") or a.get("files") or {})]
         if meta.get("column_mapping") and paths_:
             check_df(to_logical(spark.read.parquet(*paths_), meta),
                      cons, where=f" by {op_name.upper()}")
@@ -250,6 +265,147 @@ def _rewrite_where(spark: SparkSession, out_dir: str, where,
                 f"{sorted(set(tfiles) - prev)} were replaced by a "
                 "concurrent rewrite and the swap was ignored — retry")
     return summary
+
+
+def insert_overwrite_where(spark: SparkSession, out_dir: str,
+                           df: DataFrame, where,
+                           backend: str | None = None) -> dict:
+    """INSERT OVERWRITE ... WHERE (Delta's replaceWhere): atomically
+    replace EXACTLY the rows matching `where` with `df`'s rows — the
+    standard backfill idiom at corpus scale (reprocess one day / one
+    source, swap the region in). ONE log version carries both legs:
+    the predicate's stats-pruned, probe-exact delete rewrites AND the
+    new files, so readers see the old region or the new one, never a
+    mix, and a crash at any point leaves only vacuum-able orphans.
+
+    Delta's replaceWhere contract is enforced: every `df` row must
+    itself satisfy `where` — a violating backfill would silently land
+    rows OUTSIDE the replaced region (raises before staging anything).
+    The schema must match the table's (widening belongs to MERGE's
+    evolve_schema); routing uses an explicit `part` column or the
+    table's recorded bucket spec, exactly like the other writers.
+    CHECK constraints validate both legs; column mapping projects the
+    new files to physical names. Concurrent-rewrite conflicts raise
+    ConcurrentDMLError like any DML (retry converges).
+
+    Returns {version, rows_deleted, rows_inserted, files_rewritten,
+    files_added, files_untouched, parts_touched}."""
+    import uuid as _uuid
+
+    import pyarrow.parquet as pq
+    from pyspark.sql.types import StructType
+
+    from .checkpoint import BUCKET_FNS
+
+    backend = backend or detect_backend(out_dir)
+    ledger = make_ledger(out_dir, backend)
+    if not getattr(ledger, "log_defined_visibility", False):
+        raise ValueError("insert_overwrite_where requires the "
+                         "commitlog ledger")
+    _c, _s, meta, _t = ledger.snapshot()
+    if not meta.get("schema"):
+        raise ValueError("replaceWhere requires the table schema in "
+                         "table_meta")
+    declared = StructType(
+        [f for f in StructType.fromJson(meta["schema"]).fields
+         if f.name != "part"])
+    cols = [f.name for f in declared.fields]
+    missing = [c for c in cols if c not in df.columns]
+    if missing:
+        raise ValueError(f"df lacks table columns {missing}")
+    extra = [c for c in df.columns if c not in cols and c != "part"]
+    if extra:
+        raise ValueError(
+            f"df carries columns the table lacks {extra}; replaceWhere "
+            "never evolves the schema (use merge_into evolve_schema)")
+    pred = _pred_column(where)
+    if df.filter(~F.coalesce(pred, F.lit(False))).limit(1).count():
+        raise ValueError(
+            "replaceWhere: df holds row(s) NOT matching the predicate "
+            "— they would land outside the replaced region (Delta "
+            "raises identically)")
+
+    bucket = meta.get("bucket") or {}
+    dtypes = {f.name: f.dataType for f in declared.fields}
+    staged = df.select(
+        [F.col(c).cast(dtypes[c]).alias(c) for c in cols]
+        + ([F.col("part").cast("int").alias("part")]
+           if "part" in df.columns else []))
+    if "part" not in staged.columns:
+        if bucket.get("col") in cols and bucket.get("fn") in BUCKET_FNS \
+                and bucket.get("n_parts"):
+            from pyspark.sql.functions import pandas_udf
+            fn_name, n_parts = bucket["fn"], int(bucket["n_parts"])
+
+            def _bucket_series(s):
+                f = BUCKET_FNS[fn_name]
+                return s.map(lambda v: f(v, n_parts)).astype("int32")
+
+            staged = staged.withColumn(
+                "part", pandas_udf(_bucket_series, "int")(
+                    F.col(bucket["col"])).cast("int"))
+        else:
+            raise ValueError("cannot route rows to partitions: give "
+                             "df a `part` column or record a bucket "
+                             "spec on the table")
+
+    tag = _uuid.uuid4().hex[:12]
+    data_dir = os.path.join(out_dir, "data")
+    staging = os.path.join(out_dir, f"_compact-{tag}-ow")
+    (to_physical(staged, meta).repartition("part")
+     .write.partitionBy("part").parquet(staging))
+    from datetime import datetime, timezone
+    adds, rows_inserted = [], 0
+    for d in sorted(os.listdir(staging)):
+        if not d.startswith("part="):
+            continue
+        part = int(d.split("=", 1)[1])
+        pdir = os.path.join(data_dir, f"part={part}")
+        os.makedirs(pdir, exist_ok=True)
+        man, new_stats, n_rows, i = {}, {}, 0, 0
+        for f in sorted(os.listdir(os.path.join(staging, d))):
+            if not f.endswith(".parquet"):
+                continue
+            fsrc = os.path.join(staging, d, f)
+            rows = pq.ParquetFile(fsrc).metadata.num_rows
+            if rows == 0:
+                continue
+            newname = f"ow-{tag}-{part}-{i:05d}.parquet"
+            man[newname] = {"n_rows": int(rows),
+                            "n_bytes": os.path.getsize(fsrc)}
+            new_stats[newname] = file_column_stats(
+                fsrc, stats_columns(meta))
+            n_rows += int(rows)
+            os.replace(fsrc, os.path.join(pdir, newname))
+            i += 1
+        if man:
+            adds.append({"type": "add_files", "part": part,
+                         "files": man, "n_rows": n_rows,
+                         "run_id": f"ow-{tag}", "stats": new_stats,
+                         "updated_at": datetime.now(
+                             timezone.utc).isoformat()})
+            rows_inserted += n_rows
+    shutil.rmtree(staging, ignore_errors=True)
+
+    def transform(d_, hit):
+        return d_.filter(~hit)
+
+    def verify(before, matched, after):
+        if after != before - matched:
+            return (f"kept {after} rows where the probe predicted "
+                    f"{before - matched} ({matched} matches)")
+        return None
+
+    s = _rewrite_where(spark, out_dir, where, transform, verify,
+                       "overwrite", backend, extra_actions=adds)
+    s["rows_deleted"] = s.pop("rows_matched")
+    s["rows_inserted"] = rows_inserted
+    s["files_added"] = sum(len(a["files"]) for a in adds)
+    for a in adds:
+        if a["part"] not in s["parts_touched"]:
+            s["parts_touched"].append(a["part"])
+    s["parts_touched"].sort()
+    return s
 
 
 def update_where(spark: SparkSession, out_dir: str, set_exprs: dict,

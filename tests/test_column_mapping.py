@@ -251,3 +251,18 @@ def test_cli_column_ddl(spark, table):
     assert main(["--output", table, "--drop-column", "quality"]) == 0
     df = read_committed(spark, table)
     assert "perplexity" in df.columns and "quality" not in df.columns
+
+
+def test_insert_overwrite_where_on_renamed_table(spark, table):
+    from curator_spark.dml import insert_overwrite_where
+    rename_column(table, "ppl", "perplexity")
+    new = (_toy(spark).filter("ppl > 90")
+           .withColumnRenamed("ppl", "perplexity")
+           .withColumn("role", F.lit("backfilled")))
+    s = insert_overwrite_where(spark, table, new,
+                               where="perplexity > 90")
+    assert s["rows_deleted"] == s["rows_inserted"] > 0
+    after = read_committed(spark, table)
+    assert after.count() == N0
+    assert after.filter("role = 'backfilled'").count() == \
+        s["rows_inserted"]

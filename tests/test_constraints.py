@@ -152,3 +152,19 @@ def test_drop_constraint_reopens_writes(spark, table):
         .filter(F.col("ppl") < 0).count() == 2
     with pytest.raises(ValueError, match="no constraint"):
         drop_constraint(table, "ppl_nonneg")
+
+def test_replace_where_enforces_constraints(spark, table):
+    """replaceWhere's insert leg validates CHECK constraints before the
+    atomic commit: a violating backfill aborts with nothing committed
+    (the placed files are vacuum-able orphans)."""
+    from curator_spark.dml import insert_overwrite_where
+    add_constraint(spark, table, "ppl_nonneg", "ppl >= 0")
+    led = make_ledger(table, "commitlog")
+    v0 = led.latest_version()
+    bad = _toy(spark, n=5, ppl=-5.0)   # violates ppl_nonneg
+    with pytest.raises(ConstraintViolation):
+        insert_overwrite_where(spark, table, bad,
+                               where="conv_id < 'conv-000005'")
+    assert led.latest_version() == v0            # nothing committed
+    from curator_spark.checkpoint import read_committed
+    assert read_committed(spark, table).count() == N0

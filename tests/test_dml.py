@@ -159,3 +159,54 @@ def test_dml_conflict_with_concurrent_compaction(spark, table,
     after = read_committed(spark, table)
     assert after.filter(F.col("ppl") > 90).count() == 0
     assert vacuum(table, min_age_s=0) > 0   # conflict debris reclaimed
+
+def test_insert_overwrite_where_replaces_region_atomically(spark, table):
+    from curator_spark.dml import insert_overwrite_where
+    led = make_ledger(table, "commitlog")
+    v0 = led.latest_version()
+    before = read_committed(spark, table)
+    region = before.filter("ppl > 90").count()
+    assert region > 0
+    # backfill: the region's rows reprocessed (same keys, new values)
+    new = (_toy(spark).filter("ppl > 90")
+           .withColumn("role", F.lit("backfilled")))
+    s = insert_overwrite_where(spark, table, new, where="ppl > 90")
+    assert s["rows_deleted"] == region
+    assert s["rows_inserted"] == region
+    assert led.latest_version() == v0 + 1          # ONE atomic commit
+    after = read_committed(spark, table)
+    assert after.count() == N0                     # region swapped 1:1
+    assert after.filter("role = 'backfilled'").count() == region
+    # rows outside the region are byte-identical survivors
+    outside = after.filter("ppl <= 90").drop("part")
+    orig = _toy(spark).filter("ppl <= 90")
+    assert outside.exceptAll(orig).count() == 0
+    assert orig.exceptAll(outside).count() == 0
+
+
+def test_insert_overwrite_where_refuses_out_of_region_rows(spark, table):
+    from curator_spark.dml import insert_overwrite_where
+    led = make_ledger(table, "commitlog")
+    v0 = led.latest_version()
+    bad = _toy(spark).limit(5)                     # ppl values <= 90 too
+    with pytest.raises(ValueError, match="NOT matching the predicate"):
+        insert_overwrite_where(spark, table, bad, where="ppl > 9000")
+    assert led.latest_version() == v0              # nothing committed
+    assert read_committed(spark, table).count() == N0
+
+
+def test_insert_overwrite_empty_region_is_a_plain_insert(spark, table):
+    from curator_spark.dml import insert_overwrite_where
+    new = (_toy(spark, n=7).withColumn("ppl", F.lit(5000.0))
+           .withColumn("conv_id", F.concat(F.lit("new-"), "conv_id")))
+    s = insert_overwrite_where(spark, table, new, where="ppl > 4000")
+    assert s["rows_deleted"] == 0 and s["rows_inserted"] == 7
+    assert s["version"] is not None                # insert leg committed
+    assert read_committed(spark, table).count() == N0 + 7
+
+
+def test_insert_overwrite_where_refuses_schema_drift(spark, table):
+    from curator_spark.dml import insert_overwrite_where
+    new = _toy(spark).filter("ppl > 90").withColumn("extra", F.lit(1))
+    with pytest.raises(ValueError, match="never evolves the schema"):
+        insert_overwrite_where(spark, table, new, where="ppl > 90")
