@@ -266,3 +266,22 @@ def test_insert_overwrite_where_on_renamed_table(spark, table):
     assert after.count() == N0
     assert after.filter("role = 'backfilled'").count() == \
         s["rows_inserted"]
+
+
+def test_mapped_read_keeps_pushdown_and_pruning(spark, table):
+    """The logical-alias projection over a mapped scan must NOT break
+    Catalyst's pushdown: a filter + narrow select on the renamed column
+    still reaches the parquet scan as a pushed filter on the PHYSICAL
+    name with a pruned ReadSchema — the projection collapses into the
+    scan (the 100 TB guarantee of the read rule, plan-asserted)."""
+    rename_column(table, "ppl", "perplexity")
+    df = (read_committed(spark, table)
+          .filter(F.col("perplexity") > 50)
+          .select("conv_id", "perplexity"))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan
+    pushed = plan.split("PushedFilters")[1][:200]
+    assert "ppl" in pushed            # pushed on the PHYSICAL name
+    read = plan.split("ReadSchema: ")[1].split("\n")[0]
+    assert "ppl" in read and "conv_id" in read
+    assert "role" not in read and "turn_idx" not in read  # pruned
