@@ -46,8 +46,9 @@ __all__ = ["add_column", "drop_column", "rename_column"]
 _IDENT = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
 
 
-def _ledger_and_meta(out_dir: str, backend: str | None):
-    ledger = make_ledger(out_dir, backend or detect_backend(out_dir))
+def _ledger_and_meta(out_dir: str, backend: str | None, ledger=None):
+    ledger = ledger or make_ledger(out_dir,
+                                   backend or detect_backend(out_dir))
     if not getattr(ledger, "log_defined_visibility", False):
         raise ValueError("ALTER TABLE requires the commitlog ledger "
                          "(markers tables keep no schema metadata)")
@@ -108,11 +109,11 @@ def _feature_needed(meta: dict) -> bool:
 
 
 def rename_column(out_dir: str, old: str, new: str,
-                  backend: str | None = None) -> int:
+                  backend: str | None = None, ledger=None) -> int:
     """ALTER TABLE RENAME COLUMN old TO new — one metadata commit, zero
     data I/O, valid against every existing and in-flight file. Returns
     the commit version."""
-    ledger, meta = _ledger_and_meta(out_dir, backend)
+    ledger, meta = _ledger_and_meta(out_dir, backend, ledger)
     if not _IDENT.match(new or ""):
         raise ValueError(f"invalid column name {new!r}")
     fields = [dict(f) for f in meta["schema"]["fields"]]
@@ -137,13 +138,13 @@ def rename_column(out_dir: str, old: str, new: str,
 
 
 def drop_column(out_dir: str, col: str,
-                backend: str | None = None) -> int:
+                backend: str | None = None, ledger=None) -> int:
     """ALTER TABLE DROP COLUMN — metadata-only: readers stop projecting
     the physical column; its bytes remain in existing files until
     compaction naturally rewrites them. The physical name is RETIRED so
     a later ADD of the same logical name can never read the dropped
     column's stale values. Returns the commit version."""
-    ledger, meta = _ledger_and_meta(out_dir, backend)
+    ledger, meta = _ledger_and_meta(out_dir, backend, ledger)
     fields = [dict(f) for f in meta["schema"]["fields"]]
     names = [f["name"] for f in fields]
     if col not in names:
@@ -165,7 +166,7 @@ def drop_column(out_dir: str, col: str,
 
 
 def add_column(out_dir: str, col: str, ddl_type: str,
-               backend: str | None = None) -> int:
+               backend: str | None = None, ledger=None) -> int:
     """ALTER TABLE ADD COLUMN col ddl_type — the explicit-DDL face of
     the additive evolution `record_table_schema` already performs
     implicitly on widened writes. Always nullable (existing files hold
@@ -175,7 +176,7 @@ def add_column(out_dir: str, col: str, ddl_type: str,
         FloatType, IntegerType, LongType, StringType, StructField,
         TimestampType)
 
-    ledger, meta = _ledger_and_meta(out_dir, backend)
+    ledger, meta = _ledger_and_meta(out_dir, backend, ledger)
     if not _IDENT.match(col or ""):
         raise ValueError(f"invalid column name {col!r}")
     fields = [dict(f) for f in meta["schema"]["fields"]]

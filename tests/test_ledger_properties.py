@@ -41,6 +41,7 @@ OP = st.one_of(
     st.tuples(st.just("meta"), st.integers(0, 2), st.integers(0, 9)),
     st.tuples(st.just("success"), st.integers(0, 9)),
     st.tuples(st.just("restore"), st.integers(0, 50)),
+    st.tuples(st.just("alter"), st.integers(0, 8)),
 )
 
 _seq = itertools.count()
@@ -123,6 +124,35 @@ def _apply(led, op):
         target = op[1] % (head + 1)
         parts_t, success_t, meta_t, txns_t = led.snapshot(version=target)
         led.restore(target, parts_t, success_t, meta_t, txns=txns_t)
+    elif kind == "alter":
+        # column DDL interleaved with everything else: mapping +
+        # retired_physical live in table_meta, so time travel,
+        # checkpoint purity, and restore must reproduce them exactly
+        from curator_spark.alter import (
+            add_column, drop_column, rename_column)
+        root_dir = os.path.dirname(led.dir)
+        meta = led.table_meta()
+        if not meta.get("schema"):
+            led.set_table_meta({"schema": {"type": "struct", "fields": [
+                {"name": "conv_id", "type": "string",
+                 "nullable": True, "metadata": {}},
+                {"name": "ppl", "type": "double",
+                 "nullable": True, "metadata": {}}]}})
+            return
+        fields = [f["name"] for f in meta["schema"]["fields"]]
+        k = op[1]
+        try:
+            if k % 3 == 0:
+                rename_column(root_dir, fields[k % len(fields)],
+                              f"col{next(_seq)}", ledger=led)
+            elif k % 3 == 1:
+                add_column(root_dir, f"add{next(_seq)}", "double",
+                           ledger=led)
+            elif len(fields) > 1:
+                drop_column(root_dir, fields[k % len(fields)],
+                            ledger=led)
+        except ValueError:
+            pass  # refusals (last column, etc.) are part of the surface
 
 
 def _manifest_rows_consistent(parts):
@@ -192,12 +222,23 @@ def test_random_programs_preserve_protocol_invariants(store_name, ops, data):
             assert fresh.snapshot(version=v) == want, \
                 f"full replay diverged at v{v}"
 
-    # (4) one more restore to a random recorded version reproduces it
+    # (4) one more restore to a random recorded version reproduces it —
+    # everything EXCEPT the protocol requirement, which never rolls
+    # back (Delta's rule; an alter op may have ratcheted column-mapping
+    # after the target, and restore must keep the stronger requirement)
     if timeline:
+        from curator_spark.checkpoint import _merge_protocol
         target = data.draw(st.sampled_from(sorted(timeline)))
         parts_t, success_t, meta_t, txns_t = timeline[target]
         led.restore(target, parts_t, success_t, meta_t, txns=txns_t)
-        assert led.snapshot() == timeline[target]
+        g_parts, g_success, g_meta, g_txns = led.snapshot()
+        g_meta, w_meta = dict(g_meta), dict(meta_t)
+        g_proto = g_meta.pop("_protocol", None)
+        w_proto = w_meta.pop("_protocol", None)
+        assert (g_parts, g_success, g_meta, g_txns) == \
+            (parts_t, success_t, w_meta, txns_t)
+        # monotone: the restored protocol covers the target's
+        assert _merge_protocol(g_proto, w_proto) == g_proto
         assert led.latest_version() > head  # rollback grew history
 
 
