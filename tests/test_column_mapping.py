@@ -285,3 +285,42 @@ def test_mapped_read_keeps_pushdown_and_pruning(spark, table):
     read = plan.split("ReadSchema: ")[1].split("\n")[0]
     assert "ppl" in read and "conv_id" in read
     assert "role" not in read and "turn_idx" not in read  # pruned
+
+
+def test_stale_writer_commit_survives_concurrent_rename(spark, table):
+    """The concurrency claim behind metadata-only RENAME, proven at
+    the exact race window: a writer reads the table meta (identity
+    mapping), stages a file under the physical names of that moment,
+    and a RENAME commits BEFORE the writer's commit. Because physical
+    names are immutable, the stale writer's file is still exactly
+    right — its commit lands and every row reads correctly under the
+    new logical name. (Delta's column-mapping gives writers the same
+    immunity; a rewrite-based rename would have invalidated the file.)"""
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    led = make_ledger(table, "commitlog")
+    # the writer staged this BEFORE the rename: physical name `ppl`
+    pdir = os.path.join(table, "data", "part=0")
+    os.makedirs(pdir, exist_ok=True)
+    fn = f"ds-stale-{uuid.uuid4().hex[:8]}-0.parquet"
+    fp = os.path.join(pdir, fn)
+    pq.write_table(pa.table({
+        "conv_id": [f"stale-{i:04d}" for i in range(10)],
+        "turn_idx": pa.array([0] * 10, type=pa.int32()),
+        "role": ["user"] * 10,
+        "ppl": [7.0] * 10}), fp)
+
+    rename_column(table, "ppl", "perplexity")   # lands FIRST
+
+    led.append_part(0, {fn: {"n_rows": 10,
+                             "n_bytes": os.path.getsize(fp)}}, 10,
+                    run_id="stale-writer")      # stale commit wins too
+    df = read_committed(spark, table)
+    assert df.count() == N0 + 10
+    stale = df.filter(F.col("conv_id").startswith("stale-"))
+    assert stale.count() == 10
+    # the stale file's values surface under the NEW logical name
+    assert stale.filter(F.col("perplexity") == 7.0).count() == 10
