@@ -192,6 +192,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "exit (RESTORE TABLE ... VERSION AS OF; one new "
                         "commit, history preserved, no Spark session; "
                         "commitlog tables only) — no --input needed")
+    p.add_argument("--restore-asof", type=str, default=None,
+                   metavar="ISO8601",
+                   help="RESTORE TABLE ... TIMESTAMP AS OF: roll "
+                        "--output back to the latest commit at or "
+                        "before this datetime and exit (one new "
+                        "commit, history preserved, no Spark session)")
     p.add_argument("--history", action="store_true",
                    help="print the commit history (version, timestamp, "
                         "operations, partitions) for --output and exit — "
@@ -226,6 +232,14 @@ def main(argv: list[str] | None = None) -> int:
         from curator_spark.checkpoint import restore_table
         print(json.dumps(restore_table(args.output, version=args.restore,
                                        backend=args.ledger)))  # None=detect
+        return 0
+    if args.restore_asof is not None:
+        from datetime import datetime
+
+        from curator_spark.checkpoint import restore_table
+        ts = datetime.fromisoformat(args.restore_asof)
+        print(json.dumps(restore_table(args.output, as_of=ts,
+                                       backend=args.ledger)))
         return 0
     if args.rename_column or args.drop_column or args.add_column:
         # metadata-only column DDL: pure log commits, no Spark session

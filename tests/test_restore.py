@@ -182,3 +182,33 @@ def test_vacuum_dry_run_counts_without_deleting(spark, table):
     assert vacuum(out, min_age_s=0) == n_dry
     with pytest.raises(FileNotFoundError, match="vacuum"):
         read_committed(spark, out, version=table["v_append"]).count()
+
+
+def test_cli_restore_asof_rolls_back_without_spark(tmp_path):
+    """--restore-asof resolves TIMESTAMP AS OF from the log alone (no
+    Spark session) and publishes the rollback as a new commit."""
+    import os
+    import time as _time
+
+    from curator_spark.checkpoint import make_ledger
+    from curator_spark.cli import main
+
+    out = str(tmp_path / "t")
+    led = make_ledger(out, "commitlog")
+    led.commit_part({"part": 0, "run_id": "r0", "status": "COMMITTED",
+                     "n_rows": 5, "files": {"a.parquet": {"n_rows": 5}}})
+    _time.sleep(1.1)  # commit timestamps are second-resolution ISO
+    import datetime as _dt
+    cut = _dt.datetime.now(_dt.timezone.utc).isoformat()
+    _time.sleep(1.1)
+    led.commit_part({"part": 1, "run_id": "r1", "status": "COMMITTED",
+                     "n_rows": 3, "files": {"b.parquet": {"n_rows": 3}}})
+    # restore requires referenced files to exist
+    for p, fn in ((0, "a.parquet"), (1, "b.parquet")):
+        d = os.path.join(out, "data", f"part={p}")
+        os.makedirs(d, exist_ok=True)
+        open(os.path.join(d, fn), "wb").close()
+    assert set(led.committed()) == {0, 1}
+    assert main(["--output", out, "--restore-asof", cut]) == 0
+    assert set(led.committed()) == {0}          # rolled back to v1
+    assert led.latest_version() == 3            # rollback grew history
