@@ -179,14 +179,34 @@ class _ChangeStreamReader(DataSourceStreamReader):
     batch replayable, which is what Spark's offset checkpoint needs
     for exactly-once."""
 
-    def __init__(self, schema: StructType, table_dir: str) -> None:
+    def __init__(self, schema: StructType, table_dir: str,
+                 options=None) -> None:
         self._schema = schema
         self._dir = table_dir
+        options = options or {}
+        # Delta-parity stream options:
+        # * startingVersion: first offset — attach a NEW consumer
+        #   without re-bootstrapping the whole table ('latest' = head
+        #   at stream start, i.e. only future commits);
+        # * maxVersionsPerTrigger: admission control — each micro-batch
+        #   advances the offset by at most this many log versions, so a
+        #   backlogged stream catches up in bounded bites instead of
+        #   one giant batch (the log-version analogue of Delta's
+        #   maxFilesPerTrigger).
+        sv = options.get("startingversion")
+        self._max_versions = int(options.get("maxversionspertrigger")
+                                 or 0) or None
         from .checkpoint import detect_backend, make_ledger
         _led = make_ledger(table_dir, detect_backend(table_dir))
         _meta = _led.table_meta() if getattr(
             _led, "log_defined_visibility", False) else {}
         self._cm = dict(_meta.get("column_mapping") or {})
+        if sv is None:
+            self._start = 0
+        elif str(sv).lower() == "latest":
+            self._start = int(_led.latest_version() or 0)
+        else:
+            self._start = int(sv)
 
     def _ledger(self):
         from .checkpoint import detect_backend, make_ledger
@@ -198,15 +218,30 @@ class _ChangeStreamReader(DataSourceStreamReader):
         return ledger
 
     def initialOffset(self) -> dict:
-        return {"version": 0}
+        return {"version": int(self._start)}
 
     def latestOffset(self) -> dict:
-        return {"version": int(self._ledger().latest_version() or 0)}
+        head = int(self._ledger().latest_version() or 0)
+        if self._max_versions:
+            # rate-limited catch-up: cap the ADVANCE, not the head, so
+            # a backlogged stream drains in bounded, replayable bites.
+            # The high-water mark is re-synced from Spark's OWN
+            # checkpointed offsets (partitions()/commit() below), so a
+            # restart resumes from the committed offset, never below it
+            cur = getattr(self, "_hwm", int(self._start))
+            nxt = min(head, cur + int(self._max_versions))
+            self._hwm = nxt
+            return {"version": nxt}
+        return {"version": head}
 
     def partitions(self, start: dict, end: dict):
         import os
         from .checkpoint import table_changes
         lo, hi = int(start["version"]), int(end["version"])
+        # Spark hands us its checkpointed offset: sync the rate
+        # limiter's high-water mark so a restarted stream never plans
+        # below (or idles behind) what was already committed
+        self._hwm = max(getattr(self, "_hwm", 0), lo, hi)
         if hi <= lo:
             return []
         ch = table_changes(self._dir, lo, hi)
@@ -221,7 +256,9 @@ class _ChangeStreamReader(DataSourceStreamReader):
         return _read_file_as_arrow(partition, self._schema, self._cm)
 
     def commit(self, end: dict) -> None:
-        pass  # Spark's checkpoint owns progress; the log is immutable
+        # Spark's checkpoint owns progress; the log is immutable. Keep
+        # the rate limiter's mark in step with the committed offset.
+        self._hwm = max(getattr(self, "_hwm", 0), int(end["version"]))
 
 
 @dataclass
@@ -498,7 +535,7 @@ class CuratorTableDataSource(DataSource):
         return _SnapshotReader(schema, self._path())
 
     def streamReader(self, schema: StructType) -> DataSourceStreamReader:
-        return _ChangeStreamReader(schema, self._path())
+        return _ChangeStreamReader(schema, self._path(), self.options)
 
     def writer(self, schema: StructType, overwrite: bool):
         return _LedgerWriter(schema, self._path(), self.options,

@@ -284,3 +284,62 @@ def test_pushdown_prunes_scheduled_files(spark, table):
            .where(F.col("conv_id") == conv))
     want = read_committed(spark, table).where(F.col("conv_id") == conv)
     assert _ms(got) == _ms(want)
+
+
+def test_stream_starting_version_skips_history(spark, table, tmp_path):
+    """startingVersion: attach a NEW consumer without re-bootstrapping
+    the table ('latest' = only commits after stream start; an explicit
+    version = resume from there) — Delta's startingVersion option."""
+    led = make_ledger(table, "commitlog")
+    v0 = led.latest_version()
+    p2 = str(tmp_path / "b2.parquet")
+    fixtures.write_transcripts_parquet(p2, 200, seed=83, n_parts=4)
+    app = append_new_conversations(spark, p2, table)
+    assert app["rows_appended"] > 0
+    sink, ck = str(tmp_path / "sink"), str(tmp_path / "ck")
+    q = (spark.readStream.format("curator_table")
+         .option("startingVersion", str(v0)).load(table)
+         .writeStream.format("parquet")
+         .option("path", sink).option("checkpointLocation", ck)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.read.parquet(sink)
+    # only the post-v0 append arrived — history was skipped
+    assert got.count() == app["rows_appended"]
+
+
+def test_stream_rate_limit_bounds_each_batch(spark, table, tmp_path):
+    """maxVersionsPerTrigger: a backlogged stream drains the SAME rows
+    in bounded bites — final content identical, multiple micro-batches
+    recorded in Spark's offset checkpoint (the log-version analogue of
+    Delta's maxFilesPerTrigger)."""
+    for seed in (84, 85):
+        p = str(tmp_path / f"b{seed}.parquet")
+        fixtures.write_transcripts_parquet(p, 150, seed=seed, n_parts=4)
+        append_new_conversations(spark, p, table)
+    sink, ck = str(tmp_path / "sink"), str(tmp_path / "ck")
+    # Python micro-batch sources fall back to single-batch under
+    # availableNow, which would defeat the rate limiter — drive the
+    # drain with a processing-time trigger and stop once caught up
+    import time
+
+    want = read_committed(spark, table).count()
+    q = (spark.readStream.format("curator_table")
+         .option("maxVersionsPerTrigger", "1").load(table)
+         .writeStream.format("parquet")
+         .option("path", sink).option("checkpointLocation", ck)
+         .trigger(processingTime="250 milliseconds").start())
+    deadline = time.time() + 150
+    got = 0
+    while time.time() < deadline and got < want:
+        time.sleep(1.0)
+        try:
+            got = spark.read.parquet(sink).count()
+        except Exception:
+            got = 0
+    q.stop()
+    assert _ms(spark.read.parquet(sink)) == \
+        _ms(read_committed(spark, table))
+    n_batches = len([f for f in os.listdir(os.path.join(ck, "offsets"))
+                     if not f.startswith(".")])
+    assert n_batches > 2          # drained in bounded bites, not one gulp
