@@ -24,6 +24,7 @@ from .alter import (                                    # noqa: E402,F401
 )
 from .api import QualityFilter                          # noqa: E402,F401
 from .checkpoint import (                               # noqa: E402,F401
+    build_bloom_index,
     cancel_run, compact_partition, delete_conversations, read_changes,
     read_committed, restore_table, run_checkpointed, snapshot_files,
     table_changes, table_column_minmax, table_history, table_row_count,
@@ -52,6 +53,7 @@ __all__ = [
     "table_column_minmax",
     "delete_conversations", "upsert_conversations", "restore_table",
     "delete_where", "update_where", "insert_overwrite_where",
+    "build_bloom_index",
     "read_changes", "table_changes", "consume_changes",
     "consumer_position",
     "coerce_to_transcripts", "docs_to_transcripts",

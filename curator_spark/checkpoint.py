@@ -557,6 +557,31 @@ class CommitLogLedger:
                         if a.get("updated_at"):
                             m["updated_at"] = a["updated_at"]
                         parts[p] = m
+                elif t == "add_stats":
+                    # advisory stats patch (bloom index build): merged
+                    # per (file, column) ONLY while the file is still
+                    # referenced — a concurrent rewrite makes the patch
+                    # a stale no-op (the standard conflict rule), and a
+                    # reader that skipped this action type merely loses
+                    # pruning, never correctness (stats are hints)
+                    p = int(a["part"])
+                    m = parts.get(p)
+                    if m and m.get("files"):
+                        patch = {fn: st for fn, st in
+                                 (a.get("stats") or {}).items()
+                                 if fn in m["files"]}
+                        if patch:
+                            m = dict(m)
+                            stats = {fn_: dict(v) for fn_, v in
+                                     (m.get("stats") or {}).items()}
+                            for fn, st in patch.items():
+                                cur = dict(stats.get(fn) or {})
+                                for c, cst in st.items():
+                                    cur[c] = {**(cur.get(c) or {}),
+                                              **cst}
+                                stats[fn] = cur
+                            m["stats"] = stats
+                            parts[p] = m
                 elif t == "remove":
                     parts.pop(int(a["part"]), None)
                 elif t == "run_success":
@@ -955,6 +980,130 @@ BUCKET_FNS = {
 }
 
 
+def _bloom_pos_py(sval: str, i: int, m_bits: int) -> int:
+    """Position i of a value's bloom signature — md5 of 'i|str(value)',
+    first 8 hex digits mod m. MUST stay bit-identical to the Spark-side
+    expression in build_bloom_index (the repo's md5 cross-engine
+    discipline, same as operators/dedup's bloom)."""
+    import hashlib
+    return int(hashlib.md5(
+        f"{i}|{sval}".encode()).hexdigest()[:8], 16) % int(m_bits)
+
+
+def _bloom_may_contain(s: dict, val) -> bool:
+    """True unless the per-file bloom PROVES `val` absent. Values hash
+    by their string form (build casts the column to string), so only
+    string/integer columns should be indexed — float formatting is not
+    canonical across engines."""
+    import base64
+    try:
+        bits = base64.b64decode(s["bloom"])
+        m = int(s.get("bloom_m") or len(bits) * 8)
+        k = int(s.get("bloom_k") or 4)
+    except Exception:
+        return True  # malformed index: advisory only, never unsound
+    sval = str(val)
+    for i in range(k):
+        j = _bloom_pos_py(sval, i, m)
+        if not (bits[j // 8] >> (j % 8)) & 1:
+            return False
+    return True
+
+
+def build_bloom_index(spark: SparkSession, out_dir: str, col: str,
+                      m_bits: int = 2048, k: int = 4,
+                      backend: str | None = None) -> dict:
+    """Build a per-file BLOOM FILTER INDEX for `col` (Delta's bloom
+    filter index / Iceberg's bloom write property, as a maintenance
+    pass): after this, every EQUALITY probe on the column — read_committed
+    where=, snapshot_files, delete_conversations(key=col),
+    delete_rows_dv — skips files the bloom proves hold no matching row.
+
+    Why it matters at 100 TB: min/max stats prune range probes and
+    clustered keys, but a point lookup on a HIGH-CARDINALITY,
+    NON-CLUSTERED column (user_id on a conv_id-bucketed table — the
+    right-to-be-forgotten shape) matches every file's [min, max]. A
+    2048-bit bloom per (file, column) gives ~1e-3 false-positive rate
+    at 200 distinct values/file (p ≈ (1-e^(-kn/m))^k) and costs ~344
+    base64 chars of log metadata per file.
+
+    Plan shape: ONE column-pruned scan of the committed files
+    (`_metadata.file_path` + the column), distinct (file, value) pairs,
+    explode to k positions, groupBy(file) collecting ≤ m_bits ints —
+    driver state is positions-per-file, never values. The index commits
+    as `add_stats` actions in one atomic version; replay merges them
+    into file stats ONLY while the file is still referenced, so a
+    concurrent compaction makes the patch a stale no-op (the standard
+    conflict rule) and the rewritten file simply reads unindexed until
+    the next build. Deletion-vector-masked rows stay in the bloom —
+    false positives only, never unsound. Blooms ride stats under the
+    PHYSICAL column name (column mapping translates probes).
+
+    Returns {files_indexed, parts, version, column}."""
+    import base64
+
+    from pyspark.sql.types import StructField, StructType
+
+    ledger = make_ledger(out_dir, backend or detect_backend(out_dir))
+    if not getattr(ledger, "log_defined_visibility", False):
+        raise ValueError("bloom index requires the commitlog ledger "
+                         "(the index lives in commit stats)")
+    committed, _s, meta, _t = ledger.snapshot()
+    pcol = physical_name(meta, col)
+    pstruct = physical_struct(meta)
+    if pstruct is None or pcol not in [f.name for f in pstruct.fields]:
+        raise ValueError(f"no column {col!r} in the table schema")
+    ftype = next(f for f in pstruct.fields if f.name == pcol).dataType
+    if ftype.typeName() in ("double", "float"):
+        raise ValueError("bloom index on a float column is unsound "
+                         "(string forms are not canonical across "
+                         "engines); index string/integer columns")
+    data_dir = os.path.join(out_dir, "data")
+    by_file_part: dict[str, int] = {}
+    paths = []
+    for part, marker in sorted(committed.items()):
+        for fn in sorted((marker or {}).get("files") or {}):
+            paths.append(os.path.join(data_dir, f"part={int(part)}", fn))
+            by_file_part[f"part={int(part)}/{fn}"] = int(part)
+    if not paths:
+        return {"files_indexed": 0, "parts": [], "version": None,
+                "column": col}
+    df = (spark.read.schema(StructType([StructField(pcol, ftype, True)]))
+          .option("basePath", data_dir).parquet(*paths))
+    fparts = F.split(F.col("_metadata.file_path"), "/")
+    sfx = F.concat_ws("/", F.element_at(fparts, -2),
+                      F.element_at(fparts, -1))
+    vals = (df.select(sfx.alias("f"),
+                      F.col(pcol).cast("string").alias("v"))
+            .where(F.col("v").isNotNull()).distinct())
+    pos = vals.select("f", F.explode(F.array(*[
+        (F.conv(F.substring(F.md5(F.concat_ws(
+            "|", F.lit(str(i)), F.col("v"))), 1, 8), 16, 10)
+         .cast("long") % F.lit(int(m_bits))).cast("int")
+        for i in range(int(k))])).alias("p"))
+    rows = (pos.groupBy("f")
+            .agg(F.collect_set("p").alias("ps")).collect())
+    by_part: dict[int, dict] = {}
+    n_files = 0
+    for r in rows:
+        part = by_file_part.get(r["f"])
+        if part is None:
+            continue
+        bits = bytearray(int(m_bits) // 8)
+        for j in r["ps"]:
+            bits[j // 8] |= 1 << (j % 8)
+        fn = r["f"].split("/", 1)[1]
+        by_part.setdefault(part, {})[fn] = {pcol: {
+            "bloom": base64.b64encode(bytes(bits)).decode(),
+            "bloom_m": int(m_bits), "bloom_k": int(k)}}
+        n_files += 1
+    actions = [{"type": "add_stats", "part": p, "stats": st}
+               for p, st in sorted(by_part.items())]
+    ver = ledger._append(actions) if actions else None
+    return {"files_indexed": n_files, "parts": sorted(by_part),
+            "version": ver, "column": col}
+
+
 def _normalize_where(where):
     """Accept one (col, op, value) triple or a list of them (ANDed)."""
     if where is None:
@@ -978,6 +1127,14 @@ def _file_may_match(stats: dict | None, col: str, op: str, val) -> bool:
     s = (stats or {}).get(col)
     if not isinstance(s, dict):
         return True
+    if op == "=" and s.get("bloom") and val is not None \
+            and not _bloom_may_contain(s, val):
+        # Bloom filter index (build_bloom_index): definitive ABSENCE
+        # for an equality probe — false positives keep the file, never
+        # the reverse, so pruning here is exact
+        return False
+    if "min" not in s or "max" not in s:
+        return True  # bloom-only stats entry: no range information
     mn, mx = s.get("min"), s.get("max")
     if mn is None or mx is None:
         return False  # every value in this file is null

@@ -42,6 +42,8 @@ OP = st.one_of(
     st.tuples(st.just("success"), st.integers(0, 9)),
     st.tuples(st.just("restore"), st.integers(0, 50)),
     st.tuples(st.just("alter"), st.integers(0, 8)),
+    st.tuples(st.just("bloomstats"), st.integers(0, 3)),
+    st.tuples(st.just("bloomstats_stale"), st.integers(0, 3)),
 )
 
 _seq = itertools.count()
@@ -124,6 +126,22 @@ def _apply(led, op):
         target = op[1] % (head + 1)
         parts_t, success_t, meta_t, txns_t = led.snapshot(version=target)
         led.restore(target, parts_t, success_t, meta_t, txns=txns_t)
+    elif kind == "bloomstats":
+        # advisory stats patch (bloom index): merged only while the
+        # file is referenced; pure metadata, replay-deterministic
+        p = op[1]
+        m = led.committed().get(p)
+        if m and m.get("files"):
+            fn = sorted(m["files"])[0]
+            led._append([{"type": "add_stats", "part": p, "stats": {
+                fn: {"c0": {"bloom": "qg==", "bloom_m": 8,
+                            "bloom_k": 1}}}}])
+    elif kind == "bloomstats_stale":
+        # patch against a file no manifest references: ignored whole
+        led._append([{"type": "add_stats", "part": op[1], "stats": {
+            "never-existed.parquet": {"c0": {"bloom": "qg==",
+                                             "bloom_m": 8,
+                                             "bloom_k": 1}}}}])
     elif kind == "alter":
         # column DDL interleaved with everything else: mapping +
         # retired_physical live in table_meta, so time travel,
