@@ -509,6 +509,11 @@ def measure_merge(spark) -> dict:
             F.format_string("conv-%09d", F.col("id")).alias("conv_id"),
             (F.col("id") % 5).cast("int").alias("turn_idx"),
             F.lit("user").alias("role"),
+            # uid: high-cardinality and SCATTERED across every file
+            # (md5 order) — the column class min/max can never prune,
+            # the bloom-index measurement below
+            F.md5(F.format_string("u-%d", F.col("id") % 50_000))
+            .alias("uid"),
             (F.col("id") % 97 + ppl_base).cast("double").alias("ppl"))
 
     for a in range(appends):
@@ -522,6 +527,19 @@ def measure_merge(spark) -> dict:
     t0 = time.monotonic()
     s = merge_into(spark, root, upd.unionByName(ins))
     dt = round(time.monotonic() - t0, 3)
+
+    # Bloom-index effectiveness on the same table: a point probe on
+    # the scattered uid column keeps EVERY file before the index (no
+    # stats at all for a non-allowlisted column) and only the holding
+    # files after — the GDPR delete-by-user shape min/max cannot serve
+    from curator_spark.checkpoint import build_bloom_index, snapshot_files
+    probe = spark.range(1).select(
+        F.md5(F.lit("u-12345"))).collect()[0][0]
+    bloom_before = len(snapshot_files(root, where=("uid", "=", probe)))
+    tb = time.monotonic()
+    build_bloom_index(spark, root, "uid", m_bits=8192)
+    bloom_build_sec = round(time.monotonic() - tb, 3)
+    bloom_after = len(snapshot_files(root, where=("uid", "=", probe)))
     shutil.rmtree(root, ignore_errors=True)
     total = s["files_rewritten"] + s["files_untouched"]
     out = {"n_rows": n, "buckets": buckets, "appends": appends,
@@ -531,9 +549,13 @@ def measure_merge(spark) -> dict:
            "files_rewritten": int(s["files_rewritten"]),
            "files_untouched": int(s["files_untouched"]),
            "prune_ratio": round(s["files_untouched"] / total, 3)
-           if total else None}
+           if total else None,
+           "bloom_probe_files_before": int(bloom_before),
+           "bloom_probe_files_after": int(bloom_after),
+           "bloom_build_sec": bloom_build_sec}
     log(f"merge: {dt}s, rewrote {out['files_rewritten']}/{total} files "
-        f"(prune {out['prune_ratio']})")
+        f"(prune {out['prune_ratio']}); bloom point probe "
+        f"{bloom_before}→{bloom_after} files (build {bloom_build_sec}s)")
     return out
 
 
@@ -907,6 +929,19 @@ def write_bench_md(result: dict) -> None:
             "are — the property that makes continuous CDC apply",
             "(streaming/apply_changes.py) viable at 10^12-turn scale.",
         ]
+        if m.get("bloom_probe_files_before") is not None:
+            lines += [
+                "",
+                "Bloom filter index on the scattered `uid` column "
+                "(the point-probe class min/max can never prune): a "
+                "uid equality probe plans "
+                f"**{m['bloom_probe_files_before']} → "
+                f"{m['bloom_probe_files_after']}** files after "
+                f"`build_bloom_index` (built in "
+                f"{m['bloom_build_sec']} s, one column-pruned scan) — "
+                "the GDPR delete-by-user shape on a conv_id-bucketed "
+                "table.",
+            ]
     if "table_ops" in result:
         t = result["table_ops"]
         mix = t.get("action_mix") or {}
