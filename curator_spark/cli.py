@@ -165,6 +165,19 @@ def build_parser() -> argparse.ArgumentParser:
                         "marks row positions deleted in the log "
                         "(deletion vectors — O(k) for k rows, "
                         "protocol-gated, materialized by --compact)")
+    p.add_argument("--build-bloom", type=str, default=None,
+                   metavar="COL",
+                   help="build a per-file BLOOM FILTER INDEX for this "
+                        "column and exit: equality probes (reads, "
+                        "--delete-ids with --delete-key, dv deletes) "
+                        "then skip files the bloom proves clean — the "
+                        "point-lookup path min/max stats cannot serve "
+                        "(one column-pruned scan; advisory add_stats "
+                        "commit; rebuild after --compact)")
+    p.add_argument("--delete-key", type=str, default="conv_id",
+                   help="key column for --delete-ids (default conv_id; "
+                        "pair a non-bucket key with --build-bloom for "
+                        "pruned GDPR deletes)")
     p.add_argument("--vacuum", action="store_true",
                    help="after the run, reclaim data files no commit "
                         "manifest references (commitlog backend only)")
@@ -269,12 +282,13 @@ def main(argv: list[str] | None = None) -> int:
         build_parser().error("--update-set requires --update-where")
     if not args.input and not args.delete_ids and not args.consume \
             and not args.delete_where and not args.update_set \
-            and not args.add_constraint and not args.drop_constraint:
+            and not args.add_constraint and not args.drop_constraint \
+            and not args.build_bloom:
         build_parser().error(
             "--input is required unless --status/--history/--restore/"
             "--delete-ids/--delete-where/--update-set/"
             "--add-constraint/--drop-constraint/--consume/"
-            "--rename-column/--drop-column/--add-column")
+            "--rename-column/--drop-column/--add-column/--build-bloom")
     ledger_backend = args.ledger or "markers"
 
     if args.local_cores:
@@ -309,7 +323,11 @@ def main(argv: list[str] | None = None) -> int:
                                               delete_rows_dv)
         fn = delete_rows_dv if args.delete_mode == "dv" \
             else delete_conversations
-        summary = fn(spark, args.output, args.delete_ids.split(","))
+        summary = fn(spark, args.output, args.delete_ids.split(","),
+                     key=args.delete_key)
+    elif args.build_bloom:
+        from curator_spark.checkpoint import build_bloom_index
+        summary = build_bloom_index(spark, args.output, args.build_bloom)
     elif args.add_constraint:
         from curator_spark.constraints import add_constraint
         name, expr = args.add_constraint.split("=", 1)

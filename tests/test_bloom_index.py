@@ -147,3 +147,17 @@ def test_bloom_composes_with_column_mapping(spark, table):
     # building AFTER the rename indexes under the physical name too
     r = build_bloom_index(spark, table, "user_hash", m_bits=8192)
     assert r["files_indexed"] == n_all
+
+
+def test_cli_build_bloom_and_keyed_delete(spark, table):
+    from curator_spark.cli import main
+    probe = _uid(spark, 23)
+    want = read_committed(spark, table).filter(
+        F.col("uid") == probe).count()
+    assert main(["--output", table, "--local-cores", "4",
+                 "--build-bloom", "uid"]) == 0
+    assert main(["--output", table, "--local-cores", "4",
+                 "--delete-ids", probe, "--delete-key", "uid"]) == 0
+    assert read_committed(spark, table).filter(
+        F.col("uid") == probe).count() == 0
+    assert want > 0
