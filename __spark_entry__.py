@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from curator_spark import queries as _q
 from curator_spark import queries_dedup as _qd
+from curator_spark import queries_web as _qw
 from curator_spark.ingest import docs_to_transcripts
 from curator_spark.pipeline import run_pipeline_df
 
@@ -96,6 +97,10 @@ DRIVER_WINDOW = [
     # maximal-span substring removal (Lee et al. 2021) — the strongest
     # span-family representative; q51's span STATS stay selfcheck-run
     "q88_remove_dup_spans",
+    # paragraph-level first-occurrence dedup (Dolma rule)
+    "q91_paragraph_dedup",
+    # URL/domain crawl curation (canonicalize+blocklist, per-domain cap)
+    "q89_url_canonicalize", "q90_domain_caps",
     # similarity / ANN / clustering
     "q21_cosine_topk", "q23_embedding_neardup", "q49_multiprobe_neardup",
     "q56_knn_join", "q57_kmeans_clusters", "q61_semdedup",
@@ -112,6 +117,8 @@ DRIVER_WINDOW = [
     "q73_ngram_lm_train", "q74_feature_hash_embed", "q75_dsir_resample",
     "q76_bm25_topk", "q77_langid_train", "q78_ccnet_lm_filter",
     "q79_source_classifier", "q85_bpe_train",
+    # trained quality classifier (fixed-point distributed logreg)
+    "q92_quality_classifier",
     # text analysis (q44 BPE token counts and q16 fingerprinting stay
     # selfcheck-verified; q72 fertility covers tokenization in-window)
     "q14_doc_quality",
@@ -119,12 +126,14 @@ DRIVER_WINDOW = [
     "q45_sketch_accuracy",
     # distributed total order (no single-task global window)
     "q84_global_rank",
-    # corpus statistics / indexing
-    "q60_bigram_pmi", "q62_inverted_index",
-    # relational surface representatives
-    "q03_revenue_by_nation", "q06_customers_without_orders",
+    # corpus statistics / indexing (q60 PMI rotates to selfcheck — q62
+    # keeps the family's driver row)
+    "q62_inverted_index",
+    # relational surface representatives (q03/q06/q80 rotate to
+    # selfcheck — broadcast/semi/anti/agg shapes stay covered by
+    # q27/q71/q81; the window stays ≤50 with every family represented)
     "q11_sessionize", "q27_rollup_revenue", "q28_asof_join",
-    "q64_session_range_join", "q71_salted_join", "q80_daily_activity",
+    "q64_session_range_join", "q71_salted_join",
     "q81_conversion_funnel",
 ]
 
@@ -136,6 +145,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
     all_q.update(_q.QUERIES)
     all_q.update(_qd.QUERIES)
+    all_q.update(_qw.QUERIES)
     missing = [n for n in DRIVER_WINDOW if n not in all_q]
     if missing:  # a rename must fail loudly, not silently shrink coverage
         raise RuntimeError(f"DRIVER_WINDOW names unknown queries: {missing}")
@@ -152,6 +162,7 @@ def oracle_sql() -> dict[str, str]:
     out: dict[str, str] = {}
     out.update(_q.ORACLES)
     out.update(_qd.ORACLES)
+    out.update(_qw.ORACLES)
     out["q00_quality_filter"] = (
         "SELECT conv_id, turn_idx, role, lang, ppl, scrubbed_text, "
         "turn_pass, conv_lang, conv_pass, keep "
@@ -165,4 +176,7 @@ def oracle_sql() -> dict[str, str]:
     out["q86_bpe_encode"] = (
         "SELECT doc_id, n_words, n_subwords, subword_fp "
         f"FROM read_parquet('{GOLDEN_DIR}/q86_sf0.01.parquet')")
+    out["q92_quality_classifier"] = (
+        "SELECT doc_id, y, z_micro, p_micro, pred "
+        f"FROM read_parquet('{GOLDEN_DIR}/q92_sf0.01.parquet')")
     return out

@@ -456,6 +456,69 @@ def remove_duplicate_segments(docs: DataFrame, text_col: str = "text",
         (F.col("n_segs") - F.col("n_kept")).cast("long").alias("n_removed"))
 
 
+def dedup_paragraphs(docs: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id",
+                     seg_words: int = SEG_WORDS) -> DataFrame:
+    """Paragraph-level exact dedup, FIRST occurrence kept (the
+    Dolma/RedPajama paragraph-dedup rule): every later occurrence of a
+    paragraph already seen anywhere in the corpus is deleted, but —
+    unlike remove_duplicate_segments, which deletes ALL copies of a
+    duplicated segment — the globally earliest occurrence survives, so
+    no content is lost, only repeats. The canonical occurrence of a
+    paragraph is the lexicographic minimum of (id, seg_idx), the same
+    deterministic min-wins convention the exact-dedup and
+    connected-components operators use. The paragraph unit is a fixed
+    window of `seg_words` whitespace tokens (the synthetic corpus has
+    no newlines).
+
+    Plan shape: segment explode (narrow; full text dropped at the
+    explode) → ONE map-side-combined groupBy(seg) taking
+    min(struct(id, seg_idx)) → join back on the same seg key (exchange
+    reuse) keeping only the argmin occurrence → groupBy(id)
+    reassembly in original order. Two data-proportional shuffles on
+    uniform keys; no all-pairs product, no window over an unbounded
+    key. A viral paragraph with 10^9 copies is ONE reduced row in the
+    argmin aggregate — map-side combine absorbs the skew.
+
+    Returns (id, clean_text, n_segs:bigint, n_dropped:bigint); a doc
+    made entirely of already-seen paragraphs comes back with
+    clean_text ''."""
+    toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+    n_segs = (F.size(toks) + F.lit(seg_words - 1)).cast("long") / seg_words
+    n_segs = F.floor(n_segs).cast("int")
+    idx = F.when(n_segs >= 1, F.sequence(F.lit(1), n_segs)).otherwise(
+        F.array().cast("array<int>"))
+    seg = docs.select(
+        F.col(id_col),
+        F.explode(F.transform(idx, lambda i: F.struct(
+            i.alias("seg_idx"),
+            F.array_join(F.slice(toks, (i - 1) * seg_words + 1, seg_words),
+                         " ").alias("seg")))).alias("s")
+    ).select(id_col, F.col("s.seg_idx").alias("seg_idx"),
+             F.col("s.seg").alias("seg"))
+    first = seg.groupBy("seg").agg(
+        F.min(F.struct(F.col(id_col).alias("fid"),
+                       F.col("seg_idx").alias("fidx"))).alias("f"))
+    kept = (seg.join(first, "seg")
+            .filter((F.col(id_col) == F.col("f.fid"))
+                    & (F.col("seg_idx") == F.col("f.fidx")))
+            .select(id_col, "seg_idx", "seg"))
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("seg_idx", "seg"))),
+                lambda s: s["seg"]),
+            " ").alias("clean_text"),
+        F.count(F.lit(1)).alias("n_kept"))
+    totals = seg.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_segs"))
+    base = docs.select(id_col)
+    out = (base.join(totals, id_col, "left").join(rebuilt, id_col, "left")
+           .na.fill(0, ["n_segs", "n_kept"]).na.fill({"clean_text": ""}))
+    return out.select(
+        id_col, "clean_text", F.col("n_segs").cast("long").alias("n_segs"),
+        (F.col("n_segs") - F.col("n_kept")).cast("long").alias("n_dropped"))
+
+
 def remove_duplicate_spans(docs: DataFrame, text_col: str = "text",
                            id_col: str = "doc_id", n: int = 5,
                            min_df: int = 2) -> DataFrame:

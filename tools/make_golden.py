@@ -245,6 +245,67 @@ def golden_q86(sf_dir: str, n_merges: int = 24) -> pa.Table:
     })
 
 
+def golden_q92(sf_dir: str) -> pa.Table:
+    """Independent pure-Python integer replay of the q92 fixed-point
+    logistic-regression train + score (operators/logreg.py). Every
+    quantity is a Python int — exact by construction — so the Spark
+    plan must match bit-for-bit. Hyperparameters imported from
+    queries_web (shared constants, not shared code)."""
+    from curator_spark.queries_web import (  # noqa: E402
+        LR_DEN, LR_DIM, LR_EPOCHS, LR_SALT, SPAM_WORD)
+    MICRO = 1_000_000
+    docs = pd.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+    docs = docs.sort_values("doc_id").reset_index(drop=True)
+
+    def bucket(tok: str) -> int:
+        h = hashlib.md5((tok + ":" + LR_SALT).encode()).hexdigest()[:12]
+        return int(h, 16) % LR_DIM
+
+    X = []
+    for _, r in docs.iterrows():
+        toks = [t for t in str(r["text"]).lower().split(" ") if t]
+        fx: dict[int, int] = {}
+        for t in toks:
+            fx[bucket(t)] = fx.get(bucket(t), 0) + 1
+        X.append((int(r["doc_id"]), fx, 1 if SPAM_WORD in toks else 0))
+
+    w = [0] * LR_DIM
+    b = 0
+    best = None  # (n_correct, w, b)
+    for _ in range(LR_EPOCHS):
+        g = [0] * LR_DIM
+        gb = 0
+        nc = 0
+        n = len(X)
+        for _, fx, y in X:
+            z = b + sum(w[d] * c for d, c in fx.items())
+            p = min(max((z >> 2) + MICRO // 2, 0), MICRO)
+            e = p - y * MICRO
+            nc += int((p >= MICRO // 2) == (y == 1))
+            gb += e
+            for d, c in fx.items():
+                g[d] += e * c
+        if best is None or nc > best[0]:
+            best = (nc, list(w), b)
+        w = [w[d] - g[d] // (n * LR_DEN) for d in range(LR_DIM)]
+        b = b - gb // (n * LR_DEN)
+    assert best is not None
+    w, b = best[1], best[2]
+
+    out = []
+    for doc_id, fx, y in X:
+        z = b + sum(w[d] * c for d, c in fx.items())
+        p = min(max((z >> 2) + MICRO // 2, 0), MICRO)
+        out.append((doc_id, y, z, p, p >= MICRO // 2))
+    return pa.table({
+        "doc_id": pa.array([r[0] for r in out], pa.int64()),
+        "y": pa.array([r[1] for r in out], pa.int32()),
+        "z_micro": pa.array([r[2] for r in out], pa.int64()),
+        "p_micro": pa.array([r[3] for r in out], pa.int64()),
+        "pred": pa.array([r[4] for r in out], pa.bool_()),
+    })
+
+
 def main() -> None:
     os.makedirs(GOLDEN_DIR, exist_ok=True)
     for sf_dir in SF_DIRS:
@@ -265,6 +326,10 @@ def main() -> None:
         print(f"{out}: {tbl.num_rows} rows")
         tbl = golden_q86(sf_dir)
         out = os.path.join(GOLDEN_DIR, f"q86_{tag}.parquet")
+        pq.write_table(tbl, out, compression="zstd")
+        print(f"{out}: {tbl.num_rows} rows")
+        tbl = golden_q92(sf_dir)
+        out = os.path.join(GOLDEN_DIR, f"q92_{tag}.parquet")
         pq.write_table(tbl, out, compression="zstd")
         print(f"{out}: {tbl.num_rows} rows")
 
