@@ -112,6 +112,28 @@ def test_matches_pure_python_replay(spark):
         assert scored[doc_id] == (z, p, p >= MICRO // 2)
 
 
+def test_join_path_matches_literal_path(spark):
+    """The broadcast-join formulation (the >LITERAL_DIM_MAX hash-space
+    shape) must reproduce the literal-array path bit-for-bit: same
+    weights, bias, best epoch, and per-doc scores."""
+    docs = _docs(spark, n=150)
+    feats = logreg.hashed_sparse_features(docs, DIM, _label()).cache()
+    lit = logreg.train_logreg(feats, DIM, epochs=6, lr_den=4,
+                              use_join=False)
+    jn = logreg.train_logreg(feats, DIM, epochs=6, lr_den=4,
+                             use_join=True)
+    assert lit == jn
+    w, b, _ = lit
+    s_lit = sorted(tuple(r) for r in
+                   logreg.score_logreg(feats, w, b,
+                                       use_join=False).collect())
+    s_jn = sorted(tuple(r) for r in
+                  logreg.score_logreg(feats, w, b,
+                                      use_join=True).collect())
+    feats.unpersist()
+    assert s_lit == s_jn
+
+
 def test_empty_docs_get_zero_features(spark):
     docs = spark.createDataFrame(
         [(0, ""), (1, "   "), (2, "slow word")],

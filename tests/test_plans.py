@@ -402,3 +402,73 @@ def test_bpe_encode_reassembly_shuffles_on_doc(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "SinglePartition" not in plan
+
+
+def test_url_canonicalize_is_narrow_and_pruned(spark):
+    """q89: the whole canonicalization chain is one projection over
+    the parquet scan — zero exchanges, and the scan reads only the
+    two columns the synthesized URL needs."""
+    from curator_spark import queries_web
+    plan = plan_of(queries_web.q89_url_canonicalize(spark, SF))
+    assert "Exchange" not in plan
+    read = plan.split("ReadSchema: ")[1].split("\n")[0]
+    assert "doc_id" in read and "source" in read
+    assert "text" not in read and "lang" not in read
+
+
+def test_domain_caps_bucketed_no_bare_domain_window(spark):
+    """q90: the corpus-side rank window is partitioned by (domain,
+    hash-range bucket) — never by domain alone, which would put a hot
+    domain's every page in one task. The only domain-partitioned
+    window runs over the small per-bucket COUNTS table (≤n_ranges rows
+    per domain). Join back is an equi-join, no product."""
+    from curator_spark import queries_web
+    plan = plan_of(queries_web.q90_domain_caps(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # corpus window carries the bucket column in its partition spec
+    assert "windowspecdefinition(domain" in plan
+    for frag in plan.split("windowspecdefinition(domain")[1:]:
+        head = frag[:200]
+        # either the corpus rank (domain, __hb ...) or the counts
+        # prefix-sum ordered by __hb — both mention the bucket column
+        assert "__hb" in head
+    # text never enters the plan
+    read = plan.split("ReadSchema: ")[1].split("\n")[0]
+    assert "text" not in read
+
+
+def test_paragraph_dedup_argmin_is_partial_agged(spark):
+    """q91: the first-occurrence argmin is a two-phase (map-side
+    partial) aggregate on the paragraph key, the join back is an
+    equi-join, and no window function appears anywhere — viral
+    paragraphs reduce map-side instead of landing in one task."""
+    from curator_spark import queries_web
+    plan = plan_of(queries_web.q91_paragraph_dedup(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "windowspecdefinition" not in plan.lower()
+    assert "partial_min" in plan
+
+
+def test_logreg_epoch_aggregate_is_partial_agged(spark):
+    """q92's per-epoch gradient job: literal-weight scoring is a
+    narrow projection (no join), the gradient groupBy(bucket) is
+    two-phase with map-side combine, and nothing shuffles wider than
+    the exploded (err, entry) pairs."""
+    from pyspark.sql import functions as F
+    from curator_spark.operators import logreg
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    label = F.array_contains(F.split(F.lower("text"), " "), "slow")
+    feats = logreg.hashed_sparse_features(docs, 64, label)
+    # reproduce one epoch's aggregate plan shape (weights all zero)
+    z = logreg._z_micro([0] * 64, 0)
+    p = logreg._p_micro(z)
+    err = (p - F.col("y").cast("long") * logreg.MICRO).alias("err")
+    g = (feats.select(err, F.explode("fs").alias("e"))
+         .groupBy(F.col("e.b").alias("b"))
+         .agg(F.sum(F.col("err") * F.col("e.c")).alias("g")))
+    plan = plan_of(g)
+    assert "partial_sum" in plan
+    assert "CartesianProduct" not in plan
+    assert "windowspecdefinition" not in plan.lower()
