@@ -101,6 +101,9 @@ DRIVER_WINDOW = [
     "q91_paragraph_dedup",
     # URL/domain crawl curation (canonicalize+blocklist, per-domain cap)
     "q89_url_canonicalize", "q90_domain_caps",
+    # the five-stage crawl pipeline composition (blocklist → caps →
+    # paragraph dedup → quality rules → exact dedup), stage order pinned
+    "q93_curation_pipeline",
     # similarity / ANN / clustering
     "q21_cosine_topk", "q23_embedding_neardup", "q49_multiprobe_neardup",
     "q56_knn_join", "q57_kmeans_clusters", "q61_semdedup",
@@ -121,8 +124,10 @@ DRIVER_WINDOW = [
     "q92_quality_classifier",
     # text analysis (q44 BPE token counts and q16 fingerprinting stay
     # selfcheck-verified; q72 fertility covers tokenization in-window)
+    # (q68 repetition stats rotates to selfcheck — the repetition
+    # family keeps q88/q91 driver rows)
     "q14_doc_quality",
-    "q67_luhn_cc_scrub", "q68_repetition_stats", "q72_tokenizer_fertility",
+    "q67_luhn_cc_scrub", "q72_tokenizer_fertility",
     "q45_sketch_accuracy",
     # distributed total order (no single-task global window)
     "q84_global_rank",

@@ -140,6 +140,55 @@ def q91_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_paragraphs(_docs(spark, sf_dir))
 
 
+MIN_CLEAN_TOKENS = 8
+
+
+def q93_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END corpus curation — the composite a production crawl
+    pipeline actually runs, chaining this module's operators in their
+    real order: registered-domain blocklist → per-domain page caps →
+    paragraph-level first-occurrence dedup → heuristic quality rules
+    on the REWRITTEN text (min token count; at least half the
+    paragraphs survived) → corpus-wide exact dedup of the clean text
+    (min-doc_id canonical). Every stage is the already-verified
+    operator (q89/q90/q91/q14/q17 shapes); this query verifies their
+    COMPOSITION byte-exactly: the oracle replays the same five stages
+    as one CTE chain, so stage-ordering effects (caps drawn before
+    dedup, quality on post-dedup text, canonicals chosen among quality
+    survivors only) are pinned. Plan: one narrow URL/domain
+    projection, the cap's bounded grouped rank, two paragraph-key
+    shuffles, one clean-text argmin — no product, no unbounded window
+    anywhere."""
+    from .operators.dedup import dedup_paragraphs
+    d = _docs(spark, sf_dir).select("doc_id", "text",
+                                    _messy_url().alias("url"))
+    dom = weburl.registered_domain(weburl.host_of(F.col("url")))
+    pages = d.select("doc_id", "text", dom.alias("domain"))
+    pages = weburl.filter_blocked_domains(pages, "domain",
+                                          BLOCKED_DOMAINS)
+    capped = weburl.cap_per_domain(pages, "domain", "doc_id",
+                                   cap=DOMAIN_CAP, salt=CAP_SALT)
+    deduped = dedup_paragraphs(capped.select("doc_id", "text"))
+    j = capped.select("doc_id", "domain").join(deduped, "doc_id")
+    n_clean = F.size(F.filter(F.split(F.col("clean_text"), " "),
+                              lambda t: t != ""))
+    n_kept = F.col("n_segs") - F.col("n_dropped")
+    j = j.withColumn(
+        "qual_keep",
+        (n_clean >= MIN_CLEAN_TOKENS) & (n_kept * 2 >= F.col("n_segs")))
+    canon = (j.filter(F.col("qual_keep"))
+             .groupBy("clean_text")
+             .agg(F.min("doc_id").alias("canon_id")))
+    out = (j.join(canon, "clean_text", "left")
+           .withColumn("final_keep",
+                       F.col("qual_keep")
+                       & (F.col("doc_id") == F.col("canon_id"))))
+    return out.select("doc_id", "domain", "clean_text", "n_segs",
+                      "n_dropped", "qual_keep",
+                      F.coalesce("final_keep", F.lit(False))
+                      .alias("final_keep"))
+
+
 # --- oracles -----------------------------------------------------------
 
 # DuckDB rendering of _messy_url(); '0x'||hex ::BIGINT == Spark conv(,16,10).
@@ -282,10 +331,84 @@ _Q91_SQL = """
     LEFT JOIN rebuilt r USING (doc_id)
 """
 
+# q93: the five stages as one CTE chain — domains derived the simple
+# independent way (as in _Q90_SQL), then cap → paragraph dedup →
+# quality → canonical, each replaying the operator semantics in SQL.
+_Q93_SQL = f"""
+    WITH pages AS (
+        SELECT doc_id, text,
+               source || (CASE WHEN b % 3 = 0 THEN '.com'
+                               WHEN b % 3 = 1 THEN '.org'
+                               ELSE '.net' END) AS domain,
+               ('0x' || substr(md5(doc_id::VARCHAR || ':{CAP_SALT}'),
+                               1, 12))::BIGINT AS h
+        FROM (
+            SELECT doc_id, text, source,
+                   ('0x' || substr(md5(doc_id::VARCHAR || ':{URL_SALT}'),
+                                   9, 4))::BIGINT AS b
+            FROM documents)
+    ), allowed AS (
+        SELECT * FROM pages WHERE domain NOT IN ({_BLOCKED_SQL})
+    ), capped AS (
+        SELECT doc_id, text, domain FROM (
+            SELECT *, row_number() OVER (PARTITION BY domain
+                                         ORDER BY h, doc_id) AS rnk
+            FROM allowed)
+        WHERE rnk <= {DOMAIN_CAP}
+    ), toks AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), t -> t <> '') AS toks
+        FROM capped
+    ), segs AS (
+        SELECT doc_id, i AS seg_idx,
+               array_to_string(toks[(i-1)*12+1 : i*12], ' ') AS seg
+        FROM toks,
+             unnest(range(1, (len(toks) + 11) // 12 + 1)) AS u(i)
+    ), firsts AS (
+        SELECT doc_id, seg_idx, seg,
+               row_number() OVER (PARTITION BY seg
+                                  ORDER BY doc_id, seg_idx) AS rn
+        FROM segs
+    ), kept AS (
+        SELECT doc_id, seg_idx, seg FROM firsts WHERE rn = 1
+    ), rebuilt AS (
+        SELECT doc_id,
+               array_to_string(list(seg ORDER BY seg_idx), ' ')
+                   AS clean_text,
+               count(*) AS n_kept
+        FROM kept GROUP BY doc_id
+    ), totals AS (
+        SELECT doc_id, count(*) AS n_segs FROM segs GROUP BY doc_id
+    ), dd AS (
+        SELECT c.doc_id, c.domain,
+               coalesce(r.clean_text, '') AS clean_text,
+               coalesce(t.n_segs, 0) AS n_segs,
+               coalesce(t.n_segs, 0) - coalesce(r.n_kept, 0) AS n_dropped
+        FROM capped c
+        LEFT JOIN totals t USING (doc_id)
+        LEFT JOIN rebuilt r USING (doc_id)
+    ), q AS (
+        SELECT *,
+               (len(list_filter(string_split(clean_text, ' '),
+                                t -> t <> '')) >= {MIN_CLEAN_TOKENS}
+                AND 2 * (n_segs - n_dropped) >= n_segs) AS qual_keep
+        FROM dd
+    ), canon AS (
+        SELECT clean_text, min(doc_id) AS canon_id
+        FROM q WHERE qual_keep GROUP BY clean_text
+    )
+    SELECT q.doc_id, q.domain, q.clean_text, q.n_segs, q.n_dropped,
+           q.qual_keep,
+           coalesce(q.qual_keep AND q.doc_id = c.canon_id, FALSE)
+               AS final_keep
+    FROM q LEFT JOIN canon c USING (clean_text)
+"""
+
 ORACLES: dict[str, str] = {
     "q89_url_canonicalize": _Q89_SQL,
     "q90_domain_caps": _Q90_SQL,
     "q91_paragraph_dedup": _Q91_SQL,
+    "q93_curation_pipeline": _Q93_SQL,
     # q92's oracle is a committed golden parquet (integer-exact
     # pure-Python replay) — registered by __spark_entry__.oracle_sql
     # next to the other golden-backed entries (q00/q30/q85/q86).
@@ -296,4 +419,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q90_domain_caps": q90_domain_caps,
     "q91_paragraph_dedup": q91_paragraph_dedup,
     "q92_quality_classifier": q92_quality_classifier,
+    "q93_curation_pipeline": q93_curation_pipeline,
 }

@@ -472,3 +472,17 @@ def test_logreg_epoch_aggregate_is_partial_agged(spark):
     assert "partial_sum" in plan
     assert "CartesianProduct" not in plan
     assert "windowspecdefinition" not in plan.lower()
+
+
+def test_curation_pipeline_composition_plan(spark):
+    """q93 (blocklist → caps → paragraph dedup → quality → exact
+    dedup): no product anywhere, no window without a bucket/paragraph
+    key, the clean-text canonical argmin partial-aggregates, and the
+    blocklist filter is a codegen'd NOT IN below the cap."""
+    from curator_spark import queries_web
+    plan = plan_of(queries_web.q93_curation_pipeline(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "partial_min" in plan            # paragraph + canonical argmins
+    for frag in plan.split("windowspecdefinition(domain")[1:]:
+        assert "__hb" in frag[:200]          # no bare per-domain window
