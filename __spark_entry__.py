@@ -104,8 +104,11 @@ DRIVER_WINDOW = [
     # the five-stage crawl pipeline composition (blocklist → caps →
     # paragraph dedup → quality rules → exact dedup), stage order pinned
     "q93_curation_pipeline",
-    # similarity / ANN / clustering
-    "q21_cosine_topk", "q23_embedding_neardup", "q49_multiprobe_neardup",
+    # attribute store + mixer (tag once, re-mix by metadata)
+    "q94_attribute_mixer",
+    # similarity / ANN / clustering (q23 single-bucket near-dup rotates
+    # to selfcheck — q49's multi-probe variant supersedes it in-window)
+    "q21_cosine_topk", "q49_multiprobe_neardup",
     "q56_knn_join", "q57_kmeans_clusters", "q61_semdedup",
     "q66_ivfpq_search",
     # sequence packing / context windows

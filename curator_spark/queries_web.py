@@ -141,6 +141,37 @@ def q91_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 MIN_CLEAN_TOKENS = 8
+MIX_MIN_TOKENS = 20
+
+
+def q94_attribute_mixer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dolma-style attribute store + mixer (operators/attributes.py):
+    two independent tagger passes write per-doc attribute tables
+    (quality counts; language/spam flags), `combine_attribute_tables`
+    outer-joins them on doc_id, and `mix` evaluates the curation rule
+    on the ATTRIBUTE table only — the corpus text is touched by the
+    taggers once and by the final semi-join, never by the rule. At
+    100 TB this is the architecture that turns every rule iteration
+    into a metadata-sized job: re-mixing reads the few-column
+    attribute table, not the corpus. Oracle = the rule inlined over
+    documents (proving tag→combine→mix ≡ the direct filter)."""
+    from .operators.attributes import (combine_attribute_tables, mix,
+                                       tag)
+    docs = _docs(spark, sf_dir)
+    toks = F.filter(F.split(F.lower(F.col("text")), " "),
+                    lambda t: t != "")
+    quality = tag(docs, {
+        "quality__n_tokens": F.size(toks).cast("long"),
+        "quality__n_chars": F.length("text").cast("long"),
+    })
+    flags = tag(docs, {
+        "lang__is_en": F.col("lang") == "en",
+        "spam__has_marker": F.array_contains(toks, SPAM_WORD),
+    })
+    attrs = combine_attribute_tables([quality, flags])
+    rule = ((F.col("quality__n_tokens") >= MIX_MIN_TOKENS)
+            & ~F.col("spam__has_marker"))
+    return mix(docs.select("doc_id", "source", "lang"), attrs, rule)
 
 
 def q93_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -331,6 +362,14 @@ _Q91_SQL = """
     LEFT JOIN rebuilt r USING (doc_id)
 """
 
+_Q94_SQL = f"""
+    SELECT doc_id, source, lang FROM documents
+    WHERE len(list_filter(string_split(lower(text), ' '),
+                          t -> t <> '')) >= {MIX_MIN_TOKENS}
+      AND NOT list_contains(list_filter(string_split(lower(text), ' '),
+                                        t -> t <> ''), '{SPAM_WORD}')
+"""
+
 # q93: the five stages as one CTE chain — domains derived the simple
 # independent way (as in _Q90_SQL), then cap → paragraph dedup →
 # quality → canonical, each replaying the operator semantics in SQL.
@@ -409,6 +448,7 @@ ORACLES: dict[str, str] = {
     "q90_domain_caps": _Q90_SQL,
     "q91_paragraph_dedup": _Q91_SQL,
     "q93_curation_pipeline": _Q93_SQL,
+    "q94_attribute_mixer": _Q94_SQL,
     # q92's oracle is a committed golden parquet (integer-exact
     # pure-Python replay) — registered by __spark_entry__.oracle_sql
     # next to the other golden-backed entries (q00/q30/q85/q86).
@@ -420,4 +460,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q91_paragraph_dedup": q91_paragraph_dedup,
     "q92_quality_classifier": q92_quality_classifier,
     "q93_curation_pipeline": q93_curation_pipeline,
+    "q94_attribute_mixer": q94_attribute_mixer,
 }
