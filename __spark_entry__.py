@@ -187,4 +187,7 @@ def oracle_sql() -> dict[str, str]:
     out["q92_quality_classifier"] = (
         "SELECT doc_id, y, z_micro, p_micro, pred "
         f"FROM read_parquet('{GOLDEN_DIR}/q92_sf0.01.parquet')")
+    out["q95_unigram_train"] = (
+        "SELECT piece, count, logp_micro, rank "
+        f"FROM read_parquet('{GOLDEN_DIR}/q95_sf0.01.parquet')")
     return out

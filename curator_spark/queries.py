@@ -434,6 +434,39 @@ def q85_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         "step int, left string, right string, pair_count long")
 
 
+UNI_VOCAB = 96
+UNI_MAX_PIECE = 4
+UNI_SEED = 256
+UNI_ROUNDS = 3
+
+
+def q95_unigram_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed unigram-LM tokenizer training (models/unigram.py —
+    SentencePiece's second family, Viterbi-EM variant): seed substring
+    vocabulary from the distinct-word table, then EM rounds where the
+    E-step is an Arrow-batched Viterbi over distinct words (vocab
+    scores broadcast in the closure) and the M-step + pruning run on
+    the driver over exact integer expected counts. Complements q85/q86
+    (BPE): together the engine trains both production tokenizer
+    families. Emits the final vocabulary (piece, expected count,
+    logp_micro, rank) in the canonical (count desc, piece) order.
+
+    Oracle: committed golden parquet from an independently coded
+    pure-Python seed+Viterbi+EM replay (tools/make_golden.py) — the
+    train loop is iterative, so it gets the q85 golden-hash treatment;
+    determinism rests on exact int counts + driver-side IEEE log in
+    sorted piece order (see the module docstring)."""
+    from .models.bpe import word_counts
+    from .models.unigram import train_unigram
+    vocab = train_unigram(word_counts(_t(spark, sf_dir, "documents")),
+                          vocab_size=UNI_VOCAB,
+                          max_piece_len=UNI_MAX_PIECE,
+                          seed_size=UNI_SEED, em_rounds=UNI_ROUNDS)
+    return spark.createDataFrame(
+        [(p, c, lp, i + 1) for i, (p, c, lp) in enumerate(vocab)],
+        "piece string, count long, logp_micro long, rank int")
+
+
 def q86_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-scale BPE tokenization with the q85-trained merges: per
     document, the subword count and a fingerprint of the full subword
@@ -2904,5 +2937,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q84_global_rank": q84_global_rank,
     "q85_bpe_train": q85_bpe_train,
     "q86_bpe_encode": q86_bpe_encode,
+    "q95_unigram_train": q95_unigram_train,
     "q87_remove_repeated_windows": q87_remove_repeated_windows,
 }

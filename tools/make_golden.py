@@ -306,6 +306,114 @@ def golden_q92(sf_dir: str) -> pa.Table:
     })
 
 
+def golden_q95(sf_dir: str) -> pa.Table:
+    """Independent pure-Python unigram-LM trainer (re-coded from the
+    models/unigram.py SPEC: substring seed with all-singles coverage,
+    left-to-right Viterbi with the (score, fewer-pieces, lex-smaller
+    piece) tie order, integer expected counts, driver-float log-probs
+    over sorted pieces, (count desc, piece asc) pruning with immune
+    single chars)."""
+    import collections
+    import math
+    import re
+
+    from curator_spark.queries import (  # noqa: E402
+        UNI_MAX_PIECE, UNI_ROUNDS, UNI_SEED, UNI_VOCAB)
+    MICRO = 1_000_000
+    docs = pd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["text"])
+    words: collections.Counter = collections.Counter()
+    for text in docs["text"]:
+        for w in re.findall("[A-Za-z]+", text or ""):
+            words[w.lower()] += 1
+
+    # seed: substrings up to UNI_MAX_PIECE weighted by word count
+    sub: collections.Counter = collections.Counter()
+    for w, c in words.items():
+        for i in range(len(w)):
+            for j in range(i + 1, min(len(w), i + UNI_MAX_PIECE) + 1):
+                sub[w[i:j]] += c
+    singles = {p: c for p, c in sub.items() if len(p) == 1}
+    multi = sorted(((p, c) for p, c in sub.items() if len(p) > 1),
+                   key=lambda pc: (-pc[1], pc[0]))[:UNI_SEED]
+    counts = dict(multi)
+    counts.update(singles)
+
+    def logprobs(cnts):
+        total = sum(cnts[p] for p in sorted(cnts))
+        return {p: (math.log(cnts[p] / total) if cnts[p] > 0 else -100.0)
+                for p in sorted(cnts)}
+
+    def viterbi(word, scores):
+        n = len(word)
+        NEG = float("-inf")
+        best = [(NEG, 0, "")] * (n + 1)
+        best[0] = (0.0, 0, "")
+        back = [0] * (n + 1)
+        for i in range(1, n + 1):
+            cand = None
+            cand_j = 0
+            for j in range(max(0, i - UNI_MAX_PIECE), i):
+                if best[j][0] == NEG:
+                    continue
+                piece = word[j:i]
+                sc = scores.get(piece)
+                if sc is None:
+                    if i - j > 1:
+                        continue
+                    sc = -100.0
+                key = (best[j][0] + sc, best[j][1] - 1, piece)
+                if cand is None or (key[0], key[1]) > (cand[0], cand[1]) \
+                        or ((key[0], key[1]) == (cand[0], cand[1])
+                            and key[2] < cand[2]):
+                    cand = key
+                    cand_j = j
+            if cand is not None:
+                best[i] = cand
+                back[i] = cand_j
+        out = []
+        i = n
+        while i > 0:
+            out.append(word[back[i]:i])
+            i = back[i]
+        out.reverse()
+        return out
+
+    for _ in range(UNI_ROUNDS):
+        scores = logprobs(counts)
+        est: collections.Counter = collections.Counter()
+        for w, c in words.items():
+            for piece in viterbi(w, scores):
+                est[piece] += c
+        singles_prev = {p: counts[p] for p in counts if len(p) == 1}
+        merged = dict(est)
+        for p in singles_prev:
+            merged.setdefault(p, 0)
+        n_singles = sum(1 for p in merged if len(p) == 1)
+        n_multi = sum(1 for p in merged if len(p) > 1)
+        target = max(UNI_VOCAB - n_singles, int(n_multi * 0.75))
+        keep = sorted(((p, c) for p, c in merged.items() if len(p) > 1),
+                      key=lambda pc: (-pc[1], pc[0]))[:target]
+        counts = dict(keep)
+        counts.update({p: merged[p] for p in merged if len(p) == 1})
+
+    singles = {p: c for p, c in counts.items() if len(p) == 1}
+    multi = sorted(((p, c) for p, c in counts.items() if len(p) > 1),
+                   key=lambda pc: (-pc[1], pc[0]))
+    room = max(UNI_VOCAB - len(singles), 0)
+    final = dict(multi[:room])
+    final.update(singles)
+    scores = logprobs(final)
+    out = [(p, final[p], round(scores[p] * MICRO)) for p in final]
+    out.sort(key=lambda t: (-t[1], t[0]))
+    return pa.table({
+        "piece": pa.array([r[0] for r in out], pa.string()),
+        "count": pa.array([r[1] for r in out], pa.int64()),
+        "logp_micro": pa.array([r[2] for r in out], pa.int64()),
+        "rank": pa.array(list(range(1, len(out) + 1)), pa.int32()),
+    })
+
+
 def main() -> None:
     os.makedirs(GOLDEN_DIR, exist_ok=True)
     for sf_dir in SF_DIRS:
@@ -330,6 +438,10 @@ def main() -> None:
         print(f"{out}: {tbl.num_rows} rows")
         tbl = golden_q92(sf_dir)
         out = os.path.join(GOLDEN_DIR, f"q92_{tag}.parquet")
+        pq.write_table(tbl, out, compression="zstd")
+        print(f"{out}: {tbl.num_rows} rows")
+        tbl = golden_q95(sf_dir)
+        out = os.path.join(GOLDEN_DIR, f"q95_{tag}.parquet")
         pq.write_table(tbl, out, compression="zstd")
         print(f"{out}: {tbl.num_rows} rows")
 
