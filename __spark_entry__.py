@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from curator_spark import queries as _q
 from curator_spark import queries_dedup as _qd
+from curator_spark import queries_sft as _qs
 from curator_spark import queries_web as _qw
 from curator_spark.ingest import docs_to_transcripts
 from curator_spark.pipeline import run_pipeline_df
@@ -90,9 +91,11 @@ def _multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 DRIVER_WINDOW = [
     # flagship + multimodal
     "q00_quality_filter", "q30_multimodal_features",
-    # dedup battery
+    # dedup battery (q20 simhash rotates to selfcheck — the
+    # signature-dedup family keeps q19's driver row; q97's
+    # response-opener dedup adds the transcripts-payload axis)
     "q17_exact_dedup", "q18_jaccard_pairs", "q19_minhash_lsh",
-    "q20_simhash", "q24_dedup_pipeline", "q31_conv_dedup",
+    "q24_dedup_pipeline", "q31_conv_dedup",
     "q39_dedup_components", "q47_decontaminate", "q70_remove_boilerplate",
     # maximal-span substring removal (Lee et al. 2021) — the strongest
     # span-family representative; q51's span STATS stay selfcheck-run
@@ -111,11 +114,16 @@ DRIVER_WINDOW = [
     "q21_cosine_topk", "q49_multiprobe_neardup",
     "q56_knn_join", "q57_kmeans_clusters", "q61_semdedup",
     "q66_ivfpq_search",
-    # sequence packing / context windows
-    "q52_sequence_pack", "q55_context_windows",
-    # sampling / splits / mixtures (q46 fixed-rate mixture stays
-    # selfcheck-verified; q82 covers the family in-window)
-    "q40_hash_split", "q59_stratified_split", "q82_temperature_mixture",
+    # sequence packing / context windows (q52 doc packing rotates to
+    # selfcheck — q55's conversation windows keep the family's row)
+    "q55_context_windows",
+    # SFT/RLHF export over the transcripts payload: chat-template
+    # render + loss-mask spans, assistant-opener dedup, refusal filter
+    "q96_chat_template", "q97_response_opener_dedup",
+    "q98_refusal_filter",
+    # sampling / splits / mixtures (q46 fixed-rate and q59 stratified
+    # stay selfcheck-verified; q40/q82 cover the family in-window)
+    "q40_hash_split", "q82_temperature_mixture",
     # table mutation verbs (the commitlog MERGE expression)
     "q83_merge_upsert",
     # corpus-scale training ops (incl. BPE tokenizer training, the
@@ -154,6 +162,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     all_q.update(_q.QUERIES)
     all_q.update(_qd.QUERIES)
     all_q.update(_qw.QUERIES)
+    all_q.update(_qs.QUERIES)
     missing = [n for n in DRIVER_WINDOW if n not in all_q]
     if missing:  # a rename must fail loudly, not silently shrink coverage
         raise RuntimeError(f"DRIVER_WINDOW names unknown queries: {missing}")
@@ -171,6 +180,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(_q.ORACLES)
     out.update(_qd.ORACLES)
     out.update(_qw.ORACLES)
+    out.update(_qs.ORACLES)
     out["q00_quality_filter"] = (
         "SELECT conv_id, turn_idx, role, lang, ppl, scrubbed_text, "
         "turn_pass, conv_lang, conv_pass, keep "
