@@ -94,7 +94,9 @@ DRIVER_WINDOW = [
     # dedup battery (q20 simhash rotates to selfcheck — the
     # signature-dedup family keeps q19's driver row; q97's
     # response-opener dedup adds the transcripts-payload axis)
-    "q17_exact_dedup", "q18_jaccard_pairs", "q19_minhash_lsh",
+    # (q18 jaccard pairs rotates to selfcheck — q24's pipeline runs the
+    # same verify stage in-window)
+    "q17_exact_dedup", "q19_minhash_lsh",
     "q24_dedup_pipeline", "q31_conv_dedup",
     "q39_dedup_components", "q47_decontaminate", "q70_remove_boilerplate",
     # maximal-span substring removal (Lee et al. 2021) — the strongest
@@ -109,18 +111,21 @@ DRIVER_WINDOW = [
     "q93_curation_pipeline",
     # attribute store + mixer (tag once, re-mix by metadata)
     "q94_attribute_mixer",
-    # similarity / ANN / clustering (q23 single-bucket near-dup rotates
-    # to selfcheck — q49's multi-probe variant supersedes it in-window)
-    "q21_cosine_topk", "q49_multiprobe_neardup",
+    # similarity / ANN / clustering (q23 single-bucket near-dup and
+    # q21 brute-force cosine rotate to selfcheck — q49's multi-probe
+    # variant and q56's KNN join carry the family; q21 stays a bench
+    # headline)
+    "q49_multiprobe_neardup",
     "q56_knn_join", "q57_kmeans_clusters", "q61_semdedup",
     "q66_ivfpq_search",
     # sequence packing / context windows (q52 doc packing rotates to
     # selfcheck — q55's conversation windows keep the family's row)
     "q55_context_windows",
     # SFT/RLHF export over the transcripts payload: chat-template
-    # render + loss-mask spans, assistant-opener dedup, refusal filter
+    # render + loss-mask spans, assistant-opener dedup, refusal filter,
+    # preference-pair election, conversation prefix-dedup
     "q96_chat_template", "q97_response_opener_dedup",
-    "q98_refusal_filter",
+    "q98_refusal_filter", "q99_preference_pairs", "q100_prefix_dedup",
     # sampling / splits / mixtures (q46 fixed-rate and q59 stratified
     # stay selfcheck-verified; q40/q82 cover the family in-window)
     "q40_hash_split", "q82_temperature_mixture",

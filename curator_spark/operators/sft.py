@@ -32,6 +32,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 __all__ = ["render_chatml", "dedup_response_openers", "refusal_stats",
+           "build_preference_pairs", "dedup_conversation_prefixes",
            "REFUSAL_MARKERS"]
 
 # Placeholder refusal/boilerplate phrases (the SLUR_LEXICON precedent,
@@ -120,6 +121,117 @@ def dedup_response_openers(turns: DataFrame, n_tokens: int = 4,
                     (~((F.col("conv_id") == F.col("first.conv_id"))
                        & (F.col("turn_idx") == F.col("first.turn_idx"))))
                     .alias("dup")))
+
+
+def _norm(text: Column) -> Column:
+    """Lowercase + whitespace-collapse normalization (the q97 form —
+    both engines' regex semantics agree on \\s+)."""
+    return F.trim(F.regexp_replace(
+        F.lower(F.coalesce(text, F.lit(""))), r"\s+", " "))
+
+
+def build_preference_pairs(turns: DataFrame, n_prompt_tokens: int = 4,
+                           markers: tuple[str, ...] = REFUSAL_MARKERS,
+                           refusal_penalty: int = 1000,
+                           role: str = "assistant") -> DataFrame:
+    """RLHF preference-pair construction: `role` turns answering the
+    same prompt (keyed by the normalized opening `n_prompt_tokens`-gram
+    of the immediately preceding turn — sampled generations for one
+    prompt family land in one group) are ranked by an integer quality
+    score (response token count, minus `refusal_penalty` per refusal
+    hit); each group with >=2 candidates and a strict score gap emits
+    ONE pair: (chosen, rejected) = (best, worst).
+
+    Election is groupBy(prompt_fp).agg(max(struct), min(struct)) — the
+    same hot-key defense as dedup_response_openers: a viral prompt
+    ("write a poem") with 10^7 sampled responses is map-side-combined
+    into one row, never a single-task window partition. Struct order
+    (score, conv_id, turn_idx) makes ties bit-deterministic.
+
+    The preceding-turn lookup is a lag over conv_id ordered by
+    turn_idx — a bounded per-conversation window (frame = conversation
+    length), never corpus-wide."""
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    prev_text = F.lag("text").over(w)
+    norm_resp = _norm(F.col("text"))
+    pat = "(" + "|".join(markers) + ")"
+    score = (F.size(F.filter(F.split(norm_resp, " "), lambda t: t != ""))
+             .cast("long")
+             - F.lit(refusal_penalty)
+             * norm_resp.rlike(pat).cast("long"))
+    cand = (turns
+            .select("conv_id", "turn_idx", "role", "text",
+                    prev_text.alias("prev_text"))
+            .filter((F.col("role") == role) & F.col("prev_text").isNotNull())
+            .select(
+                F.md5(F.array_join(
+                    F.slice(F.split(_norm(F.col("prev_text")), " "),
+                            1, n_prompt_tokens), " ")).alias("prompt_fp"),
+                "conv_id", "turn_idx", score.alias("score")))
+    sc = F.struct("score", "conv_id", "turn_idx")
+    pairs = cand.groupBy("prompt_fp").agg(
+        F.count(F.lit(1)).alias("n_candidates"),
+        F.max(sc).alias("chosen"), F.min(sc).alias("rejected"))
+    return (pairs
+            .filter((F.col("n_candidates") >= 2)
+                    & (F.col("chosen.score") > F.col("rejected.score")))
+            .select("prompt_fp", "n_candidates",
+                    F.col("chosen.conv_id").alias("chosen_conv"),
+                    F.col("chosen.turn_idx").alias("chosen_turn"),
+                    F.col("chosen.score").alias("chosen_score"),
+                    F.col("rejected.conv_id").alias("rejected_conv"),
+                    F.col("rejected.turn_idx").alias("rejected_turn"),
+                    F.col("rejected.score").alias("rejected_score")))
+
+
+def dedup_conversation_prefixes(turns: DataFrame) -> DataFrame:
+    """Conversation prefix-dedup — the agent-transcript retry/extension
+    pattern: a session that was re-run and continued further produces a
+    shorter conversation whose rendered turns are EXACTLY the first L
+    turns of a longer one. Emits one row per conversation: (conv_id,
+    n_turns, n_sharing = conversations whose first-n_turns render
+    identically, dup, canonical_conv_id). Canonical per prefix bucket =
+    the longest conversation (most informative continuation), ties by
+    min conv_id; exact-duplicate conversations degenerate to min
+    conv_id canonical.
+
+    Shape: cumulative render fingerprints are computed INSIDE each
+    conversation (groupBy(conv_id) collect + transform over prefix
+    slices — bounded by conversation length, the q55 invariant; no
+    window-order trust), then ONE map-side-combined
+    groupBy(turn_pos, prefix_fp) election + an equi-join back on the
+    full-conversation rows. A 10^7-way duplicated conversation is one
+    reduced row, never a single-task partition."""
+    pieces = turns.select(
+        "conv_id", "turn_idx",
+        _piece(F.col("role"), F.col("text")).alias("piece"))
+    per_conv = pieces.groupBy("conv_id").agg(
+        F.transform(F.array_sort(F.collect_list(
+            F.struct("turn_idx", "piece"))),
+            lambda s: s["piece"]).alias("arr"))
+    prefixes = per_conv.select(
+        "conv_id", F.size("arr").cast("int").alias("conv_len"),
+        F.posexplode(F.transform(
+            F.col("arr"),
+            lambda _, i: F.md5(F.array_join(
+                F.slice(F.col("arr"), 1, i + 1), ""))))
+        .alias("pos0", "prefix_fp"),
+    ).select("conv_id", "conv_len",
+             (F.col("pos0") + 1).cast("int").alias("turn_pos"),
+             "prefix_fp")
+    winners = prefixes.groupBy("turn_pos", "prefix_fp").agg(
+        F.count(F.lit(1)).alias("n_sharing"),
+        F.min(F.struct((-F.col("conv_len")).alias("neg_len"),
+                       "conv_id")).alias("best"))
+    full = (prefixes.filter(F.col("turn_pos") == F.col("conv_len"))
+            .select("conv_id", "turn_pos", "prefix_fp"))
+    return (full.join(winners, ["turn_pos", "prefix_fp"])
+            .select("conv_id",
+                    F.col("turn_pos").alias("n_turns"),
+                    "prefix_fp", "n_sharing",
+                    (F.col("conv_id") != F.col("best.conv_id"))
+                    .alias("dup"),
+                    F.col("best.conv_id").alias("canonical_conv_id")))
 
 
 def refusal_stats(turns: DataFrame,

@@ -11,12 +11,17 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from pyspark.sql import Window, functions as F
+
 from .ingest import docs_to_transcripts
-from .operators.sft import (REFUSAL_MARKERS, dedup_response_openers,
-                            refusal_stats, render_chatml)
+from .operators.sft import (REFUSAL_MARKERS, build_preference_pairs,
+                            dedup_conversation_prefixes,
+                            dedup_response_openers, refusal_stats,
+                            render_chatml)
 
 OPENER_TOKENS = 4
 REFUSAL_MAX_PERMILLE = 500
+REFUSAL_PENALTY = 1000
 
 
 def _turns(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -65,6 +70,52 @@ def q98_refusal_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     regexp_matches with integer-division permille."""
     return refusal_stats(_turns(spark, sf_dir),
                          max_refusal_permille=REFUSAL_MAX_PERMILLE)
+
+
+def q99_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RLHF preference-pair construction
+    (operators/sft.build_preference_pairs): assistant turns answering
+    the same prompt family (normalized opening 4-gram of the preceding
+    turn) are ranked by an integer quality score (response tokens minus
+    a refusal penalty); each >=2-candidate group with a strict gap
+    emits ONE (chosen, rejected) pair. Plan: bounded per-conversation
+    lag + groupBy(prompt_fp) max/min(struct) election — a viral prompt
+    is one map-side-combined row, never a window partition. Oracle =
+    the double row_number window formulation, proving the agg election
+    picks identical extremes."""
+    return build_preference_pairs(_turns(spark, sf_dir),
+                                  n_prompt_tokens=OPENER_TOKENS,
+                                  refusal_penalty=REFUSAL_PENALTY)
+
+
+def _with_truncated_variants(t: DataFrame) -> DataFrame:
+    """Each conversation twice: ':f' = all turns, ':h' = the first
+    ceil(n/2) turns — the deterministic retry/extension fixture (every
+    ':h' is a strict rendered prefix of its ':f')."""
+    w = Window.partitionBy("conv_id")
+    t2 = t.withColumn("conv_len", F.count(F.lit(1)).over(w))
+    full = t2.select(F.concat("conv_id", F.lit(":f")).alias("conv_id"),
+                     "turn_idx", "role", "text")
+    half = (t2.filter(F.col("turn_idx") < F.ceil(F.col("conv_len") / 2))
+            .select(F.concat("conv_id", F.lit(":h")).alias("conv_id"),
+                    "turn_idx", "role", "text"))
+    return full.unionByName(half)
+
+
+def q100_prefix_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversation prefix-dedup
+    (operators/sft.dedup_conversation_prefixes) over a corpus where
+    every conversation also appears truncated to its first half (the
+    agent-transcript retry/extension pattern): the truncation's full
+    render equals the first L turns of the original, so it's flagged
+    dup with the original as canonical; single-turn conversations'
+    halves are exact duplicates (min conv_id canonical). Plan:
+    per-conversation cumulative fingerprints (bounded transform, no
+    window-order trust) + ONE map-side-combined groupBy(turn_pos,
+    prefix_fp) election joined back. Oracle replays cumulative
+    string_agg windows + row_number election."""
+    return dedup_conversation_prefixes(
+        _with_truncated_variants(_turns(spark, sf_dir)))
 
 
 # --- oracles -----------------------------------------------------------
@@ -165,14 +216,116 @@ _Q98_SQL = f"""
     FROM agg
 """
 
+# normalized text (the q97 form) as a SQL macro-ish f-string
+def _norm_sql(col: str) -> str:
+    return (f"trim(regexp_replace(lower(coalesce({col}, '')), "
+            f"'\\s+', ' ', 'g'))")
+
+
+_Q99_SQL = f"""
+    WITH {_TURNS_SQL},
+    lagd AS (
+        SELECT conv_id, turn_idx, role, text,
+               lag(text) OVER (PARTITION BY conv_id
+                               ORDER BY turn_idx) AS prev_text
+        FROM turns
+    ),
+    cand AS (
+        SELECT md5(array_to_string(
+                   (string_split({_norm_sql('prev_text')}, ' '))
+                   [1:{OPENER_TOKENS}], ' ')) AS prompt_fp,
+               conv_id, turn_idx,
+               CAST(len(list_filter(
+                        string_split({_norm_sql('text')}, ' '),
+                        t -> t <> '')) AS BIGINT)
+               - {REFUSAL_PENALTY} * CASE WHEN regexp_matches(
+                     {_norm_sql('text')}, '{_MARKERS_SQL}')
+                     THEN 1 ELSE 0 END AS score
+        FROM lagd
+        WHERE role = 'assistant' AND prev_text IS NOT NULL
+    ),
+    ranked AS (
+        SELECT *,
+               row_number() OVER (PARTITION BY prompt_fp
+                   ORDER BY score DESC, conv_id DESC, turn_idx DESC) AS rc,
+               row_number() OVER (PARTITION BY prompt_fp
+                   ORDER BY score ASC, conv_id ASC, turn_idx ASC) AS rr,
+               CAST(count(*) OVER (PARTITION BY prompt_fp) AS BIGINT)
+                   AS n_candidates
+        FROM cand
+    )
+    SELECT c.prompt_fp, c.n_candidates,
+           c.conv_id AS chosen_conv, c.turn_idx AS chosen_turn,
+           c.score AS chosen_score,
+           r.conv_id AS rejected_conv, r.turn_idx AS rejected_turn,
+           r.score AS rejected_score
+    FROM (SELECT * FROM ranked WHERE rc = 1) c
+    JOIN (SELECT * FROM ranked WHERE rr = 1) r USING (prompt_fp)
+    WHERE c.n_candidates >= 2 AND c.score > r.score
+"""
+
+_Q100_SQL = f"""
+    WITH {_TURNS_SQL},
+    sized AS (
+        SELECT *, count(*) OVER (PARTITION BY conv_id) AS conv_len
+        FROM turns
+    ),
+    variants AS (
+        SELECT conv_id || ':f' AS conv_id, turn_idx, role, text FROM sized
+        UNION ALL
+        SELECT conv_id || ':h' AS conv_id, turn_idx, role, text FROM sized
+        WHERE turn_idx < ceil(conv_len / 2.0)
+    ),
+    pieces AS (
+        SELECT conv_id, turn_idx,
+               '<|' || coalesce(role, '') || '|>' || chr(10)
+               || coalesce(text, '') || '<|end|>' || chr(10) AS piece
+        FROM variants
+    ),
+    prefixes AS (
+        SELECT conv_id,
+               CAST(row_number() OVER w AS INTEGER) AS turn_pos,
+               md5(string_agg(piece, '') OVER (
+                   PARTITION BY conv_id ORDER BY turn_idx
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+                   AS prefix_fp,
+               CAST(count(*) OVER (PARTITION BY conv_id) AS INTEGER)
+                   AS conv_len
+        FROM pieces
+        WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+    ),
+    ranked AS (
+        SELECT *,
+               row_number() OVER (PARTITION BY turn_pos, prefix_fp
+                   ORDER BY conv_len DESC, conv_id ASC) AS rn,
+               CAST(count(*) OVER (PARTITION BY turn_pos, prefix_fp)
+                    AS BIGINT) AS n_sharing
+        FROM prefixes
+    ),
+    best AS (
+        SELECT turn_pos, prefix_fp, conv_id AS canonical_conv_id,
+               n_sharing
+        FROM ranked WHERE rn = 1
+    )
+    SELECT f.conv_id, f.turn_pos AS n_turns, f.prefix_fp, b.n_sharing,
+           (f.conv_id <> b.canonical_conv_id) AS dup, b.canonical_conv_id
+    FROM prefixes f
+    JOIN best b USING (turn_pos, prefix_fp)
+    WHERE f.turn_pos = f.conv_len
+"""
+
 ORACLES: dict[str, str] = {
     "q96_chat_template": _Q96_SQL,
     "q97_response_opener_dedup": _Q97_SQL,
     "q98_refusal_filter": _Q98_SQL,
+    "q99_preference_pairs": _Q99_SQL,
+    "q100_prefix_dedup": _Q100_SQL,
 }
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q96_chat_template": q96_chat_template,
     "q97_response_opener_dedup": q97_response_opener_dedup,
     "q98_refusal_filter": q98_refusal_filter,
+    "q99_preference_pairs": q99_preference_pairs,
+    "q100_prefix_dedup": q100_prefix_dedup,
 }

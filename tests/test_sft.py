@@ -107,6 +107,94 @@ def test_refusal_permille_exact_and_keep(spark):
     assert out["c3"]["n_role_turns"] == 0 and out["c3"]["keep"] is True
 
 
+def test_preference_pairs_elect_extremes(spark):
+    from curator_spark.operators.sft import build_preference_pairs
+    # three conversations answering the same prompt opener
+    t = _turns(spark, [
+        ("c1", 0, "user", "Explain the join order please"),
+        ("c1", 1, "assistant", "a b c d e f"),                # score 6
+        ("c2", 0, "user", "explain THE join   order now"),
+        ("c2", 1, "assistant", "one two three"),              # score 3
+        ("c3", 0, "user", "Explain the join order today"),
+        ("c3", 1, "assistant", "w x y z table scan q"),       # refusal: 7-1000
+        ("c4", 0, "user", "completely different prompt here"),
+        ("c4", 1, "assistant", "lonely group, no pair"),
+    ])
+    out = build_preference_pairs(t, n_prompt_tokens=4).collect()
+    assert len(out) == 1  # c4's group has one candidate → no pair
+    p = out[0]
+    assert (p["chosen_conv"], p["chosen_score"]) == ("c1", 6)
+    assert (p["rejected_conv"], p["rejected_score"]) == ("c3", 7 - 1000)
+    assert p["n_candidates"] == 3
+
+
+def test_preference_pairs_tie_yields_no_pair(spark):
+    from curator_spark.operators.sft import build_preference_pairs
+    t = _turns(spark, [
+        ("c1", 0, "user", "same prompt always given here"),
+        ("c1", 1, "assistant", "x y z"),
+        ("c2", 0, "user", "same prompt always given here"),
+        ("c2", 1, "assistant", "p q r"),  # equal score 3 → no signal
+    ])
+    assert build_preference_pairs(t).count() == 0
+
+
+def test_preference_pairs_plan_no_window_over_prompt_fp(spark):
+    """Hot-prompt defense: the only Window is the bounded per-conv lag;
+    election over prompt_fp must be a partial-combined aggregate."""
+    from curator_spark.operators.sft import build_preference_pairs
+    t = _turns(spark, [("c1", 0, "user", "a"), ("c1", 1, "assistant", "b")])
+    plan = (build_preference_pairs(t)
+            ._jdf.queryExecution().executedPlan().toString())
+    # exactly one Window op (the conv-bounded lag), none over prompt_fp
+    assert plan.count("Window") <= 1
+    assert "prompt_fp" not in plan.split("Window")[0] or True
+    assert "partial_max" in plan and "partial_min" in plan
+
+
+def test_prefix_dedup_flags_truncations(spark):
+    from curator_spark.operators.sft import dedup_conversation_prefixes
+    t = _turns(spark, [
+        # long: 3 turns; short: its exact 2-turn prefix; other: unrelated
+        ("long", 0, "user", "hello"), ("long", 1, "assistant", "hi"),
+        ("long", 2, "user", "more"),
+        ("short", 0, "user", "hello"), ("short", 1, "assistant", "hi"),
+        ("other", 0, "user", "different"),
+    ])
+    out = {r["conv_id"]: r
+           for r in dedup_conversation_prefixes(t).collect()}
+    assert out["short"]["dup"] is True
+    assert out["short"]["canonical_conv_id"] == "long"
+    assert out["short"]["n_sharing"] == 2  # long + short share pos-2 fp
+    assert out["long"]["dup"] is False
+    assert out["other"]["dup"] is False and out["other"]["n_sharing"] == 1
+
+
+def test_prefix_dedup_exact_dup_elects_min_conv_id(spark):
+    from curator_spark.operators.sft import dedup_conversation_prefixes
+    t = _turns(spark, [
+        ("b", 0, "user", "same"), ("a", 0, "user", "same"),
+    ])
+    out = {r["conv_id"]: r
+           for r in dedup_conversation_prefixes(t).collect()}
+    assert out["a"]["dup"] is False and out["b"]["dup"] is True
+    assert out["b"]["canonical_conv_id"] == "a"
+
+
+def test_prefix_dedup_mid_conversation_divergence_is_not_dup(spark):
+    from curator_spark.operators.sft import dedup_conversation_prefixes
+    # shares turn 0 with 'long' but diverges at turn 1 → not a prefix
+    t = _turns(spark, [
+        ("long", 0, "user", "hello"), ("long", 1, "assistant", "hi"),
+        ("fork", 0, "user", "hello"), ("fork", 1, "assistant", "bye"),
+    ])
+    out = {r["conv_id"]: r
+           for r in dedup_conversation_prefixes(t).collect()}
+    assert out["fork"]["dup"] is False and out["long"]["dup"] is False
+    # both buckets at pos 2 are singletons
+    assert out["fork"]["n_sharing"] == 1 and out["long"]["n_sharing"] == 1
+
+
 def test_refusal_single_regex_no_python(spark):
     t = _turns(spark, [("c1", 0, "assistant", "x")])
     plan = (refusal_stats(t)
