@@ -126,14 +126,18 @@ DRIVER_WINDOW = [
     # preference-pair election, conversation prefix-dedup
     "q96_chat_template", "q97_response_opener_dedup",
     "q98_refusal_filter", "q99_preference_pairs", "q100_prefix_dedup",
-    # sampling / splits / mixtures (q46 fixed-rate and q59 stratified
-    # stay selfcheck-verified; q40/q82 cover the family in-window)
-    "q40_hash_split", "q82_temperature_mixture",
+    # agent-trajectory analytics over the tool/ts schema columns
+    "q101_tool_transitions", "q102_response_latency",
+    # sampling / splits / mixtures (q40 hash split, q46 fixed-rate and
+    # q59 stratified stay selfcheck-verified; q82 covers the family)
+    "q82_temperature_mixture",
     # table mutation verbs (the commitlog MERGE expression)
     "q83_merge_upsert",
     # corpus-scale training ops (incl. BPE tokenizer training, the
     # round-4 family; q86 corpus encode stays selfcheck-verified)
-    "q73_ngram_lm_train", "q74_feature_hash_embed", "q75_dsir_resample",
+    # (q74 feature-hash embeddings rotate to selfcheck — their
+    # consumers q49/q56/q61/q66 keep the embedding path in-window)
+    "q73_ngram_lm_train", "q75_dsir_resample",
     "q76_bm25_topk", "q77_langid_train", "q78_ccnet_lm_filter",
     "q79_source_classifier", "q85_bpe_train",
     # trained quality classifier (fixed-point distributed logreg)

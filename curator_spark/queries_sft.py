@@ -118,6 +118,62 @@ def q100_prefix_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         _with_truncated_variants(_turns(spark, sf_dir)))
 
 
+TS_BASE = 1_700_000_000
+TS_JITTER_MOD = 45
+LONG_PAUSE_S = 90
+
+
+def _bucket(tag: str):
+    """Engine-invariant per-turn hash (the q40 idiom): first 8 hex of
+    md5(conv_id:turn_idx:tag) as a long."""
+    return F.conv(F.substring(F.md5(F.concat_ws(
+        ":", F.col("conv_id"), F.col("turn_idx").cast("string"),
+        F.lit(tag))), 1, 8), 16, 10).cast("long")
+
+
+def _with_tools(t: DataFrame) -> DataFrame:
+    """Deterministic tool enrichment for the documents-derived
+    transcripts (whose tool column is NULL): 2/3 of assistant turns
+    invoke one of four tools, drawn from the turn's md5 — a pure
+    function of (conv_id, turn_idx), replayed verbatim by the oracle.
+    Real transcript tables (the fixtures, coerce_to_transcripts inputs)
+    carry tool natively; the operator takes it as given."""
+    b = _bucket("tool")
+    return t.withColumn(
+        "tool",
+        F.when((F.col("role") == "assistant") & (b % 3 != 0),
+               F.concat(F.lit("tool_"), (b % 4).cast("string"))))
+
+
+def q101_tool_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Agent tool-transition matrix
+    (operators/trajectory.tool_transitions): every tool invocation
+    pairs with the previous tool in its conversation ('<start>' for
+    the first) and each (src, dst) edge is counted — k² rows however
+    large the corpus, the structure trajectory-quality filters act on.
+    Plan: narrow filter + bounded per-conv lag + ONE map-side-combined
+    groupBy. Oracle replays the md5 tool draw and the lag window."""
+    from .operators.trajectory import tool_transitions
+    return tool_transitions(_with_tools(_turns(spark, sf_dir)))
+
+
+def q102_response_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-conversation response-latency profile
+    (operators/trajectory.response_latency): assistant-turn latency =
+    ts minus the previous turn's ts in integer epoch seconds
+    (deterministic md5-jittered timestamps: base + 60·turn_idx +
+    md5 % 45); one row per conversation with n_responses,
+    sum/max latency and long-pause count — the stalled/runaway-session
+    quality axis. Plan: bounded per-conv lag + ONE map-side-combined
+    groupBy(conv_id). Oracle replays the jitter arithmetic and lag."""
+    from .operators.trajectory import response_latency
+    t = _turns(spark, sf_dir).withColumn(
+        "ts", F.timestamp_seconds(
+            F.lit(TS_BASE) + F.col("turn_idx").cast("long") * 60
+            + _bucket("ts") % TS_JITTER_MOD))
+    return response_latency(t, long_pause_s=LONG_PAUSE_S)
+
+
 # --- oracles -----------------------------------------------------------
 
 # documents → transcripts derivation (the q55 CTE: 12-token turns,
@@ -314,12 +370,63 @@ _Q100_SQL = f"""
     WHERE f.turn_pos = f.conv_len
 """
 
+_BUCKET_SQL = ("('0x' || substr(md5(conv_id || ':' || turn_idx::VARCHAR "
+               "|| ':{tag}'), 1, 8))::BIGINT")
+
+_Q101_SQL = f"""
+    WITH {_TURNS_SQL},
+    toolcalls AS (
+        SELECT conv_id, turn_idx,
+               'tool_' || ({_BUCKET_SQL.format(tag='tool')} % 4)::VARCHAR
+                   AS tool
+        FROM turns
+        WHERE role = 'assistant'
+          AND {_BUCKET_SQL.format(tag='tool')} % 3 <> 0
+    ),
+    edges AS (
+        SELECT coalesce(lag(tool) OVER (PARTITION BY conv_id
+                                        ORDER BY turn_idx),
+                        '<start>') AS src_tool,
+               tool AS dst_tool
+        FROM toolcalls
+    )
+    SELECT src_tool, dst_tool, CAST(count(*) AS BIGINT) AS n_transitions
+    FROM edges GROUP BY src_tool, dst_tool
+"""
+
+_Q102_SQL = f"""
+    WITH {_TURNS_SQL},
+    stamped AS (
+        SELECT conv_id, turn_idx, role,
+               {TS_BASE} + CAST(turn_idx AS BIGINT) * 60
+               + {_BUCKET_SQL.format(tag='ts')} % {TS_JITTER_MOD} AS ts_s
+        FROM turns
+    ),
+    lat AS (
+        SELECT conv_id, role,
+               ts_s - lag(ts_s) OVER (PARTITION BY conv_id
+                                      ORDER BY turn_idx) AS lat
+        FROM stamped
+    )
+    SELECT conv_id,
+           CAST(count(*) AS BIGINT) AS n_responses,
+           CAST(sum(lat) AS BIGINT) AS sum_latency_s,
+           CAST(max(lat) AS BIGINT) AS max_latency_s,
+           CAST(sum(CASE WHEN lat > {LONG_PAUSE_S} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_long_pauses
+    FROM lat
+    WHERE role = 'assistant' AND lat IS NOT NULL
+    GROUP BY conv_id
+"""
+
 ORACLES: dict[str, str] = {
     "q96_chat_template": _Q96_SQL,
     "q97_response_opener_dedup": _Q97_SQL,
     "q98_refusal_filter": _Q98_SQL,
     "q99_preference_pairs": _Q99_SQL,
     "q100_prefix_dedup": _Q100_SQL,
+    "q101_tool_transitions": _Q101_SQL,
+    "q102_response_latency": _Q102_SQL,
 }
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -328,4 +435,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q98_refusal_filter": q98_refusal_filter,
     "q99_preference_pairs": q99_preference_pairs,
     "q100_prefix_dedup": q100_prefix_dedup,
+    "q101_tool_transitions": q101_tool_transitions,
+    "q102_response_latency": q102_response_latency,
 }
