@@ -154,11 +154,16 @@ DRIVER_WINDOW = [
     # corpus statistics / indexing (q60 PMI rotates to selfcheck — q62
     # keeps the family's driver row)
     "q62_inverted_index",
+    # blocked edit-distance join (symmetric-delete neighborhoods +
+    # exact levenshtein verify) — the approximate-string-join family
+    "q103_fuzzy_join",
     # relational surface representatives (q03/q06/q80 rotate to
     # selfcheck — broadcast/semi/anti/agg shapes stay covered by
-    # q27/q71/q81; the window stays ≤50 with every family represented)
+    # q27/q71/q81; q64's range join rotates to selfcheck, q28 keeps
+    # the temporal-join family's row; the window stays ≤50 with every
+    # family represented)
     "q11_sessionize", "q27_rollup_revenue", "q28_asof_join",
-    "q64_session_range_join", "q71_salted_join",
+    "q71_salted_join",
     "q81_conversion_funnel",
 ]
 

@@ -152,6 +152,86 @@ def q88_remove_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
                                         min_df=2)
 
 
+FUZZY_SALT = "fz-v1"
+FUZZY_KEY_LEN = 16
+
+
+def _fuzzy_sides(spark: SparkSession, sf_dir: str):
+    """Left = each doc's 16-char lowercased text prefix; right = the
+    same key with ONE deterministic md5-chosen edit (substitute 'q' /
+    delete / insert 'x' at an md5-chosen position). Both derivations
+    are plain column expressions replicated literally in the oracle
+    SQL, so the join is exercised on every edit kind."""
+    docs = _docs(spark, sf_dir)
+    key = F.lower(F.substring("text", 1, FUZZY_KEY_LEN))
+    left = docs.select(F.col("doc_id").alias("l_id"), key.alias("l_key"))
+    h = F.md5(F.concat(F.col("doc_id").cast("string"),
+                       F.lit(":" + FUZZY_SALT)))
+    a = F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+    b = F.conv(F.substring(h, 9, 4), 16, 10).cast("long")
+    k = key
+    n = F.length(k)
+    p = (a % n).cast("int")  # 0-based edit position
+    head = F.substring(k, F.lit(1), p)
+    sub = F.concat(head, F.lit("q"), F.substring(k, p + 2, n))
+    dele = F.concat(head, F.substring(k, p + 2, n))
+    ins = F.concat(head, F.lit("x"), F.substring(k, p + 1, n))
+    corrupted = (F.when(b % 3 == 0, sub)
+                 .when(b % 3 == 1, dele)
+                 .otherwise(ins))
+    right = docs.select(F.col("doc_id").alias("r_id"),
+                        corrupted.alias("r_key"))
+    return left, right
+
+
+def q103_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked edit-distance join (operators/fuzzy.fuzzy_join): all
+    (clean-key, corrupted-key) pairs within Levenshtein distance 1 via
+    symmetric-delete neighborhood blocking — explode both sides into
+    {self + single-char deletions}, equi-join on the variant, verify
+    candidates with exact JVM levenshtein. No stage forms a product
+    (plan-asserted); recall is exact by the pigeonhole argument in the
+    operator docstring. Oracle = the brute-force cross join with the
+    same levenshtein predicate, exact at oracle scale."""
+    from .operators.fuzzy import fuzzy_join
+    left, right = _fuzzy_sides(spark, sf_dir)
+    return fuzzy_join(left, right)
+
+
+_FUZZY_SQL = f"""
+    WITH l AS (
+        SELECT doc_id AS l_id,
+               lower(substr(text, 1, {FUZZY_KEY_LEN})) AS l_key
+        FROM documents
+    ), seed AS (
+        SELECT doc_id AS r_id,
+               lower(substr(text, 1, {FUZZY_KEY_LEN})) AS k,
+               ('0x' || substr(md5(doc_id::VARCHAR || ':{FUZZY_SALT}'),
+                               1, 8))::BIGINT AS a,
+               ('0x' || substr(md5(doc_id::VARCHAR || ':{FUZZY_SALT}'),
+                               9, 4))::BIGINT AS b
+        FROM documents
+    ), r AS (
+        SELECT r_id,
+               CASE
+                 WHEN b % 3 = 0 THEN
+                   substr(k, 1, (a % length(k))::INT) || 'q'
+                   || substr(k, (a % length(k))::INT + 2, length(k))
+                 WHEN b % 3 = 1 THEN
+                   substr(k, 1, (a % length(k))::INT)
+                   || substr(k, (a % length(k))::INT + 2, length(k))
+                 ELSE
+                   substr(k, 1, (a % length(k))::INT) || 'x'
+                   || substr(k, (a % length(k))::INT + 1, length(k))
+               END AS r_key
+        FROM seed
+    )
+    SELECT l_id, r_id, levenshtein(l_key, r_key) AS dist
+    FROM l CROSS JOIN r
+    WHERE levenshtein(l_key, r_key) <= 1
+"""
+
+
 def q51_dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicated-span statistics (operators/dedup.duplicate_span_stats):
     per doc, the fraction of its distinct word n-grams occurring in >= 2
@@ -1184,6 +1264,7 @@ ORACLES: dict[str, str] = {
     "q63_bloom_decontaminate": _DECONTAM_SQL,
     "q65_pq_encode": _PQ_SQL,
     "q66_ivfpq_search": _IVFPQ_SQL,
+    "q103_fuzzy_join": _FUZZY_SQL,
 }
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -1214,4 +1295,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q66_ivfpq_search": q66_ivfpq_search,
     "q70_remove_boilerplate": q70_remove_boilerplate,
     "q88_remove_dup_spans": q88_remove_dup_spans,
+    "q103_fuzzy_join": q103_fuzzy_join,
 }
