@@ -76,21 +76,18 @@ def flag_against_index(spark: SparkSession, docs: DataFrame, path: str,
             .na.fill(False, ["known_neardup"]))
 
 
-def incremental_neardup(spark: SparkSession, docs: DataFrame, path: str,
-                        text_col: str = "text", id_col: str = "doc_id",
-                        n: int = 5) -> DataFrame:
-    """Dedup a new batch against the index AND within itself, then
-    append the survivors' signatures so the next batch sees them.
-
-    Returns (id, known_neardup, batch_dup, no_signature, novel):
-    `known_neardup` = collides with indexed content, `batch_dup` = a
-    lower-id batch doc shares a band with it, `no_signature` = the doc
-    is shorter than the shingle width and produced no signature (it
-    can never be indexed, so it is excluded from `novel` — otherwise
-    every replay would re-flag it as new content and the idempotence
-    contract below would break), `novel` = none of the above (exactly
-    these were appended). Work is proportional to the batch; the index
-    is only ever probed and appended, never rewritten."""
+def probe_neardup(spark: SparkSession, docs: DataFrame, path: str,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  n: int = 5) -> tuple[DataFrame, DataFrame]:
+    """The probe half of incremental_neardup, WITHOUT the index
+    mutation: returns (verdicts, novel_bands), both eagerly
+    materialized with lineage severed from the index path, so the
+    caller can sequence durable writes BEFORE the index append (the
+    streaming sink does: survivors → commit marker → index; see
+    streaming/neardup_stream.py for why that order bounds every crash
+    window to recall loss). Appending `novel_bands` to the index is
+    the caller's second step — or use incremental_neardup for the
+    one-call batch shape."""
     bands = minhash_bands(docs, text_col, id_col, n).persist()
     try:
         idx = _read_index(spark, path)
@@ -124,11 +121,43 @@ def incremental_neardup(spark: SparkSession, docs: DataFrame, path: str,
         out = out.localCheckpoint(eager=True)
         novel_bands = (bands.join(
             out.filter("novel").select(id_col), id_col, "left_semi")
-            .select("band", "band_key", F.col(id_col).alias("doc_id")))
-        novel_bands.write.partitionBy("band").mode("append").parquet(path)
-        return out
+            .select("band", "band_key", F.col(id_col).alias("doc_id"))
+            .localCheckpoint(eager=True))
+        return out, novel_bands
     finally:
         bands.unpersist()
+
+
+def append_to_index(novel_bands: DataFrame, path: str) -> None:
+    """Append a probe's novel signatures so the next batch sees them.
+    Plain parquet append — replaying the same novel docs after a
+    successful append is harmless (they probe as known and produce an
+    empty novel set), but a crash BEFORE this call leaves them
+    unindexed: reduced recall for those docs only, never false flags
+    (module docstring; route through the commitlog for transactional
+    appends)."""
+    novel_bands.write.partitionBy("band").mode("append").parquet(path)
+
+
+def incremental_neardup(spark: SparkSession, docs: DataFrame, path: str,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        n: int = 5) -> DataFrame:
+    """Dedup a new batch against the index AND within itself, then
+    append the survivors' signatures so the next batch sees them.
+
+    Returns (id, known_neardup, batch_dup, no_signature, novel):
+    `known_neardup` = collides with indexed content, `batch_dup` = a
+    lower-id batch doc shares a band with it, `no_signature` = the doc
+    is shorter than the shingle width and produced no signature (it
+    can never be indexed, so it is excluded from `novel` — otherwise
+    every replay would re-flag it as new content and the idempotence
+    contract below would break), `novel` = none of the above (exactly
+    these were appended). Work is proportional to the batch; the index
+    is only ever probed and appended, never rewritten."""
+    out, novel_bands = probe_neardup(spark, docs, path, text_col,
+                                     id_col, n)
+    append_to_index(novel_bands, path)
+    return out
 
 
 def index_stats(spark: SparkSession, path: str) -> dict:
