@@ -145,8 +145,9 @@ DRIVER_WINDOW = [
     # text analysis (q44 BPE token counts and q16 fingerprinting stay
     # selfcheck-verified; q72 fertility covers tokenization in-window)
     # (q68 repetition stats rotates to selfcheck — the repetition
-    # family keeps q88/q91 driver rows)
-    "q14_doc_quality",
+    # family keeps q88/q91 driver rows; q14 doc quality rotates to
+    # selfcheck — q00 + q92 keep the quality-scoring family's rows)
+    "q104_pii_pseudonymize",
     "q67_luhn_cc_scrub", "q72_tokenizer_fertility",
     "q45_sketch_accuracy",
     # distributed total order (no single-task global window)

@@ -89,3 +89,70 @@ def luhn_check_digit_expr(digits15: Column) -> Column:
     number, hence shift=1 into the shared fold."""
     s = _luhn_sum_expr(digits15, shift=1)
     return (10 - (s % 10)) % 10
+
+
+# ---------------------------------------------------------------------------
+# Consistent pseudonymization: entity -> stable per-group alias.
+# ---------------------------------------------------------------------------
+
+EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+
+
+def pseudonymize(df: DataFrame, group_col: str, order_col: str,
+                 text_col: str = "text",
+                 pattern: str = EMAIL_PATTERN,
+                 label: str = "EMAIL") -> DataFrame:
+    """Rewrite every PII entity as a STABLE per-group alias
+    (``<EMAIL_1>``, ``<EMAIL_2>`` …), numbered by first occurrence in
+    (order_col, position-within-text) order — so the same address
+    maps to the same alias in every turn of a conversation, and two
+    different addresses never collapse. Uniform masking (rules.py's
+    ``<EMAIL>``) destroys exactly the who-said-what-to-whom structure
+    that conversation analytics and SFT exports need; consistent
+    pseudonymization removes the identifier and keeps the structure
+    (the k-anonymity-style trade GDPR literature calls
+    pseudonymisation, and the reference's scrub category implies for
+    multi-turn payloads).
+
+    All column expressions (regexp_extract_all / posexplode / window /
+    aggregate-fold + replace) — whole-stage codegen, no UDF. Plan:
+    one groupBy on (group, entity) + ONE window per group over the
+    DISTINCT ENTITIES of that group (bounded by vocabulary, not by
+    turns — a million-turn conversation with 40 addresses ranks 40
+    rows, so the per-group sort is skew-immune where ranking TURNS
+    would not be), a broadcast-size pairs table joined back, and a
+    fold over ≤ n_entities replacements per row.
+
+    Replacements fold longest-entity-first, so an entity that is a
+    substring of another can never corrupt the longer one's alias.
+    Adds `pseudo_text`; other columns pass through.
+    """
+    g, o, t = F.col(group_col), F.col(order_col), F.col(text_col)
+    ents = df.select(
+        g.alias("_g"), o.alias("_o"),
+        F.posexplode(F.regexp_extract_all(t, F.lit(pattern), F.lit(0)))
+        .alias("_pos", "_entity"))
+    # first occurrence, encoded as one orderable integer (position
+    # within a text is < 1000 entities; order_col is the turn index)
+    first = (ents.groupBy("_g", "_entity")
+             .agg(F.min(F.col("_o") * 1000 + F.col("_pos") + 1)
+                  .alias("_fo")))
+    from pyspark.sql import Window
+    w = Window.partitionBy("_g").orderBy("_fo", "_entity")
+    aliased = first.withColumn("_k", F.row_number().over(w))
+    pair = F.concat(F.col("_entity"), F.lit("|<" + label + "_"),
+                    F.col("_k").cast("string"), F.lit(">"))
+    pairs = (aliased.groupBy("_g")
+             .agg(F.transform(
+                 F.sort_array(F.collect_list(F.struct(
+                     (-F.length("_entity")).alias("nl"),
+                     F.col("_k").alias("k"), pair.alias("p")))),
+                 lambda s: s["p"]).alias("_pairs")))
+    joined = df.join(pairs, on=df[group_col] == pairs["_g"], how="left")
+    rewritten = F.aggregate(
+        F.coalesce(F.col("_pairs"), F.array().cast("array<string>")),
+        t,
+        lambda acc, p: F.replace(acc, F.split_part(p, F.lit("|"), F.lit(1)),
+                                 F.split_part(p, F.lit("|"), F.lit(2))))
+    return (joined.withColumn("pseudo_text", rewritten)
+            .drop("_g", "_pairs"))

@@ -1861,7 +1861,110 @@ def q77_langid_train(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("rank").cast("int").alias("rank")))
 
 
+PSEUDO_SALT = "ps-v1"
+PSEUDO_CONVS = 100
+
+
+def _pseudo_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic multi-turn PII fixture: docs become turns of
+    conv `doc_id % 100`; each turn's text gets 1-2 emails drawn from
+    the conversation's 7-address pool (md5-chosen), so the SAME
+    address recurs across turns of a conversation — the consistency
+    the operator must preserve — while pools differ across
+    conversations. Replicated literally in the oracle SQL."""
+    docs = _t(spark, sf_dir, "documents")
+    h = F.md5(F.concat(F.col("doc_id").cast("string"),
+                       F.lit(":" + PSEUDO_SALT)))
+    a = F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+    b = F.conv(F.substring(h, 9, 4), 16, 10).cast("long")
+    conv = (F.col("doc_id") % PSEUDO_CONVS).alias("conv_id")
+    cs = F.col("conv_id").cast("string")
+    em1 = F.concat(F.lit("user"), (a % 7).cast("string"),
+                   F.lit("@ex"), cs, F.lit(".com"))
+    em2 = F.concat(F.lit("user"), (b % 7).cast("string"),
+                   F.lit("@ex"), cs, F.lit(".com"))
+    base = F.array_join(F.slice(F.filter(F.split(F.col("text"), " "),
+                                         lambda t: t != ""), 1, 8), " ")
+    text2 = F.concat(base, F.lit(" reach me at "), em1,
+                     F.when(b % 2 == 0, F.concat(F.lit(" or "), em2))
+                     .otherwise(F.lit("")))
+    return (docs.select("doc_id", conv, "text")
+            .select("conv_id", F.col("doc_id").alias("turn_id"),
+                    text2.alias("text")))
+
+
+def q104_pii_pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consistent PII pseudonymization (operators/pii.pseudonymize):
+    every email in a conversation is rewritten as a STABLE per-conv
+    alias (<EMAIL_k>, numbered by first occurrence), so identity
+    structure survives scrubbing — the upgrade over rules.py's
+    uniform <EMAIL> masking. Whole plan is codegen'd expressions:
+    one (conv, entity) groupBy, a per-conv rank over DISTINCT
+    entities (bounded by vocabulary, skew-immune), broadcast pairs
+    join, longest-first replacement fold. Oracle replays the fixture
+    and the numbering/fold rules in DuckDB and the rewritten text is
+    hash-verified byte-exact."""
+    from .operators.pii import pseudonymize
+    turns = _pseudo_turns(spark, sf_dir)
+    return (pseudonymize(turns, "conv_id", "turn_id")
+            .select("conv_id", "turn_id", "pseudo_text"))
+
+
+_PSEUDO_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+
+_PSEUDO_SQL = f"""
+    WITH seed AS (
+        SELECT doc_id, doc_id % {PSEUDO_CONVS} AS conv_id,
+               ('0x' || substr(md5(doc_id::VARCHAR || ':{PSEUDO_SALT}'),
+                               1, 8))::BIGINT AS a,
+               ('0x' || substr(md5(doc_id::VARCHAR || ':{PSEUDO_SALT}'),
+                               9, 4))::BIGINT AS b,
+               array_to_string(
+                   list_filter(string_split(text, ' '),
+                               w -> w <> '')[1:8], ' ') AS base
+        FROM documents
+    ), turns AS (
+        SELECT conv_id, doc_id AS turn_id,
+               base || ' reach me at '
+               || 'user' || (a % 7)::VARCHAR || '@ex'
+               || conv_id::VARCHAR || '.com'
+               || CASE WHEN b % 2 = 0 THEN
+                    ' or user' || (b % 7)::VARCHAR || '@ex'
+                    || conv_id::VARCHAR || '.com'
+                  ELSE '' END AS text
+        FROM seed
+    ), ents AS (
+        SELECT conv_id, turn_id,
+               u.s['i'] AS pos, u.s['e'] AS entity
+        FROM turns,
+             unnest(list_transform(
+                 regexp_extract_all(text, '{_PSEUDO_RE}'),
+                 (el, ix) -> {{'e': el, 'i': ix}})) AS u(s)
+    ), fo AS (
+        SELECT conv_id, entity, min(turn_id * 1000 + pos) AS fo
+        FROM ents GROUP BY conv_id, entity
+    ), aliased AS (
+        SELECT conv_id, entity,
+               row_number() OVER (PARTITION BY conv_id
+                                  ORDER BY fo, entity) AS k
+        FROM fo
+    ), pairs AS (
+        SELECT conv_id,
+               list(entity || '|<EMAIL_' || k::VARCHAR || '>'
+                    ORDER BY len(entity) DESC, k) AS ps
+        FROM aliased GROUP BY conv_id
+    )
+    SELECT t.conv_id, t.turn_id,
+           list_reduce(
+               list_prepend(t.text, coalesce(p.ps, [])),
+               (acc, pr) -> replace(acc, split_part(pr, '|', 1),
+                                    split_part(pr, '|', 2))) AS pseudo_text
+    FROM turns t LEFT JOIN pairs p USING (conv_id)
+"""
+
+
 ORACLES: dict[str, str] = {
+    "q104_pii_pseudonymize": _PSEUDO_SQL,
     "q67_luhn_cc_scrub": _LUHN_CC_SQL,
     "q68_repetition_stats": _REPETITION_SQL,
     # the oracle for the SALTED join is the PLAIN join — identical
@@ -2918,6 +3021,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q43_window_breadth": q43_window_breadth,
     "q44_bpe_tokens": q44_bpe_tokens,
     "q67_luhn_cc_scrub": q67_luhn_cc_scrub,
+    "q104_pii_pseudonymize": q104_pii_pseudonymize,
     "q68_repetition_stats": q68_repetition_stats,
     "q71_salted_join": q71_salted_join,
     "q72_tokenizer_fertility": q72_tokenizer_fertility,
