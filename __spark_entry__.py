@@ -98,7 +98,11 @@ DRIVER_WINDOW = [
     # same verify stage in-window)
     "q17_exact_dedup", "q19_minhash_lsh",
     "q24_dedup_pipeline", "q31_conv_dedup",
-    "q39_dedup_components", "q47_decontaminate", "q70_remove_boilerplate",
+    "q39_dedup_components", "q47_decontaminate",
+    # winnowing (MOSS) positional fingerprints — the localizing sketch
+    # (q70 segment-removal rotates to selfcheck: the span family keeps
+    # q88 maximal spans + q91 paragraph dedup in-window)
+    "q105_winnow_pairs",
     # maximal-span substring removal (Lee et al. 2021) — the strongest
     # span-family representative; q51's span STATS stay selfcheck-run
     "q88_remove_dup_spans",

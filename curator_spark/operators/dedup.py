@@ -711,3 +711,96 @@ def contamination_stats(train: DataFrame, benchmark: DataFrame,
             F.round(F.col("n_contaminated")
                     / F.greatest("n_shingles", F.lit(1)), 4))
     )
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD 2003 — the
+# MOSS algorithm).
+# ---------------------------------------------------------------------------
+
+WINNOW_POS_BASE = 1_000_000  # docs are chunked well below 10^6 grams
+
+
+def winnow_fingerprints(docs: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id",
+                        k: int = 4, w: int = 8) -> DataFrame:
+    """Per-document winnowing fingerprints: hash every word k-gram,
+    slide a window of w consecutive gram hashes, select each window's
+    minimum (rightmost on ties — the classic rule), emit the DISTINCT
+    selected (hash, gram position) pairs.
+
+    Guarantees (the paper's): any shared substring of at least
+    w + k - 1 words produces at least one SHARED fingerprint, and the
+    expected density is 2/(w+1) — so fingerprints are a ~4x-reduced
+    (at w=8), position-robust sketch that LOCALIZES matches (MinHash
+    answers "how similar are these documents"; winnowing answers
+    "WHERE do they overlap", which is why MOSS uses it).
+
+    Plan shape: everything through selection is per-row array
+    expressions in codegen — gram hashing, windowed min, dedup all
+    happen inside one narrow map; ZERO shuffle until the caller joins
+    fingerprints. The tie rule is encoded arithmetically: each gram's
+    key is md5-prefix || zero-padded (BASE - position), so the
+    lexicographic array_min picks the smallest hash and, among equal
+    hashes, the largest position (rightmost). Both halves decode back
+    out of the selected key.
+
+    Documents shorter than k words have no grams and no fingerprints;
+    with 0 < m < w grams the single window is the whole gram list
+    (both guards matter: sequence(1, 0) DESCENDS and would fabricate
+    windows).
+    """
+    toks = tokens_expr(text_col)
+    m = F.greatest(F.size(toks) - (k - 1), F.lit(0))
+    grams = F.when(m > 0, F.transform(
+        F.sequence(F.lit(1), m),
+        lambda i: F.concat(
+            F.substring(F.md5(F.array_join(F.slice(toks, i, k), " ")),
+                        1, 8),
+            F.format_string("%07d", F.lit(WINNOW_POS_BASE) - i)),
+    )).otherwise(F.array().cast("array<string>"))
+    n_win = F.when(m == 0, F.lit(0)) \
+        .when(m < w, F.lit(1)).otherwise(m - (w - 1))
+    sel = F.when(n_win > 0, F.transform(
+        F.sequence(F.lit(1), F.greatest(n_win, F.lit(1))),
+        lambda j: F.array_min(F.slice(grams, j, w)),
+    )).otherwise(F.array().cast("array<string>"))
+    return (docs
+            .select(F.col(id_col), F.explode(sel).alias("_s"))
+            .select(
+                id_col,
+                F.substring("_s", 1, 8).alias("fp"),
+                (F.lit(WINNOW_POS_BASE)
+                 - F.substring("_s", 9, 7).cast("int")).alias("pos"))
+            .distinct())
+
+
+def winnow_pairs(docs: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id", k: int = 4, w: int = 8,
+                 min_shared: int = 2,
+                 max_df: int | None = None) -> DataFrame:
+    """Near-dup candidate pairs by shared winnowing fingerprints:
+    equi-join the fingerprint table with itself on the hash, count
+    shared fingerprints per (lower id, higher id) pair, keep pairs
+    with >= min_shared. One map-side-combined groupBy feeds one
+    equi-join — the LSH-band plan shape with a localizable sketch.
+
+    Skew: a boilerplate gram selected in millions of documents makes
+    its hash a quadratic bucket; max_df drops fingerprints whose
+    document frequency exceeds it BEFORE the self-join (same contract
+    as lsh_candidate_pairs(max_bucket): bounded recall loss on
+    boilerplate only, never false pairs).
+    """
+    fps = winnow_fingerprints(docs, text_col, id_col, k, w) \
+        .select(id_col, "fp").distinct()
+    if max_df is not None:
+        ok = (fps.groupBy("fp").count()
+              .filter(F.col("count") <= max_df).select("fp"))
+        fps = fps.join(ok, "fp")
+    a = fps.select(F.col(id_col).alias("a"), "fp")
+    b = fps.select(F.col(id_col).alias("b"), "fp")
+    return (a.join(b, "fp")
+            .filter(F.col("a") < F.col("b"))
+            .groupBy("a", "b")
+            .agg(F.count(F.lit(1)).alias("shared"))
+            .filter(F.col("shared") >= min_shared))

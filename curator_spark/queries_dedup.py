@@ -152,6 +152,62 @@ def q88_remove_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
                                         min_df=2)
 
 
+WINNOW_K = 4
+WINNOW_W = 8
+WINNOW_MIN_SHARED = 2
+
+
+def q105_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing near-dup pairs (operators/dedup.winnow_pairs; MOSS,
+    Schleimer et al. 2003): per-doc windowed-min k-gram fingerprints
+    (rightmost-min tie rule, guaranteed to hit any shared >= w+k-1
+    word substring, density 2/(w+1)) selected entirely inside one
+    narrow map, then one fingerprint equi-join + pair count. The
+    positional sketch complement of q19's MinHash (global similarity)
+    — winnowing localizes WHERE documents overlap. Oracle replays
+    gram hashing, the arithmetic tie encoding, window mins, and the
+    pair count in DuckDB list functions."""
+    return dedup.winnow_pairs(_docs(spark, sf_dir), k=WINNOW_K,
+                              w=WINNOW_W, min_shared=WINNOW_MIN_SHARED)
+
+
+_WINNOW_SQL = f"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split(lower(text), ' '),
+                           t -> t <> '') AS toks
+        FROM documents
+    ), grams AS (
+        SELECT doc_id,
+               CASE WHEN len(toks) - {WINNOW_K - 1} > 0 THEN
+                 list_transform(
+                     range(1, len(toks) - {WINNOW_K - 1} + 1),
+                     i -> substr(md5(array_to_string(
+                              toks[i:i+{WINNOW_K - 1}], ' ')), 1, 8)
+                          || lpad((1000000 - i)::VARCHAR, 7, '0'))
+               ELSE [] END AS g
+        FROM toks
+    ), sel AS (
+        SELECT doc_id,
+               CASE WHEN len(g) = 0 THEN []
+                    WHEN len(g) < {WINNOW_W} THEN [list_min(g)]
+                    ELSE list_transform(
+                        range(1, len(g) - {WINNOW_W - 1} + 1),
+                        j -> list_min(g[j:j+{WINNOW_W - 1}]))
+               END AS s
+        FROM grams
+    ), fps AS (
+        SELECT DISTINCT doc_id, substr(u.s, 1, 8) AS fp
+        FROM sel, unnest(sel.s) AS u(s)
+    )
+    SELECT a.doc_id AS a, b.doc_id AS b,
+           count(*) AS shared
+    FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    HAVING count(*) >= {WINNOW_MIN_SHARED}
+"""
+
+
 FUZZY_SALT = "fz-v1"
 FUZZY_KEY_LEN = 16
 
@@ -1265,6 +1321,7 @@ ORACLES: dict[str, str] = {
     "q65_pq_encode": _PQ_SQL,
     "q66_ivfpq_search": _IVFPQ_SQL,
     "q103_fuzzy_join": _FUZZY_SQL,
+    "q105_winnow_pairs": _WINNOW_SQL,
 }
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -1296,4 +1353,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q70_remove_boilerplate": q70_remove_boilerplate,
     "q88_remove_dup_spans": q88_remove_dup_spans,
     "q103_fuzzy_join": q103_fuzzy_join,
+    "q105_winnow_pairs": q105_winnow_pairs,
 }
