@@ -130,3 +130,45 @@ def segment_conversations(turns: DataFrame, conv_col: str = "conv_id",
         return pdf[[f.name for f in out_schema.fields]]
 
     return base.groupBy(conv_col).applyInPandas(_seg, out_schema)
+
+
+def length_sorted_batches(docs: DataFrame, len_col: str = "n_tokens",
+                          id_col: str = "doc_id",
+                          batch_size: int = 32) -> DataFrame:
+    """Sorted (length-bucketed) batching with padding-waste accounting.
+
+    Batched inference and padded SFT training pay for every slot up to
+    the LONGEST sequence in the batch: arrival-order batches mix a
+    4k-token document with tweets and waste most of the compute as
+    pad tokens. The standard fix is sorted batching — order by length,
+    cut into fixed-size batches, so each batch's max ≈ its members.
+
+    This implements it with the scale-safe total order
+    (ranking.global_rank — range-bucketed parallel sorts, never a
+    single-task global window): rank by (length desc, id), batch
+    `(rank-1) div batch_size`, then one map-side-combined groupBy per
+    batch emitting the padding economics:
+
+      n_docs, max_len, sum_len, pad_waste = n_docs*max_len - sum_len
+
+    Deterministic (the id tiebreak), partitioning-invariant, and the
+    text column never moves — only (id, length) pairs shuffle.
+    Downstream schedulers shuffle the BATCHES (not the rows) to
+    de-correlate length and training step when that matters.
+    """
+    from .ranking import global_rank
+    ranked = global_rank(
+        docs.select(id_col, len_col), len_col,
+        order_by=[F.col(len_col).desc(), F.col(id_col)],
+        descending=True)
+    return (ranked
+            .withColumn("batch_id",
+                        ((F.col("rank") - 1) / batch_size)
+                        .cast("long"))
+            .groupBy("batch_id")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.max(len_col).alias("max_len"),
+                 F.sum(len_col).alias("sum_len"))
+            .withColumn("pad_waste",
+                        F.col("n_docs") * F.col("max_len")
+                        - F.col("sum_len")))

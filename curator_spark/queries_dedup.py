@@ -152,6 +152,47 @@ def q88_remove_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
                                         min_df=2)
 
 
+BATCH_SIZE = 32
+
+
+def q106_sorted_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-sorted batching + padding-waste accounting
+    (operators/packing.length_sorted_batches over the scale-safe
+    global_rank): rank docs by (token count desc, doc_id), cut into
+    32-doc batches, emit each batch's padding economics. The
+    inference/training-batch face of the packing family (q52 packs to
+    a token budget; this packs to a slot count and MEASURES the pad
+    waste sorted batching removes). Oracle = the plain global
+    row_number formulation, exact at oracle scale."""
+    from .operators.packing import length_sorted_batches
+    docs = _docs(spark, sf_dir)
+    toks = F.filter(F.split(F.lower(F.col("text")), " "),
+                    lambda t: t != "")
+    sized = docs.select("doc_id", F.size(toks).alias("n_tokens"))
+    return length_sorted_batches(sized, batch_size=BATCH_SIZE)
+
+
+_SORTED_BATCH_SQL = f"""
+    WITH sized AS (
+        SELECT doc_id,
+               len(list_filter(string_split(lower(text), ' '),
+                               t -> t <> '')) AS n_tokens
+        FROM documents
+    ), ranked AS (
+        SELECT doc_id, n_tokens,
+               row_number() OVER (ORDER BY n_tokens DESC, doc_id) AS r
+        FROM sized
+    )
+    SELECT ((r - 1) // {BATCH_SIZE})::BIGINT AS batch_id,
+           count(*) AS n_docs,
+           max(n_tokens) AS max_len,
+           sum(n_tokens)::BIGINT AS sum_len,
+           (count(*) * max(n_tokens) - sum(n_tokens))::BIGINT AS pad_waste
+    FROM ranked
+    GROUP BY 1
+"""
+
+
 WINNOW_K = 4
 WINNOW_W = 8
 WINNOW_MIN_SHARED = 2
@@ -1322,6 +1363,7 @@ ORACLES: dict[str, str] = {
     "q66_ivfpq_search": _IVFPQ_SQL,
     "q103_fuzzy_join": _FUZZY_SQL,
     "q105_winnow_pairs": _WINNOW_SQL,
+    "q106_sorted_batches": _SORTED_BATCH_SQL,
 }
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -1354,4 +1396,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q88_remove_dup_spans": q88_remove_dup_spans,
     "q103_fuzzy_join": q103_fuzzy_join,
     "q105_winnow_pairs": q105_winnow_pairs,
+    "q106_sorted_batches": q106_sorted_batches,
 }

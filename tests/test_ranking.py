@@ -77,3 +77,27 @@ def test_sorted_export_layout_is_globally_sorted(spark):
     pids = [r["pid"] for r in parts]
     assert pids == sorted(pids)
     assert len(set(pids)) > 1  # genuinely parallel layout
+
+def test_length_sorted_batches_cut_padding_waste(spark):
+    from curator_spark.operators.packing import length_sorted_batches
+    import pyspark.sql.functions as F
+    # lengths alternate tiny/huge by id, so ARRIVAL-order batches of 8
+    # each contain a huge doc (max=1000 every batch) while sorted
+    # batches isolate the huge ones
+    rows = [(i, 1000 if i % 2 == 0 else 10) for i in range(64)]
+    df = spark.createDataFrame(rows, ["doc_id", "n_tokens"])
+    out = length_sorted_batches(df, batch_size=8).toPandas()
+    assert int(out.n_docs.sum()) == 64
+    sorted_waste = int(out.pad_waste.sum())
+    naive = (df.withColumn("batch_id", (F.col("doc_id") / 8).cast("long"))
+             .groupBy("batch_id")
+             .agg(F.count(F.lit(1)).alias("n"), F.max("n_tokens").alias("mx"),
+                  F.sum("n_tokens").alias("sm"))
+             .withColumn("w", F.col("n") * F.col("mx") - F.col("sm"))
+             .agg(F.sum("w")).collect()[0][0])
+    assert sorted_waste == 0            # homogeneous batches pad nothing
+    assert naive == 8 * (1000 - 10) * 4  # every naive batch pads 4 tiny docs
+    # plan rides global_rank: never a single-partition global sort
+    plan = (length_sorted_batches(df, batch_size=8)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "SinglePartition" not in plan.split("HashAggregate")[0]
