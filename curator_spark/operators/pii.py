@@ -126,6 +126,11 @@ def pseudonymize(df: DataFrame, group_col: str, order_col: str,
     Replacements fold longest-entity-first, so an entity that is a
     substring of another can never corrupt the longer one's alias.
     Adds `pseudo_text`; other columns pass through.
+
+    The replacement pairs are encoded as `entity|alias` strings, so
+    `pattern` must not be able to match '|' (true for emails, phones,
+    SSNs, API keys — identifiers don't contain pipes; pick another
+    separator before reusing this for free-text entities).
     """
     g, o, t = F.col(group_col), F.col(order_col), F.col(text_col)
     ents = df.select(
