@@ -804,3 +804,36 @@ def winnow_pairs(docs: DataFrame, text_col: str = "text",
             .groupBy("a", "b")
             .agg(F.count(F.lit(1)).alias("shared"))
             .filter(F.col("shared") >= min_shared))
+
+
+def dedup_by_priority(docs: DataFrame, key_col: str,
+                      priority_col: str, id_col: str = "doc_id") -> DataFrame:
+    """Priority-aware cross-source dedup: among rows sharing `key_col`
+    (a content fingerprint), the canonical copy is the one with the
+    SMALLEST (priority, id) — i.e. duplicates keep the copy from the
+    most-trusted source, not the lowest id (The Pile / RedPajama rule:
+    when a page appears in both a curated dump and a raw crawl, keep
+    the curated copy and drop the crawl's).
+
+    Scale shape: election is ONE map-side-combined
+    groupBy(key).agg(min(struct(priority, id)), count, n_sources)
+    joined back on the same key — NEVER a window over the fingerprint
+    (a boilerplate fingerprint shared by 10^7 pages would single-task
+    its window partition; the agg reduces it to one row). The
+    n_distinct-source count is a two-stage partial aggregate, also
+    skew-safe. Same election pattern as dedup_response_openers
+    (operators/sft.py) — the generic, priority-ordered form.
+
+    Returns the input rows annotated with group_size, n_sources,
+    canon_id and is_canonical (keep = is_canonical).
+    """
+    best = F.min(F.struct(F.col(priority_col).alias("p"),
+                          F.col(id_col).alias("i"))).alias("best")
+    groups = (docs.groupBy(key_col)
+              .agg(best,
+                   F.count(F.lit(1)).alias("group_size"),
+                   F.countDistinct(priority_col).alias("n_priorities"))
+              .select(key_col, F.col("best.i").alias("canon_id"),
+                      "group_size", "n_priorities"))
+    return (docs.join(groups, key_col)
+            .withColumn("is_canonical", F.col(id_col) == F.col("canon_id")))

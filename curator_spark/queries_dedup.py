@@ -193,6 +193,66 @@ _SORTED_BATCH_SQL = f"""
 """
 
 
+PRIORITY_PREFIX_TOKENS = 8
+
+
+def q107_priority_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Priority-aware cross-source dedup (operators/dedup.
+    dedup_by_priority): duplicates keep the copy from the
+    MOST-TRUSTED source, not the lowest doc_id — The Pile/RedPajama
+    rule for pages appearing in both a curated dump and a raw crawl.
+    Content key = md5 of the normalized 8-token opening prefix (the
+    q97 opener-fingerprint rule lifted to documents — the fixture has
+    no byte-exact cross-source duplicates, but 20+ prefix groups span
+    sources at sf0.01); priority = the source's numeric suffix (src0
+    most trusted). Election is ONE map-side-combined
+    groupBy(fp).agg(min(struct(priority, doc_id))) + equi-join back —
+    never a window over the fingerprint (a 10^7-copy boilerplate
+    group is one reduced row). Oracle = the row_number-over-window
+    formulation, proving the agg election picks identical canonicals."""
+    docs = _docs(spark, sf_dir)
+    toks = F.filter(F.split(F.lower(F.col("text")), " "),
+                    lambda t: t != "")
+    fp = F.md5(F.array_join(
+        F.slice(toks, 1, PRIORITY_PREFIX_TOKENS), " "))
+    pages = docs.select(
+        "doc_id", "source",
+        F.substring("source", 4, 10).cast("long").alias("priority"),
+        fp.alias("fp"))
+    out = dedup.dedup_by_priority(pages, "fp", "priority", "doc_id")
+    return out.select(
+        "doc_id", "source", "priority", "fp", "group_size",
+        F.col("n_priorities").alias("n_sources"),
+        F.col("canon_id").alias("canon_doc_id"), "is_canonical")
+
+
+_PRIORITY_DEDUP_SQL = f"""
+    WITH pages AS (
+        SELECT doc_id, source,
+               CAST(substr(source, 4) AS BIGINT) AS priority,
+               md5(array_to_string(
+                   (list_filter(string_split(lower(text), ' '),
+                                t -> t <> ''))[1:{PRIORITY_PREFIX_TOKENS}],
+                   ' ')) AS fp
+        FROM documents
+    ), elected AS (
+        SELECT *,
+               row_number() OVER (PARTITION BY fp
+                                  ORDER BY priority, doc_id) AS rn,
+               count(*) OVER (PARTITION BY fp) AS group_size,
+               count(DISTINCT priority) OVER (PARTITION BY fp)
+                   AS n_sources
+        FROM pages
+    ), canon AS (
+        SELECT fp, doc_id AS canon_doc_id FROM elected WHERE rn = 1
+    )
+    SELECT e.doc_id, e.source, e.priority, e.fp, e.group_size,
+           e.n_sources, c.canon_doc_id,
+           e.doc_id = c.canon_doc_id AS is_canonical
+    FROM elected e JOIN canon c USING (fp)
+"""
+
+
 WINNOW_K = 4
 WINNOW_W = 8
 WINNOW_MIN_SHARED = 2
@@ -1364,6 +1424,7 @@ ORACLES: dict[str, str] = {
     "q103_fuzzy_join": _FUZZY_SQL,
     "q105_winnow_pairs": _WINNOW_SQL,
     "q106_sorted_batches": _SORTED_BATCH_SQL,
+    "q107_priority_dedup": _PRIORITY_DEDUP_SQL,
 }
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -1397,4 +1458,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q103_fuzzy_join": q103_fuzzy_join,
     "q105_winnow_pairs": q105_winnow_pairs,
     "q106_sorted_batches": q106_sorted_batches,
+    "q107_priority_dedup": q107_priority_dedup,
 }

@@ -501,3 +501,43 @@ def test_remove_duplicate_spans_matches_brute_force(spark):
     got = {r["doc_id"]: (r["clean_text"], r["n_tokens"], r["n_removed"])
            for r in remove_duplicate_spans(docs, n=4, min_df=2).collect()}
     assert got == _brute_span_dedup(texts, n=4, min_df=2)
+
+
+def test_priority_dedup_elects_trusted_source(spark):
+    """dedup_by_priority keeps the lowest-(priority, id) copy per key —
+    a later doc from a trusted source beats an earlier one from a raw
+    crawl (contrast exact_dedup's min-id rule)."""
+    from curator_spark.operators.dedup import dedup_by_priority
+    rows = [
+        # fp 'x': doc 5 (priority 0, curated) must beat doc 1 (crawl 9)
+        (1, "src9", 9, "x"), (5, "src0", 0, "x"), (7, "src9", 9, "x"),
+        # fp 'y': priority tie → min doc_id wins
+        (2, "src3", 3, "y"), (4, "src3", 3, "y"),
+        # singleton group
+        (3, "src1", 1, "z"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, "
+                               "priority long, fp string")
+    out = {r["doc_id"]: r
+           for r in dedup_by_priority(df, "fp", "priority").collect()}
+    assert out[5]["is_canonical"] and out[5]["canon_id"] == 5
+    assert not out[1]["is_canonical"] and out[1]["canon_id"] == 5
+    assert out[1]["group_size"] == 3 and out[1]["n_priorities"] == 2
+    assert out[2]["is_canonical"] and not out[4]["is_canonical"]
+    assert out[3]["is_canonical"] and out[3]["group_size"] == 1
+
+
+def test_priority_dedup_plan_is_agg_join_not_window(spark):
+    """The boilerplate-fingerprint defense: election must plan as a
+    map-side-combined aggregate + equi-join, never a window over the
+    content fingerprint (one viral fingerprint would single-task its
+    partition at corpus scale)."""
+    from curator_spark.operators.dedup import dedup_by_priority
+    df = spark.createDataFrame(
+        [(1, "src0", 0, "x")],
+        "doc_id long, source string, priority long, fp string")
+    plan = (dedup_by_priority(df, "fp", "priority")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Window" not in plan
+    assert "partial_min" in plan and "partial_count" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
