@@ -74,3 +74,51 @@ def repetition_stats(docs: DataFrame, n: int = REP_N,
         (F.col("dup_chars") == 0)
         | (F.col("dup_chars") * 100
            < F.lit(int(max_dup_pct)) * F.col("n_chars")))
+
+
+def rule_attribution(df: DataFrame,
+                     rules: list[tuple[str, "F.Column"]]) -> DataFrame:
+    """Per-rule ablation report for a quality filter: for each named
+    boolean fail-condition, how many rows it fails (n_failed), how many
+    it ALONE fails (n_exclusive — the rows a rule-removal would rescue),
+    and the integer permille rates — the report quality-filter owners
+    read before loosening a rule (C4/Gopher ablation tables; the
+    diagnostic face of q14's keep flag).
+
+    Scale shape: ONE narrow projection casting each rule to int, ONE
+    global aggregate of 2·k+2 sums (map-side combined; a single row
+    crosses the exchange whatever the corpus size), then a k-row
+    explode of that row. No UDF, no second pass over the text.
+
+    Output: one row per rule — rule, n_docs, n_dropped, n_failed,
+    n_exclusive, fail_permille (of all docs), rescue_permille (of
+    dropped docs). All integers, engine-exact.
+    """
+    names = [n for n, _ in rules]
+    flags = df.select(*[c.cast("int").alias(n) for n, c in rules])
+    nf = None
+    for n in names:
+        nf = F.col(n) if nf is None else nf + F.col(n)
+    flags = flags.withColumn("_nf", nf)
+    aggs = [F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("_nf") > 0).cast("long")).alias("n_dropped")]
+    for n in names:
+        aggs.append(F.sum(n).cast("long").alias(f"__f_{n}"))
+        aggs.append(F.sum(((F.col(n) == 1) & (F.col("_nf") == 1))
+                          .cast("long")).alias(f"__x_{n}"))
+    row = flags.agg(*aggs)
+    entries = F.array(*[
+        F.struct(F.lit(n).alias("rule"),
+                 F.col(f"__f_{n}").alias("n_failed"),
+                 F.col(f"__x_{n}").alias("n_exclusive"))
+        for n in names])
+    return (row.select("n_docs", "n_dropped",
+                       F.explode(entries).alias("e"))
+            .select(F.col("e.rule").alias("rule"), "n_docs", "n_dropped",
+                    F.col("e.n_failed").alias("n_failed"),
+                    F.col("e.n_exclusive").alias("n_exclusive"))
+            .withColumn("fail_permille",
+                        F.expr("(1000 * n_failed) div n_docs"))
+            .withColumn("rescue_permille",
+                        F.expr("(1000 * n_exclusive) div "
+                               "greatest(n_dropped, 1)")))

@@ -622,6 +622,54 @@ def q14_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
           | F.col("bad_word_len")))
 
 
+# q108 rule thresholds — integer permille/percent cuts tuned so every
+# rule fires on the fixture and the exclusive/overlap mix is
+# non-degenerate (500 docs at sf0.01: fails per rule 75/43/75/172/34,
+# docs failing 0/1/2/3 rules ≈ 210/193/85/12). All comparisons are on
+# integer `div` ratios so both engines agree bit-exactly.
+ATTR_MIN_TOKENS = 25
+ATTR_MAX_TOKENS = 90
+ATTR_MIN_STOP_PERMILLE = 25
+ATTR_MIN_TTR_PERMILLE = 400
+ATTR_MAX_MWL_CENTI = 480
+
+
+def q108_rule_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-rule ablation report (operators/textstats.
+    rule_attribution): for each of five C4/Gopher-style fail rules
+    (too short, too long, low stopword density, low type-token ratio,
+    over-long mean word length), the corpus-wide n_failed,
+    n_exclusive (docs ONLY that rule fails — what loosening it would
+    rescue), and integer permille rates. The diagnostic the filter
+    owner reads before shipping a threshold change; q14 gives the
+    per-doc verdicts, this gives the per-rule accounting. One narrow
+    pass + one global agg → 5 rows whatever the corpus size."""
+    from .operators.textstats import rule_attribution
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower(F.col("text")), " "), lambda t: t != "")
+    n_chars = F.length("text")
+    n_spaces = n_chars - F.length(F.regexp_replace(F.col("text"), " ", ""))
+    m = docs.select(
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))).alias("n_stop"),
+        n_chars.alias("n_chars"), n_spaces.alias("n_spaces"),
+    ).selectExpr(
+        "n_tokens", "n_distinct", "n_stop",
+        "(1000 * n_stop) div greatest(n_tokens, 1) as stop_permille",
+        "(1000 * n_distinct) div greatest(n_tokens, 1) as ttr_permille",
+        "(100 * (n_chars - n_spaces)) div greatest(n_tokens, 1) as mwl_centi",
+    )
+    rules = [
+        ("too_short", F.col("n_tokens") < ATTR_MIN_TOKENS),
+        ("too_long", F.col("n_tokens") > ATTR_MAX_TOKENS),
+        ("low_stopword", F.col("stop_permille") < ATTR_MIN_STOP_PERMILLE),
+        ("low_ttr", F.col("ttr_permille") < ATTR_MIN_TTR_PERMILLE),
+        ("long_words", F.col("mwl_centi") > ATTR_MAX_MWL_CENTI),
+    ]
+    return rule_attribution(m, rules)
+
+
 def q15_lang_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-density language heuristic (the SQL-expressible cousin of
     the char-trigram langid model): English function-word fraction →
@@ -1963,7 +2011,69 @@ _PSEUDO_SQL = f"""
 """
 
 
+_Q108_SQL = f"""
+    WITH toks AS (
+        SELECT list_filter(string_split(lower(text), ' '),
+                           t -> t <> '') AS toks,
+               length(text) AS n_chars,
+               length(text) - length(replace(text, ' ', '')) AS n_spaces
+        FROM documents
+    ), m AS (
+        SELECT len(toks) AS n_tokens,
+               len(list_distinct(toks)) AS n_distinct,
+               len(list_filter(toks,
+                               t -> t IN ({{STOPWORDS_SQL}}))) AS n_stop,
+               n_chars, n_spaces
+        FROM toks
+    ), r AS (
+        SELECT (n_tokens < {{ATTR_MIN_TOKENS}})::INT AS too_short,
+               (n_tokens > {{ATTR_MAX_TOKENS}})::INT AS too_long,
+               ((1000 * n_stop) // greatest(n_tokens, 1)
+                < {{ATTR_MIN_STOP_PERMILLE}})::INT AS low_stopword,
+               ((1000 * n_distinct) // greatest(n_tokens, 1)
+                < {{ATTR_MIN_TTR_PERMILLE}})::INT AS low_ttr,
+               ((100 * (n_chars - n_spaces)) // greatest(n_tokens, 1)
+                > {{ATTR_MAX_MWL_CENTI}})::INT AS long_words
+        FROM m
+    ), rn AS (
+        SELECT *, too_short + too_long + low_stopword + low_ttr
+                  + long_words AS nf
+        FROM r
+    ), agg AS (
+        SELECT count(*)::BIGINT AS n_docs,
+               sum((nf > 0)::INT)::BIGINT AS n_dropped,
+               {{PER_RULE_SUMS}}
+        FROM rn
+    )
+    SELECT rule, n_docs, n_dropped, n_failed, n_exclusive,
+           (1000 * n_failed) // n_docs AS fail_permille,
+           (1000 * n_exclusive) // greatest(n_dropped, 1)
+               AS rescue_permille
+    FROM (
+        {{PER_RULE_ROWS}}
+    )
+"""
+
+_ATTR_RULES = ("too_short", "too_long", "low_stopword", "low_ttr",
+               "long_words")
+_Q108_SQL = _Q108_SQL.format(
+    STOPWORDS_SQL=STOPWORDS_SQL,
+    ATTR_MIN_TOKENS=ATTR_MIN_TOKENS, ATTR_MAX_TOKENS=ATTR_MAX_TOKENS,
+    ATTR_MIN_STOP_PERMILLE=ATTR_MIN_STOP_PERMILLE,
+    ATTR_MIN_TTR_PERMILLE=ATTR_MIN_TTR_PERMILLE,
+    ATTR_MAX_MWL_CENTI=ATTR_MAX_MWL_CENTI,
+    PER_RULE_SUMS=",\n               ".join(
+        f"sum({r})::BIGINT AS f_{r}, "
+        f"sum((({r} = 1) AND (nf = 1))::INT)::BIGINT AS x_{r}"
+        for r in _ATTR_RULES),
+    PER_RULE_ROWS="\n        UNION ALL\n        ".join(
+        f"SELECT '{r}' AS rule, n_docs, n_dropped, f_{r} AS n_failed, "
+        f"x_{r} AS n_exclusive FROM agg"
+        for r in _ATTR_RULES),
+)
+
 ORACLES: dict[str, str] = {
+    "q108_rule_attribution": _Q108_SQL,
     "q104_pii_pseudonymize": _PSEUDO_SQL,
     "q67_luhn_cc_scrub": _LUHN_CC_SQL,
     "q68_repetition_stats": _REPETITION_SQL,
@@ -2995,6 +3105,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q12_json_extract": q12_json_extract,
     "q13_token_stats": q13_token_stats,
     "q14_doc_quality": q14_doc_quality,
+    "q108_rule_attribution": q108_rule_attribution,
     "q15_lang_guess": q15_lang_guess,
     "q16_fingerprint": q16_fingerprint,
     "q54_source_filter": q54_source_filter,
