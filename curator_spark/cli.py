@@ -211,6 +211,19 @@ def build_parser() -> argparse.ArgumentParser:
                         "--output back to the latest commit at or "
                         "before this datetime and exit (one new "
                         "commit, history preserved, no Spark session)")
+    p.add_argument("--clone", type=str, default=None, metavar="DST",
+                   help="SHALLOW CLONE --output into DST and exit: "
+                        "zero-copy fork (hard-linked data files, fresh "
+                        "commit log at the snapshot; no Spark session); "
+                        "combine with --clone-version or --clone-asof "
+                        "for a time-travel clone (commitlog tables only)")
+    p.add_argument("--clone-version", type=int, default=None, metavar="V",
+                   help="clone the snapshot at commit version V instead "
+                        "of the head")
+    p.add_argument("--clone-asof", type=str, default=None,
+                   metavar="ISO8601",
+                   help="clone the latest snapshot at or before this "
+                        "datetime instead of the head")
     p.add_argument("--history", action="store_true",
                    help="print the commit history (version, timestamp, "
                         "operations, partitions) for --output and exit — "
@@ -253,6 +266,16 @@ def main(argv: list[str] | None = None) -> int:
         ts = datetime.fromisoformat(args.restore_asof)
         print(json.dumps(restore_table(args.output, as_of=ts,
                                        backend=args.ledger)))
+        return 0
+    if args.clone is not None:
+        from curator_spark.clone import clone_table
+        asof = None
+        if args.clone_asof is not None:
+            from datetime import datetime
+            asof = datetime.fromisoformat(args.clone_asof)
+        print(json.dumps(clone_table(args.output, args.clone,
+                                     version=args.clone_version,
+                                     asof=asof)))
         return 0
     if args.rename_column or args.drop_column or args.add_column:
         # metadata-only column DDL: pure log commits, no Spark session
