@@ -96,8 +96,11 @@ DRIVER_WINDOW = [
     # response-opener dedup adds the transcripts-payload axis)
     # (q18 jaccard pairs rotates to selfcheck — q24's pipeline runs the
     # same verify stage in-window)
+    # (q24's E2E pipeline rotates to selfcheck this round — its LSH +
+    # verify + decision stages keep q19/q17 driver rows; q107 adds the
+    # priority-election axis the battery lacked)
     "q17_exact_dedup", "q19_minhash_lsh",
-    "q24_dedup_pipeline", "q31_conv_dedup",
+    "q107_priority_dedup", "q31_conv_dedup",
     "q39_dedup_components", "q47_decontaminate",
     # winnowing (MOSS) positional fingerprints — the localizing sketch
     # (q70 segment-removal rotates to selfcheck: the span family keeps
@@ -167,7 +170,10 @@ DRIVER_WINDOW = [
     # q27/q71/q81; q64's range join rotates to selfcheck, q28 keeps
     # the temporal-join family's row; the window stays ≤50 with every
     # family represented)
-    "q11_sessionize", "q27_rollup_revenue", "q28_asof_join",
+    # (q27's rollup rotates to selfcheck — grouping-set aggregation
+    # stays covered there; q108 puts the quality-filter ablation
+    # report, the tier's own diagnostic, in the gate instead)
+    "q11_sessionize", "q108_rule_attribution", "q28_asof_join",
     "q71_salted_join",
     "q81_conversion_funnel",
 ]
