@@ -670,6 +670,35 @@ def q108_rule_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rule_attribution(m, rules)
 
 
+SHUFFLE_SALT = "shuffle-e1"
+
+
+def q110_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic seeded corpus shuffle for training export: every
+    doc gets shuffle_key = md5(doc_id:epoch-salt) and an EXACT global
+    position by that key — the same corpus, salt, and cluster size
+    always produce the identical order (epoch N+1 = new salt), and
+    the order is partitioning-invariant, unlike orderBy(rand()).
+    Position comes from operators/ranking.global_rank, so there is no
+    single-task global sort: driver-literal quantile boundaries over
+    the 48-bit key → k parallel per-bucket ranks → prefix-sum offsets
+    (the q84 machinery pointed at a uniform hash — buckets are
+    balanced by construction, no sampling pathologies). The companion
+    sorted_export_ready layout writes the shuffled corpus as disjoint
+    ordered ranges. Oracle = the naive global ROW_NUMBER."""
+    from .operators.ranking import global_rank
+    docs = _t(spark, sf_dir, "documents")
+    key = F.conv(F.substring(
+        F.md5(F.concat(F.col("doc_id").cast("string"),
+                       F.lit(":" + SHUFFLE_SALT))), 1, 12), 16, 10) \
+        .cast("long")
+    d = docs.select("doc_id", key.alias("shuffle_key"))
+    return global_rank(
+        d, "shuffle_key",
+        order_by=[F.col("shuffle_key"), F.col("doc_id")],
+        rank_col="shuffle_pos")
+
+
 def q15_lang_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-density language heuristic (the SQL-expressible cousin of
     the char-trigram langid model): English function-word fraction →
@@ -2072,8 +2101,22 @@ _Q108_SQL = _Q108_SQL.format(
         for r in _ATTR_RULES),
 )
 
+_Q110_SQL = f"""
+    WITH keyed AS (
+        SELECT doc_id,
+               ('0x' || substr(md5(doc_id::VARCHAR || ':{SHUFFLE_SALT}'),
+                               1, 12))::BIGINT AS shuffle_key
+        FROM documents
+    )
+    SELECT doc_id, shuffle_key,
+           row_number() OVER (ORDER BY shuffle_key, doc_id)
+               AS shuffle_pos
+    FROM keyed
+"""
+
 ORACLES: dict[str, str] = {
     "q108_rule_attribution": _Q108_SQL,
+    "q110_corpus_shuffle": _Q110_SQL,
     "q104_pii_pseudonymize": _PSEUDO_SQL,
     "q67_luhn_cc_scrub": _LUHN_CC_SQL,
     "q68_repetition_stats": _REPETITION_SQL,
@@ -3106,6 +3149,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q13_token_stats": q13_token_stats,
     "q14_doc_quality": q14_doc_quality,
     "q108_rule_attribution": q108_rule_attribution,
+    "q110_corpus_shuffle": q110_corpus_shuffle,
     "q15_lang_guess": q15_lang_guess,
     "q16_fingerprint": q16_fingerprint,
     "q54_source_filter": q54_source_filter,

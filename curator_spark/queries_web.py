@@ -443,7 +443,127 @@ _Q93_SQL = f"""
     FROM q LEFT JOIN canon c USING (clean_text)
 """
 
+PII_SALT = "pii-v1"
+# RE2-safe subset of rules.SCRUB_PATTERNS (no lookaround), evaluated
+# JVM-side here (regexp_count) and replayed by DuckDB's RE2 — the
+# corpus-REPORTING face of the flagship's Python-parity scrub (which
+# stays `re`-based for byte-exact replacement, rules.py docstring).
+PII_REPORT_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("ssn", r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b"),
+    ("ipv4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"),
+    ("apikey", r"\b(?:sk-[A-Za-z0-9]{16,}|AKIA[0-9A-Z]{16})\b"),
+)
+
+
+def _pii_seeded_text() -> Column:
+    """Deterministic PII injection from (doc_id): md5-selected subsets
+    of rows get an email / SSN / IPv4 / API key appended (some rows
+    several, most none) — same construction as q89's messy URL, so
+    every detector fires on a known population. Replicated literally
+    in the oracle SQL."""
+    key = F.md5(F.concat(F.col("doc_id").cast("string"),
+                         F.lit(":" + PII_SALT)))
+    a = F.conv(F.substring(key, 1, 8), 16, 10).cast("long")
+    did = F.col("doc_id")
+    email = F.when(a % 5 == 0, F.concat(
+        F.lit(" contact user"), did.cast("string"),
+        F.lit("@example.com"))).otherwise("")
+    ssn = F.when(a % 7 == 0, F.concat(
+        F.lit(" ssn "), F.lpad((did % 1000).cast("string"), 3, "0"),
+        F.lit("-"), F.lpad((did % 100).cast("string"), 2, "0"),
+        F.lit("-"), F.lpad((did % 10000).cast("string"), 4, "0"))
+    ).otherwise("")
+    ip = F.when(a % 3 == 0, F.concat(
+        F.lit(" host 10."), (did % 256).cast("string"),
+        F.lit(".0."), ((did * 7) % 256).cast("string"))).otherwise("")
+    akey = F.when(a % 11 == 0, F.concat(
+        F.lit(" token AKIA"),
+        F.upper(F.substring(key, 9, 16)))).otherwise("")
+    return F.concat(F.col("text"), email, ssn, ip, akey)
+
+
+def q109_pii_incidence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source PII incident matrix: for every (source, pii_type),
+    how many documents leak it and how many raw hits — the report a
+    privacy owner reads to decide which ingest feeds need scrubbing
+    upstream (the corpus-reporting complement of the flagship's
+    per-turn scrub and q67's Luhn masking). Detection is JVM-side
+    regexp_count over the RE2-safe pattern subset; ONE narrow map +
+    ONE groupBy(source) with 2·k conditional sums → k rows per source
+    via explode (≈ n_sources·k rows total at any corpus size)."""
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", "source", _pii_seeded_text().alias("text"))
+    cols = [F.count(F.lit(1)).alias("n_docs")]
+    for name, pat in PII_REPORT_PATTERNS:
+        hits = F.regexp_count(F.col("text"), F.lit(pat))
+        cols.append(F.sum((hits > 0).cast("long")).alias(f"__d_{name}"))
+        cols.append(F.sum(hits.cast("long")).alias(f"__h_{name}"))
+    agg = docs.groupBy("source").agg(*cols)
+    entries = F.array(*[
+        F.struct(F.lit(name).alias("pii_type"),
+                 F.col(f"__d_{name}").alias("n_flagged"),
+                 F.col(f"__h_{name}").alias("n_hits"))
+        for name, _ in PII_REPORT_PATTERNS])
+    return (agg.select("source", "n_docs",
+                       F.explode(entries).alias("e"))
+            .select("source", "n_docs",
+                    F.col("e.pii_type").alias("pii_type"),
+                    F.col("e.n_flagged").alias("n_flagged"),
+                    F.col("e.n_hits").alias("n_hits"))
+            .withColumn("flag_permille",
+                        F.expr("(1000 * n_flagged) div n_docs")))
+
+
+_PII_TEXT_SQL = f"""
+        SELECT doc_id, source,
+               text
+               || CASE WHEN a % 5 = 0 THEN ' contact user'
+                       || doc_id::VARCHAR || '@example.com'
+                  ELSE '' END
+               || CASE WHEN a % 7 = 0 THEN ' ssn '
+                       || lpad((doc_id % 1000)::VARCHAR, 3, '0') || '-'
+                       || lpad((doc_id % 100)::VARCHAR, 2, '0') || '-'
+                       || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+                  ELSE '' END
+               || CASE WHEN a % 3 = 0 THEN ' host 10.'
+                       || (doc_id % 256)::VARCHAR || '.0.'
+                       || ((doc_id * 7) % 256)::VARCHAR
+                  ELSE '' END
+               || CASE WHEN a % 11 = 0 THEN ' token AKIA'
+                       || upper(substr(k, 9, 16))
+                  ELSE '' END AS text
+        FROM (
+            SELECT doc_id, source, text,
+                   md5(doc_id::VARCHAR || ':{PII_SALT}') AS k,
+                   ('0x' || substr(md5(doc_id::VARCHAR || ':{PII_SALT}'),
+                                   1, 8))::BIGINT AS a
+            FROM documents)
+"""
+
+_Q109_SQL = f"""
+    WITH seeded AS ({_PII_TEXT_SQL}
+    ), agg AS (
+        SELECT source, count(*)::BIGINT AS n_docs,
+               {",".join(
+                   f"sum((regexp_matches(text, '{pat}'))::INT)::BIGINT"
+                   f" AS d_{name},"
+                   f" sum(len(regexp_extract_all(text, '{pat}')))::BIGINT"
+                   f" AS h_{name}" for name, pat in PII_REPORT_PATTERNS)}
+        FROM seeded GROUP BY source
+    )
+    SELECT source, n_docs, pii_type, n_flagged, n_hits,
+           (1000 * n_flagged) // n_docs AS flag_permille
+    FROM (
+        {" UNION ALL ".join(
+            f"SELECT source, n_docs, '{name}' AS pii_type, "
+            f"d_{name} AS n_flagged, h_{name} AS n_hits FROM agg"
+            for name, _ in PII_REPORT_PATTERNS)}
+    )
+"""
+
 ORACLES: dict[str, str] = {
+    "q109_pii_incidence": _Q109_SQL,
     "q89_url_canonicalize": _Q89_SQL,
     "q90_domain_caps": _Q90_SQL,
     "q91_paragraph_dedup": _Q91_SQL,
@@ -461,4 +581,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q92_quality_classifier": q92_quality_classifier,
     "q93_curation_pipeline": q93_curation_pipeline,
     "q94_attribute_mixer": q94_attribute_mixer,
+    "q109_pii_incidence": q109_pii_incidence,
 }

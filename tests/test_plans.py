@@ -486,3 +486,24 @@ def test_curation_pipeline_composition_plan(spark):
     assert "partial_min" in plan            # paragraph + canonical argmins
     for frag in plan.split("windowspecdefinition(domain")[1:]:
         assert "__hb" in frag[:200]          # no bare per-domain window
+
+
+def test_q109_pii_incidence_plan_one_agg_no_python(spark):
+    """The PII incident matrix must be one narrow JVM pass (regexp_count
+    in codegen) + one map-side-combined groupBy(source) — no Python,
+    no window, no second corpus scan."""
+    from curator_spark import queries_web
+    plan = plan_of(queries_web.q109_pii_incidence(spark, SF))
+    assert "Window" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "partial_count" in plan or "partial_sum" in plan
+    assert plan.count("Scan parquet") == 1
+
+
+def test_q110_corpus_shuffle_plan_no_single_partition_sort(spark):
+    """Deterministic shuffle positions come from the bucketed
+    global_rank — the plan must never collapse to a SinglePartition
+    global window (the 100 TB-killer q84 exists to avoid)."""
+    from curator_spark import queries
+    plan = plan_of(queries.q110_corpus_shuffle(spark, SF))
+    assert "SinglePartition" not in plan
