@@ -540,6 +540,15 @@ def measure_merge(spark) -> dict:
     build_bloom_index(spark, root, "uid", m_bits=8192)
     bloom_build_sec = round(time.monotonic() - tb, 3)
     bloom_after = len(snapshot_files(root, where=("uid", "=", probe)))
+
+    # SHALLOW CLONE of the same (now ~1k-file) table: the datapoint is
+    # that fork cost scales with FILE COUNT (one hard link each), never
+    # with data volume — `copied` must be 0 or the claim is void
+    from curator_spark.clone import clone_table
+    tc = time.monotonic()
+    cinfo = clone_table(root, root + "-fork")
+    clone_sec = round(time.monotonic() - tc, 3)
+    shutil.rmtree(root + "-fork", ignore_errors=True)
     shutil.rmtree(root, ignore_errors=True)
     total = s["files_rewritten"] + s["files_untouched"]
     out = {"n_rows": n, "buckets": buckets, "appends": appends,
@@ -552,10 +561,15 @@ def measure_merge(spark) -> dict:
            if total else None,
            "bloom_probe_files_before": int(bloom_before),
            "bloom_probe_files_after": int(bloom_after),
-           "bloom_build_sec": bloom_build_sec}
+           "bloom_build_sec": bloom_build_sec,
+           "clone_sec": clone_sec, "clone_files": int(cinfo["n_files"]),
+           "clone_linked": int(cinfo["linked"]),
+           "clone_copied": int(cinfo["copied"])}
     log(f"merge: {dt}s, rewrote {out['files_rewritten']}/{total} files "
         f"(prune {out['prune_ratio']}); bloom point probe "
-        f"{bloom_before}→{bloom_after} files (build {bloom_build_sec}s)")
+        f"{bloom_before}→{bloom_after} files (build {bloom_build_sec}s); "
+        f"clone {cinfo['n_files']} files in {clone_sec}s "
+        f"({cinfo['copied']} copied)")
     return out
 
 
@@ -941,6 +955,16 @@ def write_bench_md(result: dict) -> None:
                 f"{m['bloom_build_sec']} s, one column-pruned scan) — "
                 "the GDPR delete-by-user shape on a conv_id-bucketed "
                 "table.",
+            ]
+        if m.get("clone_sec") is not None:
+            lines += [
+                "",
+                f"SHALLOW CLONE of the same table: "
+                f"**{m['clone_files']} files forked in "
+                f"{m['clone_sec']} s**, {m['clone_copied']} copied "
+                f"({m['clone_linked']} hard-linked — zero data bytes "
+                "moved; fork cost scales with file count, never data "
+                "volume).",
             ]
     if "table_ops" in result:
         t = result["table_ops"]
