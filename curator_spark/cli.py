@@ -211,6 +211,22 @@ def build_parser() -> argparse.ArgumentParser:
                         "--output back to the latest commit at or "
                         "before this datetime and exit (one new "
                         "commit, history preserved, no Spark session)")
+    p.add_argument("--expect", action="append", default=None,
+                   metavar="NAME=EXPR",
+                   help="expectations gate (repeatable): apply the "
+                        "named PASS condition (Spark SQL expression) "
+                        "to --input, write survivors to --output and "
+                        "violators to --quarantine-out, print per-rule "
+                        "metrics; policy via --expect-mode")
+    p.add_argument("--expect-mode",
+                   choices=["warn", "drop", "quarantine", "fail"],
+                   default="quarantine",
+                   help="violation policy for --expect (default "
+                        "quarantine; fail exits 3 naming the count)")
+    p.add_argument("--quarantine-out", type=str, default=None,
+                   metavar="DIR",
+                   help="where --expect quarantine rows go (default "
+                        "<output>_quarantine)")
     p.add_argument("--clone", type=str, default=None, metavar="DST",
                    help="SHALLOW CLONE --output into DST and exit: "
                         "zero-copy fork (hard-linked data files, fresh "
@@ -324,6 +340,43 @@ def main(argv: list[str] | None = None) -> int:
         if args.partitions:
             b = b.config("spark.sql.shuffle.partitions", str(args.partitions))
         spark = b.getOrCreate()
+
+    if args.expect:
+        # expectations gate: a standalone stage BEFORE (or instead of)
+        # the pipeline run — read --input, split by the named PASS
+        # conditions, write survivors to --output (parquet), violators
+        # to --quarantine-out, print per-rule metrics
+        from pyspark.sql import functions as F
+
+        from curator_spark.expectations import (ExpectationViolation,
+                                                apply_expectations,
+                                                expectation_metrics)
+        rules = []
+        for spec in args.expect:
+            if "=" not in spec:
+                build_parser().error(
+                    f"--expect needs NAME=EXPR, got {spec!r}")
+            name, expr = spec.split("=", 1)
+            rules.append((name.strip(), F.expr(expr)))
+        df = spark.read.parquet(args.input)
+        try:
+            r = apply_expectations(df, rules, mode=args.expect_mode)
+        except ExpectationViolation as e:
+            print(json.dumps({"error": str(e), "mode": "fail"}))
+            return 3
+        r["passed"].write.mode("overwrite").parquet(args.output)
+        out = {"mode": args.expect_mode,
+               "rows_passed": spark.read.parquet(args.output).count()}
+        if r["quarantined"] is not None:
+            qdir = args.quarantine_out or (args.output.rstrip("/")
+                                           + "_quarantine")
+            r["quarantined"].write.mode("overwrite").parquet(qdir)
+            out["rows_quarantined"] = spark.read.parquet(qdir).count()
+            out["quarantine_out"] = qdir
+        out["metrics"] = [row.asDict() for row in
+                          expectation_metrics(df, rules).collect()]
+        print(json.dumps(out))
+        return 0
 
     # absolute import: under `spark-submit cli.py` this file runs as a
     # top-level script; the package itself ships via --py-files

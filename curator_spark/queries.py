@@ -699,6 +699,46 @@ def q110_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         rank_col="shuffle_pos")
 
 
+PROFILE_COLS = ("doc_id", "lang", "source", "n_chars")
+
+
+def q111_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling (the ANALYZE TABLE / data-steward first look):
+    per column — row count, nulls, exact distinct count, min/max
+    rendered as strings — the report that decides partition keys,
+    dictionary-encoding wins, and whether a column is a candidate
+    dedup fingerprint. One aggregate; the exact countDistinct per
+    column is the oracle-checkable form (each adds an expand +
+    partial agg — still map-side combined); at 100 TB swap in
+    approx_count_distinct (HLL, one pass, no expand) and keep min/max
+    exact — the plan is otherwise identical. Profiled columns are
+    integer/string only, so the min/max string rendering is
+    engine-exact (no float formatting drift)."""
+    docs = _t(spark, sf_dir, "documents")
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in PROFILE_COLS:
+        aggs += [
+            F.sum(F.col(c).isNull().cast("long")).alias(f"__n_{c}"),
+            F.countDistinct(c).alias(f"__d_{c}"),
+            F.min(c).cast("string").alias(f"__lo_{c}"),
+            F.max(c).cast("string").alias(f"__hi_{c}"),
+        ]
+    row = docs.agg(*aggs)
+    entries = F.array(*[
+        F.struct(F.lit(c).alias("column"),
+                 F.col(f"__n_{c}").alias("n_null"),
+                 F.col(f"__d_{c}").alias("n_distinct"),
+                 F.col(f"__lo_{c}").alias("min_str"),
+                 F.col(f"__hi_{c}").alias("max_str"))
+        for c in PROFILE_COLS])
+    return (row.select("n_rows", F.explode(entries).alias("e"))
+            .select(F.col("e.column").alias("column"), "n_rows",
+                    F.col("e.n_null").alias("n_null"),
+                    F.col("e.n_distinct").alias("n_distinct"),
+                    F.col("e.min_str").alias("min_str"),
+                    F.col("e.max_str").alias("max_str")))
+
+
 def q15_lang_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-density language heuristic (the SQL-expressible cousin of
     the char-trigram langid model): English function-word fraction →
@@ -2114,8 +2154,30 @@ _Q110_SQL = f"""
     FROM keyed
 """
 
+_Q111_SQL = f"""
+    WITH agg AS (
+        SELECT count(*)::BIGINT AS n_rows,
+               {",".join(
+                   f"sum((({c}) IS NULL)::INT)::BIGINT AS n_{c},"
+                   f" count(DISTINCT {c})::BIGINT AS d_{c},"
+                   f" min({c})::VARCHAR AS lo_{c},"
+                   f" max({c})::VARCHAR AS hi_{c}"
+                   for c in PROFILE_COLS)}
+        FROM documents
+    )
+    SELECT col_name AS "column", n_rows, n_null, n_distinct,
+           min_str, max_str
+    FROM (
+        {" UNION ALL ".join(
+            f"SELECT '{c}' AS col_name, n_rows, n_{c} AS n_null, "
+            f"d_{c} AS n_distinct, lo_{c} AS min_str, hi_{c} AS max_str "
+            f"FROM agg" for c in PROFILE_COLS)}
+    )
+"""
+
 ORACLES: dict[str, str] = {
     "q108_rule_attribution": _Q108_SQL,
+    "q111_corpus_profile": _Q111_SQL,
     "q110_corpus_shuffle": _Q110_SQL,
     "q104_pii_pseudonymize": _PSEUDO_SQL,
     "q67_luhn_cc_scrub": _LUHN_CC_SQL,
@@ -3150,6 +3212,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q14_doc_quality": q14_doc_quality,
     "q108_rule_attribution": q108_rule_attribution,
     "q110_corpus_shuffle": q110_corpus_shuffle,
+    "q111_corpus_profile": q111_corpus_profile,
     "q15_lang_guess": q15_lang_guess,
     "q16_fingerprint": q16_fingerprint,
     "q54_source_filter": q54_source_filter,

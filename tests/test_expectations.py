@@ -85,3 +85,37 @@ def test_expectations_plan_is_codegen_no_shuffle(spark, df):
         assert "Exchange" not in plan
         assert "BatchEvalPython" not in plan
         assert "ArrowEvalPython" not in plan
+
+
+def test_cli_expect_verb_quarantines_and_reports(spark, tmp_path, capsys):
+    import json
+
+    from curator_spark.cli import main
+    inp = str(tmp_path / "in.parquet")
+    spark.createDataFrame(
+        [(1, 10), (2, -5), (3, 500)], "id long, x long"
+    ).write.parquet(inp)
+    out = str(tmp_path / "out")
+    rc = main(["--input", inp, "--output", out,
+               "--local-cores", "2",
+               "--expect", "positive=x > 0",
+               "--expect", "small=x < 100"])
+    assert rc == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["rows_passed"] == 1 and res["rows_quarantined"] == 2
+    q = spark.read.parquet(res["quarantine_out"])
+    assert {tuple(sorted(r[FAILED_COL])) for r in q.collect()} == {
+        ("positive",), ("small",)}
+    by_rule = {m["rule"]: m for m in res["metrics"]}
+    assert by_rule["positive"]["n_failed"] == 1
+    assert by_rule["small"]["n_exclusive"] == 1
+
+
+def test_cli_expect_fail_mode_exit_code(spark, tmp_path, capsys):
+    from curator_spark.cli import main
+    inp = str(tmp_path / "in.parquet")
+    spark.createDataFrame([(1, -1)], "id long, x long").write.parquet(inp)
+    rc = main(["--input", inp, "--output", str(tmp_path / "o"),
+               "--local-cores", "2",
+               "--expect", "positive=x > 0", "--expect-mode", "fail"])
+    assert rc == 3
