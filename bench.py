@@ -373,16 +373,29 @@ def main() -> None:
                     break  # both minima stable: this IS the number
         tput_lo, tput_hi = n_turns / dt_lo, n_turns / dt_hi
         eff = tput_hi / ((n_hi / n_lo) * tput_lo)
+        ceiling = parallel_ceiling(n_lo, n_hi)
         result["scaling"] = {
             "n_cores": n_lo, "n_sec": round(dt_lo, 2),
             "n_turns_per_sec": round(tput_lo, 1),
             "four_n_cores": n_hi, "four_n_sec": round(dt_hi, 2),
             "four_n_turns_per_sec": round(tput_hi, 1),
             "efficiency": round(eff, 4),
+            # the HOST's own N→4N ceiling, measured with pure busy
+            # loops at the same two levels right after the run: shared-
+            # host co-tenants steal cores invisibly to this VM's
+            # loadavg, and no job can scale better than the arithmetic
+            # it is made of. efficiency_vs_ceiling = eff / ceiling is
+            # the host-normalized number (the parallel analogue of the
+            # cpu_calib_sec column).
+            "host_parallel_ceiling": ceiling,
+            "efficiency_vs_ceiling": round(min(1.0, eff / ceiling), 4)
+            if ceiling else None,
             "n_turns": n_turns,
         }
         log(f"scaling: local[{n_lo}] {tput_lo:.0f} t/s, local[{n_hi}] "
-            f"{tput_hi:.0f} t/s, efficiency {eff:.3f}")
+            f"{tput_hi:.0f} t/s, efficiency {eff:.3f} "
+            f"(host ceiling {ceiling}, vs-ceiling "
+            f"{result['scaling']['efficiency_vs_ceiling']})")
 
     if RUN_SKEW:
         # Hot-key robustness, wall-clock-verified (not just plan-verified):
@@ -747,6 +760,39 @@ def measure_table_ops() -> dict:
     return out
 
 
+def parallel_ceiling(n_lo: int, n_hi: int) -> float:
+    """The host's OWN N→4N scaling ceiling: pure-Python busy loops (no
+    Spark, no I/O, embarrassingly parallel by construction) run at the
+    same two process counts as the scaling measurement; ceiling =
+    tput(n_hi) / ((n_hi/n_lo) · tput(n_lo)). On a dedicated machine
+    this is ~1.0; on the shared sandbox co-tenants steal cores
+    INVISIBLY to this VM's loadavg (measured as low as ~0.65 at 2→8),
+    and no job can scale better than the arithmetic it is made of —
+    so the ceiling is the denominator that makes efficiency
+    comparable across rounds (the parallel analogue of
+    cpu_calib_sec). max-of-2 per level: contention only ever lowers
+    busy-loop throughput."""
+    import subprocess
+    code = ("import time\nt0=time.monotonic()\nx=0\n"
+            "for i in range(20_000_000): x+=i*i\n"
+            "print(time.monotonic()-t0)")
+
+    def tput(n: int) -> float:
+        best = 0.0
+        for _ in range(2):
+            t0 = time.monotonic()
+            ps = [subprocess.Popen([sys.executable, "-c", code],
+                                   stdout=subprocess.PIPE)
+                  for _ in range(n)]
+            for p in ps:
+                p.communicate()
+            best = max(best, n / (time.monotonic() - t0))
+        return best
+
+    lo, hi = tput(n_lo), tput(n_hi)
+    return round(hi / ((n_hi / n_lo) * lo), 4) if lo else 0.0
+
+
 def cpu_calibration() -> float:
     """Single-core Python arithmetic loop — a host-speed constant so
     wall-times are comparable ACROSS rounds: the sandbox VM lands on a
@@ -826,6 +872,21 @@ def write_bench_md(result: dict) -> None:
             f"**Scaling efficiency = tput(4N) / (4·tput(N)) = {s['efficiency']}**"
             " (target ≥ 0.8, BASELINE.json north_rule).",
             "",
+        ]
+        if s.get("host_parallel_ceiling") is not None:
+            lines += [
+                f"Host parallel ceiling (pure busy loops at the same "
+                f"two levels, measured right after the run): "
+                f"**{s['host_parallel_ceiling']}** — co-tenant core "
+                "theft is invisible to this VM's loadavg, and no job "
+                "scales past the arithmetic it is made of. "
+                f"**Efficiency vs ceiling = "
+                f"{s['efficiency_vs_ceiling']}** (the host-normalized "
+                "number; the parallel analogue of the `calibrated` "
+                "column).",
+                "",
+            ]
+        lines += [
             "Methodology: N=2 vs 4N=8 so BOTH levels run on dedicated",
             "physical cores — the faithful stand-in for N vs 4N cluster",
             "*executors*, which own their cores. The shared 32-thread host",
