@@ -233,10 +233,11 @@ WRITER_VERSION = 2
 SUPPORTED_READER_FEATURES = frozenset({
     "stats-skipping", "schema-in-log", "time-travel", "restore",
     "change-feed", "row-feed", "log-checkpoints", "deletion-vectors",
-    "column-mapping"})
+    "column-mapping", "rebucket"})
 SUPPORTED_WRITER_FEATURES = frozenset({
     "append", "compaction", "row-delete", "txn-markers", "restore",
-    "schema-evolution", "check-constraints", "column-mapping"})
+    "schema-evolution", "check-constraints", "column-mapping",
+    "rebucket"})
 
 
 class ProtocolError(RuntimeError):
@@ -292,6 +293,26 @@ def _check_writer_protocol(proto: dict | None) -> None:
         raise ProtocolError(
             f"table requires writer feature(s) {sorted(unsupported)} "
             "this build does not implement — reads may still work")
+
+
+def _rebucket_expectation_met(parts: dict, a: dict) -> bool:
+    """Does a `rebucket` action's embedded expectation still describe
+    the live state `parts`? Shared by snapshot replay and the
+    change-feed replay so both surfaces agree version-by-version on
+    whether the swap applied or was a stale no-op — two independent
+    re-implementations drifting apart would let the feed deliver a
+    table the snapshot never showed."""
+    def _shape(pm: dict) -> dict:
+        return {"files": sorted((pm or {}).get("files") or {}),
+                "dv": {k: sorted(int(x) for x in v)
+                       for k, v in ((pm or {}).get("dv") or {}).items()
+                       if v}}
+    expect = {int(k): {"files": sorted(e.get("files") or []),
+                       "dv": {f2: sorted(int(x) for x in v)
+                              for f2, v in (e.get("dv") or {}).items()
+                              if v}}
+              for k, e in (a.get("expect") or {}).items()}
+    return {int(p_): _shape(m_) for p_, m_ in parts.items()} == expect
 
 
 class CommitLogLedger:
@@ -637,6 +658,28 @@ class CommitLogLedger:
                         meta["_protocol"] = meta_proto
                     txns = {str(k): int(v_) for k, v_ in
                             (a.get("txns") or {}).items()}
+                elif t == "rebucket":
+                    # whole-table bucket-spec change (Iceberg's REPLACE
+                    # PARTITION SPEC, made eager by a full rewrite so
+                    # the table never holds two specs at once — this
+                    # repo's pruning derives from ONE spec in
+                    # table_meta). The action embeds the EXPECTED live
+                    # state it was computed from (file sets AND
+                    # deletion vectors per partition) and the full new
+                    # manifest; replay applies it only when live state
+                    # still matches — any concurrent add/compact/
+                    # delete/dv between the rebucket's snapshot read
+                    # and its commit makes the whole swap a stale
+                    # no-op (its outputs are orphans vacuum reclaims;
+                    # the writer verifies post-commit and raises
+                    # ConcurrentRebucketError). DVs are part of the
+                    # expectation because the rewrite MATERIALIZES
+                    # them: a mask that landed concurrently would
+                    # otherwise be resurrected by the swap.
+                    if _rebucket_expectation_met(parts, a):
+                        parts = {int(k): m_ for k, m_ in
+                                 (a.get("parts") or {}).items()}
+                        meta["bucket"] = dict(a.get("bucket") or {})
         # a table demanding a reader this build isn't must be refused
         # WHOLESALE — partial understanding of a log mis-states the table
         _check_reader_protocol(meta.get("_protocol"))
@@ -811,6 +854,27 @@ class CommitLogLedger:
             "type": "restore", "to_version": int(to_version),
             "parts": {str(k): m for k, m in parts.items()},
             "success": success, "meta": meta, "txns": txns or {},
+            "updated_at": datetime.now(timezone.utc).isoformat()}])
+
+    def rebucket(self, expect: dict, parts: dict, bucket: dict) -> int:
+        """Publish a whole-table bucket-spec change (Iceberg's REPLACE
+        PARTITION SPEC, made EAGER by a full rewrite so the table never
+        holds two specs at once — this repo's partition pruning derives
+        from the ONE spec in table_meta): a single log version carrying
+        the expected live state it was computed from (file sets AND
+        deletion vectors per partition — the rewrite materializes
+        masks, so a concurrently-landed mask must invalidate the swap),
+        the complete new per-partition manifest, and the new spec.
+        Replay applies it only while the expectation still holds; any
+        concurrent mutation makes the WHOLE swap a stale no-op (the
+        caller verifies post-commit and raises ConcurrentRebucketError
+        — like DELETE, a silently-ignored rebucket would leave the
+        caller believing the new layout is live). Returns the version."""
+        return self._append([{
+            "type": "rebucket",
+            "expect": {str(k): e for k, e in expect.items()},
+            "parts": {str(k): m for k, m in parts.items()},
+            "bucket": dict(bucket),
             "updated_at": datetime.now(timezone.utc).isoformat()}])
 
     def run_success(self) -> dict | None:
@@ -1567,6 +1631,21 @@ def run_checkpointed(spark: SparkSession, input_path: str, out_dir: str,
                 f"{sorted(BUCKET_FNS)}; got {bucket}")
         if getattr(ledger, "log_defined_visibility", False) \
                 and ledger.table_meta().get("bucket") != bucket:
+            recorded = ledger.table_meta().get("bucket")
+            if recorded is not None and ledger.committed():
+                # the table's committed layout was built under ANOTHER
+                # spec: silently overwriting the planning truth would
+                # make pruning against the existing partitions unsound
+                # (and appending this input's `part` numbering would
+                # interleave two layouts). A spec change on a live
+                # table is a whole-table physical reorganization —
+                # route it through the atomic path.
+                raise ValueError(
+                    f"{out_dir} is committed under bucket spec "
+                    f"{recorded}; changing it to {bucket} requires "
+                    "rewriting every live row — run "
+                    "rebucket_table(spark, out_dir, bucket) first, "
+                    "then rerun with the matching spec")
             # a WRONG spec (this repo alone has two conventions:
             # fixtures.part_of = md5full, ingest.part_expr = md5hex8)
             # would make every later equality probe silently return
@@ -2437,6 +2516,51 @@ def table_changes(out_dir: str, since_version: int,
                 # restored set — a later `add` on one of them replaces
                 # content (a recompute), on anything else it's fresh
                 seen_parts = set(restored)
+            elif t == "rebucket":
+                # whole-table physical reorganization: row-preserving
+                # (like compaction, it inserts and deletes nothing) but
+                # rows MOVE ACROSS PARTITIONS, so file-level lineage
+                # breaks table-wide — a later delete lands on a NEW
+                # partition number and could never trigger the per-part
+                # lineage fallbacks above, letting the feed deliver
+                # rows the table no longer holds. Staleness first: the
+                # feed must agree with snapshot replay version-by-
+                # version on whether the swap applied.
+                if _rebucket_expectation_met(
+                        ledger.committed(version=v - 1), a):
+                    if inserts:
+                        # in-window inserts are now indistinguishably
+                        # mixed across the new layout: canonicalize the
+                        # WHOLE feed to the new live manifest. This
+                        # re-feeds pre-window rows too — the price of a
+                        # physical reorg mid-window, absorbed by the
+                        # at-least-once contract (poll the feed before
+                        # rebucketing to avoid it); losing the
+                        # in-window rows is not an option.
+                        before_rows = _inwindow_rows()
+                        for p in list(inserts):
+                            for fn_, meta_ in inserts[p].items():
+                                retired.setdefault(
+                                    (p, fn_),
+                                    (ins_ver.get((p, fn_), v), meta_))
+                            del inserts[p]
+                        for k, m_ in (a.get("parts") or {}).items():
+                            fs = dict((m_ or {}).get("files") or {})
+                            if fs:
+                                inserts[int(k)] = {f2: dict(fm)
+                                                   for f2, fm in
+                                                   fs.items()}
+                                for f2 in fs:
+                                    ins_ver[(int(k), f2)] = v
+                        # row-preserving: nothing shrinks (guard anyway)
+                        rows_deleted += max(0, before_rows
+                                            - _inwindow_rows())
+                    # pre-window rows with no in-window activity were
+                    # fed long ago and are unchanged: nothing to do.
+                    # Either way the live parts are now exactly the new
+                    # layout — a later `add` on one is a recompute
+                    seen_parts = {int(k) for k in (a.get("parts")
+                                                   or {})}
     # final pass: anything whose insert version is AT OR BEFORE the
     # window start was live-and-delivered before the cursor — it can
     # re-enter `inserts` only via restore canonicalization reviving a
@@ -2914,6 +3038,216 @@ def optimize_table(spark: SparkSession, out_dir: str,
         else:
             out["parts_skipped"].append(int(part))
     return out
+
+
+class ConcurrentRebucketError(RuntimeError):
+    """A whole-table rebucket's swap was invalidated by a concurrent
+    commit (append/compact/delete/dv landed between the snapshot read
+    and the rebucket commit). Replay ignored the stale swap wholesale;
+    raising is mandatory because the caller would otherwise believe the
+    new partition layout is live while every read still plans against
+    the old spec. The rewrite's outputs are unreferenced orphans vacuum
+    reclaims; retry against the new snapshot."""
+
+
+def rebucket_table(spark: SparkSession, out_dir: str, bucket: dict,
+                   backend: str | None = None) -> dict:
+    """Change the table's bucket spec (Iceberg's ALTER TABLE ... REPLACE
+    PARTITION SPEC), made EAGER by rewriting every live row into the
+    new layout in one atomic commit. Iceberg can evolve a spec lazily
+    because its planner tracks a spec PER manifest; this table's
+    planner derives partition pruning from the single spec in
+    table_meta (snapshot_files, delete_conversations), so two specs
+    coexisting would silently mis-prune — the eager rewrite keeps the
+    one-spec invariant while still being transactional:
+
+    * read EXACTLY the committed manifests' files MINUS their deletion
+      vectors (the rewrite MATERIALIZES pending masks, like compaction's
+      PURGE), recompute `part` with the new spec's named transform
+      (Arrow-batched pandas UDF over the same BUCKET_FNS registry the
+      planner prunes with — writer and reader cannot disagree), and
+      stage per-partition files alongside the live ones;
+    * verify the rewritten row count equals the live count, then
+      publish ONE `rebucket` log version embedding the expected
+      pre-state, the full new manifest, and the new spec (see
+      CommitLogLedger.rebucket). Readers see the old layout or the new
+      one, never a mix; a crash leaves only orphans for vacuum;
+    * verify the swap APPLIED (replay honors it only while the
+      expectation holds) and raise ConcurrentRebucketError on a stale
+      swap rather than reporting a layout that is not live.
+
+    Time travel and RESTORE cross the spec change transparently: a
+    pre-rebucket version replays with the old parts AND the old spec
+    facet, so as-of reads prune correctly in whichever era they target.
+
+    The scale shape: one full-table shuffle on the new bucket key — the
+    unavoidable cost of a physical reorganization (Spark's
+    repartition + partitionBy write, no driver-side rows beyond the
+    manifest) — then O(files) manifest bookkeeping.
+
+    Protocol: the first rebucket ratchets reader AND writer features —
+    a build that would skip the action would mis-state the table; a
+    writer unaware of spec changes could append under the wrong layout.
+
+    Returns {rebucketed, version, n_rows, parts_before, parts_after,
+    files_written, bucket}."""
+    import shutil
+    import uuid
+
+    import pyarrow.parquet as pq
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import StructType
+
+    if bucket.get("fn") not in BUCKET_FNS or not bucket.get("col") \
+            or not bucket.get("n_parts"):
+        raise ValueError(
+            f"bucket spec needs col/n_parts/fn with fn in "
+            f"{sorted(BUCKET_FNS)}; got {bucket}")
+    backend = backend or detect_backend(out_dir)
+    ledger = make_ledger(out_dir, backend)
+    if not getattr(ledger, "log_defined_visibility", False):
+        raise ValueError(
+            f"rebucket requires a log-defined-visibility ledger, not "
+            f"'{backend}': an atomic whole-table file swap cannot be "
+            "expressed when the directory content IS the committed "
+            "state")
+    committed, _success, meta, _txns = ledger.snapshot()
+    if (meta.get("bucket") or None) == bucket:
+        return {"rebucketed": False, "version": ledger.latest_version(),
+                "n_rows": sum(int((m or {}).get("n_rows", 0))
+                              for m in committed.values()),
+                "parts_before": len(committed),
+                "parts_after": len(committed), "files_written": 0,
+                "bucket": dict(bucket)}
+
+    # the expectation the swap is conditioned on: file sets AND
+    # deletion vectors, exactly as replay will re-derive them
+    expect = {int(p): {"files": sorted((m or {}).get("files") or {}),
+                       "dv": {f: sorted(int(x) for x in v)
+                              for f, v in ((m or {}).get("dv")
+                                           or {}).items() if v}}
+              for p, m in committed.items()}
+
+    # ratchet BEFORE the swap lands: a reader that would silently skip
+    # the action must be refused from the first rebucketed version on
+    proto = meta.get("_protocol") or {}
+    if "rebucket" not in set(proto.get("reader_features") or []) \
+            or "rebucket" not in set(proto.get("writer_features") or []):
+        upgrade_protocol(out_dir, reader_features=["rebucket"],
+                         writer_features=["rebucket"], backend=backend)
+
+    tag = uuid.uuid4().hex[:12]
+    live_files = [(int(p), f, (m or {}).get("dv", {}).get(f))
+                  for p, m in committed.items()
+                  for f in sorted((m or {}).get("files") or {})]
+    if not live_files:
+        # empty table: the spec change is metadata-only but still one
+        # atomic, replayable, time-travelable version
+        ver = ledger.rebucket(expect, {}, bucket)
+        if ledger.table_meta(version=ver).get("bucket") != bucket:
+            raise ConcurrentRebucketError(
+                f"rebucket of empty {out_dir} was invalidated by a "
+                f"concurrent commit at v{ver}; retry")
+        return {"rebucketed": True, "version": ver, "n_rows": 0,
+                "parts_before": len(committed), "parts_after": 0,
+                "files_written": 0, "bucket": dict(bucket)}
+
+    live = sum(int(((committed.get(p) or {}).get("files") or {})
+                   .get(f, {}).get("n_rows", 0))
+               for p, f, _dv in live_files) \
+        - sum(len(dv or []) for _p, _f, dv in live_files)
+    declared = None
+    if meta.get("schema"):
+        declared = physical_struct(meta)  # files hold physical names
+        declared = StructType([f for f in declared.fields
+                               if f.name != "part"])  # and no part col
+    pkey = physical_name(meta, bucket["col"])
+    reader = spark.read.schema(declared) if declared is not None \
+        else spark.read
+    paths = [os.path.join(out_dir, "data", f"part={p}", f)
+             for p, f, _dv in live_files]
+    dv_map = {os.path.join(out_dir, "data", f"part={p}", f): dv
+              for p, f, dv in live_files if dv}
+    src = _apply_dv(spark, reader.parquet(*paths), dv_map)
+
+    fn_name, n_parts = bucket["fn"], int(bucket["n_parts"])
+
+    def _bucket_series(sser):
+        f = BUCKET_FNS[fn_name]
+        return sser.map(lambda v: f(v, n_parts)).astype("int32")
+
+    _bucket_of = pandas_udf(_bucket_series, "int")
+    staging = os.path.join(out_dir, f"_compact-{tag}")  # vacuum-known
+    (src.withColumn("part", _bucket_of(F.col(pkey).cast("string")))
+     .repartition(n_parts, F.col("part"))
+     .write.partitionBy("part").parquet(staging))
+
+    new_markers: dict[int, dict] = {}
+    # recomputing a rebucketed partition from any single input part
+    # would resurrect the old layout — carry every contributing run id
+    # so revalidate_committed's multi-run guard refuses the recompute
+    runs = sorted({rid for m in committed.values()
+                   for rid in ((m or {}).get("runs")
+                               or ([m["run_id"]] if (m or {}).get("run_id")
+                                   else []))} | {f"rebucket-{tag}"})
+    n_rows = 0
+    files_written = 0
+    for d in sorted(os.listdir(staging)):
+        if not d.startswith("part="):
+            continue
+        newp = int(d.split("=", 1)[1])
+        pdir = os.path.join(out_dir, "data", f"part={newp}")
+        os.makedirs(pdir, exist_ok=True)
+        man: dict = {}
+        stats: dict = {}
+        prows = 0
+        for i, f in enumerate(sorted(os.listdir(
+                os.path.join(staging, d)))):
+            if not f.endswith(".parquet"):
+                continue
+            fsrc = os.path.join(staging, d, f)
+            rows = pq.ParquetFile(fsrc).metadata.num_rows
+            if rows == 0:
+                continue
+            newname = f"rebucket-{tag}-{files_written:05d}.parquet"
+            man[newname] = {"n_rows": int(rows),
+                            "n_bytes": os.path.getsize(fsrc)}
+            stats[newname] = file_column_stats(fsrc, stats_columns(meta))
+            prows += int(rows)
+            os.replace(fsrc, os.path.join(pdir, newname))
+            files_written += 1
+        if man:
+            new_markers[newp] = {
+                "run_id": f"rebucket-{tag}", "part": newp,
+                "status": "COMMITTED", "n_rows": prows,
+                "files": man, "stats": stats, "runs": runs}
+            n_rows += prows
+    shutil.rmtree(staging, ignore_errors=True)
+    if n_rows != live:
+        # abandon BEFORE the commit: the rewrites are unreferenced
+        # orphans (vacuum reclaims them); the table is untouched
+        raise RuntimeError(
+            f"rebucket rewrote {n_rows} rows but the manifests record "
+            f"{live} live — aborted, table unchanged")
+    ver = ledger.rebucket(expect, new_markers, bucket)
+    # verify the swap APPLIED: replay honored it only if the live state
+    # at ver-1 still matched the expectation — re-check the committed
+    # outcome rather than trusting our (possibly stale) snapshot
+    after = ledger.committed(version=ver)
+    applied = (ledger.table_meta(version=ver).get("bucket") == bucket
+               and {int(p): sorted((m or {}).get("files") or {})
+                    for p, m in after.items()}
+               == {p: sorted(m["files"]) for p, m in new_markers.items()})
+    if not applied:
+        raise ConcurrentRebucketError(
+            f"rebucket of {out_dir} conflicted with a concurrent "
+            f"commit between snapshot and v{ver}; the swap was ignored "
+            "by replay (its outputs are orphans for vacuum) — retry "
+            "against the new snapshot")
+    return {"rebucketed": True, "version": ver, "n_rows": n_rows,
+            "parts_before": len(committed),
+            "parts_after": len(new_markers),
+            "files_written": files_written, "bucket": dict(bucket)}
 
 
 class ConcurrentDeleteError(RuntimeError):

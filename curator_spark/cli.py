@@ -211,6 +211,15 @@ def build_parser() -> argparse.ArgumentParser:
                         "--output back to the latest commit at or "
                         "before this datetime and exit (one new "
                         "commit, history preserved, no Spark session)")
+    p.add_argument("--rebucket", type=str, default=None,
+                   metavar="JSON",
+                   help="change the table's bucket spec and exit "
+                        "(Iceberg's REPLACE PARTITION SPEC, eager): "
+                        "rewrite every live row into the new layout in "
+                        "one atomic commit, e.g. "
+                        "'{\"col\": \"conv_id\", \"n_parts\": 8, "
+                        "\"fn\": \"md5full\"}' (commitlog tables "
+                        "only) — no --input needed")
     p.add_argument("--expect", action="append", default=None,
                    metavar="NAME=EXPR",
                    help="expectations gate (repeatable): apply the "
@@ -322,11 +331,11 @@ def main(argv: list[str] | None = None) -> int:
     if not args.input and not args.delete_ids and not args.consume \
             and not args.delete_where and not args.update_set \
             and not args.add_constraint and not args.drop_constraint \
-            and not args.build_bloom:
+            and not args.build_bloom and not args.rebucket:
         build_parser().error(
             "--input is required unless --status/--history/--restore/"
             "--delete-ids/--delete-where/--update-set/"
-            "--add-constraint/--drop-constraint/--consume/"
+            "--add-constraint/--drop-constraint/--consume/--rebucket/"
             "--rename-column/--drop-column/--add-column/--build-bloom")
     ledger_backend = args.ledger or "markers"
 
@@ -340,6 +349,15 @@ def main(argv: list[str] | None = None) -> int:
         if args.partitions:
             b = b.config("spark.sql.shuffle.partitions", str(args.partitions))
         spark = b.getOrCreate()
+
+    if args.rebucket:
+        from curator_spark.checkpoint import rebucket_table
+        try:
+            spec = json.loads(args.rebucket)
+        except json.JSONDecodeError as e:
+            build_parser().error(f"--rebucket needs a JSON spec: {e}")
+        print(json.dumps(rebucket_table(spark, args.output, spec)))
+        return 0
 
     if args.expect:
         # expectations gate: a standalone stage BEFORE (or instead of)

@@ -41,6 +41,8 @@ OP = st.one_of(
     st.tuples(st.just("meta"), st.integers(0, 2), st.integers(0, 9)),
     st.tuples(st.just("success"), st.integers(0, 9)),
     st.tuples(st.just("restore"), st.integers(0, 50)),
+    st.tuples(st.just("rebucket"), st.integers(1, 4)),
+    st.tuples(st.just("rebucket_stale"), st.integers(0, 3)),
     st.tuples(st.just("alter"), st.integers(0, 8)),
     st.tuples(st.just("bloomstats"), st.integers(0, 3)),
     st.tuples(st.just("bloomstats_stale"), st.integers(0, 3)),
@@ -113,6 +115,40 @@ def _apply(led, op):
         # dv against a file no manifest references: replay must ignore
         # it entirely (the mask analogue of a stale swap)
         led.add_dv([(op[1], "never-existed.parquet", [0])])
+    elif kind == "rebucket":
+        # whole-table spec change: gather live state, materialize the
+        # dv masks, move every live row into `n` fresh partitions
+        _, n = op
+        parts = led.committed()
+        expect = {p: {"files": sorted((m or {}).get("files") or {}),
+                      "dv": {f: sorted(v) for f, v in
+                             ((m or {}).get("dv") or {}).items() if v}}
+                  for p, m in parts.items()}
+        live = sum(int((m or {}).get("n_rows", 0))
+                   for m in parts.values())
+        newp = {}
+        if live:
+            per = [live // n + (1 if i < live % n else 0)
+                   for i in range(n)]
+            for i, c in enumerate(p_ for p_ in per if p_):
+                rid = f"rb{next(_seq)}"
+                newp[i] = {"part": i, "run_id": rid,
+                           "status": "COMMITTED", "n_rows": c,
+                           "files": {f"{rid}.parquet": {"n_rows": c}},
+                           "runs": [rid]}
+        led.rebucket(expect, newp, {"col": "conv_id", "n_parts": n,
+                                    "fn": "md5full"})
+    elif kind == "rebucket_stale":
+        # expectation names a file no manifest references: the whole
+        # swap must be ignored at replay (table AND spec unchanged)
+        _, p = op
+        rid = f"rbs{next(_seq)}"
+        led.rebucket({p: {"files": ["never-existed.parquet"],
+                          "dv": {}}},
+                     {0: {"part": 0, "run_id": rid,
+                          "status": "COMMITTED", "n_rows": 1,
+                          "files": {f"{rid}.parquet": {"n_rows": 1}}}},
+                     {"col": "conv_id", "n_parts": 9, "fn": "md5hex8"})
     elif kind == "remove":
         led.drop_part(op[1])
     elif kind == "txn":
