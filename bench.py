@@ -24,6 +24,11 @@ import time
 
 REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
+# executor python workers inherit the JVM's env, not the driver's
+# sys.path — export PYTHONPATH BEFORE the JVM starts so pandas-UDF
+# closures referencing the package resolve when bench runs from
+# anywhere (spark-submit --py-files is the cluster-mode equivalent)
+os.environ["PYTHONPATH"] = REPO + os.pathsep +     os.environ.get("PYTHONPATH", "")
 
 from curator_spark import fixtures  # noqa: E402
 from curator_spark.ingest import docs_to_transcripts  # noqa: E402
@@ -562,6 +567,18 @@ def measure_merge(spark) -> dict:
     cinfo = clone_table(root, root + "-fork")
     clone_sec = round(time.monotonic() - tc, 3)
     shutil.rmtree(root + "-fork", ignore_errors=True)
+
+    # REBUCKET the same table 32 -> 64 partitions: whole-table physical
+    # reorganization (the one full-shuffle maintenance verb) — the
+    # datapoint is reorg THROUGHPUT (rows/s through one shuffle +
+    # partitioned write + one atomic commit) on the ~1k-file layout
+    # continuous ingestion actually produces
+    from curator_spark.checkpoint import rebucket_table
+    wait_for_quiet(threshold=3.0, max_wait_s=60)
+    tr = time.monotonic()
+    rb = rebucket_table(spark, root, {"col": "conv_id", "n_parts": 64,
+                                      "fn": "md5full"})
+    rebucket_sec = round(time.monotonic() - tr, 3)
     shutil.rmtree(root, ignore_errors=True)
     total = s["files_rewritten"] + s["files_untouched"]
     out = {"n_rows": n, "buckets": buckets, "appends": appends,
@@ -577,12 +594,19 @@ def measure_merge(spark) -> dict:
            "bloom_build_sec": bloom_build_sec,
            "clone_sec": clone_sec, "clone_files": int(cinfo["n_files"]),
            "clone_linked": int(cinfo["linked"]),
-           "clone_copied": int(cinfo["copied"])}
+           "clone_copied": int(cinfo["copied"]),
+           "rebucket_sec": rebucket_sec,
+           "rebucket_rows": int(rb["n_rows"]),
+           "rebucket_rows_per_sec": round(rb["n_rows"] / rebucket_sec, 1)
+           if rebucket_sec else None,
+           "rebucket_parts": f"{rb['parts_before']}->{rb['parts_after']}",
+           "rebucket_files_written": int(rb["files_written"])}
     log(f"merge: {dt}s, rewrote {out['files_rewritten']}/{total} files "
         f"(prune {out['prune_ratio']}); bloom point probe "
         f"{bloom_before}→{bloom_after} files (build {bloom_build_sec}s); "
         f"clone {cinfo['n_files']} files in {clone_sec}s "
-        f"({cinfo['copied']} copied)")
+        f"({cinfo['copied']} copied); rebucket {out['rebucket_parts']} "
+        f"parts: {n} rows in {rebucket_sec}s")
     return out
 
 
@@ -591,9 +615,10 @@ def measure_table_ops() -> dict:
     continuous-ingestion regime: one commit per appended partition per
     batch → thousands of versions per year). Builds a ~4k-version
     MIXED-action log — appends dominating, periodic compactions,
-    row-level deletes, partition drops, and two restores, the action
-    mix a real table accretes — then measures, WITH log checkpoints vs
-    with them deleted (full replay):
+    row-level deletes, partition drops, two restores, and one
+    partition-spec rebucket, the action mix a real table accretes —
+    then measures, WITH log checkpoints vs with them deleted (full
+    replay):
 
     * one snapshot plan (read_committed's metadata phase);
     * one change-feed bootstrap plan (table_changes 0→head — a new
@@ -621,13 +646,34 @@ def measure_table_ops() -> dict:
     n_commits = 4096
     n_parts = 8
     actions = {"append": 0, "compact": 0, "delete": 0, "remove": 0,
-               "restore": 0}
+               "restore": 0, "rebucket": 0}
     i = 0
     while (led.latest_version() or 0) < n_commits:
         i += 1
         v = led.latest_version() or 0
         r = i % 64
         p = i % n_parts
+        if v == 2200:                  # one partition-spec change
+            parts = led.committed()
+            expect = {q: {"files": sorted((m or {}).get("files") or {}),
+                          "dv": {f: sorted(x) for f, x in
+                                 ((m or {}).get("dv") or {}).items()
+                                 if x}}
+                      for q, m in parts.items()}
+            newp = {}
+            for q, m in parts.items():   # same counts, fresh layout
+                if not (m or {}).get("files"):
+                    continue
+                nr = int(m["n_rows"])
+                newp[q] = {"part": q, "run_id": f"rb{i}",
+                           "status": "COMMITTED", "n_rows": nr,
+                           "files": {f"rb{i}-{q}.parquet":
+                                     {"n_rows": nr}}}
+            led.rebucket(expect, newp, {"col": "conv_id",
+                                        "n_parts": n_parts,
+                                        "fn": "md5full"})
+            actions["rebucket"] = actions.get("rebucket", 0) + 1
+            continue
         if v in (1500, 3000):          # two rollbacks mid-history
             t = v - 40
             s = led.snapshot(version=t)
@@ -1027,6 +1073,21 @@ def write_bench_md(result: dict) -> None:
                 "moved; fork cost scales with file count, never data "
                 "volume).",
             ]
+        if m.get("rebucket_sec") is not None:
+            lines += [
+                "",
+                f"REBUCKET of the same table "
+                f"({m['rebucket_parts']} partitions, eager REPLACE "
+                f"PARTITION SPEC): **{m['rebucket_rows']} rows "
+                f"reorganized in {m['rebucket_sec']} s "
+                f"({m['rebucket_rows_per_sec']} rows/s)** through one "
+                f"full shuffle + partitioned write + one "
+                f"expectation-guarded commit "
+                f"({m['rebucket_files_written']} files) — the one "
+                "maintenance verb whose cost is O(table), priced so "
+                "the lazy alternatives (compaction, clone, "
+                "metadata-only DDL) stay the default.",
+            ]
     if "table_ops" in result:
         t = result["table_ops"]
         mix = t.get("action_mix") or {}
@@ -1040,7 +1101,9 @@ def write_bench_md(result: dict) -> None:
             f"real table accretes ({mix.get('append', '?')} appends,",
             f"{mix.get('compact', '?')} compactions, {mix.get('delete', '?')}"
             f" row-level deletes, {mix.get('remove', '?')} partition drops,",
-            f"{mix.get('restore', '?')} restores) and measures each",
+            f"{mix.get('restore', '?')} restores,"
+            f" {mix.get('rebucket', '?')} partition-spec rebucket)"
+            f" and measures each",
             "planning operation (pure protocol — planning never touches",
             "data files). Files opened is deterministic and",
             "host-independent; wall time is min-of-5.",
