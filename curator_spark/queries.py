@@ -1836,9 +1836,10 @@ def q75_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     data-proportional shuffle keys are (doc_id, bucket) — uniform by
     construction of the hash. The one global window ranks the DOC-LEVEL
     score table (4 narrow columns, |docs| rows — text never reaches
-    it); at 10^9+ docs the exact rank would be replaced by a broadcast
-    approx-quantile keep-threshold (same decisions away from the cut,
-    no total order), traded here for oracle-exact output."""
+    it); the exact rank itself runs through operators/ranking.
+    global_rank — quantile-bucketed k parallel sorts, NO empty-
+    PARTITION-BY window / SinglePartition exchange — so even the
+    doc-level rank survives 10^9+ docs."""
     docs = _t(spark, sf_dir, "documents")
     toks = F.filter(F.split(F.lower(F.col("text")), " "), lambda t: t != "")
     bucket = (F.conv(F.substring(F.md5("tok"), 1, 12), 16, 10)
@@ -1869,8 +1870,12 @@ def q75_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
               .withColumn("score_per_tok",
                           F.expr("score_milli div n_toks")))
     n_docs = docs.agg(F.count(F.lit(1)).alias("n"))
-    w = Window.orderBy(F.col("score_per_tok").desc(), F.col("doc_id").asc())
-    return (scored.withColumn("rank", F.row_number().over(w))
+    from .operators.ranking import global_rank
+    ranked = global_rank(
+        scored, "score_per_tok", descending=True,
+        order_by=[F.col("score_per_tok").desc(), F.col("doc_id").asc()],
+        rank_col="rank")
+    return (ranked
             .crossJoin(F.broadcast(n_docs))
             # ceil(n/frac) via (n + frac - 1) div frac: exact under BOTH
             # truncating (Spark div) and floor (//) integer division

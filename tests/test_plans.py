@@ -294,9 +294,9 @@ def test_dsir_weights_broadcast_no_product(spark):
     assert plan.count("BroadcastNestedLoopJoin") <= 2  # 1-row aggs only
     # both distributions + totals roll up from ONE per-doc aggregation
     # (a branch-per-distribution shape re-aggregates the corpus); the
-    # hash exchanges are per_db, by_b, scored, and the final rank's
-    # single-partition exchange is not hashpartitioning
-    assert plan.count("Exchange hashpartitioning") <= 6
+    # hash exchanges are per_db, by_b, scored, plus global_rank's
+    # bucketed-window exchange — all keyed, none SinglePartition sorts
+    assert plan.count("Exchange hashpartitioning") <= 7
 
 
 def test_bm25_broadcast_stats_and_topk(spark):
@@ -498,6 +498,26 @@ def test_q109_pii_incidence_plan_one_agg_no_python(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "partial_count" in plan or "partial_sum" in plan
     assert plan.count("Scan parquet") == 1
+
+
+def test_q75_dsir_rank_plan_no_single_partition_sort(spark):
+    """DSIR's keep-fraction cut ranks the doc-level score table via the
+    bucketed global_rank: no SinglePartition exchange may feed a
+    Sort/Window (the 100 TB single-task global sort). The plan's only
+    SinglePartition exchanges must be SCALAR rollups (keys=[] partial
+    aggregates — one row moves, the standard two-phase global agg)."""
+    from curator_spark import queries
+    plan = plan_of(queries.q75_dsir_resample(spark, SF))
+    lines = plan.splitlines()
+    hits = [i for i, ln in enumerate(lines)
+            if "Exchange SinglePartition" in ln]
+    assert hits, "plan shape changed: scalar totals disappeared"
+    for i in hits:
+        nxt = lines[i + 1]
+        assert "HashAggregate(keys=[], functions=[partial_" in nxt, (
+            f"SinglePartition feeds a non-scalar operator: {nxt}")
+    # and the rank window itself is bucket-partitioned, never global
+    assert "__bucket" in plan
 
 
 def test_q110_corpus_shuffle_plan_no_single_partition_sort(spark):
