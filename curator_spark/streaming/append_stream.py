@@ -44,13 +44,20 @@ def run_append_stream(spark: SparkSession, input_dir: str, out_dir: str,
                       max_files_per_trigger: int | None = None,
                       trigger_interval: str | None = None,
                       broadcast_conv_aggs: bool | None = None,
-                      params: dict | None = None):
+                      params: dict | None = None,
+                      cooldown=None):
     """Drain (available_now) or follow (not) a transcript-file stream
     into a committed commitlog table via content-deduped appends.
 
     Returns (query, summaries) — summaries is a driver-local list of
     per-epoch append summaries (convs_new / convs_dup_prior / ...),
     appended as epochs complete.
+
+    cooldown: an optional `streaming.cooldown.CooldownPolicy` — wraps
+    the epoch sink with rate-limit pause-and-retry (A20). Safe here
+    precisely because this sink is idempotent per epoch (txn marker +
+    content dedup): a throttled half-attempt plus a retry converges to
+    the same committed table as one clean run.
     """
     r = spark.readStream.schema(schema.TRANSCRIPTS_SCHEMA)
     if max_files_per_trigger:
@@ -83,7 +90,12 @@ def run_append_stream(spark: SparkSession, input_dir: str, out_dir: str,
         s["epoch"] = int(epoch_id)
         summaries.append(s)
 
-    w = (stream.writeStream.foreachBatch(_sink)
+    sink = _sink
+    if cooldown is not None:
+        from .cooldown import with_cooldown
+        sink = with_cooldown(_sink, cooldown)
+
+    w = (stream.writeStream.foreachBatch(sink)
          .option("checkpointLocation", checkpoint_dir))
     if available_now:
         w = w.trigger(availableNow=True)

@@ -87,3 +87,16 @@ def test_each_epoch_is_a_queryable_snapshot(spark, stream_env):
     # ends at the head — epochs only ever add
     counts = [table_row_count(out, version=h["version"]) for h in hist]
     assert counts == sorted(counts) and counts[-1] == head
+
+
+def test_append_stream_accepts_cooldown_policy(spark, stream_env):
+    """run_append_stream(cooldown=...) plumbs the A20 wrapper around the
+    epoch sink; a healthy run records zero pauses and stays idempotent."""
+    from curator_spark.streaming.cooldown import CooldownPolicy
+    pol = CooldownPolicy(seconds=0.01)
+    q, summaries = run_append_stream(
+        spark, stream_env["sdir"], stream_env["out"],
+        checkpoint_dir=str(stream_env["base"] / "ckpt3"),  # fresh
+        cooldown=pol)
+    assert sum(s["rows_appended"] for s in summaries) == 0
+    assert pol.pauses == []
