@@ -236,17 +236,18 @@ def q82_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     decision (q40's salted-hash determinism) — is pure integer.
 
     Plan: one map-side-combined groupBy(source) (k rows), the weight
-    sum via a window over those k rows (no second corpus pass),
-    fractions broadcast back onto the docs as a k-row join, keep is a
-    narrow md5 map. Text never shuffles."""
+    sum as a 1-row scalar rollup broadcast back onto those k rows (the
+    scalar-join idiom — no SinglePartition window anywhere, audited by
+    tools/plan_audit.py), fractions broadcast back onto the docs as a
+    k-row join, keep is a narrow md5 map. Text never shuffles."""
     docs = _t(spark, sf_dir, "documents")
     per_src = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_source"))
     w = per_src.withColumn(
         "w_milli", F.floor(F.sqrt(F.col("n_source").cast("double")) * 1000)
         .cast("long"))
-    wall = Window.partitionBy()  # k rows total — not a scale risk
-    w = (w.withColumn("w_sum", F.sum("w_milli").over(wall))
-         .withColumn("n_total", F.sum("n_source").over(wall)))
+    totals = w.agg(F.sum("w_milli").alias("w_sum"),
+                   F.sum("n_source").alias("n_total"))
+    w = w.crossJoin(F.broadcast(totals))
     # target T = n_total div 2; f_micro = min(1e6, T·w·1e6 div (Σw·n_s))
     f = F.least(
         F.lit(1_000_000).cast("long"),

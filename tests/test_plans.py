@@ -527,3 +527,19 @@ def test_q110_corpus_shuffle_plan_no_single_partition_sort(spark):
     from curator_spark import queries
     plan = plan_of(queries.q110_corpus_shuffle(spark, SF))
     assert "SinglePartition" not in plan
+
+
+def test_q82_temperature_mixture_no_single_partition(spark):
+    """The mixture weights roll up via the 1-row scalar-join idiom, not
+    an empty-partition window: the ONLY SinglePartition exchanges are
+    grouping-free scalar aggregates, and the k-row weight table joins
+    back by broadcast."""
+    from curator_spark import queries
+    plan = plan_of(queries.q82_temperature_mixture(spark, SF))
+    lines = plan.splitlines()
+    for i, ln in enumerate(lines):
+        if "Exchange SinglePartition" in ln:
+            assert "Aggregate(keys=[]" in lines[i + 1] or \
+                   "Aggregate(key=[]" in lines[i + 1], lines[i + 1]
+    assert "Window" not in plan
+    assert "BroadcastHashJoin [source" in plan or "BroadcastHashJoin" in plan
