@@ -236,6 +236,24 @@ def build_parser() -> argparse.ArgumentParser:
                    metavar="DIR",
                    help="where --expect quarantine rows go (default "
                         "<output>_quarantine)")
+    p.add_argument("--export-shards", type=str, default=None,
+                   metavar="DIR",
+                   help="export --input (parquet) as deterministic "
+                        "JSONL training shards under DIR (+ _manifest."
+                        "json with per-shard counts/fingerprints); "
+                        "shard count via --n-shards, membership key "
+                        "via --shard-key (stable under any input "
+                        "partitioning)")
+    p.add_argument("--n-shards", type=int, default=64,
+                   help="shard count for --export-shards (default 64)")
+    p.add_argument("--shard-key", type=str, default="conv_id",
+                   help="membership key column for --export-shards; "
+                        "rows sharing it never split across shards")
+    p.add_argument("--verify-shards", type=str, default=None,
+                   metavar="DIR",
+                   help="re-derive every shard's count+fingerprint "
+                        "from the files in DIR and compare to its "
+                        "_manifest.json; exit 3 on mismatch")
     p.add_argument("--clone", type=str, default=None, metavar="DST",
                    help="SHALLOW CLONE --output into DST and exit: "
                         "zero-copy fork (hard-linked data files, fresh "
@@ -331,12 +349,14 @@ def main(argv: list[str] | None = None) -> int:
     if not args.input and not args.delete_ids and not args.consume \
             and not args.delete_where and not args.update_set \
             and not args.add_constraint and not args.drop_constraint \
-            and not args.build_bloom and not args.rebucket:
+            and not args.build_bloom and not args.rebucket \
+            and not args.export_shards and not args.verify_shards:
         build_parser().error(
             "--input is required unless --status/--history/--restore/"
             "--delete-ids/--delete-where/--update-set/"
             "--add-constraint/--drop-constraint/--consume/--rebucket/"
-            "--rename-column/--drop-column/--add-column/--build-bloom")
+            "--rename-column/--drop-column/--add-column/--build-bloom/"
+            "--export-shards/--verify-shards")
     ledger_backend = args.ledger or "markers"
 
     if args.local_cores:
@@ -358,6 +378,30 @@ def main(argv: list[str] | None = None) -> int:
             build_parser().error(f"--rebucket needs a JSON spec: {e}")
         print(json.dumps(rebucket_table(spark, args.output, spec)))
         return 0
+
+    if args.export_shards:
+        from curator_spark.export import export_jsonl_shards
+        # source = --input parquet when given, else the committed
+        # table at --output (the curate-then-export workflow)
+        if args.input:
+            df = spark.read.parquet(args.input)
+        else:
+            from curator_spark.checkpoint import read_committed
+            df = read_committed(spark, args.output)
+        order = [args.shard_key] + [c for c in ("turn_idx",)
+                                    if c in df.columns]
+        man = export_jsonl_shards(df, args.export_shards, args.n_shards,
+                                  args.shard_key, order_cols=order)
+        print(json.dumps({"total_rows": man["total_rows"],
+                          "n_shards": man["n_shards"],
+                          "out": args.export_shards}))
+        return 0
+
+    if args.verify_shards:
+        from curator_spark.export import verify_export
+        rep = verify_export(spark, args.verify_shards)
+        print(json.dumps(rep))
+        return 0 if rep["all_ok"] else 3
 
     if args.expect:
         # expectations gate: a standalone stage BEFORE (or instead of)
