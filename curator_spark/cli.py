@@ -236,6 +236,17 @@ def build_parser() -> argparse.ArgumentParser:
                    metavar="DIR",
                    help="where --expect quarantine rows go (default "
                         "<output>_quarantine)")
+    p.add_argument("--diff", type=str, default=None, metavar="FROM[:TO]",
+                   help="semantic diff of the --output table between "
+                        "commit versions FROM and TO (default TO=head): "
+                        "prints added/removed/updated counts and "
+                        "per-column update attribution; --diff-out "
+                        "writes the keyed row-level diff as parquet")
+    p.add_argument("--diff-out", type=str, default=None, metavar="DIR",
+                   help="where --diff writes the row-level diff")
+    p.add_argument("--diff-key", type=str, default="conv_id,turn_idx",
+                   help="comma-separated key columns identifying a row "
+                        "for --diff (default conv_id,turn_idx)")
     p.add_argument("--export-shards", type=str, default=None,
                    metavar="DIR",
                    help="export --input (parquet) as deterministic "
@@ -350,7 +361,8 @@ def main(argv: list[str] | None = None) -> int:
             and not args.delete_where and not args.update_set \
             and not args.add_constraint and not args.drop_constraint \
             and not args.build_bloom and not args.rebucket \
-            and not args.export_shards and not args.verify_shards:
+            and not args.export_shards and not args.verify_shards \
+            and not args.diff:
         build_parser().error(
             "--input is required unless --status/--history/--restore/"
             "--delete-ids/--delete-where/--update-set/"
@@ -377,6 +389,22 @@ def main(argv: list[str] | None = None) -> int:
         except json.JSONDecodeError as e:
             build_parser().error(f"--rebucket needs a JSON spec: {e}")
         print(json.dumps(rebucket_table(spark, args.output, spec)))
+        return 0
+
+    if args.diff:
+        from curator_spark.diff import diff_summary, table_diff
+        spec = args.diff.split(":")
+        v_from = int(spec[0])
+        v_to = int(spec[1]) if len(spec) > 1 else None
+        key = tuple(c.strip() for c in args.diff_key.split(","))
+        d = table_diff(spark, args.output, v_from, v_to, key_cols=key)
+        if args.diff_out:
+            d.write.mode("overwrite").parquet(args.diff_out)
+        out = diff_summary(d)
+        out["from"] = v_from
+        if v_to is not None:
+            out["to"] = v_to
+        print(json.dumps(out))
         return 0
 
     if args.export_shards:
