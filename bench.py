@@ -42,6 +42,7 @@ RUN_SKEW = os.environ.get("SPARK_GRAFT_SKEW", "1") == "1"
 RUN_STREAM = os.environ.get("SPARK_GRAFT_STREAM", "1") == "1"
 RUN_TABLEOPS = os.environ.get("SPARK_GRAFT_TABLEOPS", "1") == "1"
 RUN_MERGE = os.environ.get("SPARK_GRAFT_MERGE", "1") == "1"
+RUN_INGEST = os.environ.get("SPARK_GRAFT_INGEST", "1") == "1"
 SCALE_TURNS = int(os.environ.get("SPARK_GRAFT_SCALE_TURNS", "3200000"))
 SKEW_TURNS = int(os.environ.get("SPARK_GRAFT_SKEW_TURNS", "600000"))
 STREAM_TURNS = int(os.environ.get("SPARK_GRAFT_STREAM_TURNS", "400000"))
@@ -321,6 +322,7 @@ def main() -> None:
     for name in HEADLINE:
         timed(name)
     merge_result = measure_merge(spark) if RUN_MERGE else None
+    ingest_result = measure_ingest_export(spark) if RUN_INGEST else None
     spark.stop()
 
     result = {
@@ -481,6 +483,9 @@ def main() -> None:
     if merge_result is not None:
         result["merge"] = merge_result
 
+    if ingest_result is not None:
+        result["ingest_export"] = ingest_result
+
     if RUN_TABLEOPS:
         result["table_ops"] = measure_table_ops()
 
@@ -607,6 +612,92 @@ def measure_merge(spark) -> dict:
         f"clone {cinfo['n_files']} files in {clone_sec}s "
         f"({cinfo['copied']} copied); rebucket {out['rebucket_parts']} "
         f"parts: {n} rows in {rebucket_sec}s")
+    return out
+
+
+def measure_ingest_export(spark) -> dict:
+    """Source + sink throughput for the last-mile operators:
+
+    * WARC ingestion — N synthetic warc.gz archives (one gzip member
+      per record, the CommonCrawl layout) parsed to the documents
+      shape: archives are the parallelism unit, the scan is one
+      narrow mapInPandas pass. Reported: docs/s and archive MB/s.
+    * Sharded export — the sf transcripts table written as 32
+      deterministic JSONL shards + manifest, then re-verified from the
+      files alone. Reported: export rows/s and verify rows/s (the
+      verify pass is the pure-scan lower bound).
+    """
+    import gzip as _gzip
+    import shutil as _shutil
+
+    from curator_spark.export import export_jsonl_shards, verify_export
+    from curator_spark.warc import warc_to_documents
+
+    import uuid as _uuid
+    work = f"/tmp/curator_bench/ingest-{_uuid.uuid4().hex[:8]}"
+    _shutil.rmtree(work, ignore_errors=True)
+    wdir = os.path.join(work, "warc")
+    os.makedirs(wdir)
+
+    n_archives, recs_per = 32, 400
+    body_pad = ("lorem ipsum dolor sit amet " * 40)
+    raw_bytes = 0
+    for a in range(n_archives):
+        parts = []
+        for r in range(recs_per):
+            html = (f"<html><body><h1>doc {a}-{r}</h1>"
+                    f"<p>{body_pad}</p><p>tail {r}</p></body></html>"
+                    ).encode()
+            http = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+                    + html)
+            rec = (b"WARC/1.0\r\nWARC-Type: response\r\n"
+                   + f"WARC-Record-ID: <urn:uuid:{a}-{r}>\r\n".encode()
+                   + f"WARC-Target-URI: http://h{a}.com/p{r}\r\n".encode()
+                   + b"WARC-Date: 2026-01-01T00:00:00Z\r\n"
+                   + f"Content-Length: {len(http)}\r\n\r\n".encode()
+                   + http + b"\r\n\r\n")
+            parts.append(_gzip.compress(rec))
+        data = b"".join(parts)
+        raw_bytes += len(data)
+        with open(os.path.join(wdir, f"crawl-{a:04d}.warc.gz"), "wb") as f:
+            f.write(data)
+
+    t0 = time.monotonic()
+    docs_out = os.path.join(work, "docs")
+    warc_to_documents(spark, wdir).write.mode("overwrite").parquet(docs_out)
+    warc_dt = time.monotonic() - t0
+    n_docs = spark.read.parquet(docs_out).count()
+
+    src = spark.read.parquet(f"{SF_DIR}/documents.parquet") \
+        .selectExpr("doc_id", "text", "source", "n_chars")
+    n_rows = src.count()
+    exp_dir = os.path.join(work, "shards")
+    t0 = time.monotonic()
+    export_jsonl_shards(src, exp_dir, 32, "doc_id",
+                        order_cols=["doc_id"])
+    exp_dt = time.monotonic() - t0
+    t0 = time.monotonic()
+    rep = verify_export(spark, exp_dir)
+    ver_dt = time.monotonic() - t0
+    assert rep["all_ok"]
+
+    out = {
+        "warc": {"archives": n_archives, "records": n_archives * recs_per,
+                 "gz_mb": round(raw_bytes / 1e6, 2), "docs": n_docs,
+                 "wall_sec": round(warc_dt, 2),
+                 "docs_per_sec": round(n_docs / warc_dt, 1),
+                 "gz_mb_per_sec": round(raw_bytes / 1e6 / warc_dt, 2)},
+        "export": {"rows": n_rows, "n_shards": 32,
+                   "export_sec": round(exp_dt, 2),
+                   "export_rows_per_sec": round(n_rows / exp_dt, 1),
+                   "verify_sec": round(ver_dt, 2),
+                   "verify_rows_per_sec": round(n_rows / ver_dt, 1)},
+    }
+    log(f"ingest/export: {n_docs} docs from {n_archives} archives in "
+        f"{out['warc']['wall_sec']}s ({out['warc']['gz_mb_per_sec']} "
+        f"MB/s); export {n_rows} rows in {out['export']['export_sec']}s, "
+        f"verify {out['export']['verify_sec']}s")
+    _shutil.rmtree(work, ignore_errors=True)
     return out
 
 
@@ -1088,6 +1179,31 @@ def write_bench_md(result: dict) -> None:
                 "the lazy alternatives (compaction, clone, "
                 "metadata-only DDL) stay the default.",
             ]
+    if "ingest_export" in result:
+        ie = result["ingest_export"]
+        w, e = ie["warc"], ie["export"]
+        lines += [
+            "",
+            "## Ingest / export throughput (the last mile)",
+            "",
+            f"WARC ingestion: **{w['docs']} docs from {w['archives']} "
+            f"warc.gz archives ({w['gz_mb']} MB compressed) in "
+            f"{w['wall_sec']} s — {w['docs_per_sec']} docs/s, "
+            f"{w['gz_mb_per_sec']} MB/s** through the one-task-per-"
+            "archive mapInPandas scan (gunzip + ISO-28500 framing + "
+            "HTTP peel + HTML→text per record). Archives are the "
+            "parallelism unit; at 10^5 archives the same pass is "
+            "embarrassingly parallel at any executor count.",
+            "",
+            f"Sharded export: **{e['rows']} rows → {e['n_shards']} "
+            f"deterministic JSONL shards in {e['export_sec']} s "
+            f"({e['export_rows_per_sec']} rows/s)**, manifest "
+            f"re-verified from the files alone in {e['verify_sec']} s "
+            f"({e['verify_rows_per_sec']} rows/s). One shuffle "
+            "(xxhash64 shard key — uniform by construction) + "
+            "per-task sorts; the verify pass is shuffle-free "
+            "map-side-combined sums.",
+        ]
     if "table_ops" in result:
         t = result["table_ops"]
         mix = t.get("action_mix") or {}

@@ -42,11 +42,21 @@ def _lines(df: DataFrame, cols: list[str]) -> F.Column:
 
 def export_jsonl_shards(df: DataFrame, out_dir: str, n_shards: int,
                         key_col: str, order_cols: list[str] | None = None,
-                        columns: list[str] | None = None) -> dict:
+                        columns: list[str] | None = None,
+                        incremental: bool = False) -> dict:
     """Write df as n_shards JSONL shard directories
     (`out_dir/shard=K/...`) plus `out_dir/_manifest.json` with
     per-shard row counts and content fingerprints. Returns the
-    manifest as a dict."""
+    manifest as a dict (plus `shards_written` — how many were
+    physically rewritten).
+
+    incremental=True: diff the freshly-computed per-shard
+    fingerprints against the existing manifest and rewrite ONLY the
+    shards whose content changed (dynamic partition overwrite —
+    untouched shard directories keep their exact files). Because
+    membership is a pure function of the key, appends/edits confined
+    to few keys touch few shards; the manifest always describes the
+    WHOLE table either way, so verify_export stays a full check."""
     cols = columns or df.columns
     order = order_cols or [key_col]
     shard = F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_shards)).cast("int")
@@ -68,11 +78,52 @@ def export_jsonl_shards(df: DataFrame, out_dir: str, n_shards: int,
                                  "fingerprint": int(int(r["fp"]) % (1 << 64))}
              for r in man}
 
-    (body.select(F.col("__shard").alias("shard"), *order, "__line")
-     .repartition(n_shards, "shard")
-     .sortWithinPartitions("shard", *order)
-     .select("shard", F.col("__line").alias("value"))
-     .write.partitionBy("shard").mode("overwrite").text(out_dir))
+    prev = None
+    man_path = os.path.join(out_dir, "_manifest.json")
+    if incremental and os.path.exists(man_path):
+        with open(man_path) as fh:
+            prev = json.load(fh)
+        if (prev.get("n_shards") != n_shards
+                or prev.get("key_col") != key_col
+                or prev.get("columns") != cols):
+            prev = None  # spec changed → full rewrite
+
+    if prev is not None:
+        changed = [k for k in range(n_shards)
+                   if prev["shards"].get(str(k), {})
+                   != stats.get(k, {"n_rows": 0, "fingerprint": 0})]
+        write = body.filter(F.col("__shard").isin(changed)) \
+            if changed else None
+        mode_conf = ("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        spark = df.sparkSession
+        old_mode = spark.conf.get(mode_conf[0], "static")
+        if write is not None:
+            # a shard that became EMPTY leaves a stale dir under dynamic
+            # overwrite (no rows → no partition touched): drop it here
+            import shutil
+            for k in changed:
+                if stats.get(k, {"n_rows": 0})["n_rows"] == 0:
+                    shutil.rmtree(os.path.join(out_dir, f"shard={k}"),
+                                  ignore_errors=True)
+            spark.conf.set(*mode_conf)
+            try:
+                (write.select(F.col("__shard").alias("shard"), *order,
+                              "__line")
+                 .repartition(max(1, len(changed)), "shard")
+                 .sortWithinPartitions("shard", *order)
+                 .select("shard", F.col("__line").alias("value"))
+                 .write.partitionBy("shard").mode("overwrite")
+                 .text(out_dir))
+            finally:
+                spark.conf.set(mode_conf[0], old_mode)
+        n_written = len(changed)
+    else:
+        (body.select(F.col("__shard").alias("shard"), *order, "__line")
+         .repartition(n_shards, "shard")
+         .sortWithinPartitions("shard", *order)
+         .select("shard", F.col("__line").alias("value"))
+         .write.partitionBy("shard").mode("overwrite").text(out_dir))
+        n_written = n_shards
 
     manifest = {
         "n_shards": n_shards, "key_col": key_col, "columns": cols,
@@ -80,8 +131,9 @@ def export_jsonl_shards(df: DataFrame, out_dir: str, n_shards: int,
         "shards": {str(k): stats.get(k, {"n_rows": 0, "fingerprint": 0})
                    for k in range(n_shards)},
     }
-    with open(os.path.join(out_dir, "_manifest.json"), "w") as fh:
+    with open(man_path, "w") as fh:
         json.dump(manifest, fh, indent=1, sort_keys=True)
+    manifest["shards_written"] = n_written
     return manifest
 
 

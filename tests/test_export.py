@@ -30,7 +30,9 @@ def test_export_roundtrip_and_manifest(spark, tmp_path):
         columns=["conv_id", "turn_idx", "role", "text"])
     assert man["total_rows"] == df.count()
     assert len(man["shards"]) == 8
-    # manifest on disk matches the returned dict
+    # manifest on disk matches the returned dict (minus the run-report
+    # shards_written field, which describes the write not the content)
+    assert man.pop("shards_written") == 8
     with open(os.path.join(out, "_manifest.json")) as fh:
         assert json.load(fh) == json.loads(json.dumps(man))
     # every line is valid JSON with the declared field order
@@ -135,3 +137,78 @@ def test_cli_export_and_verify_verbs(spark, tmp_path, capsys):
             continue
         break
     assert main(["--output", out, "--verify-shards", shards]) == 3
+
+
+def test_incremental_reexport_touches_only_changed_shards(spark, tmp_path):
+    """Append rows for ONE key-cluster, re-export with incremental=True:
+    only the affected shard directories are rewritten — untouched shard
+    files keep their inodes — and the result equals a full re-export."""
+    df = _docs(spark, tmp_path, n=2000, seed=14)
+    out = str(tmp_path / "inc")
+    man1 = export_jsonl_shards(df, out, 8, "conv_id",
+                               order_cols=["conv_id", "turn_idx"])
+    assert man1["shards_written"] == 8
+    inodes_before = {}
+    for k in range(8):
+        d = os.path.join(out, f"shard={k}")
+        inodes_before[k] = sorted(
+            os.stat(os.path.join(d, f)).st_ino
+            for f in os.listdir(d) if not f.startswith("."))
+
+    # second delivery: ONE new conversation (hashes into one shard)
+    extra = fixtures.generate_transcripts(120, seed=15, n_parts=8)
+    extra = extra[extra["conv_id"] == sorted(extra["conv_id"].unique())[0]]
+    extra = extra.copy()
+    # keep the all-null tool column typed as string (an all-NaN slice
+    # would otherwise write as a non-string parquet type)
+    import pandas as pd
+    extra["tool"] = extra["tool"].astype(pd.StringDtype())
+    p = str(tmp_path / "extra.parquet")
+    fixtures.to_spark_parquet(extra, p)
+    from curator_spark import schema
+    df2 = df.unionByName(
+        spark.read.schema(schema.TRANSCRIPTS_SCHEMA).parquet(p))
+
+    man2 = export_jsonl_shards(df2, out, 8, "conv_id",
+                               order_cols=["conv_id", "turn_idx"],
+                               incremental=True)
+    assert man2["shards_written"] == 1
+    assert man2["total_rows"] == df2.count()
+    # untouched shards kept their exact files
+    changed = {k for k in range(8)
+               if man1["shards"][str(k)] != man2["shards"][str(k)]}
+    assert len(changed) == man2["shards_written"]
+    for k in range(8):
+        d = os.path.join(out, f"shard={k}")
+        now = sorted(os.stat(os.path.join(d, f)).st_ino
+                     for f in os.listdir(d) if not f.startswith("."))
+        if k in changed:
+            assert now != inodes_before[k]
+        else:
+            assert now == inodes_before[k]
+    # and the incremental result verifies + equals a fresh full export
+    assert verify_export(spark, out)["all_ok"]
+    full = str(tmp_path / "full")
+    man_full = export_jsonl_shards(df2, full, 8, "conv_id",
+                                   order_cols=["conv_id", "turn_idx"])
+    man_full.pop("shards_written")
+    with open(os.path.join(out, "_manifest.json")) as fh:
+        assert json.load(fh) == json.loads(json.dumps(man_full))
+
+
+def test_incremental_with_spec_change_falls_back_to_full(spark, tmp_path):
+    df = _docs(spark, tmp_path, n=600, seed=16)
+    out = str(tmp_path / "spec")
+    export_jsonl_shards(df, out, 4, "conv_id")
+    man = export_jsonl_shards(df, out, 8, "conv_id", incremental=True)
+    assert man["shards_written"] == 8  # n_shards changed → full rewrite
+    assert verify_export(spark, out)["all_ok"]
+
+
+def test_incremental_noop_writes_nothing(spark, tmp_path):
+    df = _docs(spark, tmp_path, n=600, seed=17)
+    out = str(tmp_path / "noop")
+    export_jsonl_shards(df, out, 4, "conv_id")
+    man = export_jsonl_shards(df, out, 4, "conv_id", incremental=True)
+    assert man["shards_written"] == 0
+    assert verify_export(spark, out)["all_ok"]
