@@ -740,6 +740,37 @@ def q111_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("e.max_str").alias("max_str")))
 
 
+def q112_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over quasi-identifiers (the privacy-aggregate
+    counterpart of the PII scrubbers q67/q104/q109): how identifying is
+    the released METADATA, independent of the text? Group by the
+    quasi-identifier tuple (lang, source, length bucket — the columns a
+    join adversary could link on) and report each group's population k;
+    groups with k < 5 are re-identification risks (the standard
+    k-anonymity floor). Output is one row per occupied quasi-identifier
+    cell — metadata-sized however large the corpus.
+
+    Plan: ONE map-side-combined groupBy on a bounded-cardinality key
+    (langs × sources × ~20 buckets) — no skew possible beyond cell
+    imbalance, which partial aggregation absorbs; the length bucket is
+    integer `div` so Spark and DuckDB agree bit-exactly."""
+    docs = _t(spark, sf_dir, "documents")
+    return (docs
+            .select("lang", "source",
+                    F.expr("n_chars div 500").alias("len_bucket"))
+            .groupBy("lang", "source", "len_bucket")
+            .agg(F.count(F.lit(1)).alias("k"))
+            .withColumn("at_risk", F.col("k") < 5))
+
+
+_Q112_SQL = """
+    SELECT lang, source, n_chars // 500 AS len_bucket,
+           count(*) AS k, count(*) < 5 AS at_risk
+    FROM documents
+    GROUP BY lang, source, len_bucket
+"""
+
+
 def q15_lang_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-density language heuristic (the SQL-expressible cousin of
     the char-trigram langid model): English function-word fraction →
@@ -2184,6 +2215,7 @@ _Q111_SQL = f"""
 ORACLES: dict[str, str] = {
     "q108_rule_attribution": _Q108_SQL,
     "q111_corpus_profile": _Q111_SQL,
+    "q112_k_anonymity": _Q112_SQL,
     "q110_corpus_shuffle": _Q110_SQL,
     "q104_pii_pseudonymize": _PSEUDO_SQL,
     "q67_luhn_cc_scrub": _LUHN_CC_SQL,
@@ -3219,6 +3251,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q108_rule_attribution": q108_rule_attribution,
     "q110_corpus_shuffle": q110_corpus_shuffle,
     "q111_corpus_profile": q111_corpus_profile,
+    "q112_k_anonymity": q112_k_anonymity,
     "q15_lang_guess": q15_lang_guess,
     "q16_fingerprint": q16_fingerprint,
     "q54_source_filter": q54_source_filter,

@@ -543,3 +543,15 @@ def test_q82_temperature_mixture_no_single_partition(spark):
                    "Aggregate(key=[]" in lines[i + 1], lines[i + 1]
     assert "Window" not in plan
     assert "BroadcastHashJoin [source" in plan or "BroadcastHashJoin" in plan
+
+
+def test_q112_k_anonymity_one_agg_no_python(spark):
+    """The privacy audit is ONE map-side-combined aggregate over a
+    bounded key — no window, no Python, one scan, one keyed exchange."""
+    from curator_spark import queries
+    plan = plan_of(queries.q112_k_anonymity(spark, SF))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "partial_count" in plan
+    assert "Window" not in plan
+    assert "EvalPython" not in plan
+    assert plan.count("Scan parquet") == 1

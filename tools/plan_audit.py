@@ -76,7 +76,9 @@ def audit_plan(plan: str) -> dict:
         info["range_exchange"] = n_range
     return {"red": flags, "info": info,
             "exchanges": plan.count("Exchange hashpartitioning"),
-            "scans": plan.count("Scan parquet") + plan.count("FileScan parquet")}
+            # "FileScan parquet" contains the substring "Scan parquet",
+            # so the one count covers both plan spellings
+            "scans": plan.count("Scan parquet")}
 
 
 def main() -> int:
