@@ -200,6 +200,19 @@ def html_to_text(html: str) -> str:
     return _NL.sub("\n\n", t).strip()
 
 
+_CHARSET_RE = re.compile(r"charset=[\"']?([A-Za-z0-9_.:-]+)", re.IGNORECASE)
+
+
+def _charset_of(content_type: str | None) -> str:
+    """Encoding label from an HTTP Content-Type header; utf-8 when
+    absent (the HTML5 default for the modern web)."""
+    if content_type:
+        m = _CHARSET_RE.search(content_type)
+        if m:
+            return m.group(1)
+    return "utf-8"
+
+
 def read_warc(spark: SparkSession, path: str) -> DataFrame:
     """Distributed WARC record scan: one task per archive file."""
     files = spark.read.format("binaryFile").load(path)
@@ -234,12 +247,18 @@ def warc_to_documents(spark: SparkSession, path: str,
                 .contains("html")))
 
     @F.pandas_udf(StringType())
-    def _extract(payload: pd.Series) -> pd.Series:
-        return payload.map(
-            lambda b: extract(bytes(b).decode("utf-8", "replace")))
+    def _extract(payload: pd.Series, ctype: pd.Series) -> pd.Series:
+        def one(b, ct):
+            enc = _charset_of(ct)
+            try:
+                text = bytes(b).decode(enc, "replace")
+            except LookupError:  # unknown label in the header
+                text = bytes(b).decode("utf-8", "replace")
+            return extract(text)
+        return pd.Series([one(b, ct) for b, ct in zip(payload, ctype)])
 
     docs = (
-        html_ok.withColumn("text", _extract("payload"))
+        html_ok.withColumn("text", _extract("payload", "content_type"))
         .withColumn(
             "doc_id",
             F.pmod(F.xxhash64(F.col("archive"), F.col("record_id")),

@@ -152,3 +152,17 @@ def test_warc_documents_feed_downstream_operators(spark, warc_dir):
     out = (docs.selectExpr("doc_id", "length(text) as n")
            .filter("n > 0").count())
     assert out == 2
+
+
+def test_charset_honored_in_extraction(spark, tmp_path):
+    """A latin-1 page with a declared charset decodes correctly; the
+    same bytes under the default utf-8 would mojibake/replace."""
+    body = "<p>café ünd søl</p>".encode("latin-1")
+    raw = rec("response",
+              http_response(body, ctype="text/html; charset=ISO-8859-1"),
+              uri="http://l1.com/")
+    d = tmp_path / "cs"
+    d.mkdir()
+    (d / "a.warc").write_bytes(raw)
+    docs = warc_to_documents(spark, str(d)).toPandas()
+    assert docs["text"].iloc[0] == "café ünd søl"
