@@ -21,6 +21,7 @@ bytes are gram strings, not documents.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 from .dedup import tokens_expr
@@ -122,3 +123,50 @@ def rule_attribution(df: DataFrame,
             .withColumn("rescue_permille",
                         F.expr("(1000 * n_exclusive) div "
                                "greatest(n_dropped, 1)")))
+
+
+# ---------------------------------------------------------------------
+# Compression-ratio quality signal (RefinedWeb/MassiveText-style): how
+# well a document's bytes DEFLATE is a cheap, language-agnostic proxy
+# for boilerplate and machine-generated repetition — natural prose
+# compresses to ~35-60% of its size, templated/repeated content far
+# lower, random/encrypted content barely at all. zlib has no JVM
+# column-expression equivalent, so this is the sanctioned Python lane:
+# an Arrow-batched pandas UDF (level 6, the zlib default, pinned for
+# reproducibility — DEFLATE output is deterministic for a fixed level
+# and library, and CPython vendors zlib). Integer permille, no floats.
+
+def compressed_permille(docs: DataFrame, text_col: str = "text",
+                        out_col: str = "compress_pm",
+                        level: int = 6) -> DataFrame:
+    """Append `out_col` = ⌊1000 · len(zlib(text)) / len(text)⌋ (int;
+    1000 for empty text — incompressible by convention). Narrow
+    Arrow-batched map, no shuffle."""
+    import zlib
+
+    from pyspark.sql.types import LongType
+
+    @F.pandas_udf(LongType())
+    def _ratio(texts: pd.Series) -> pd.Series:
+        def one(t):
+            if not t:
+                return 1000
+            raw = t.encode("utf-8")
+            return len(zlib.compress(raw, level)) * 1000 // len(raw)
+        return texts.map(one)
+
+    return docs.withColumn(out_col, _ratio(F.col(text_col)))
+
+
+def compression_flags(docs: DataFrame, text_col: str = "text",
+                      min_pm: int = 250, max_pm: int = 900) -> DataFrame:
+    """The keep rule over the signal: too-compressible (< min_pm ⇒
+    templated/repeated) or too-incompressible (> max_pm ⇒ base64
+    blobs, minified code, binary-in-text) both flag. Bounds follow the
+    RefinedWeb practice of cutting both tails."""
+    out = compressed_permille(docs, text_col)
+    return (out.withColumn("too_compressible",
+                           F.col("compress_pm") < min_pm)
+            .withColumn("too_random", F.col("compress_pm") > max_pm)
+            .withColumn("compression_ok",
+                        ~F.col("too_compressible") & ~F.col("too_random")))

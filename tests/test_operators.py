@@ -541,3 +541,40 @@ def test_priority_dedup_plan_is_agg_join_not_window(spark):
     assert "Window" not in plan
     assert "partial_min" in plan and "partial_count" in plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_compressed_permille_matches_zlib_and_flags(spark):
+    """The compression signal equals a direct zlib computation row by
+    row; prose passes, repeated boilerplate flags low, base64-ish noise
+    flags high."""
+    import base64
+    import random
+    import zlib
+
+    from curator_spark.operators.textstats import (compressed_permille,
+                                                   compression_flags)
+    prose = ("The quick brown fox jumps over the lazy dog near the "
+             "river bank while the sun sets slowly behind old hills. "
+             "Every sentence differs a little, carrying new words and "
+             "fresh structure, the way natural writing does over time.")
+    boiler = "click here to subscribe " * 40
+    rng = random.Random(7)
+    noise = base64.b64encode(bytes(rng.getrandbits(8)
+                                   for _ in range(600))).decode()
+    rows = [("p", prose), ("b", boiler), ("n", noise), ("e", "")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    # bounds are corpus-tuned; these fit the fixture lengths (zlib
+    # header overhead inflates short-text ratios; base64's floor is
+    # ~6/8 = 750‰, so 750 separates it from the 709‰ prose here)
+    got = {r["doc_id"]: r for r in
+           compression_flags(df, min_pm=300, max_pm=750).collect()}
+    for k, t in rows:
+        want = (1000 if not t else
+                len(zlib.compress(t.encode(), 6)) * 1000 // len(t.encode()))
+        assert got[k]["compress_pm"] == want, (k, got[k]["compress_pm"], want)
+    assert got["p"]["compression_ok"]
+    assert got["b"]["too_compressible"] and not got["b"]["compression_ok"]
+    assert got["n"]["too_random"] and not got["n"]["compression_ok"]
+    # plan: narrow Arrow lane, no shuffle
+    plan = compressed_permille(df)._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan and "Exchange" not in plan
