@@ -912,6 +912,26 @@ def detect_backend(out_dir: str) -> str:
     return "markers"
 
 
+def create_table(out_dir: str) -> int:
+    """CREATE TABLE IF NOT EXISTS for the commitlog backend: publish an
+    empty version 1 (no actions — the Delta 'create' commit analogue)
+    so append-only writers (incremental appends, streaming ingestion)
+    can target a fresh directory without a prior batch run. Idempotent:
+    an existing commitlog table is left untouched (its head version is
+    returned); a markers-governed dir is refused — mixed governance
+    cannot arise."""
+    existing = detect_backend(out_dir)
+    if existing == "commitlog":
+        return make_ledger(out_dir, "commitlog").latest_version()
+    if os.path.isdir(out_dir) and any(
+            f.startswith("_ledger") for f in os.listdir(out_dir)):
+        raise ValueError(
+            f"{out_dir} is governed by the markers ledger; refusing to "
+            "overlay a commit log (mixed governance)")
+    os.makedirs(out_dir, exist_ok=True)
+    return make_ledger(out_dir, "commitlog")._append([])
+
+
 def committed_parts(out_dir: str, backend: str = "markers") -> set[int]:
     return set(make_ledger(out_dir, backend).committed())
 

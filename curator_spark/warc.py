@@ -213,10 +213,9 @@ def _charset_of(content_type: str | None) -> str:
     return "utf-8"
 
 
-def read_warc(spark: SparkSession, path: str) -> DataFrame:
-    """Distributed WARC record scan: one task per archive file."""
-    files = spark.read.format("binaryFile").load(path)
-
+def parse_files_df(files: DataFrame) -> DataFrame:
+    """(path, content) rows → WARC records via the Arrow-batched
+    parser. Works on batch AND foreachBatch micro-batch frames."""
     def _parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = [f.name for f in WARC_RECORDS_SCHEMA.fields]
         for b in batches:
@@ -230,15 +229,21 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
         _parse, schema=WARC_RECORDS_SCHEMA)
 
 
-def warc_to_documents(spark: SparkSession, path: str,
-                      extract: Callable[[str], str] = html_to_text,
-                      min_chars: int = 1) -> DataFrame:
-    """WARC archives → the documents shape (doc_id, text, lang, source,
-    n_chars): keep HTTP-200 HTML responses, extract text, drop empties.
-    doc_id is a deterministic 63-bit hash of (archive, record_id) — no
-    global counter, no shuffle; `lang` is left null for the downstream
-    langid operator (q15/q77) to fill."""
-    recs = read_warc(spark, path)
+def read_warc(spark: SparkSession, path: str) -> DataFrame:
+    """Distributed WARC record scan: one task per archive file."""
+    return parse_files_df(spark.read.format("binaryFile").load(path))
+
+
+def records_to_documents(recs: DataFrame,
+                         extract: Callable[[str], str] = html_to_text,
+                         min_chars: int = 1) -> DataFrame:
+    """WARC-records DataFrame → the documents shape (doc_id, text,
+    lang, source, n_chars): keep HTTP-200 HTML responses, extract text
+    (honoring the response's declared charset), drop empties. doc_id
+    is a deterministic 63-bit hash of (archive, record_id) — no global
+    counter, no shuffle; `lang` is left null for the downstream langid
+    operator (q15/q77) to fill. Shared by the batch scan below and the
+    streaming ingestion (streaming/warc_stream.py)."""
     html_ok = (
         recs.filter(F.col("warc_error").isNull())
         .filter(F.col("warc_type") == "response")
@@ -270,6 +275,14 @@ def warc_to_documents(spark: SparkSession, path: str,
         .select("doc_id", "text", F.lit(None).cast("string").alias("lang"),
                 "source", "n_chars"))
     return docs
+
+
+def warc_to_documents(spark: SparkSession, path: str,
+                      extract: Callable[[str], str] = html_to_text,
+                      min_chars: int = 1) -> DataFrame:
+    """Batch entry: distributed WARC scan → documents shape."""
+    return records_to_documents(read_warc(spark, path),
+                                extract=extract, min_chars=min_chars)
 
 
 def warc_errors(spark: SparkSession, path: str) -> DataFrame:
