@@ -260,6 +260,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--shard-key", type=str, default="conv_id",
                    help="membership key column for --export-shards; "
                         "rows sharing it never split across shards")
+    p.add_argument("--export-version", type=int, default=None,
+                   metavar="V",
+                   help="with --export-shards (no --input): export the "
+                        "table AS OF commit version V instead of the "
+                        "head — reproducible training snapshots from "
+                        "time travel")
     p.add_argument("--verify-shards", type=str, default=None,
                    metavar="DIR",
                    help="re-derive every shard's count+fingerprint "
@@ -415,7 +421,8 @@ def main(argv: list[str] | None = None) -> int:
             df = spark.read.parquet(args.input)
         else:
             from curator_spark.checkpoint import read_committed
-            df = read_committed(spark, args.output)
+            df = read_committed(spark, args.output,
+                                version=args.export_version)
         order = [args.shard_key] + [c for c in ("turn_idx",)
                                     if c in df.columns]
         man = export_jsonl_shards(df, args.export_shards, args.n_shards,

@@ -40,11 +40,21 @@ def run_warc_stream(spark: SparkSession, input_dir: str, out_dir: str,
                     max_files_per_trigger: int | None = None,
                     trigger_interval: str | None = None,
                     cooldown=None, min_chars: int = 1,
-                    params: dict | None = None):
+                    params: dict | None = None,
+                    expectations=None, expect_mode: str = "quarantine"):
     """Drain (available_now) or follow a WARC landing directory into
     the committed transcripts table. Returns (query, summaries);
     each epoch summary carries the append counters plus
-    `archives_in` / `archive_errors` (the quarantine count)."""
+    `archives_in` / `archive_errors` (the quarantine count).
+
+    expectations: optional [(name, pass_condition), ...] evaluated on
+    the transcripts-shaped batch BEFORE the scored append (the
+    DLT-style streaming gate): `drop` discards violators, `warn`
+    annotates nothing stream-side (counts only), `quarantine` writes
+    violators (with the rules each broke) to
+    `<out_dir>_quarantine/epoch=N/` and the summary carries
+    `rows_quarantined` per epoch. `fail` stops the stream — the
+    strict-ingest policy."""
     create_table(out_dir)  # CREATE TABLE IF NOT EXISTS (commitlog)
     r = spark.readStream.format("binaryFile").schema(BINARY_FILE_SCHEMA)
     if max_files_per_trigger:
@@ -61,6 +71,29 @@ def run_warc_stream(spark: SparkSession, input_dir: str, out_dir: str,
                       .select("archive", "warc_error").collect())
             docs = records_to_documents(recs, min_chars=min_chars)
             turns = docs_to_transcripts(docs)
+            n_quarantined, n_flagged = 0, 0
+            if expectations:
+                from ..expectations import FAILED_COL, apply_expectations
+                r = apply_expectations(turns, expectations,
+                                       mode=expect_mode)
+                turns = r["passed"]
+                if expect_mode == "warn":
+                    # stream-side warn: count violators, append clean
+                    # schema (the annotation column must not land in
+                    # the committed table)
+                    n_flagged = turns.filter(
+                        F.size(F.col(FAILED_COL)) > 0).count()
+                    turns = turns.drop(FAILED_COL)
+                if r["quarantined"] is not None:
+                    held = r["quarantined"].cache()
+                    try:
+                        n_quarantined = held.count()
+                        if n_quarantined:
+                            qdir = (out_dir.rstrip("/") + "_quarantine/"
+                                    f"epoch={int(epoch_id)}")
+                            held.write.mode("overwrite").parquet(qdir)
+                    finally:
+                        held.unpersist()
             run_id = run_fingerprint(input_dir, {"kind": "warc-stream",
                                                  "epoch": int(epoch_id),
                                                  **(params or {})})
@@ -72,6 +105,8 @@ def run_warc_stream(spark: SparkSession, input_dir: str, out_dir: str,
                                 txn=(f"warc-stream:{checkpoint_dir}",
                                      int(epoch_id)))
             s["epoch"] = int(epoch_id)
+            s["rows_quarantined"] = int(n_quarantined)
+            s["rows_flagged"] = int(n_flagged)
             s["archives_in"] = int(n_archives)
             s["archive_errors"] = [
                 {"archive": e["archive"], "error": e["warc_error"]}

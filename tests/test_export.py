@@ -212,3 +212,28 @@ def test_incremental_noop_writes_nothing(spark, tmp_path):
     man = export_jsonl_shards(df, out, 4, "conv_id", incremental=True)
     assert man["shards_written"] == 0
     assert verify_export(spark, out)["all_ok"]
+
+
+def test_cli_export_as_of_version(spark, tmp_path, capsys):
+    """--export-version exports the snapshot at that commit — the
+    reproducible-training-set workflow: append after v1, export v1,
+    get exactly the v1 rows."""
+    from curator_spark.checkpoint import make_ledger, run_checkpointed
+    from curator_spark.cli import main
+    from curator_spark.incremental import append_new_conversations
+
+    p = str(tmp_path / "t.parquet")
+    base = fixtures.write_transcripts_parquet(p, 500, seed=18, n_parts=2)
+    out = str(tmp_path / "table")
+    run_checkpointed(spark, p, out, ledger_backend="commitlog")
+    v1 = make_ledger(out, "commitlog").latest_version()
+    p2 = str(tmp_path / "t2.parquet")
+    fixtures.to_spark_parquet(
+        fixtures.generate_transcripts(200, seed=19, n_parts=2), p2)
+    append_new_conversations(spark, p2, out)
+
+    shards = str(tmp_path / "asof")
+    assert main(["--output", out, "--export-shards", shards,
+                 "--n-shards", "2", "--export-version", str(v1)]) == 0
+    info = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert info["total_rows"] == len(base)  # v1 only, not the append

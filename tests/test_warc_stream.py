@@ -88,3 +88,32 @@ def test_create_table_bootstrap_semantics(spark, tmp_path):
     run_checkpointed(spark, p, markers)  # markers backend
     with _pytest.raises(ValueError, match="markers"):
         create_table(markers)
+
+
+def test_warc_stream_expectations_gate(spark, landing, tmp_path):
+    """DLT-style streaming gate: short turns quarantine per epoch with
+    the rules they broke; the committed table holds only survivors."""
+    from pyspark.sql import functions as F
+
+    # add an archive of too-short pages so the gate has real work
+    (landing / "short.warc").write_bytes(b"".join(
+        rec("response", http_response(f"<p>hi {i}</p>".encode()),
+            uri=f"http://tiny.io/{i}", rid=f"<urn:uuid:tiny-{i}>")
+        for i in range(3)))
+    out = str(tmp_path / "gated")
+    rules = [("min_len", F.length("text") >= 30)]
+    q, summaries = run_warc_stream(
+        spark, str(landing), out,
+        checkpoint_dir=str(tmp_path / "gated_ckpt"),
+        expectations=rules, expect_mode="quarantine")
+    n_q = sum(s["rows_quarantined"] for s in summaries)
+    assert n_q >= 3  # the tiny pages must be withheld
+    table = read_committed(spark, out).toPandas()
+    assert (table["text"].str.len() >= 30).all()
+    assert "tiny.io" not in " ".join(table["text"])
+    held = spark.read.parquet(
+        str(tmp_path / "gated_quarantine" / "epoch=*")).toPandas()
+    assert len(held) == n_q
+    assert (held["_failed_expectations"].map(list)
+            .map(lambda L: "min_len" in L).all())
+    assert held["text"].str.contains("hi ").any()
