@@ -414,3 +414,59 @@ def media_fixture(spark, n: int = 64, seed: int = 5) -> DataFrame:
             (1000 * (i % 20)) if modality != "image" else None,
         ))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def _audio_fp_samples(x: np.ndarray, n_t: int = 8, n_f: int = 8) -> int:
+    """64-bit spectral fingerprint of a mono waveform: split into n_t
+    equal time windows; per window, FFT magnitude binned into n_f
+    log-spaced frequency bands; bit = band energy above that window's
+    MEAN band energy (strict >, so a silent window contributes 0s).
+    The mean — not the median — is the threshold deliberately: in a
+    sparse spectrum the median lands in the quantization-noise floor
+    and noise-vs-noise comparisons flip with amplitude, while the mean
+    is dominated by the bands that actually carry signal.
+    Robust to amplitude scaling (threshold is per-window) and to small
+    additive noise; shifted/different content diverges. Packed
+    big-endian (t-major) into a SIGNED int64 — the SAME (media_id,
+    phash, ok) shape image_phash emits, so `phash_neardup_pairs`
+    serves both modalities unchanged."""
+    n = len(x)
+    if n < n_t * 2:
+        raise NotImplementedError(f"too few samples for fingerprint: {n}")
+    win = n // n_t
+    bits = np.zeros(n_t * n_f, dtype=bool)
+    for t in range(n_t):
+        seg = x[t * win:(t + 1) * win]
+        mag = np.abs(np.fft.rfft(seg))[1:]  # drop DC
+        if len(mag) < n_f:
+            mag = np.pad(mag, (0, n_f - len(mag)))
+        # log-spaced band edges over the positive spectrum
+        edges = np.unique(np.geomspace(1, len(mag), n_f + 1)
+                          .astype(int))
+        while len(edges) < n_f + 1:  # tiny windows: pad linearly
+            edges = np.append(edges, edges[-1] + 1)
+        energy = np.array([
+            float((mag[edges[i]-1:edges[i+1]] ** 2).sum())
+            for i in range(n_f)])
+        bits[t * n_f:(t + 1) * n_f] = energy > energy.mean()
+    return int.from_bytes(np.packbits(bits).tobytes(), "big", signed=True)
+
+
+def audio_fingerprint(media: DataFrame) -> DataFrame:
+    """Chromaprint-style spectral fingerprint per audio payload: decode
+    → 8×8 time-frequency energy signature → 64-bit hash. One narrow
+    Arrow-batched map; undecodable payloads → ok=False rows. Output is
+    hash-shape-compatible with image_phash, so near-dup pairing is
+    `phash_neardup_pairs(audio_fingerprint(media))` — one banded
+    Hamming joiner for every 64-bit perceptual hash."""
+    def kernel(mid, content):
+        blob = bytes(content) if content is not None else b""
+        try:
+            return {"media_id": mid,
+                    "phash": _audio_fp_samples(_decode_audio(blob)),
+                    "ok": True}
+        except NotImplementedError:
+            return {"media_id": mid, "phash": None, "ok": False}
+
+    return _map_rows(media, ["media_id", "content"],
+                     AHASH_SCHEMA, kernel, modality="audio")

@@ -253,3 +253,74 @@ def test_phash_neardup_pairs_match_bruteforce(spark):
 
     with pytest.raises(ValueError, match="pigeonhole"):
         mm.phash_neardup_pairs(df, max_hamming=3, n_bands=3)
+
+
+# ------------------------------------------------- audio fingerprinting
+
+def _wav_bytes(samples, rate=8000):
+    import io as _io
+    import wave as _wave
+    import numpy as _np
+    pcm = (_np.clip(samples, -1, 1) * 32767).astype("<i2").tobytes()
+    buf = _io.BytesIO()
+    with _wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(pcm)
+    return buf.getvalue()
+
+
+def _tone(freq, n=8000, rate=8000, noise=0.0, seed=0):
+    import numpy as _np
+    t = _np.arange(n) / rate
+    x = _np.sin(2 * _np.pi * freq * t)
+    if noise:
+        x = x + noise * _np.random.RandomState(seed).randn(n)
+    return x * 0.8
+
+
+def test_audio_fingerprint_similarity_structure(spark):
+    """Same tone ± small noise → small Hamming distance; different
+    frequencies → large; amplitude scaling → identical fingerprint."""
+    from curator_spark.operators.multimodal import (MEDIA_SCHEMA,
+                                                    audio_fingerprint,
+                                                    phash_neardup_pairs)
+    rows = [
+        ("a-base", "audio", "audio/wav",
+         bytearray(_wav_bytes(_tone(440))), None, None, 1000),
+        ("a-noisy", "audio", "audio/wav",
+         bytearray(_wav_bytes(_tone(440, noise=0.01))), None, None, 1000),
+        ("a-half", "audio", "audio/wav",
+         bytearray(_wav_bytes(_tone(440) * 0.5)), None, None, 1000),
+        ("a-other", "audio", "audio/wav",
+         bytearray(_wav_bytes(_tone(1800))), None, None, 1000),
+        ("a-bad", "audio", "audio/wav", bytearray(b""), None, None, 1000),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    fp = {r["media_id"]: r for r in audio_fingerprint(media).collect()}
+    assert not fp["a-bad"]["ok"]
+    assert fp["a-base"]["ok"]
+    ham = lambda a, b: bin((fp[a]["phash"] ^ fp[b]["phash"])
+                           & ((1 << 64) - 1)).count("1")
+    assert ham("a-base", "a-half") == 0          # scale-invariant
+    assert ham("a-base", "a-noisy") <= 6         # near-dup
+    assert ham("a-base", "a-other") > 10         # different content
+    # the shared banded joiner surfaces the planted near-dup pair
+    pairs = phash_neardup_pairs(audio_fingerprint(media),
+                                max_hamming=6, n_bands=8).toPandas()
+    got = {tuple(sorted((r.id_a, r.id_b))) for r in pairs.itertuples()}
+    assert ("a-base", "a-half") in got
+    assert ("a-base", "a-noisy") in got
+    assert ("a-base", "a-other") not in got
+
+
+def test_audio_fingerprint_deterministic(spark):
+    from curator_spark.operators.multimodal import (MEDIA_SCHEMA,
+                                                    audio_fingerprint)
+    rows = [("a-0", "audio", "audio/wav",
+             bytearray(_wav_bytes(_tone(600))), None, None, 1000)]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    a = audio_fingerprint(media).collect()[0]["phash"]
+    b = audio_fingerprint(media.repartition(3)).collect()[0]["phash"]
+    assert a == b
