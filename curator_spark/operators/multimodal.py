@@ -470,3 +470,48 @@ def audio_fingerprint(media: DataFrame) -> DataFrame:
 
     return _map_rows(media, ["media_id", "content"],
                      AHASH_SCHEMA, kernel, modality="audio")
+
+
+def video_neardup_pairs(frames: DataFrame, min_shared: int = 3,
+                        max_frame_count: int | None = None) -> DataFrame:
+    """Video near-duplicate pairs by shared sampled-frame hashes — the
+    video face of the dedup stack, completing the modality triple
+    (image: aHash bands; audio: spectral fingerprint; video: frame-set
+    overlap). Input is `sample_frames` output; with a real codec the
+    frame hash is a content hash of the decoded frame, so re-encodes
+    and container changes still collide while different footage does
+    not (the stub codec hashes blob+idx — byte-identical payloads
+    collide, which is what the synthetic fixtures exercise).
+
+    Shape: equi-join on frame_sha256 (never a product), map-side
+    combined pair counting, per-video frame counts joined back to
+    report overlap_pm = shared·1000 div min(|A|,|B|) in exact integer
+    permille. A degenerate frame shared by many videos (black frames,
+    intros) blows up its bucket alone — max_frame_count drops frame
+    hashes appearing in more than that many videos, the same fan-out
+    cap as the LSH/phash joins.
+
+    Returns (id_a, id_b, n_shared, overlap_pm), id_a < id_b."""
+    f = frames.select("media_id", "frame_sha256").distinct()
+    if max_frame_count is not None:
+        c = (f.groupBy("frame_sha256")
+             .agg(F.count(F.lit(1)).alias("c")))
+        f = (f.join(c, "frame_sha256")
+             .filter(F.col("c") <= max_frame_count).drop("c"))
+    per_video = f.groupBy("media_id").agg(
+        F.count(F.lit(1)).alias("n_frames"))
+    a = f.select(F.col("media_id").alias("id_a"), "frame_sha256")
+    b = f.select(F.col("media_id").alias("id_b"), "frame_sha256")
+    shared = (a.join(b, "frame_sha256")
+              .filter(F.col("id_a") < F.col("id_b"))
+              .groupBy("id_a", "id_b")
+              .agg(F.count(F.lit(1)).alias("n_shared"))
+              .filter(F.col("n_shared") >= min_shared))
+    na = per_video.select(F.col("media_id").alias("id_a"),
+                          F.col("n_frames").alias("n_a"))
+    nb = per_video.select(F.col("media_id").alias("id_b"),
+                          F.col("n_frames").alias("n_b"))
+    return (shared.join(na, "id_a").join(nb, "id_b")
+            .withColumn("overlap_pm",
+                        F.expr("(n_shared * 1000) div least(n_a, n_b)"))
+            .select("id_a", "id_b", "n_shared", "overlap_pm"))

@@ -324,3 +324,29 @@ def test_audio_fingerprint_deterministic(spark):
     a = audio_fingerprint(media).collect()[0]["phash"]
     b = audio_fingerprint(media.repartition(3)).collect()[0]["phash"]
     assert a == b
+
+
+def test_video_neardup_pairs(spark):
+    """Byte-identical payloads (the stub codec's collision class) pair
+    with full overlap; distinct footage doesn't; a degenerate frame
+    shared everywhere is droppable via the fan-out cap."""
+    from curator_spark.operators.multimodal import (MEDIA_SCHEMA,
+                                                    sample_frames,
+                                                    video_neardup_pairs)
+    blob_a = bytearray(b"\x01" * 400)
+    rows = [
+        ("v-a1", "video", "video/mp4", blob_a, None, None, 8000),
+        ("v-a2", "video", "video/mp4", bytearray(blob_a), None, None, 8000),
+        ("v-b", "video", "video/mp4", bytearray(b"\x02" * 400),
+         None, None, 8000),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    frames = sample_frames(media, every_ms=1000, max_frames=8)
+    pairs = video_neardup_pairs(frames, min_shared=3).toPandas()
+    assert len(pairs) == 1
+    r = pairs.iloc[0]
+    assert (r["id_a"], r["id_b"]) == ("v-a1", "v-a2")
+    assert r["n_shared"] == 8 and r["overlap_pm"] == 1000
+    # fan-out cap: dropping hashes shared by >1 video kills the pair
+    assert len(video_neardup_pairs(frames, min_shared=1,
+                                   max_frame_count=1).toPandas()) == 0
