@@ -154,8 +154,12 @@ DRIVER_WINDOW = [
     # (q68 repetition stats rotates to selfcheck — the repetition
     # family keeps q88/q91 driver rows; q14 doc quality rotates to
     # selfcheck — q00 + q92 keep the quality-scoring family's rows)
+    # (q72 fertility rotates to selfcheck — tokenization keeps q85's
+    # driver row; q112 puts the privacy-AGGREGATE family — k-anonymity
+    # over quasi-identifiers, new this round — in the gate next to the
+    # scrubbers q104/q67)
     "q104_pii_pseudonymize",
-    "q67_luhn_cc_scrub", "q72_tokenizer_fertility",
+    "q67_luhn_cc_scrub", "q112_k_anonymity",
     "q45_sketch_accuracy",
     # distributed total order (no single-task global window)
     "q84_global_rank",
