@@ -247,6 +247,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--diff-key", type=str, default="conv_id,turn_idx",
                    help="comma-separated key columns identifying a row "
                         "for --diff (default conv_id,turn_idx)")
+    p.add_argument("--drift", type=str, default=None,
+                   metavar="FROM[:TO]",
+                   help="distribution-drift report between versions: "
+                        "per --drift-dims cell, counts before/after, "
+                        "delta, and corpus share in exact permille "
+                        "(printed as JSON rows)")
+    p.add_argument("--drift-dims", type=str, default="role",
+                   help="comma-separated dimension columns for --drift "
+                        "(default role)")
     p.add_argument("--export-shards", type=str, default=None,
                    metavar="DIR",
                    help="export --input (parquet) as deterministic "
@@ -368,7 +377,7 @@ def main(argv: list[str] | None = None) -> int:
             and not args.add_constraint and not args.drop_constraint \
             and not args.build_bloom and not args.rebucket \
             and not args.export_shards and not args.verify_shards \
-            and not args.diff:
+            and not args.diff and not args.drift:
         build_parser().error(
             "--input is required unless --status/--history/--restore/"
             "--delete-ids/--delete-where/--update-set/"
@@ -411,6 +420,18 @@ def main(argv: list[str] | None = None) -> int:
         if v_to is not None:
             out["to"] = v_to
         print(json.dumps(out))
+        return 0
+
+    if args.drift:
+        from curator_spark.diff import drift_report
+        spec = args.drift.split(":")
+        v_from = int(spec[0])
+        v_to = int(spec[1]) if len(spec) > 1 else None
+        dims = tuple(c.strip() for c in args.drift_dims.split(","))
+        rows = drift_report(spark, args.output, v_from, v_to,
+                            dims=dims).collect()
+        print(json.dumps({"from": v_from, "dims": list(dims),
+                          "cells": [r.asDict() for r in rows]}))
         return 0
 
     if args.export_shards:

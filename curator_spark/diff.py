@@ -93,3 +93,45 @@ def diff_summary(diff: DataFrame) -> dict:
             "removed": kinds.get("remove", 0),
             "updated": kinds.get("update", 0),
             "updated_by_column": dict(sorted(cols.items()))}
+
+
+def drift_report(spark: SparkSession, out_dir: str, since_version: int,
+                 until_version: int | None = None,
+                 dims: tuple[str, ...] = ("lang",),
+                 backend: str | None = None) -> DataFrame:
+    """Distribution drift between two snapshots: where `table_diff`
+    reports WHICH rows changed, this reports how the corpus SHAPE
+    moved — per dimension cell (e.g. lang, source): row count before
+    and after, the delta, and the cell's share of the corpus before
+    and after in exact integer permille. The dataset-governance number
+    a curation owner watches across ingestion campaigns ("did this
+    crawl shift the language mix?").
+
+    Cost: two column-pruned snapshot scans (only `dims` columns are
+    read — manifest-backed time travel, no text), one
+    map-side-combined aggregate each, a k-cell full-outer join.
+    Output is metadata-sized at any corpus size."""
+    from .checkpoint import read_committed
+
+    def counts(version, name):
+        df = read_committed(spark, out_dir, version=version,
+                            backend=backend)
+        return (df.groupBy(*dims)
+                .agg(F.count(F.lit(1)).alias(name)))
+
+    before = counts(since_version, "n_before")
+    after = counts(until_version, "n_after")
+    j = (before.join(after, list(dims), "full_outer")
+         .na.fill({"n_before": 0, "n_after": 0}))
+    # corpus totals via the 1-row scalar-join idiom (never an
+    # empty-partition window — the shape tools/plan_audit.py flags)
+    totals = j.agg(F.sum("n_before").alias("tot_b"),
+                   F.sum("n_after").alias("tot_a"))
+    return (j.crossJoin(F.broadcast(totals))
+            .withColumn("delta", F.col("n_after") - F.col("n_before"))
+            .withColumn("share_before_pm",
+                        F.expr("(n_before * 1000) div greatest(1, tot_b)"))
+            .withColumn("share_after_pm",
+                        F.expr("(n_after * 1000) div greatest(1, tot_a)"))
+            .select(*dims, "n_before", "n_after", "delta",
+                    "share_before_pm", "share_after_pm"))

@@ -111,3 +111,37 @@ def test_cli_diff_verb(spark, table, capsys):
     assert s["added"] == table["n_fresh"]
     assert s["updated"] == table["n_revised_turns"]
     assert s["updated_by_column"]["text"] == table["n_revised_turns"]
+
+
+def test_drift_report_shares_and_deltas(spark, table):
+    """Per-source drift between v1 and head equals a pandas recompute
+    from the two snapshots, permille-exact; sources only in one side
+    surface with zero counts on the other."""
+    from curator_spark.diff import drift_report
+    out, v1 = table["out"], table["v1"]
+    d = drift_report(spark, out, v1, dims=("role",)).toPandas() \
+        .set_index("role").sort_index()
+    before = read_committed(spark, out, version=v1).toPandas()
+    after = read_committed(spark, out).toPandas()
+    nb = before.groupby("role")["conv_id"].count()
+    na = after.groupby("role")["conv_id"].count()
+    for role, row in d.iterrows():
+        b = int(nb.get(role, 0)); a = int(na.get(role, 0))
+        assert row["n_before"] == b and row["n_after"] == a
+        assert row["delta"] == a - b
+        assert row["share_before_pm"] == b * 1000 // max(1, len(before))
+        assert row["share_after_pm"] == a * 1000 // max(1, len(after))
+    assert set(d.index) == set(nb.index) | set(na.index)
+
+
+def test_cli_drift_verb(spark, table, capsys):
+    import json
+
+    from curator_spark.cli import main
+    assert main(["--output", table["out"], "--drift", str(table["v1"]),
+                 "--drift-dims", "role"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["dims"] == ["role"]
+    assert sum(c["n_after"] - c["n_before"] for c in out["cells"]) \
+        == sum(c["delta"] for c in out["cells"])
+    assert any(c["delta"] != 0 for c in out["cells"])
