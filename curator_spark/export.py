@@ -164,3 +164,120 @@ def verify_export(spark: SparkSession, out_dir: str) -> dict:
                      and have[1] == want["fingerprint"])
     report["all_ok"] = all(report.values())
     return report
+
+
+WEBDATASET_MANIFEST_SCHEMA = ("shard int, n_samples long, n_bytes long, "
+                              "tar_sha256 string, path string")
+
+
+def export_webdataset(df: DataFrame, out_dir: str, n_shards: int,
+                      key_col: str,
+                      text_cols: list[str] | None = None,
+                      binary_cols: list[str] | None = None,
+                      order_cols: list[str] | None = None) -> dict:
+    """WebDataset-style tar shard export — the multimodal counterpart
+    of `export_jsonl_shards` (trainers stream .tar shards of
+    per-sample member files: `{key}.{field}.txt` for text fields,
+    `{key}.{field}.bin` for binary payloads, one contiguous group per
+    sample — the img2dataset/WebDataset convention).
+
+    Spark-first shape: shard = xxhash64(key) mod n (stable membership,
+    exactly as the JSONL exporter), repartition so ONE task owns each
+    shard, in-task sort by order_cols, then the task streams its
+    samples into `out_dir/shard-%05d.tar` directly from the executor —
+    the tar never materializes in memory (tarfile writes member by
+    member) and the driver sees only the k-row manifest. tar mtimes
+    are pinned to 0 and members stream in sorted order, so shard bytes
+    are DETERMINISTIC — the manifest's tar_sha256 is reproducible and
+    `_webdataset_manifest.json` verifies a delivered corpus offline
+    (sha256sum, no Spark needed).
+
+    On an object store the same kernel writes through the local scratch
+    then uploads (or a fsspec file handle); the parallelism and memory
+    story is unchanged — one open tar per task, O(1) sample buffering.
+    """
+    import hashlib
+    import io as _io
+    import tarfile
+
+    text_cols = text_cols or []
+    binary_cols = binary_cols or []
+    order = order_cols or [key_col]
+    cols = list(dict.fromkeys([key_col, *order, *text_cols, *binary_cols]))
+    os.makedirs(out_dir, exist_ok=True)
+
+    shard = F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_shards)).cast("int")
+    body = (df.select(*cols).withColumn("__shard", shard)
+            .repartition(n_shards, "__shard")
+            .sortWithinPartitions("__shard", *order))
+
+    def _write(batches):
+        import pandas as pd
+        tars: dict[int, tuple] = {}  # shard -> (tarfile, sha, counts)
+
+        def tar_for(k: int):
+            if k not in tars:
+                path = os.path.join(out_dir, f"shard-{k:05d}.tar")
+                sha = hashlib.sha256()
+
+                class _Tee(_io.RawIOBase):
+                    def __init__(self, fh):
+                        self.fh = fh
+
+                    def write(self, b):  # noqa: A003
+                        sha.update(b)
+                        return self.fh.write(b)
+
+                    def tell(self):  # tarfile tracks member offsets
+                        return self.fh.tell()
+
+                fh = open(path, "wb")
+                t = tarfile.open(fileobj=_Tee(fh), mode="w")
+                tars[k] = [t, fh, sha, 0, path]
+            return tars[k]
+
+        def add(t, name: str, data: bytes):
+            info = tarfile.TarInfo(name=name)
+            info.size = len(data)
+            info.mtime = 0  # deterministic bytes
+            t.addfile(info, _io.BytesIO(data))
+
+        for b in batches:
+            for _, row in b.iterrows():
+                ent = tar_for(int(row["__shard"]))
+                key = str(row[key_col])
+                for c in text_cols:
+                    v = row[c]
+                    add(ent[0], f"{key}.{c}.txt",
+                        ("" if v is None or (isinstance(v, float)
+                                             and pd.isna(v))
+                         else str(v)).encode("utf-8"))
+                for c in binary_cols:
+                    v = row[c]
+                    add(ent[0], f"{key}.{c}.bin",
+                        b"" if v is None else bytes(v))
+                ent[3] += 1
+        rows = []
+        for k, (t, fh, sha, n, path) in sorted(tars.items()):
+            t.close()
+            fh.close()
+            rows.append({"shard": k, "n_samples": n,
+                         "n_bytes": os.path.getsize(path),
+                         "tar_sha256": sha.hexdigest(), "path": path})
+        yield pd.DataFrame(rows, columns=["shard", "n_samples", "n_bytes",
+                                          "tar_sha256", "path"])
+
+    man_rows = [r.asDict() for r in
+                body.mapInPandas(_write, WEBDATASET_MANIFEST_SCHEMA)
+                .collect()]
+    manifest = {
+        "n_shards": n_shards, "key_col": key_col,
+        "text_cols": text_cols, "binary_cols": binary_cols,
+        "total_samples": sum(r["n_samples"] for r in man_rows),
+        "shards": {str(r["shard"]): {k: r[k] for k in
+                                     ("n_samples", "n_bytes", "tar_sha256")}
+                   for r in man_rows},
+    }
+    with open(os.path.join(out_dir, "_webdataset_manifest.json"), "w") as fh:
+        json.dump(manifest, fh, indent=1, sort_keys=True)
+    return manifest
