@@ -448,3 +448,65 @@ def knn_join_exact(queries: DataFrame, corpus: DataFrame, k: int = 3,
         F.col("cos_sim").desc(), F.col("neighbor_id").asc())
     return (cand.withColumn("rnk", F.row_number().over(w))
             .filter(F.col("rnk") <= k))
+
+
+def bitext_margin_pairs(emb: DataFrame, k: int = 4,
+                        threshold: float = 1.05, n_bits: int = 4,
+                        id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> DataFrame:
+    """Margin-based bitext mining (LASER/CCMatrix-style): mine aligned
+    pairs between two embedding corpora by RATIO margin — cos(x, y)
+    divided by the mean of each side's top-k neighborhood similarity —
+    rather than raw cosine, which over-selects hubs (vectors close to
+    everything). A pair survives only if it is its source's best match
+    AND beats both sides' neighborhood average by `threshold`.
+
+    The two "languages" are the even/odd id halves of the corpus — the
+    deterministic stand-in for (e.g.) an English and a German snapshot;
+    at scale the two sides are two real tables and the same plan holds.
+
+    Scale shape: candidates come from a sign-bucket equi-join (never
+    all pairs); per-side neighborhood stats are per-key windows over
+    bucket-bounded candidate lists; the forward-best election is one
+    more per-src window. Three shuffles, all on high-cardinality keys,
+    no product. Reference parity: the reference's payload-level dataset
+    alignment (prompt↔response pairing) is driver-side; this is the
+    corpus-level analogue for mining parallel training data.
+    """
+    from pyspark.sql import Window
+
+    base = with_norm(emb, vec_col).withColumn(
+        "bucket", sign_bucket_expr(vec_col, n_bits))
+    src = (base.filter(F.col(id_col) % 2 == 0)
+           .select(F.col(id_col).alias("src_id"), F.col("v").alias("sv"),
+                   F.col("nrm").alias("sn"), "bucket"))
+    tgt = (base.filter(F.col(id_col) % 2 == 1)
+           .select(F.col(id_col).alias("tgt_id"), F.col("v").alias("tv"),
+                   F.col("nrm").alias("tn"), "bucket"))
+    cand = (src.join(tgt, "bucket")
+            .withColumn("cos6", F.round(
+                dot_expr(F.col("sv"), F.col("tv"))
+                / (F.col("sn") * F.col("tn")), 6))
+            .select("src_id", "tgt_id", "cos6"))
+    w_s = Window.partitionBy("src_id").orderBy(
+        F.col("cos6").desc(), F.col("tgt_id").asc())
+    w_t = Window.partitionBy("tgt_id").orderBy(
+        F.col("cos6").desc(), F.col("src_id").asc())
+    ranked = (cand.withColumn("r_s", F.row_number().over(w_s))
+              .withColumn("r_t", F.row_number().over(w_t)))
+    pen = (ranked
+           .withColumn("p_src", F.avg(
+               F.when(F.col("r_s") <= k, F.col("cos6")))
+               .over(Window.partitionBy("src_id")))
+           .withColumn("p_tgt", F.avg(
+               F.when(F.col("r_t") <= k, F.col("cos6")))
+               .over(Window.partitionBy("tgt_id"))))
+    scored = pen.withColumn("margin", F.round(
+        F.col("cos6") / ((F.col("p_src") + F.col("p_tgt")) / 2), 6))
+    w_best = Window.partitionBy("src_id").orderBy(
+        F.col("margin").desc(), F.col("tgt_id").asc())
+    return (scored.withColumn("rb", F.row_number().over(w_best))
+            .filter((F.col("rb") == 1) & (F.col("margin") >= threshold))
+            .select("src_id", "tgt_id", F.col("cos6").alias("cos_sim"),
+                    "margin")
+            .orderBy("src_id"))

@@ -1460,3 +1460,77 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q106_sorted_batches": q106_sorted_batches,
     "q107_priority_dedup": q107_priority_dedup,
 }
+
+
+BITEXT_K = 4
+BITEXT_THRESHOLD = 1.05
+BITEXT_BITS = 4
+
+
+def q113_bitext_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-based bitext mining (operators/similarity.
+    bitext_margin_pairs): LASER/CCMatrix-style ratio-margin pair
+    mining between the even-id and odd-id halves of the embedding
+    corpus — cos(x,y) normalized by both sides' top-k neighborhood
+    mean, forward-best election per source. Candidates are sign-bucket
+    equi-joined (4 bits here so sf0.01's 500 vectors produce dense
+    buckets); at 10^10 vectors the bucket is the partition column and
+    each window is bucket-bounded. Oracle = the identical candidate
+    generation + window algebra in SQL."""
+    return similarity.bitext_margin_pairs(
+        _emb(spark, sf_dir), k=BITEXT_K, threshold=BITEXT_THRESHOLD,
+        n_bits=BITEXT_BITS)
+
+
+_BITEXT_BUCKET_BITS = " || ".join(
+    f"CASE WHEN embedding[{i + 1}] >= 0 THEN '1' ELSE '0' END"
+    for i in range(BITEXT_BITS))
+_BITEXT_SQL = f"""
+    WITH base AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+               sqrt(list_sum(list_transform(embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm,
+               {_BITEXT_BUCKET_BITS} AS bucket
+        FROM embeddings
+    ),
+    cand AS (
+        SELECT s.vec_id AS src_id, t.vec_id AS tgt_id,
+               round(list_sum(list_transform(range(1, 65),
+                         i -> s.v[i] * t.v[i])) / (s.nrm * t.nrm), 6) AS cos6
+        FROM base s JOIN base t ON s.bucket = t.bucket
+        WHERE s.vec_id % 2 = 0 AND t.vec_id % 2 = 1
+    ),
+    ranked AS (
+        SELECT *,
+               row_number() OVER (PARTITION BY src_id
+                                  ORDER BY cos6 DESC, tgt_id) AS r_s,
+               row_number() OVER (PARTITION BY tgt_id
+                                  ORDER BY cos6 DESC, src_id) AS r_t
+        FROM cand
+    ),
+    pen AS (
+        SELECT *,
+               avg(CASE WHEN r_s <= {BITEXT_K} THEN cos6 END)
+                   OVER (PARTITION BY src_id) AS p_src,
+               avg(CASE WHEN r_t <= {BITEXT_K} THEN cos6 END)
+                   OVER (PARTITION BY tgt_id) AS p_tgt
+        FROM ranked
+    ),
+    scored AS (
+        SELECT src_id, tgt_id, cos6,
+               round(cos6 / ((p_src + p_tgt) / 2), 6) AS margin
+        FROM pen
+    ),
+    best AS (
+        SELECT *, row_number() OVER (PARTITION BY src_id
+                                     ORDER BY margin DESC, tgt_id) AS rb
+        FROM scored
+    )
+    SELECT src_id, tgt_id, cos6 AS cos_sim, margin
+    FROM best
+    WHERE rb = 1 AND margin >= {BITEXT_THRESHOLD}
+    ORDER BY src_id
+"""
+
+QUERIES["q113_bitext_margin"] = q113_bitext_margin
+ORACLES["q113_bitext_margin"] = _BITEXT_SQL

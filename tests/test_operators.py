@@ -578,3 +578,45 @@ def test_compressed_permille_matches_zlib_and_flags(spark):
     # plan: narrow Arrow lane, no shuffle
     plan = compressed_permille(df)._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPython" in plan and "Exchange" not in plan
+
+
+def test_bitext_margin_penalizes_hubs(spark):
+    """Ratio margin (LASER/CCMatrix): a mutual near-duplicate pair must
+    out-margin a hub vector that is moderately close to EVERYTHING —
+    the exact failure mode raw-cosine mining has. All vectors share a
+    sign bucket (all-positive leading dims) so candidates are dense."""
+    from curator_spark.operators.similarity import bitext_margin_pairs
+
+    def vec(*xs):
+        v = [0.0] * 8
+        for i, x in enumerate(xs):
+            v[i] = x
+        return [float(a) for a in v]
+
+    rows = [
+        # src 0 <-> tgt 1: an aligned pair (nearly identical)
+        (0, vec(1.0, 0.9, 0.1, 0.2)),
+        (1, vec(1.0, 0.9, 0.12, 0.2)),
+        # tgt 3: the hub — positive mass everywhere, ~equally close to
+        # all srcs (raw cosine would hand it to several of them)
+        (3, vec(0.6, 0.6, 0.6, 0.6, 0.6, 0.6, 0.6, 0.6)),
+        # src 2/4: unaligned srcs pointing elsewhere
+        (2, vec(0.1, 0.2, 1.0, 0.8)),
+        (4, vec(0.2, 0.1, 0.8, 1.0)),
+        # tgt 5: a second distractor target
+        (5, vec(0.3, 0.4, 0.5, 0.9)),
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    got = {r["src_id"]: r for r in
+           bitext_margin_pairs(emb, k=2, threshold=0.0, n_bits=2).collect()}
+    # forward-best is unique per src by construction
+    assert set(got) == {0, 2, 4}
+    # the aligned pair wins for src 0 and with the highest margin of all
+    assert got[0]["tgt_id"] == 1
+    assert got[0]["margin"] > got[2]["margin"]
+    assert got[0]["margin"] > got[4]["margin"]
+    # hub suppression: the hub may be SOME src's best raw-cosine match,
+    # but its margin must sit near 1 (its cos ≈ its neighborhood mean)
+    for r in got.values():
+        if r["tgt_id"] == 3:
+            assert r["margin"] < got[0]["margin"] - 0.05
