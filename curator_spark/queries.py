@@ -3301,3 +3301,103 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q95_unigram_train": q95_unigram_train,
     "q87_remove_repeated_windows": q87_remove_repeated_windows,
 }
+
+
+CURRICULUM_RARE_DF = 2        # a word in <= this many docs is "rare"
+CURRICULUM_STAGES = 4
+
+
+def q114_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum ordering for training-data scheduling: score every
+    document's difficulty (length + rare-vocabulary ratio — rare =
+    corpus document-frequency <= CURRICULUM_RARE_DF), then assign an
+    EXACT global curriculum rank and a stage bucket, easy-to-hard.
+
+    Scale shape: doc-frequency is one map-side-combined groupBy on
+    words; the rare-word count is an equi-join back on the word key
+    (high cardinality, no broadcast needed); the total order reuses
+    operators/ranking.global_rank — literal range boundaries + k
+    parallel per-bucket windows, never an empty-PARTITION-BY window.
+    The stage cut uses one driver-scalar count (a single long).
+    Oracle = naive global ROW_NUMBER over the same integer difficulty."""
+    from .operators.ranking import global_rank
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+    per_doc = docs.select(
+        "doc_id", F.size(toks).alias("n_tokens"),
+        F.array_distinct(toks).alias("words"))
+    words = per_doc.select("doc_id", F.explode("words").alias("word"))
+    dfreq = words.groupBy("word").agg(F.count(F.lit(1)).alias("dfc"))
+    rarec = (words.join(dfreq.filter(F.col("dfc") <= CURRICULUM_RARE_DF),
+                        "word")
+             .groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_rare")))
+    stats = (per_doc.select("doc_id", "n_tokens",
+                            F.size("words").alias("n_distinct"))
+             .join(rarec, "doc_id", "left")
+             .withColumn("n_rare", F.coalesce("n_rare", F.lit(0)))
+             .withColumn("rare_pm", F.floor(
+                 (F.lit(1000) * F.col("n_rare"))
+                 / F.greatest(F.col("n_distinct"), F.lit(1))))
+             .withColumn("difficulty",
+                         (F.col("n_tokens").cast("long") * 1000
+                          + F.col("rare_pm")).cast("long")))
+    ranked = global_rank(
+        stats, "difficulty",
+        order_by=[F.col("difficulty"), F.col("doc_id")],
+        rank_col="curriculum_rank")
+    total = stats.count()  # ONE driver long — the documented scalar
+    return (ranked
+            .withColumn("stage", F.floor(
+                (F.col("curriculum_rank") - 1) * CURRICULUM_STAGES
+                / F.lit(total)).cast("integer"))
+            .select("doc_id", "n_tokens", "rare_pm", "difficulty",
+                    "curriculum_rank", "stage")
+            .orderBy("curriculum_rank"))
+
+
+_CURRICULUM_SQL = f"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), t -> t <> '') AS toks
+        FROM documents
+    ),
+    per_doc AS (
+        SELECT doc_id, len(toks) AS n_tokens,
+               list_distinct(toks) AS words
+        FROM toks
+    ),
+    words AS (SELECT doc_id, unnest(words) AS word FROM per_doc),
+    dfreq AS (SELECT word, count(*) AS dfc FROM words GROUP BY word),
+    rarec AS (
+        SELECT doc_id, count(*) AS n_rare
+        FROM words JOIN dfreq USING (word)
+        WHERE dfc <= {CURRICULUM_RARE_DF}
+        GROUP BY doc_id
+    ),
+    stats AS (
+        SELECT p.doc_id, p.n_tokens, len(p.words) AS n_distinct,
+               coalesce(r.n_rare, 0) AS n_rare
+        FROM per_doc p LEFT JOIN rarec r ON p.doc_id = r.doc_id
+    ),
+    scored AS (
+        SELECT doc_id, n_tokens,
+               (1000 * n_rare) // greatest(n_distinct, 1) AS rare_pm,
+               CAST(n_tokens AS BIGINT) * 1000
+                   + (1000 * n_rare) // greatest(n_distinct, 1) AS difficulty
+        FROM stats
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (ORDER BY difficulty, doc_id)
+                      AS curriculum_rank
+        FROM scored
+    )
+    SELECT doc_id, n_tokens, rare_pm, difficulty, curriculum_rank,
+           CAST(((curriculum_rank - 1) * {CURRICULUM_STAGES})
+                // (SELECT count(*) FROM ranked) AS INTEGER) AS stage
+    FROM ranked
+    ORDER BY curriculum_rank
+"""
+
+QUERIES["q114_curriculum_order"] = q114_curriculum_order
+ORACLES["q114_curriculum_order"] = _CURRICULUM_SQL
