@@ -194,3 +194,76 @@ def dedup_components(docs: DataFrame, pairs: DataFrame,
                 F.coalesce("component", F.col(id_col)).alias("component"))
         .withColumn("keep_canonical", F.col(id_col) == F.col("component"))
     )
+
+
+def knn_pagerank(emb: DataFrame, k: int = 3, n_bits: int = 4,
+                 iters: int = 5, damping: float = 0.85,
+                 id_col: str = "vec_id",
+                 vec_col: str = "embedding") -> DataFrame:
+    """PageRank over the directed k-NN similarity graph — the
+    representativeness / density score used for coreset selection and
+    data pruning (a vector central to many neighborhoods ranks high;
+    outliers and singletons sink to the teleport floor). The same loop
+    ranks domains on a web link graph for crawl prioritization.
+
+    Graph: within each sign bucket, every vector points at its top-k
+    cosine neighbors (rounded cos, id tiebreak — engine-exact).
+    PageRank: fixed `iters` power-iteration rounds with uniform
+    teleport and dangling-mass redistribution, r0 = 1/n.
+
+    Scale shape: candidate edges are bucket-bounded (never all pairs);
+    each round is ONE equi-join + groupBy on the dst key plus a
+    single-double dangling aggregate to the driver; round state is
+    localCheckpoint'd — persist alone is NOT enough here, because each
+    round's LOGICAL plan embeds the previous round's twice (dangling +
+    contribution), so without lineage truncation analysis cost grows
+    exponentially with iters (observed: analyzer death near 20 rounds).
+    At 10^10 nodes use reliable checkpoint and keep everything else.
+    """
+    from .similarity import dot_expr, sign_bucket_expr, with_norm
+    from pyspark.sql import Window
+
+    base = (with_norm(emb, vec_col)
+            .withColumn("bucket", sign_bucket_expr(vec_col, n_bits))
+            .select(F.col(id_col).alias("vid"), "v", "nrm", "bucket"))
+    a = base.select(F.col("vid").alias("src"), F.col("v").alias("av"),
+                    F.col("nrm").alias("an"), "bucket")
+    b = base.select(F.col("vid").alias("dst"), F.col("v").alias("bv"),
+                    F.col("nrm").alias("bn"), "bucket")
+    cand = (a.join(b, "bucket")
+            .filter(F.col("src") != F.col("dst"))
+            .withColumn("cos6", F.round(
+                dot_expr(F.col("av"), F.col("bv"))
+                / (F.col("an") * F.col("bn")), 6))
+            .select("src", "dst", "cos6"))
+    w = Window.partitionBy("src").orderBy(
+        F.col("cos6").desc(), F.col("dst").asc())
+    knn = (cand.withColumn("rn", F.row_number().over(w))
+           .filter(F.col("rn") <= k).select("src", "dst"))
+    knn = knn.persist()
+    outdeg = knn.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    nodes = base.select("vid")
+    n = nodes.count()  # one driver long
+    ranks = nodes.withColumn("r", F.lit(1.0 / n)).localCheckpoint()
+    for _ in range(iters):
+        dang = (ranks.join(outdeg, ranks["vid"] == outdeg["src"],
+                           "left_anti")
+                .agg(F.coalesce(F.sum("r"), F.lit(0.0)))
+                .collect()[0][0])  # one double to the driver per round
+        contrib = (knn.join(ranks, knn["src"] == ranks["vid"])
+                   .join(outdeg, "src")
+                   .groupBy("dst")
+                   .agg(F.sum(F.col("r") / F.col("deg")).alias("s")))
+        # eager localCheckpoint: materializes round t+1 AND truncates
+        # its plan to a leaf before round t+2 builds on it
+        ranks = (nodes.join(contrib, nodes["vid"] == contrib["dst"], "left")
+                 .select(F.col("vid"),
+                         (F.lit((1.0 - damping) / n)
+                          + F.lit(damping)
+                          * (F.coalesce(F.col("s"), F.lit(0.0))
+                             + F.lit(dang / n))).alias("r"))
+                 .localCheckpoint())
+    out = (ranks.select(F.col("vid").alias(id_col),
+                        F.round(F.col("r") * 1e6, 4).alias("pagerank_ppm"))
+           .orderBy(F.col("pagerank_ppm").desc(), F.col(id_col).asc()))
+    return out

@@ -1534,3 +1534,82 @@ _BITEXT_SQL = f"""
 
 QUERIES["q113_bitext_margin"] = q113_bitext_margin
 ORACLES["q113_bitext_margin"] = _BITEXT_SQL
+
+
+PR_K = 3
+PR_BITS = 4
+PR_ITERS = 5
+PR_DAMPING = 0.85
+
+
+def q115_knn_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Representativeness PageRank over the sign-bucketed k-NN graph
+    (operators/graph.knn_pagerank) — the coreset/data-pruning density
+    score; identical loop ranks crawl domains. The oracle unrolls the
+    same fixed power iteration (teleport + dangling redistribution) as
+    a CTE chain, so the distributed join+groupBy rounds are verified
+    value-exact against the naive formulation."""
+    from .operators.graph import knn_pagerank
+    return knn_pagerank(_emb(spark, sf_dir), k=PR_K, n_bits=PR_BITS,
+                        iters=PR_ITERS, damping=PR_DAMPING)
+
+
+def _pagerank_sql() -> str:
+    bits = " || ".join(
+        f"CASE WHEN embedding[{i + 1}] >= 0 THEN '1' ELSE '0' END"
+        for i in range(PR_BITS))
+    head = f"""
+    WITH base AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+               sqrt(list_sum(list_transform(embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm,
+               {bits} AS bucket
+        FROM embeddings
+    ),
+    cand AS (
+        SELECT a.vec_id AS src, b.vec_id AS dst,
+               round(list_sum(list_transform(range(1, 65),
+                         i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm), 6) AS cos6
+        FROM base a JOIN base b
+          ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+    ),
+    knn AS (
+        SELECT src, dst FROM (
+            SELECT *, row_number() OVER (PARTITION BY src
+                                         ORDER BY cos6 DESC, dst) AS rn
+            FROM cand) WHERE rn <= {PR_K}
+    ),
+    outdeg AS (SELECT src, count(*) AS deg FROM knn GROUP BY src),
+    nodes AS (SELECT vec_id FROM base),
+    nn AS (SELECT count(*) AS c FROM nodes),
+    r0 AS (SELECT vec_id, 1.0 / (SELECT c FROM nn) AS r FROM nodes)"""
+    its = []
+    for t in range(1, PR_ITERS + 1):
+        p = t - 1
+        its.append(f""",
+    d{t} AS (
+        SELECT coalesce(sum(r), 0) AS dang FROM r{p}
+        WHERE vec_id NOT IN (SELECT src FROM outdeg)
+    ),
+    r{t} AS (
+        SELECT nd.vec_id,
+               {1.0 - PR_DAMPING} / (SELECT c FROM nn)
+               + {PR_DAMPING} * (coalesce(ct.s, 0)
+                                 + (SELECT dang FROM d{t})
+                                   / (SELECT c FROM nn)) AS r
+        FROM nodes nd LEFT JOIN (
+            SELECT k.dst AS vec_id, sum(p.r / o.deg) AS s
+            FROM knn k JOIN r{p} p ON k.src = p.vec_id
+                       JOIN outdeg o ON k.src = o.src
+            GROUP BY k.dst) ct ON nd.vec_id = ct.vec_id
+    )""")
+    tail = f"""
+    SELECT vec_id, round(r * 1e6, 4) AS pagerank_ppm
+    FROM r{PR_ITERS}
+    ORDER BY pagerank_ppm DESC, vec_id
+"""
+    return head + "".join(its) + tail
+
+
+QUERIES["q115_knn_pagerank"] = q115_knn_pagerank
+ORACLES["q115_knn_pagerank"] = _pagerank_sql()

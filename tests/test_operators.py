@@ -620,3 +620,32 @@ def test_bitext_margin_penalizes_hubs(spark):
     for r in got.values():
         if r["tgt_id"] == 3:
             assert r["margin"] < got[0]["margin"] - 0.05
+
+
+def test_knn_pagerank_mass_and_centrality(spark):
+    """Power iteration invariants on a hand-built geometry: total rank
+    mass stays 1 (teleport + dangling redistribution conserve it), and
+    a hub every vector points at out-ranks peripheral nodes."""
+    from curator_spark.operators.graph import knn_pagerank
+
+    # one shared sign bucket (first 2 dims positive); hub at the
+    # centroid, satellites displaced along MUTUALLY ORTHOGONAL extra
+    # dims so every satellite's nearest neighbor is the hub
+    # (cos(sat,hub)=2/(√2·√2.25)≈.943 > cos(sat,sat)=2/2.25≈.889)
+    dims = 7
+    hub = [1.0, 1.0] + [0.0] * (dims - 2)
+    rows = [(0, hub)]
+    for i in range(1, 6):
+        v = list(hub)
+        v[1 + i] = 0.5
+        rows.append((i, v))
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    # 0<->1 form a 2-cycle: convergence rate is d^2=0.7225/round,
+    # so give the power iteration enough rounds to damp the swap
+    got = knn_pagerank(emb, k=1, n_bits=2, iters=24).collect()
+    ranks = {r["vec_id"]: r["pagerank_ppm"] for r in got}
+    assert abs(sum(ranks.values()) - 1e6) < 1.0  # mass conservation
+    hub = ranks[0]
+    assert all(hub > v for k, v in ranks.items() if k != 0)
+    # output is sorted by rank desc
+    assert [r["vec_id"] for r in got][0] == 0
