@@ -293,6 +293,18 @@ def build_parser() -> argparse.ArgumentParser:
                    metavar="ISO8601",
                    help="clone the latest snapshot at or before this "
                         "datetime instead of the head")
+    p.add_argument("--branch", type=str, default=None, metavar="DIR",
+                   help="fork --output at its head into a WAP branch "
+                        "at DIR and exit (zero-copy; write/audit there, "
+                        "then --publish it back; commitlog tables only)")
+    p.add_argument("--publish", type=str, default=None, metavar="DIR",
+                   help="atomically fast-forward --output with the net "
+                        "changes of WAP branch DIR and exit; fails with "
+                        "exit 4 if the table advanced past the fork "
+                        "point (re-branch and replay)")
+    p.add_argument("--drop-branch", type=str, default=None, metavar="DIR",
+                   help="delete WAP branch DIR and exit (refuses a "
+                        "primary table; source data is never touched)")
     p.add_argument("--history", action="store_true",
                    help="print the commit history (version, timestamp, "
                         "operations, partitions) for --output and exit — "
@@ -345,6 +357,24 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps(clone_table(args.output, args.clone,
                                      version=args.clone_version,
                                      asof=asof)))
+        return 0
+    if args.branch is not None:
+        from curator_spark.wap import create_branch
+        print(json.dumps(create_branch(args.output, args.branch)))
+        return 0
+    if args.publish is not None:
+        from curator_spark.wap import PublishConflict, publish_branch
+        try:
+            print(json.dumps(publish_branch(args.output, args.publish)))
+        except PublishConflict as e:
+            print(json.dumps({"error": "publish_conflict",
+                              "detail": str(e)}))
+            return 4
+        return 0
+    if args.drop_branch is not None:
+        from curator_spark.wap import drop_branch
+        drop_branch(args.drop_branch)
+        print(json.dumps({"dropped": args.drop_branch}))
         return 0
     if args.rename_column or args.drop_column or args.add_column:
         # metadata-only column DDL: pure log commits, no Spark session

@@ -1,0 +1,136 @@
+"""Write-Audit-Publish branches (curator_spark.wap): fork at head with
+zero copy, mutate the branch freely, audit, then fast-forward the
+source with ONE atomic commit — or get PublishConflict if the source
+moved. Consumers of the source must see nothing until publish, then
+everything at once."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from curator_spark import fixtures
+from curator_spark.checkpoint import (
+    delete_conversations, make_ledger, read_committed, run_checkpointed,
+    table_row_count)
+from curator_spark.incremental import append_new_conversations
+from curator_spark.wap import (PublishConflict, create_branch,
+                               drop_branch, publish_branch)
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    p1 = str(tmp_path / "b1.parquet")
+    fixtures.write_transcripts_parquet(p1, 600, seed=81, n_parts=4)
+    out = str(tmp_path / "src")
+    run_checkpointed(spark, p1, out, ledger_backend="commitlog")
+    return {"out": out, "branch": str(tmp_path / "wap_branch"),
+            "batch": str(tmp_path / "b2.parquet")}
+
+
+def _ids(spark, d, **kw):
+    return {r["conv_id"] for r in
+            read_committed(spark, d, **kw).select("conv_id")
+            .distinct().collect()}
+
+
+def test_publish_fast_forwards_one_commit(spark, table):
+    out, br = table["out"], table["branch"]
+    info = create_branch(out, br)
+    assert info["copied"] == 0 and info["base_version"] >= 1
+    base_rows = table_row_count(out)
+    src_before = _ids(spark, out)
+
+    # write on the BRANCH: append a new batch + delete one conversation
+    fixtures.write_transcripts_parquet(table["batch"], 300, seed=82,
+                                       n_parts=4)
+    append_new_conversations(spark, table["batch"], br)
+    victim = sorted(_ids(spark, br) - src_before)[0] \
+        if _ids(spark, br) - src_before else sorted(src_before)[0]
+    delete_conversations(spark, br, [victim])
+
+    # the source is untouched while the branch diverges
+    assert _ids(spark, out) == src_before
+    assert table_row_count(out) == base_rows
+
+    seen = {}
+
+    def audit(df):
+        seen["rows"] = df.count()
+        assert df.filter(F.col("conv_id") == victim).count() == 0
+
+    r = publish_branch(out, br, audit=audit, spark=spark)
+    assert r["published_version"] == info["base_version"] + 1
+    assert r["parts_added"] >= 1 and seen["rows"] > 0
+    # source now reads EXACTLY like the branch, in one version step
+    assert _ids(spark, out) == _ids(spark, br)
+    assert table_row_count(out) == table_row_count(br) == seen["rows"]
+    # time travel to the fork version still shows the pre-publish table
+    assert _ids(spark, out, version=info["base_version"]) == src_before
+    # published files are hard-linked, not copied
+    shared = 0
+    for pd in os.listdir(os.path.join(br, "data")):
+        for fn in os.listdir(os.path.join(br, "data", pd)):
+            sp = os.path.join(out, "data", pd, fn)
+            if os.path.exists(sp):
+                assert os.path.samefile(
+                    sp, os.path.join(br, "data", pd, fn))
+                shared += 1
+    assert shared > 0
+
+
+def test_publish_conflict_when_source_advances(spark, table):
+    out, br = table["out"], table["branch"]
+    create_branch(out, br)
+    fixtures.write_transcripts_parquet(table["batch"], 200, seed=83,
+                                       n_parts=4)
+    append_new_conversations(spark, table["batch"], br)
+    # a concurrent writer lands on the SOURCE after the fork
+    p3 = table["batch"].replace("b2", "b3")
+    fixtures.write_transcripts_parquet(p3, 200, seed=84, n_parts=4)
+    append_new_conversations(spark, p3, out)
+    head_after = make_ledger(out, "commitlog").latest_version()
+    with pytest.raises(PublishConflict):
+        publish_branch(out, br)
+    # the failed publish left the source log untouched
+    assert make_ledger(out, "commitlog").latest_version() == head_after
+
+
+def test_failed_audit_aborts_publish(spark, table):
+    out, br = table["out"], table["branch"]
+    create_branch(out, br)
+    fixtures.write_transcripts_parquet(table["batch"], 200, seed=85,
+                                       n_parts=4)
+    append_new_conversations(spark, table["batch"], br)
+    head = make_ledger(out, "commitlog").latest_version()
+    before = _ids(spark, out)
+
+    def audit(df):
+        raise AssertionError("quality gate failed")
+
+    with pytest.raises(AssertionError, match="quality gate"):
+        publish_branch(out, br, audit=audit, spark=spark)
+    assert make_ledger(out, "commitlog").latest_version() == head
+    assert _ids(spark, out) == before
+
+
+def test_noop_branch_publishes_nothing(spark, table):
+    out, br = table["out"], table["branch"]
+    create_branch(out, br)
+    head = make_ledger(out, "commitlog").latest_version()
+    r = publish_branch(out, br)
+    assert r["published_version"] is None
+    assert make_ledger(out, "commitlog").latest_version() == head
+
+
+def test_drop_branch_refuses_primary_and_spares_source(spark, table):
+    out, br = table["out"], table["branch"]
+    create_branch(out, br)
+    with pytest.raises(ValueError, match="not a WAP branch"):
+        drop_branch(out)
+    rows = table_row_count(out)
+    drop_branch(br)
+    assert not os.path.exists(br)
+    assert table_row_count(out) == rows  # shared inodes survive
