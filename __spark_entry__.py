@@ -131,10 +131,19 @@ DRIVER_WINDOW = [
     # SFT/RLHF export over the transcripts payload: chat-template
     # render + loss-mask spans, assistant-opener dedup, refusal filter,
     # preference-pair election, conversation prefix-dedup
-    "q96_chat_template", "q97_response_opener_dedup",
+    # (q97 opener dedup and q102 latency rotate to selfcheck this
+    # round — SFT export keeps q96/q98/q99/q100 and trajectories keep
+    # q101; the freed slots admit the round's new families: bitext
+    # mining q113 and curriculum ordering q114)
+    "q96_chat_template",
     "q98_refusal_filter", "q99_preference_pairs", "q100_prefix_dedup",
     # agent-trajectory analytics over the tool/ts schema columns
-    "q101_tool_transitions", "q102_response_latency",
+    "q101_tool_transitions",
+    # cross-lingual margin-based bitext mining (ratio margin over
+    # sign-bucketed candidates) — new family this round
+    "q113_bitext_margin",
+    # curriculum ordering (difficulty + exact distributed rank)
+    "q114_curriculum_order",
     # sampling / splits / mixtures (q40 hash split, q46 fixed-rate and
     # q59 stratified stay selfcheck-verified; q82 covers the family)
     "q82_temperature_mixture",
@@ -177,7 +186,11 @@ DRIVER_WINDOW = [
     # (q27's rollup rotates to selfcheck — grouping-set aggregation
     # stays covered there; q108 puts the quality-filter ablation
     # report, the tier's own diagnostic, in the gate instead)
-    "q11_sessionize", "q108_rule_attribution", "q28_asof_join",
+    # (q28 as-of join rotates to selfcheck — q11 keeps the temporal
+    # family's row; the slot admits the k-NN-graph PageRank, the
+    # round's new iterative-centrality family)
+    "q11_sessionize", "q108_rule_attribution",
+    "q115_knn_pagerank",
     "q71_salted_join",
     "q81_conversion_funnel",
 ]

