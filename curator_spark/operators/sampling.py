@@ -78,3 +78,75 @@ def mixture_sample(df: DataFrame, group_col: str, id_col: str,
     bound = (F.lit(int(round(default * N_BUCKETS))) if bound is None
              else bound.otherwise(int(round(default * N_BUCKETS))))
     return df.filter(bucket < bound)
+
+
+def token_budget_sample(df: DataFrame, group_col: str, weight_col: str,
+                        id_col: str, budget_frac: float = 0.5,
+                        salt: str = "budget-v1",
+                        n_hash_buckets: int = 16) -> DataFrame:
+    """Assemble a corpus to an EXACT per-group token budget: walk each
+    group's rows in salted-hash order and keep rows while the running
+    token total (inclusive) stays within `budget_frac` of the group's
+    total — the "give me 50% of each source's tokens, reproducibly"
+    op every pretraining mixture spec ends with. Hash order makes the
+    cut engine/partitioning/retry-invariant AND unbiased (a prefix of
+    a hash order is a uniform sample), unlike "first N files".
+
+    Scale shape — the grouped-cumsum problem WITHOUT a per-group
+    single-task window (`Window.partitionBy(group).orderBy(hash)` puts
+    a whole source in one task; web corpora have trillion-token
+    sources): rows are sliced into `n_hash_buckets` by hash prefix, so
+    the running total decomposes as (sum of all earlier buckets in the
+    group) + (within-bucket cumsum). Per-(group, bucket) sums are one
+    map-side-combined aggregate — k·B longs to the driver, the same
+    documented bounded collect as operators/ranking.global_rank — and
+    become literal offsets broadcast back; the window then partitions
+    on (group, bucket), bounded by the bucket slice. Budgets derive
+    from the same collect. The walk order is BUCKET-MAJOR ((hash
+    bucket, hash, id)), so `n_hash_buckets` is part of the sampling
+    key — fix it per corpus like `salt`; for fixed parameters the cut
+    is invariant to partitioning, retries, executor count, and engine
+    (the oracle replays the same order). Raise it to shrink task size
+    at scale (every choice is an equally uniform hash order).
+
+    Returns df + (cum_tokens, budget, keep_budget), cum_tokens being
+    the inclusive running total in hash order.
+    """
+    from pyspark.sql import Window
+
+    h = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(":" + salt)))
+    hb = (F.conv(F.substring(h, 1, 2), 16, 10).cast("int")
+          % n_hash_buckets)
+    d = df.withColumn("__h", h).withColumn("__hb", hb)
+    # ONE aggregate: k groups × B buckets of longs to the driver
+    rows = (d.groupBy(group_col, "__hb")
+            .agg(F.sum(F.col(weight_col).cast("long")).alias("w"))
+            .collect())
+    totals: dict = {}
+    per_bucket: dict = {}
+    for r in rows:
+        g = r[group_col]
+        totals[g] = totals.get(g, 0) + int(r["w"])
+        per_bucket[(g, int(r["__hb"]))] = int(r["w"])
+    offsets = []
+    for g in sorted(totals, key=str):
+        acc = 0
+        for b in range(n_hash_buckets):
+            offsets.append((g, b, acc,
+                            int(budget_frac * totals[g])))
+            acc += per_bucket.get((g, b), 0)
+    spark = df.sparkSession
+    off = F.broadcast(spark.createDataFrame(
+        offsets, [group_col, "__hb", "__offset", "budget"]))
+    w = (Window.partitionBy(group_col, "__hb")
+         .orderBy(F.col("__h").asc(), F.col(id_col).asc())
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (d.join(off, [group_col, "__hb"])
+            .withColumn("cum_tokens",
+                        (F.col("__offset")
+                         + F.sum(F.col(weight_col).cast("long")).over(w))
+                        .cast("long"))
+            .withColumn("budget", F.col("budget").cast("long"))
+            .withColumn("keep_budget",
+                        F.col("cum_tokens") <= F.col("budget"))
+            .drop("__h", "__hb", "__offset"))

@@ -3401,3 +3401,58 @@ _CURRICULUM_SQL = f"""
 
 QUERIES["q114_curriculum_order"] = q114_curriculum_order
 ORACLES["q114_curriculum_order"] = _CURRICULUM_SQL
+
+
+BUDGET_FRAC = 0.5
+
+
+def q116_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-source token-budget corpus assembly (operators/
+    sampling.token_budget_sample): keep each source's salted-hash-order
+    prefix whose inclusive token cumsum fits 50% of the source's
+    tokens. The grouped cumsum runs bucket-decomposed — per-(source,
+    hash-bucket) sums collect as k·16 driver longs, broadcast back as
+    literal offsets, window bounded by the bucket slice — never a
+    whole-source single-task window. Oracle = the naive per-source
+    cumsum over the same (bucket, hash, id) total order."""
+    from .operators.sampling import token_budget_sample
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+    base = docs.select("doc_id", "source", F.size(toks).alias("n_tokens"))
+    out = token_budget_sample(base, "source", "n_tokens", "doc_id",
+                              budget_frac=BUDGET_FRAC)
+    return (out.select("doc_id", "source", "n_tokens", "cum_tokens",
+                       "budget", "keep_budget")
+            .orderBy("source", "cum_tokens"))
+
+
+_TOKEN_BUDGET_SQL = f"""
+    WITH base AS (
+        SELECT doc_id, source,
+               len(list_filter(string_split(text, ' '), t -> t <> ''))
+                   AS n_tokens,
+               md5(doc_id::VARCHAR || ':budget-v1') AS h
+        FROM documents
+    ),
+    hb AS (
+        SELECT *, (('0x' || substr(h, 1, 2))::INTEGER % 16) AS hbkt
+        FROM base
+    ),
+    tot AS (SELECT source, sum(n_tokens) AS total FROM hb GROUP BY source),
+    cum AS (
+        SELECT b.doc_id, b.source, b.n_tokens,
+               CAST(sum(b.n_tokens) OVER (PARTITION BY b.source
+                                          ORDER BY b.hbkt, b.h, b.doc_id
+                                          ROWS UNBOUNDED PRECEDING)
+                    AS BIGINT) AS cum_tokens,
+               CAST(floor({BUDGET_FRAC} * t.total) AS BIGINT) AS budget
+        FROM hb b JOIN tot t USING (source)
+    )
+    SELECT doc_id, source, n_tokens, cum_tokens, budget,
+           cum_tokens <= budget AS keep_budget
+    FROM cum
+    ORDER BY source, cum_tokens
+"""
+
+QUERIES["q116_token_budget"] = q116_token_budget
+ORACLES["q116_token_budget"] = _TOKEN_BUDGET_SQL

@@ -649,3 +649,52 @@ def test_knn_pagerank_mass_and_centrality(spark):
     assert all(hub > v for k, v in ranks.items() if k != 0)
     # output is sorted by rank desc
     assert [r["vec_id"] for r in got][0] == 0
+
+
+def test_token_budget_sample_exact_and_bucket_invariant(spark):
+    """Per group: kept tokens never exceed the budget, the NEXT doc in
+    hash order would overflow it (maximality), and the result is
+    invariant to the bucket-decomposition width (4 vs 16 buckets) —
+    the parallelism knob must not change the corpus."""
+    from curator_spark.operators.sampling import token_budget_sample
+
+    rows = [(i, "web" if i % 3 else "code", 10 + (i * 7) % 50)
+            for i in range(120)]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "n_tokens"])
+
+    out16 = token_budget_sample(df, "source", "n_tokens", "doc_id",
+                                budget_frac=0.5, n_hash_buckets=16)
+    got = sorted((r["source"], r["doc_id"], r["cum_tokens"],
+                  r["budget"], r["keep_budget"])
+                 for r in out16.collect())
+    per_group: dict = {}
+    for src, _id, cum, budget, keep in got:
+        per_group.setdefault(src, []).append((cum, budget, keep))
+    for src, items in per_group.items():
+        items.sort()
+        kept = [c for c, b, k in items if k]
+        dropped = [c for c, b, k in items if not k]
+        budget = items[0][1]
+        assert kept and max(kept) <= budget
+        # maximality: the first dropped cum is the first overflow
+        if dropped:
+            assert min(dropped) > budget
+            assert min(dropped) == min(c for c, b, k in items
+                                       if c > budget)
+    # n_hash_buckets is part of the sampling key (bucket-major walk
+    # order): a different width is a different — equally valid —
+    # uniform draw, with identical budgets and the same invariants
+    out4 = token_budget_sample(df, "source", "n_tokens", "doc_id",
+                               budget_frac=0.5, n_hash_buckets=4)
+    got4 = sorted((r["source"], r["doc_id"], r["cum_tokens"],
+                   r["budget"], r["keep_budget"])
+                  for r in out4.collect())
+    assert {(s, b) for s, _i, _c, b, _k in got} \
+        == {(s, b) for s, _i, _c, b, _k in got4}
+    # determinism: the same width re-run is bit-identical
+    rerun = sorted((r["source"], r["doc_id"], r["cum_tokens"],
+                    r["budget"], r["keep_budget"])
+                   for r in token_budget_sample(
+                       df.repartition(7), "source", "n_tokens", "doc_id",
+                       budget_frac=0.5, n_hash_buckets=16).collect())
+    assert rerun == got
