@@ -135,8 +135,12 @@ DRIVER_WINDOW = [
     # round — SFT export keeps q96/q98/q99/q100 and trajectories keep
     # q101; the freed slots admit the round's new families: bitext
     # mining q113 and curriculum ordering q114)
+    # (q100 prefix-dedup rotates to selfcheck — the dedup battery
+    # keeps seven driver rows; its slot admits q116's token-budget
+    # assembly, the grouped-cumsum family new this round)
     "q96_chat_template",
-    "q98_refusal_filter", "q99_preference_pairs", "q100_prefix_dedup",
+    "q98_refusal_filter", "q99_preference_pairs",
+    "q116_token_budget",
     # agent-trajectory analytics over the tool/ts schema columns
     "q101_tool_transitions",
     # cross-lingual margin-based bitext mining (ratio margin over

@@ -53,6 +53,7 @@ HEADLINE = [
     "q01_pricing_summary", "q03_revenue_by_nation", "q05_window_rank",
     "q09_top_tokens", "q11_sessionize", "q17_exact_dedup",
     "q19_minhash_lsh", "q21_cosine_topk", "q84_global_rank",
+    "q113_bitext_margin",
 ]
 
 
