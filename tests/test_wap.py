@@ -134,3 +134,60 @@ def test_drop_branch_refuses_primary_and_spares_source(spark, table):
     drop_branch(br)
     assert not os.path.exists(br)
     assert table_row_count(out) == rows  # shared inodes survive
+
+
+PUBLISHER = """
+import sys
+from curator_spark.wap import PublishConflict, publish_branch
+src, br = sys.argv[1], sys.argv[2]
+try:
+    r = publish_branch(src, br)
+    print("PUBLISHED", r["published_version"])
+except PublishConflict:
+    print("CONFLICT")
+"""
+
+
+def test_racing_publishes_exactly_one_wins(spark, tmp_path):
+    """Two branches forked from the same base, two PROCESSES publishing
+    concurrently: put-if-absent at v{base+1} admits exactly one; the
+    loser gets PublishConflict, the log stays gap-free, and the table
+    equals exactly the winner's branch."""
+    import subprocess
+    import sys
+
+    p1 = str(tmp_path / "b.parquet")
+    fixtures.write_transcripts_parquet(p1, 400, seed=95, n_parts=4)
+    out = str(tmp_path / "src")
+    run_checkpointed(spark, p1, out, ledger_backend="commitlog")
+    base = make_ledger(out, "commitlog").latest_version()
+
+    branches = []
+    for i, seed in enumerate((96, 97)):
+        br = str(tmp_path / f"br{i}")
+        create_branch(out, br)
+        batch = str(tmp_path / f"batch{i}.parquet")
+        fixtures.write_transcripts_parquet(batch, 150, seed=seed,
+                                           n_parts=4)
+        append_new_conversations(spark, batch, br)
+        branches.append(br)
+
+    import os as _os
+    env = dict(_os.environ, PYTHONPATH=_os.path.dirname(
+        _os.path.dirname(_os.path.abspath(__file__))))
+    procs = [subprocess.Popen(
+        [sys.executable, "-c", PUBLISHER, out, br],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=env,
+        text=True) for br in branches]
+    outs = [p.communicate(timeout=240)[0] for p in procs]
+    assert all(p.returncode == 0 for p in procs), outs
+    published = [o for o in outs if "PUBLISHED" in o]
+    conflicted = [o for o in outs if "CONFLICT" in o]
+    assert len(published) == 1 and len(conflicted) == 1, outs
+    assert f"PUBLISHED {base + 1}" in published[0]
+    # the table is exactly the winning branch — no interleaving
+    head = make_ledger(out, "commitlog").latest_version()
+    assert head == base + 1
+    winner = branches[outs.index(published[0])]
+    assert _ids(spark, out) == _ids(spark, winner)
+    assert table_row_count(out) == table_row_count(winner)
