@@ -510,3 +510,45 @@ def bitext_margin_pairs(emb: DataFrame, k: int = 4,
             .select("src_id", "tgt_id", F.col("cos6").alias("cos_sim"),
                     "margin")
             .orderBy("src_id"))
+
+
+def hard_negative_mining(emb: DataFrame, k: int = 5, n_bits: int = 4,
+                         id_col: str = "vec_id",
+                         vec_col: str = "embedding",
+                         label_col: str = "label") -> DataFrame:
+    """Hard-negative mining for contrastive/embedding training: for
+    every anchor, the top-k most-similar vectors with a DIFFERENT
+    label — the negatives that actually move a contrastive loss
+    (random negatives are trivially separable; hardest-k is the
+    standard curriculum, cf. dense-retrieval trainers like DPR/ANCE).
+
+    Scale shape: candidates from the sign-bucket equi-join (the same
+    family as every ANN op here — never all pairs), the label
+    inequality rides the join as a residual filter, and the per-anchor
+    top-k is one window over bucket-bounded candidates. At 10^10
+    vectors bucket is the partition column; raise n_bits so buckets
+    fit, and union multi-probe neighbors if recall needs it.
+    """
+    from pyspark.sql import Window
+
+    base = (with_norm(emb, vec_col)
+            .withColumn("bucket", sign_bucket_expr(vec_col, n_bits)))
+    a = base.select(F.col(id_col).alias("anchor_id"),
+                    F.col("v").alias("av"), F.col("nrm").alias("an"),
+                    F.col(label_col).alias("anchor_label"), "bucket")
+    b = base.select(F.col(id_col).alias("negative_id"),
+                    F.col("v").alias("bv"), F.col("nrm").alias("bn"),
+                    F.col(label_col).alias("neg_label"), "bucket")
+    cand = (a.join(b, "bucket")
+            .filter(F.col("anchor_label") != F.col("neg_label"))
+            .withColumn("cos_sim", F.round(
+                dot_expr(F.col("av"), F.col("bv"))
+                / (F.col("an") * F.col("bn")), 6)))
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.col("cos_sim").desc(), F.col("negative_id").asc())
+    return (cand.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= k)
+            .select("anchor_id", "anchor_label", "negative_id",
+                    "neg_label", "cos_sim",
+                    F.col("rnk").cast("integer").alias("rnk"))
+            .orderBy("anchor_id", "rnk"))

@@ -1613,3 +1613,54 @@ def _pagerank_sql() -> str:
 
 QUERIES["q115_knn_pagerank"] = q115_knn_pagerank
 ORACLES["q115_knn_pagerank"] = _pagerank_sql()
+
+
+HARDNEG_K = 5
+HARDNEG_BITS = 4
+
+
+def q117_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining (operators/similarity.hard_negative_mining)
+    over the labeled embeddings table: per anchor, the 5 most-similar
+    DIFFERENT-label vectors from its sign bucket — the contrastive-
+    training negative curriculum. Oracle = identical candidate algebra
+    in SQL."""
+    return similarity.hard_negative_mining(
+        _emb(spark, sf_dir), k=HARDNEG_K, n_bits=HARDNEG_BITS)
+
+
+_HARDNEG_BUCKET_BITS = " || ".join(
+    f"CASE WHEN embedding[{i + 1}] >= 0 THEN '1' ELSE '0' END"
+    for i in range(HARDNEG_BITS))
+_HARDNEG_SQL = f"""
+    WITH base AS (
+        SELECT vec_id, label,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+               sqrt(list_sum(list_transform(embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm,
+               {_HARDNEG_BUCKET_BITS} AS bucket
+        FROM embeddings
+    ),
+    cand AS (
+        SELECT a.vec_id AS anchor_id, a.label AS anchor_label,
+               b.vec_id AS negative_id, b.label AS neg_label,
+               round(list_sum(list_transform(range(1, 65),
+                         i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm), 6)
+                   AS cos_sim
+        FROM base a JOIN base b
+          ON a.bucket = b.bucket AND a.label <> b.label
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY anchor_id
+                                     ORDER BY cos_sim DESC, negative_id)
+                      AS rnk
+        FROM cand
+    )
+    SELECT anchor_id, anchor_label, negative_id, neg_label, cos_sim,
+           CAST(rnk AS INTEGER) AS rnk
+    FROM ranked WHERE rnk <= {HARDNEG_K}
+    ORDER BY anchor_id, rnk
+"""
+
+QUERIES["q117_hard_negatives"] = q117_hard_negatives
+ORACLES["q117_hard_negatives"] = _HARDNEG_SQL

@@ -698,3 +698,24 @@ def test_token_budget_sample_exact_and_bucket_invariant(spark):
                        df.repartition(7), "source", "n_tokens", "doc_id",
                        budget_frac=0.5, n_hash_buckets=16).collect())
     assert rerun == got
+
+
+def test_hard_negative_mining_label_and_order(spark):
+    """Negatives never share the anchor's label; per-anchor list is
+    similarity-descending; the nearest same-label vector (the trivial
+    positive) is excluded even when it is globally closest."""
+    from curator_spark.operators.similarity import hard_negative_mining
+
+    rows = [
+        (0, [1.0, 1.0, 0.0, 0.0], 0),
+        (1, [1.0, 1.0, 0.02, 0.0], 0),   # near-twin, SAME label
+        (2, [1.0, 1.0, 0.3, 0.0], 1),    # nearest other-label
+        (3, [1.0, 1.0, 0.9, 0.0], 1),
+        (4, [1.0, 1.0, 0.0, 0.9], 2),
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    got = [r for r in hard_negative_mining(emb, k=2, n_bits=2).collect()
+           if r["anchor_id"] == 0]
+    assert [r["negative_id"] for r in got] == [2, 3]
+    assert all(r["neg_label"] != r["anchor_label"] for r in got)
+    assert got[0]["cos_sim"] >= got[1]["cos_sim"]
