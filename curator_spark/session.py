@@ -13,8 +13,32 @@ import os
 from pyspark.sql import SparkSession
 
 
+def raise_fd_limit(target: int = 8192) -> tuple[int, int]:
+    """SURVEY §2 A32: raise the process's soft RLIMIT_NOFILE toward
+    `target` (capped at the hard limit) — the reference does exactly
+    this at startup because a wide async dispatch plus cache shards
+    exhausts the default 1024 descriptors
+    (reference: request_processor/base_request_processor.py fd-limit
+    raise). Spark-side the same pressure comes from shuffle spill
+    files + parquet part handles on a wide local[k] driver. Returns
+    (old_soft, new_soft); a refusal (e.g. sandboxed hard cap) is not
+    an error — the achievable maximum is set instead."""
+    import resource
+    soft, hard = resource.getrlimit(resource.RLIMIT_NOFILE)
+    want = min(int(target), hard if hard != resource.RLIM_INFINITY
+               else int(target))
+    if want > soft:
+        try:
+            resource.setrlimit(resource.RLIMIT_NOFILE, (want, hard))
+            return soft, want
+        except (ValueError, OSError):
+            return soft, soft
+    return soft, soft
+
+
 def get_spark(app_name: str = "curator-spark", parallelism: int | None = None,
               shuffle_partitions: int | None = None, **extra_conf: str) -> SparkSession:
+    raise_fd_limit()
     if parallelism is None:
         parallelism = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if shuffle_partitions is None:

@@ -1,0 +1,94 @@
+"""Event-loop bridge (A30) + fd-limit raise (A32): the reference's
+asyncio dispatch lifecycle — concurrency gate, rate admission,
+retry-then-error-row — running inside executor workers over Arrow
+batches."""
+
+from __future__ import annotations
+
+import pytest
+
+from curator_spark.asyncio_bridge import TokenBucket, run_async_payload
+
+
+def test_token_bucket_schedule_deterministic():
+    """Pure-logic check with a fake clock: burst capacity drains, then
+    acquisitions are spaced at 1/rate."""
+    now = [0.0]
+    b = TokenBucket(rate=10.0, capacity=2.0, clock=lambda: now[0])
+    assert b.try_acquire() == 0.0 and b.try_acquire() == 0.0  # burst
+    w = b.try_acquire()
+    assert w == pytest.approx(0.1)          # empty: next token in 1/rate
+    now[0] += 0.1
+    assert b.try_acquire() == 0.0           # refilled exactly one
+    now[0] += 1.0                            # long idle
+    assert b.try_acquire() == 0.0 and b.try_acquire() == 0.0
+    assert b.try_acquire() > 0.0            # capacity caps the burst at 2
+
+
+def test_async_payload_rows_and_errors(spark):
+    """Happy rows get responses in input order; a poison row becomes an
+    error row after retries; concurrency stays under the gate."""
+
+    async def payload(row: dict) -> dict:
+        import asyncio
+        global _inflight, _peak
+        try:
+            _inflight += 1
+        except NameError:
+            _inflight, _peak = 1, 0
+        _peak = max(_peak, _inflight)
+        await asyncio.sleep(0.001)
+        try:
+            if row["text"] == "POISON":
+                raise RuntimeError("remote refused")
+            return {"reply": row["text"][::-1], "n": len(row["text"]),
+                    "peak": _peak}
+        finally:
+            _inflight -= 1
+
+    df = spark.createDataFrame(
+        [(i, "POISON" if i == 7 else f"msg-{i:02d}") for i in range(20)],
+        ["rid", "text"]).coalesce(1)
+    out = run_async_payload(
+        df, payload, [("reply", "string"), ("n", "long"),
+                      ("peak", "long")],
+        max_concurrency=3, max_retries=1).collect()
+    rows = {r["rid"]: r for r in out}
+    assert len(rows) == 20
+    for i in range(20):
+        r = rows[i]
+        if i == 7:
+            assert r["reply"] is None and "remote refused" in r["errors"]
+        else:
+            assert r["errors"] is None
+            assert r["reply"] == f"msg-{i:02d}"[::-1] and r["n"] == 6
+    # the semaphore bounded in-flight payloads inside the worker
+    assert max(r["peak"] for r in out if r["peak"] is not None) <= 3
+
+
+def test_async_payload_rate_limited_still_completes(spark):
+    """With a tiny rate the batch still drains fully (admission slows,
+    never starves) and order is preserved."""
+
+    async def payload(row: dict) -> dict:
+        return {"echo": row["text"]}
+
+    df = spark.createDataFrame(
+        [(i, f"t{i}") for i in range(6)], ["rid", "text"]).coalesce(1)
+    out = run_async_payload(df, payload, [("echo", "string")],
+                            max_concurrency=2,
+                            requests_per_second=200.0).collect()
+    assert [r["echo"] for r in sorted(out, key=lambda r: r["rid"])] \
+        == [f"t{i}" for i in range(6)]
+    assert all(r["errors"] is None for r in out)
+
+
+def test_fd_limit_raised():
+    import resource
+
+    from curator_spark.session import raise_fd_limit
+    old, new = raise_fd_limit(4096)
+    soft, hard = resource.getrlimit(resource.RLIMIT_NOFILE)
+    cap = 4096 if hard == resource.RLIM_INFINITY else min(4096, hard)
+    assert soft >= min(cap, new)
+    assert new >= old
