@@ -85,7 +85,10 @@ def run_async_payload(df: DataFrame,
                       max_concurrency: int = 8,
                       requests_per_second: float | None = None,
                       max_retries: int = 2,
-                      backoff_base: float = 0.01) -> DataFrame:
+                      backoff_base: float = 0.01,
+                      capacity_tokens: float | None = None,
+                      tokens_field: str | None = None,
+                      default_estimate: float = 500.0) -> DataFrame:
     """df + async payload(row_dict)→dict → df with the response
     columns appended (declared as `response_fields` name/DDL-type
     pairs) plus `errors` (null on success).
@@ -93,6 +96,14 @@ def run_async_payload(df: DataFrame,
     Plan: ONE narrow mapInPandas — no shuffle, no driver round-trips;
     admission control is per-worker (see module docstring). The
     payload must be importable/picklable like any Spark closure.
+
+    Capacity blocking (SURVEY §2 A18, the reference's moving-average
+    output estimator, base_online_request_processor.py:464-468): when
+    `capacity_tokens` is set, each dispatch reserves the moving
+    average of the last 50 completions' `tokens_field` (seeded with
+    `default_estimate`) and blocks while reserved in-flight tokens
+    would exceed the cap — with the reference's no-starvation rule: a
+    single over-sized estimate still admits alone.
     """
     out_schema = T.StructType(
         list(df.schema.fields)
@@ -110,24 +121,50 @@ def run_async_payload(df: DataFrame,
             rows = pdf.to_dict("records")
 
             async def _drain():
+                from collections import deque
                 sem = asyncio.Semaphore(conc)
                 bucket = TokenBucket(rps) if rps else None
+                mva: deque = deque(maxlen=50)
+                state = {"inflight": 0.0}
+                cond = asyncio.Condition()
 
                 async def one(row):
                     async with sem:
-                        last = None
-                        for attempt in range(retries + 1):
-                            try:
-                                if bucket is not None:
-                                    await bucket.acquire()
-                                resp = await payload(dict(row))
-                                return resp, None
-                            except Exception as e:  # noqa: BLE001
-                                last = f"{type(e).__name__}: {e}"
-                                if attempt < retries:
-                                    await asyncio.sleep(
-                                        base * (2 ** attempt))
-                        return None, last
+                        est = (sum(mva) / len(mva)) if mva \
+                            else float(default_estimate)
+                        if capacity_tokens is not None:
+                            async with cond:
+                                # no-starvation: admit alone even if
+                                # the estimate alone exceeds the cap
+                                while (state["inflight"] > 0.0
+                                       and state["inflight"] + est
+                                       > capacity_tokens):
+                                    await cond.wait()
+                                state["inflight"] += est
+                        try:
+                            last = None
+                            for attempt in range(retries + 1):
+                                try:
+                                    if bucket is not None:
+                                        await bucket.acquire()
+                                    resp = await payload(dict(row))
+                                    if tokens_field is not None and \
+                                            resp.get(tokens_field) \
+                                            is not None:
+                                        mva.append(
+                                            float(resp[tokens_field]))
+                                    return resp, None
+                                except Exception as e:  # noqa: BLE001
+                                    last = f"{type(e).__name__}: {e}"
+                                    if attempt < retries:
+                                        await asyncio.sleep(
+                                            base * (2 ** attempt))
+                            return None, last
+                        finally:
+                            if capacity_tokens is not None:
+                                async with cond:
+                                    state["inflight"] -= est
+                                    cond.notify_all()
 
                 return await asyncio.gather(*[one(r) for r in rows])
 

@@ -92,3 +92,35 @@ def test_fd_limit_raised():
     cap = 4096 if hard == resource.RLIM_INFINITY else min(4096, hard)
     assert soft >= min(cap, new)
     assert new >= old
+
+
+def test_capacity_blocking_bounds_inflight_tokens(spark):
+    """A18 semantics: dispatch reserves the MVA estimate and blocks at
+    the token cap — with 600-token responses and a 1000-token cap the
+    admitted concurrency collapses to 1 once the estimator warms, even
+    though the semaphore would allow 8."""
+
+    async def payload(row: dict) -> dict:
+        import asyncio
+        global _cap_inflight, _cap_peak
+        try:
+            _cap_inflight += 1
+        except NameError:
+            _cap_inflight, _cap_peak = 1, 0
+        _cap_peak = max(_cap_peak, _cap_inflight)
+        await asyncio.sleep(0.002)
+        _cap_inflight -= 1
+        return {"tokens": 600, "peak": _cap_peak}
+
+    df = spark.createDataFrame(
+        [(i,) for i in range(12)], ["rid"]).coalesce(1)
+    out = run_async_payload(
+        df, payload, [("tokens", "long"), ("peak", "long")],
+        max_concurrency=8, capacity_tokens=1000.0,
+        tokens_field="tokens", default_estimate=500.0).collect()
+    assert len(out) == 12 and all(r["errors"] is None for r in out)
+    # seed estimate 500 admits 2 at once; after the first completions
+    # the 600-token MVA forces 1000//600 = 1 — never the semaphore's 8
+    assert max(r["peak"] for r in out) <= 2
+    # rows completed under capacity pressure in order
+    assert [r["rid"] for r in out] == list(range(12))
