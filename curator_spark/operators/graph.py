@@ -242,8 +242,10 @@ def knn_pagerank(emb: DataFrame, k: int = 3, n_bits: int = 4,
            .filter(F.col("rn") <= k).select("src", "dst"))
     knn = knn.persist()
     outdeg = knn.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    nodes = base.select("vid")
-    n = nodes.count()  # one driver long
+    # persisted: every round left-joins nodes — without this the source
+    # scan (10^10 rows at scale) repeats once per iteration
+    nodes = base.select("vid").persist()
+    n = nodes.count()  # one driver long (also materializes the persist)
     ranks = nodes.withColumn("r", F.lit(1.0 / n)).localCheckpoint()
     for _ in range(iters):
         dang = (ranks.join(outdeg, ranks["vid"] == outdeg["src"],
