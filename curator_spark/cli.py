@@ -364,12 +364,39 @@ def main(argv: list[str] | None = None) -> int:
         return 0
     if args.publish is not None:
         from curator_spark.wap import PublishConflict, publish_branch
+        audit = None
+        spark = None
+        if args.expect:
+            # WAP audit gate from the same --expect NAME=EXPR rules the
+            # ingestion gate uses: ANY violating row on the branch
+            # aborts the publish (mode=fail semantics)
+            from pyspark.sql import functions as F
+
+            from curator_spark.expectations import apply_expectations
+            from curator_spark.session import get_spark
+            spark = get_spark("wap-audit")  # F.expr needs the session
+            rules = []
+            for spec in args.expect:
+                name, expr = spec.split("=", 1)
+                rules.append((name.strip(), F.expr(expr)))
+
+            def audit(df):
+                apply_expectations(df, rules, mode="fail")
+
         try:
-            print(json.dumps(publish_branch(args.output, args.publish)))
+            print(json.dumps(publish_branch(args.output, args.publish,
+                                            audit=audit, spark=spark)))
         except PublishConflict as e:
             print(json.dumps({"error": "publish_conflict",
                               "detail": str(e)}))
             return 4
+        except Exception as e:
+            from curator_spark.expectations import ExpectationViolation
+            if isinstance(e, ExpectationViolation):
+                print(json.dumps({"error": "audit_failed",
+                                  "detail": str(e)}))
+                return 3
+            raise
         return 0
     if args.drop_branch is not None:
         from curator_spark.wap import drop_branch

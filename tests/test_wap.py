@@ -191,3 +191,41 @@ def test_racing_publishes_exactly_one_wins(spark, tmp_path):
     winner = branches[outs.index(published[0])]
     assert _ids(spark, out) == _ids(spark, winner)
     assert table_row_count(out) == table_row_count(winner)
+
+
+def test_cli_publish_with_expectations_gate(spark, table, tmp_path):
+    """`--publish DIR --expect NAME=EXPR`: the ingestion gate's rule
+    syntax audits the branch before publish; a violated rule exits 3
+    and leaves the source untouched; passing rules publish."""
+    import json
+    import subprocess
+    import sys
+
+    out, br = table["out"], table["branch"]
+    create_branch(out, br)
+    fixtures.write_transcripts_parquet(table["batch"], 150, seed=86,
+                                       n_parts=4)
+    append_new_conversations(spark, table["batch"], br)
+    head = make_ledger(out, "commitlog").latest_version()
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, PYTHONPATH=repo, SPARK_GRAFT_CPUS="4")
+
+    def run(*expect):
+        cmd = [sys.executable, os.path.join(repo, "curator_spark",
+                                            "cli.py"),
+               "--output", out, "--publish", br]
+        for e in expect:
+            cmd += ["--expect", e]
+        return subprocess.run(cmd, capture_output=True, text=True,
+                              env=env, timeout=300)
+
+    r = run("impossible=turn_idx < 0")
+    assert r.returncode == 3, (r.stdout, r.stderr)
+    assert "audit_failed" in r.stdout
+    assert make_ledger(out, "commitlog").latest_version() == head
+
+    r = run("valid_turns=turn_idx >= 0", "nonempty=length(text) >= 0")
+    assert r.returncode == 0, (r.stdout, r.stderr)
+    line = [ln for ln in r.stdout.splitlines()
+            if ln.startswith("{")][-1]
+    assert json.loads(line)["published_version"] == head + 1
