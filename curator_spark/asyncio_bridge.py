@@ -64,10 +64,13 @@ class TokenBucket:
         self._last = now
 
     def try_acquire(self) -> float:
-        """0.0 if a token was taken, else seconds until one exists."""
+        """0.0 if a token was taken, else seconds until one exists.
+        An epsilon of float error is forgiven — otherwise a caller
+        that slept exactly the told wait can be told to sleep another
+        ~1e-16 s forever (refill arithmetic is not exact)."""
         self._refill()
-        if self.tokens >= 1.0:
-            self.tokens -= 1.0
+        if self.tokens >= 1.0 - 1e-9:
+            self.tokens = max(0.0, self.tokens - 1.0)
             return 0.0
         return (1.0 - self.tokens) / self.rate
 

@@ -124,3 +124,32 @@ def test_capacity_blocking_bounds_inflight_tokens(spark):
     assert max(r["peak"] for r in out) <= 2
     # rows completed under capacity pressure in order
     assert [r["rid"] for r in out] == list(range(12))
+
+
+def test_token_bucket_rate_never_exceeded_property():
+    """Property (fake clock, no sleeps): over ANY schedule of attempts,
+    admissions by time t never exceed capacity + rate·t, and a told
+    wait is never a lie (retrying after the told wait succeeds)."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.lists(st.floats(min_value=0.0, max_value=0.5),
+                    min_size=1, max_size=60),
+           st.floats(min_value=0.5, max_value=50.0),
+           st.floats(min_value=1.0, max_value=8.0))
+    def run(gaps, rate, capacity):
+        now = [0.0]
+        b = TokenBucket(rate, capacity, clock=lambda: now[0])
+        admitted = 0
+        for g in gaps:
+            now[0] += g
+            w = b.try_acquire()
+            if w == 0.0:
+                admitted += 1
+            else:
+                now[0] += w  # the told wait must be sufficient
+                assert b.try_acquire() == 0.0
+                admitted += 1
+            assert admitted <= capacity + rate * now[0] + 1e-6
+
+    run()
