@@ -79,3 +79,45 @@ def response_latency(turns: DataFrame, role: str = "assistant",
         F.max("lat").cast("long").alias("max_latency_s"),
         F.sum((F.col("lat") > long_pause_s).cast("long"))
         .alias("n_long_pauses"))
+
+
+def trajectory_validity(turns: DataFrame) -> DataFrame:
+    """Structural validity filter for agent trajectories — the gate a
+    tool-use SFT corpus needs before export: per conversation,
+
+    * role_violations — turns breaking strict user/assistant
+      alternation from user at turn 0;
+    * tool_placement_violations — a tool invocation on a non-assistant
+      turn (protocol breach);
+    * dangling_tool_call — the LAST turn invokes a tool, so its result
+      never arrives (truncated/crashed session);
+    * idx_gaps — turn_idx not dense 0..n-1 (lost turns);
+    * valid — all of the above clean.
+
+    Plan: ONE map-side-combined groupBy(conv_id) — no window at all
+    (the dangling check rides max_by, alternation is a per-row
+    expression aggregated with sum). Skew-immune: per-conv state is
+    five integers regardless of conversation length.
+    """
+    expected_role = F.when(F.col("turn_idx") % 2 == 0, "user") \
+        .otherwise("assistant")
+    return (turns.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.count("tool").alias("n_tool_calls"),
+        F.sum(F.when(F.col("role") != expected_role, 1).otherwise(0))
+        .cast("long").alias("role_violations"),
+        F.sum(F.when(F.col("tool").isNotNull()
+                     & (F.col("role") != "assistant"), 1).otherwise(0))
+        .cast("long").alias("tool_placement_violations"),
+        # "the last turn invokes a tool" as a null-safe max compare —
+        # max_by's treatment of NULL args differs across engines
+        F.max(F.when(F.col("tool").isNotNull(), F.col("turn_idx")))
+        .eqNullSafe(F.max("turn_idx")).alias("dangling_tool_call"),
+        ((F.max("turn_idx") + 1 != F.count(F.lit(1)))
+         | (F.min("turn_idx") != 0)).alias("idx_gaps"))
+        .withColumn("valid",
+                    (F.col("role_violations") == 0)
+                    & (F.col("tool_placement_violations") == 0)
+                    & ~F.col("dangling_tool_call")
+                    & ~F.col("idx_gaps"))
+        .orderBy("conv_id"))

@@ -438,3 +438,57 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q101_tool_transitions": q101_tool_transitions,
     "q102_response_latency": q102_response_latency,
 }
+
+
+def q118_trajectory_validity(spark: SparkSession, sf_dir: str
+                             ) -> DataFrame:
+    """Agent-trajectory structural validity
+    (operators/trajectory.trajectory_validity): per conversation —
+    role-alternation violations, tool-on-wrong-role violations,
+    dangling final tool call (result never arrives), turn-index gaps,
+    and the composite `valid` gate a tool-use SFT export applies.
+    ONE map-side-combined groupBy(conv_id), zero windows, per-conv
+    state is five integers however long the conversation. Oracle
+    replays the md5 tool draw and the same aggregate algebra."""
+    from .operators.trajectory import trajectory_validity
+    return trajectory_validity(_with_tools(_turns(spark, sf_dir)))
+
+
+_Q118_SQL = f"""
+    WITH {_TURNS_SQL},
+    enriched AS (
+        SELECT conv_id, turn_idx, role,
+               CASE WHEN role = 'assistant'
+                         AND {_BUCKET_SQL.format(tag='tool')} % 3 <> 0
+                    THEN 'tool_'
+                         || ({_BUCKET_SQL.format(tag='tool')} % 4)::VARCHAR
+               END AS tool
+        FROM turns
+    ),
+    agg AS (
+        SELECT conv_id,
+               CAST(count(*) AS BIGINT) AS n_turns,
+               CAST(count(tool) AS BIGINT) AS n_tool_calls,
+               CAST(sum(CASE WHEN role <> (CASE WHEN turn_idx % 2 = 0
+                                           THEN 'user'
+                                           ELSE 'assistant' END)
+                        THEN 1 ELSE 0 END) AS BIGINT)
+                   AS role_violations,
+               CAST(sum(CASE WHEN tool IS NOT NULL
+                                  AND role <> 'assistant'
+                        THEN 1 ELSE 0 END) AS BIGINT)
+                   AS tool_placement_violations,
+               (max(CASE WHEN tool IS NOT NULL THEN turn_idx END)
+                IS NOT DISTINCT FROM max(turn_idx))
+                   AS dangling_tool_call,
+               ((max(turn_idx) + 1 <> count(*))
+                OR (min(turn_idx) <> 0)) AS idx_gaps
+        FROM enriched GROUP BY conv_id
+    )
+    SELECT *, (role_violations = 0 AND tool_placement_violations = 0
+               AND NOT dangling_tool_call AND NOT idx_gaps) AS valid
+    FROM agg ORDER BY conv_id
+"""
+
+QUERIES["q118_trajectory_validity"] = q118_trajectory_validity
+ORACLES["q118_trajectory_validity"] = _Q118_SQL

@@ -74,3 +74,37 @@ def test_trajectory_plans_bounded_window_one_agg(spark):
         assert plan.count("Window") == 1
         assert "partial_count" in plan or "partial_" in plan
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_trajectory_validity_rules(spark):
+    """Each structural rule fires on its own corruption and the clean
+    conversation passes the composite gate."""
+    from curator_spark.operators.trajectory import trajectory_validity
+
+    rows = [
+        # clean: alternating, tool mid-conv answered, dense idx
+        ("ok", 0, "user", None), ("ok", 1, "assistant", "tool_1"),
+        ("ok", 2, "user", None), ("ok", 3, "assistant", None),
+        # role breach: two users in a row
+        ("roles", 0, "user", None), ("roles", 1, "user", None),
+        # tool on a user turn
+        ("place", 0, "user", "tool_0"), ("place", 1, "assistant", None),
+        # dangling: last turn invokes a tool
+        ("dangle", 0, "user", None), ("dangle", 1, "assistant", "tool_2"),
+        # index gap: turn 1 missing
+        ("gap", 0, "user", None), ("gap", 2, "user", None),
+    ]
+    df = spark.createDataFrame(rows, ["conv_id", "turn_idx", "role",
+                                      "tool"])
+    got = {r["conv_id"]: r for r in trajectory_validity(df).collect()}
+    assert got["ok"]["valid"] and got["ok"]["n_tool_calls"] == 1
+    assert got["roles"]["role_violations"] == 1 \
+        and not got["roles"]["valid"]
+    assert got["place"]["tool_placement_violations"] == 1 \
+        and not got["place"]["valid"]
+    assert got["dangle"]["dangling_tool_call"] \
+        and not got["dangle"]["valid"]
+    assert got["gap"]["idx_gaps"] and not got["gap"]["valid"]
+    # alternation is positional (turn 2 expects user), so the gap
+    # fixture's roles are clean — only the gap rule fires
+    assert got["gap"]["role_violations"] == 0
