@@ -138,8 +138,11 @@ DRIVER_WINDOW = [
     # (q100 prefix-dedup rotates to selfcheck — the dedup battery
     # keeps seven driver rows; its slot admits q116's token-budget
     # assembly, the grouped-cumsum family new this round)
+    # (q99 preference pairs rotates to selfcheck — SFT keeps q96/q98;
+    # the slot admits q118's trajectory validity gate, the tool-use
+    # corpus's structural filter, next to q101's transitions)
     "q96_chat_template",
-    "q98_refusal_filter", "q99_preference_pairs",
+    "q98_refusal_filter", "q118_trajectory_validity",
     "q116_token_budget",
     # agent-trajectory analytics over the tool/ts schema columns
     "q101_tool_transitions",
