@@ -3715,3 +3715,59 @@ def run_cost(spark: SparkSession, out_dir: str,
                     F.round(F.col("n_tokens") / 1000.0
                             * F.lit(float(usd_per_1k_tokens)), 6))
     )
+
+
+def read_with_lineage(spark: SparkSession, out_dir: str,
+                      backend: str | None = None,
+                      version: int | None = None) -> DataFrame:
+    """Snapshot read + ROW-LEVEL PROVENANCE: every row annotated with
+    `_lineage_file` (the parquet file holding it), `_lineage_part`,
+    `_lineage_run_id` (the run owning the partition's manifest) and
+    `_lineage_runs` (every run that ever contributed to the partition
+    — multi-run after incremental appends). The debugging/audit verb
+    at scale: "which ingestion run produced this bad row" answered
+    from the commit manifests, no extra bookkeeping columns ever
+    written into the data.
+
+    Plan: the ordinary snapshot scan plus ONE broadcast join from
+    `_metadata.file_path` onto the manifest map (k files — metadata-
+    sized however large the table). Lineage rides the scan's own
+    row-to-file attribution, so it is exact under compaction,
+    restore, and time travel (the map is built from the SAME snapshot
+    the read plans)."""
+    backend = backend or detect_backend(out_dir)
+    ledger = make_ledger(out_dir, backend)
+    if getattr(ledger, "log_defined_visibility", False):
+        committed = ledger.snapshot(version=version)[0]
+    else:
+        if version is not None:
+            raise ValueError("time travel requires the commitlog ledger")
+        committed = ledger.committed()
+    rows = []
+    for p, m in sorted((committed or {}).items()):
+        if not m or m.get("status") != "COMMITTED":
+            continue
+        runs = list(m.get("runs")
+                    or ([m.get("run_id")] if m.get("run_id") else []))
+        for fn in (m.get("files") or {}):
+            fp = os.path.join(out_dir, "data", f"part={int(p)}", fn)
+            rows.append((os.path.abspath(fp), fn, int(p),
+                         m.get("run_id"), runs))
+    df = read_committed(spark, out_dir, backend=backend, version=version)
+    if not rows:
+        return (df.withColumn("_lineage_file",
+                              F.lit(None).cast("string"))
+                .withColumn("_lineage_part", F.lit(None).cast("int"))
+                .withColumn("_lineage_run_id",
+                            F.lit(None).cast("string"))
+                .withColumn("_lineage_runs",
+                            F.lit(None).cast("array<string>")))
+    lineage = F.broadcast(spark.createDataFrame(
+        rows, "_lpath string, _lineage_file string, _lineage_part int, "
+              "_lineage_run_id string, _lineage_runs array<string>"))
+    # _metadata.file_path is a URI; strip the scheme to match the map
+    key = F.regexp_replace(F.col("_metadata").getField("file_path"),
+                           "^file:", "")
+    return (df.withColumn("_lpath", key)
+            .join(lineage, "_lpath", "left")
+            .drop("_lpath"))

@@ -575,3 +575,34 @@ def test_mixed_ledger_backends_refused(spark, small_input, tmp_path):
                          ledger_backend="commitlog")
     os.makedirs(os.path.join(out2, "_commitlog"))  # empty debris
     assert detect_backend(out2) == "markers"
+
+
+def test_read_with_lineage_attributes_rows_to_runs(spark, tmp_path):
+    """Every row carries the file/part/run that produced it, exact
+    across an incremental append (multi-run partitions list both
+    contributors) and under time travel (the pre-append snapshot
+    knows only the first run)."""
+    from curator_spark import fixtures
+    from curator_spark.checkpoint import make_ledger, read_with_lineage
+    from curator_spark.incremental import append_new_conversations
+
+    p1 = str(tmp_path / "l1.parquet")
+    fixtures.write_transcripts_parquet(p1, 300, seed=61, n_parts=4)
+    out = str(tmp_path / "ltable")
+    run_checkpointed(spark, p1, out, ledger_backend="commitlog")
+    v1 = make_ledger(out, "commitlog").latest_version()
+    p2 = str(tmp_path / "l2.parquet")
+    fixtures.write_transcripts_parquet(p2, 200, seed=62, n_parts=4)
+    append_new_conversations(spark, p2, out)
+
+    got = read_with_lineage(spark, out).collect()
+    assert got and all(r["_lineage_file"] is not None for r in got)
+    for r in got:
+        assert r["_lineage_part"] == r["part"]
+        assert r["_lineage_run_id"] in r["_lineage_runs"]
+    # appended partitions are multi-run; at least one row shows both
+    assert any(len(r["_lineage_runs"]) >= 2 for r in got)
+    # time travel: the v1 snapshot predates the append — single-run
+    old = read_with_lineage(spark, out, version=v1).collect()
+    assert old and all(len(r["_lineage_runs"]) == 1 for r in old)
+    assert len(old) < len(got)
