@@ -3456,3 +3456,120 @@ _TOKEN_BUDGET_SQL = f"""
 
 QUERIES["q116_token_budget"] = q116_token_budget
 ORACLES["q116_token_budget"] = _TOKEN_BUDGET_SQL
+
+
+def q119_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus drift: KL(P_source || P_corpus) over word
+    unigrams with add-one smoothing across the shared vocabulary — the
+    information-theoretic "how unlike the rest of the corpus is this
+    source" diagnostic behind mixture rebalancing and contamination
+    triage (cf. CCNet's LM-based domain distance; DSIR's importance
+    weights are the per-document siblings of this per-source rollup).
+
+    Scale shape: two map-side-combined groupBys (word; source×word),
+    a broadcast of the k source totals over the vocabulary grid so
+    every (source, word) smoothing term exists, one final
+    groupBy(source) summing V terms — no products over data, vocab
+    rides the shuffle key. FP note: the KL sum is rounded to 6
+    decimals; term-order drift between engines is ~1e-12."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+    words = (docs.select("source", F.explode(toks).alias("word")))
+    c_w = words.groupBy("word").agg(F.count(F.lit(1)).alias("c_w"))
+    c_sw = (words.groupBy("source", "word")
+            .agg(F.count(F.lit(1)).alias("c_sw")))
+    n_s = words.groupBy("source").agg(F.count(F.lit(1)).alias("n_s"))
+    totals = c_w.agg(F.sum("c_w").alias("n_total"),
+                     F.count(F.lit(1)).alias("v_size")).collect()[0]
+    n_total, v = int(totals["n_total"]), int(totals["v_size"])
+    grid = c_w.crossJoin(F.broadcast(n_s))
+    joined = (grid.join(c_sw, ["source", "word"], "left")
+              .withColumn("c_sw", F.coalesce("c_sw", F.lit(0))))
+    p_s = (F.col("c_sw") + 1) / (F.col("n_s") + F.lit(v))
+    q = (F.col("c_w") + 1) / F.lit(float(n_total + v))
+    return (joined.withColumn("term", p_s * F.log(p_s / q))
+            .groupBy("source")
+            .agg(F.max("n_s").cast("long").alias("n_tokens"),
+                 F.round(F.sum("term"), 6).alias("kl_to_corpus"))
+            .orderBy("source"))
+
+
+_SOURCE_DIVERGENCE_SQL = """
+    WITH words AS (
+        SELECT source, unnest(list_filter(string_split(text, ' '),
+                                          t -> t <> '')) AS word
+        FROM documents
+    ),
+    c_w AS (SELECT word, count(*) AS c_w FROM words GROUP BY word),
+    c_sw AS (SELECT source, word, count(*) AS c_sw
+             FROM words GROUP BY source, word),
+    n_s AS (SELECT source, count(*) AS n_s FROM words GROUP BY source),
+    tot AS (SELECT sum(c_w) AS n_total, count(*) AS v FROM c_w),
+    grid AS (SELECT * FROM c_w CROSS JOIN n_s),
+    joined AS (
+        SELECT g.source, g.word, g.c_w, g.n_s,
+               coalesce(s.c_sw, 0) AS c_sw
+        FROM grid g LEFT JOIN c_sw s
+          ON g.source = s.source AND g.word = s.word
+    )
+    SELECT source, CAST(max(n_s) AS BIGINT) AS n_tokens,
+           round(sum(((c_sw + 1) * 1.0 / (n_s + (SELECT v FROM tot)))
+                     * ln(((c_sw + 1) * 1.0 / (n_s + (SELECT v FROM tot)))
+                          / ((c_w + 1) * 1.0
+                             / ((SELECT n_total FROM tot)
+                                + (SELECT v FROM tot))))), 6)
+               AS kl_to_corpus
+    FROM joined GROUP BY source ORDER BY source
+"""
+
+QUERIES["q119_source_divergence"] = q119_source_divergence
+ORACLES["q119_source_divergence"] = _SOURCE_DIVERGENCE_SQL
+
+
+def q120_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law vocabulary-growth curve per source: distinct words in
+    the 1/4, 1/2, and full slices of each source's documents, slices
+    defined by salted-hash space (a uniform, engine-invariant sample
+    prefix — the q116 idiom). A saturating curve ⇒ templated/
+    duplicated content; unbounded growth ⇒ diverse text — the corpus-
+    diversity diagnostic next to q119's KL drift. ONE groupBy(source)
+    with three conditional COUNT DISTINCTs (Spark plans the expand +
+    partial aggregates; no window, no product)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+    hb = (F.conv(F.substring(F.md5(F.concat(
+        F.col("doc_id").cast("string"), F.lit(":vocab-v1"))), 1, 2),
+        16, 10).cast("int") % 16)
+    words = (docs.select("source", hb.alias("hb"),
+                         F.explode(toks).alias("word")))
+    return (words.groupBy("source").agg(
+        F.countDistinct(F.when(F.col("hb") < 4, F.col("word")))
+        .cast("long").alias("vocab_q1"),
+        F.countDistinct(F.when(F.col("hb") < 8, F.col("word")))
+        .cast("long").alias("vocab_half"),
+        F.countDistinct("word").cast("long").alias("vocab_full"),
+        F.count(F.lit(1)).cast("long").alias("n_tokens"))
+        .orderBy("source"))
+
+
+_VOCAB_GROWTH_SQL = """
+    WITH words AS (
+        SELECT source,
+               (('0x' || substr(md5(doc_id::VARCHAR || ':vocab-v1'),
+                                1, 2))::INTEGER % 16) AS hb,
+               unnest(list_filter(string_split(text, ' '),
+                                  t -> t <> '')) AS word
+        FROM documents
+    )
+    SELECT source,
+           CAST(count(DISTINCT CASE WHEN hb < 4 THEN word END)
+                AS BIGINT) AS vocab_q1,
+           CAST(count(DISTINCT CASE WHEN hb < 8 THEN word END)
+                AS BIGINT) AS vocab_half,
+           CAST(count(DISTINCT word) AS BIGINT) AS vocab_full,
+           CAST(count(*) AS BIGINT) AS n_tokens
+    FROM words GROUP BY source ORDER BY source
+"""
+
+QUERIES["q120_vocab_growth"] = q120_vocab_growth
+ORACLES["q120_vocab_growth"] = _VOCAB_GROWTH_SQL
