@@ -574,6 +574,24 @@ def measure_merge(spark) -> dict:
     clone_sec = round(time.monotonic() - tc, 3)
     shutil.rmtree(root + "-fork", ignore_errors=True)
 
+    # WAP round-trip on the same ~1k-file table: branch (metadata-plane
+    # fork), DV-delete 100 conversations ON the branch, publish back.
+    # The decisive numbers: publish must link ZERO files for a DV-only
+    # change (masks travel in the manifest) and both verbs must cost
+    # metadata, not data — the audit gate is free at any table size.
+    from curator_spark.checkpoint import delete_rows_dv
+    from curator_spark.wap import create_branch, drop_branch, \
+        publish_branch
+    tb = time.monotonic()
+    create_branch(root, root + "-wap")
+    branch_sec = round(time.monotonic() - tb, 3)
+    victims = [f"conv-%09d" % i for i in range(0, 5000, 50)]
+    delete_rows_dv(spark, root + "-wap", victims)
+    tp = time.monotonic()
+    pinfo = publish_branch(root, root + "-wap")
+    publish_sec = round(time.monotonic() - tp, 3)
+    drop_branch(root + "-wap")
+
     # REBUCKET the same table 32 -> 64 partitions: whole-table physical
     # reorganization (the one full-shuffle maintenance verb) — the
     # datapoint is reorg THROUGHPUT (rows/s through one shuffle +
@@ -601,6 +619,9 @@ def measure_merge(spark) -> dict:
            "clone_sec": clone_sec, "clone_files": int(cinfo["n_files"]),
            "clone_linked": int(cinfo["linked"]),
            "clone_copied": int(cinfo["copied"]),
+           "wap_branch_sec": branch_sec, "wap_publish_sec": publish_sec,
+           "wap_publish_files_linked": int(pinfo["files_linked"]),
+           "wap_publish_parts": int(pinfo["parts_added"]),
            "rebucket_sec": rebucket_sec,
            "rebucket_rows": int(rb["n_rows"]),
            "rebucket_rows_per_sec": round(rb["n_rows"] / rebucket_sec, 1)
@@ -1164,6 +1185,19 @@ def write_bench_md(result: dict) -> None:
                 f"({m['clone_linked']} hard-linked — zero data bytes "
                 "moved; fork cost scales with file count, never data "
                 "volume).",
+            ]
+        if m.get("wap_publish_sec") is not None:
+            lines += [
+                "",
+                f"WAP round-trip on the same table: branch in "
+                f"**{m['wap_branch_sec']} s** (metadata-plane fork), "
+                f"DV-delete 100 conversations on the branch, publish "
+                f"back in **{m['wap_publish_sec']} s** linking "
+                f"**{m['wap_publish_files_linked']} files** "
+                f"({m['wap_publish_parts']} part manifests updated) — "
+                "a deletion-vector-only publish ships masks in the "
+                "manifest, so the audited fast-forward is "
+                "metadata-sized at any table size.",
             ]
         if m.get("rebucket_sec") is not None:
             lines += [
