@@ -599,3 +599,25 @@ def test_q115_pagerank_round_is_equijoin_groupby(spark):
     plan = plan_of(out)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q119_divergence_grid_broadcasts_source_totals(spark):
+    """The vocab×sources grid must come from broadcasting the k-row
+    source-totals side over the vocabulary — never a shuffle product —
+    and the final KL rollup is a partial-aggregated groupBy(source)."""
+    from curator_spark import queries
+    plan = plan_of(queries.q119_source_divergence(spark, SF))
+    assert "CartesianProduct" not in plan
+    # the grid join's build side is the broadcast source totals
+    assert "BroadcastNestedLoopJoin BuildRight" in plan \
+        or "BroadcastExchange" in plan
+    assert "partial_" in plan
+
+
+def test_q120_vocab_growth_single_aggregate(spark):
+    """Three conditional COUNT DISTINCTs plan as ONE expand +
+    aggregate chain over a narrow scan — no join, no window."""
+    from curator_spark import queries
+    plan = plan_of(queries.q120_vocab_growth(spark, SF))
+    assert "Join" not in plan and "Window" not in plan
+    assert "Expand" in plan  # Spark's multi-distinct rewrite
