@@ -3573,3 +3573,98 @@ _VOCAB_GROWTH_SQL = """
 
 QUERIES["q120_vocab_growth"] = q120_vocab_growth
 ORACLES["q120_vocab_growth"] = _VOCAB_GROWTH_SQL
+
+
+ZIPF_TOP_K = 100
+
+
+def q121_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law fit per source: the least-squares slope of
+    ln(frequency) against ln(rank) over the source's top-100 words —
+    natural text sits near −1; templated/generated content bends the
+    curve (the statistical-law sibling of q120's Heaps curve). Both
+    engines compute the fit with their built-in regr_slope, so the
+    closed form is never re-implemented.
+
+    Plan: word counts are one map-side-combined groupBy; ranking runs
+    over the AGGREGATED (source, word, freq) table — orders of
+    magnitude smaller than the corpus — with a per-source window that
+    the rn<=100 filter caps; the fit is one tiny groupBy(source)."""
+    from pyspark.sql import Window
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+    freq = (docs.select("source", F.explode(toks).alias("word"))
+            .groupBy("source", "word")
+            .agg(F.count(F.lit(1)).alias("freq")))
+    w = Window.partitionBy("source").orderBy(
+        F.col("freq").desc(), F.col("word").asc())
+    top = (freq.withColumn("rnk", F.row_number().over(w))
+           .filter(F.col("rnk") <= ZIPF_TOP_K))
+    return (top.groupBy("source")
+            .agg(F.round(F.regr_slope(
+                F.log(F.col("freq").cast("double")),
+                F.log(F.col("rnk").cast("double"))), 6)
+                .alias("zipf_slope"),
+                F.count(F.lit(1)).cast("long").alias("n_points"))
+            .orderBy("source"))
+
+
+_ZIPF_SQL = f"""
+    WITH freq AS (
+        SELECT source, word, count(*) AS freq FROM (
+            SELECT source,
+                   unnest(list_filter(string_split(text, ' '),
+                                      t -> t <> '')) AS word
+            FROM documents)
+        GROUP BY source, word
+    ),
+    top AS (
+        SELECT *, row_number() OVER (PARTITION BY source
+                                     ORDER BY freq DESC, word) AS rnk
+        FROM freq
+    )
+    SELECT source,
+           round(regr_slope(ln(freq * 1.0), ln(rnk * 1.0)), 6)
+               AS zipf_slope,
+           CAST(count(*) AS BIGINT) AS n_points
+    FROM top WHERE rnk <= {ZIPF_TOP_K}
+    GROUP BY source ORDER BY source
+"""
+
+
+L_DIVERSITY_FLOOR = 2
+
+
+def q122_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit — k-anonymity's (q112) stronger sibling: a
+    quasi-identifier cell with k >= 5 population can STILL leak if
+    every member shares the same sensitive value (here: the document's
+    source, standing in for the sensitive attribute). Report each
+    cell's population k and distinct-sensitive-count l; cells with
+    l < 2 are homogeneous — the attribute disclosure k-anonymity
+    misses. One groupBy over a bounded key, COUNT + COUNT DISTINCT."""
+    docs = _t(spark, sf_dir, "documents")
+    return (docs
+            .select("lang", F.expr("n_chars div 500").alias("len_bucket"),
+                    "source")
+            .groupBy("lang", "len_bucket")
+            .agg(F.count(F.lit(1)).alias("k"),
+                 F.countDistinct("source").cast("long").alias("l"))
+            .withColumn("homogeneous", F.col("l") < L_DIVERSITY_FLOOR)
+            .orderBy("lang", "len_bucket"))
+
+
+_L_DIVERSITY_SQL = f"""
+    SELECT lang, n_chars // 500 AS len_bucket,
+           count(*) AS k,
+           CAST(count(DISTINCT source) AS BIGINT) AS l,
+           count(DISTINCT source) < {L_DIVERSITY_FLOOR} AS homogeneous
+    FROM documents
+    GROUP BY lang, len_bucket
+    ORDER BY lang, len_bucket
+"""
+
+QUERIES["q121_zipf_slope"] = q121_zipf_slope
+ORACLES["q121_zipf_slope"] = _ZIPF_SQL
+QUERIES["q122_l_diversity"] = q122_l_diversity
+ORACLES["q122_l_diversity"] = _L_DIVERSITY_SQL
