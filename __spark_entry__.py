@@ -174,8 +174,11 @@ DRIVER_WINDOW = [
     # driver row; q112 puts the privacy-AGGREGATE family — k-anonymity
     # over quasi-identifiers, new this round — in the gate next to the
     # scrubbers q104/q67)
+    # (q112 k-anonymity rotates to selfcheck — q122's l-diversity
+    # reports population k AND distinct-sensitive l, the strictly
+    # stronger privacy-aggregate audit)
     "q104_pii_pseudonymize",
-    "q67_luhn_cc_scrub", "q112_k_anonymity",
+    "q67_luhn_cc_scrub", "q122_l_diversity",
     "q45_sketch_accuracy",
     # distributed total order (no single-task global window)
     "q84_global_rank",
