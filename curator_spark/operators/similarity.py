@@ -453,7 +453,8 @@ def knn_join_exact(queries: DataFrame, corpus: DataFrame, k: int = 3,
 def bitext_margin_pairs(emb: DataFrame, k: int = 4,
                         threshold: float = 1.05, n_bits: int = 4,
                         id_col: str = "vec_id",
-                        vec_col: str = "embedding") -> DataFrame:
+                        vec_col: str = "embedding",
+                        mutual: bool = False) -> DataFrame:
     """Margin-based bitext mining (LASER/CCMatrix-style): mine aligned
     pairs between two embedding corpora by RATIO margin — cos(x, y)
     divided by the mean of each side's top-k neighborhood similarity —
@@ -505,10 +506,18 @@ def bitext_margin_pairs(emb: DataFrame, k: int = 4,
         F.col("cos6") / ((F.col("p_src") + F.col("p_tgt")) / 2), 6))
     w_best = Window.partitionBy("src_id").orderBy(
         F.col("margin").desc(), F.col("tgt_id").asc())
-    return (scored.withColumn("rb", F.row_number().over(w_best))
-            .filter((F.col("rb") == 1) & (F.col("margin") >= threshold))
-            .select("src_id", "tgt_id", F.col("cos6").alias("cos_sim"),
-                    "margin")
+    out = (scored.withColumn("rb", F.row_number().over(w_best))
+           .filter((F.col("rb") == 1) & (F.col("margin") >= threshold)))
+    if mutual:
+        # CCMatrix's stricter election: the pair survives only if the
+        # TARGET also ranks this source first by margin — one more
+        # per-tgt window over the already-thinned forward-best set
+        w_back = Window.partitionBy("tgt_id").orderBy(
+            F.col("margin").desc(), F.col("src_id").asc())
+        out = (out.withColumn("rt", F.row_number().over(w_back))
+               .filter(F.col("rt") == 1))
+    return (out.select("src_id", "tgt_id",
+                       F.col("cos6").alias("cos_sim"), "margin")
             .orderBy("src_id"))
 
 

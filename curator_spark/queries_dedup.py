@@ -1664,3 +1664,37 @@ _HARDNEG_SQL = f"""
 
 QUERIES["q117_hard_negatives"] = q117_hard_negatives
 ORACLES["q117_hard_negatives"] = _HARDNEG_SQL
+
+
+def q123_bitext_mutual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual-best bitext election (CCMatrix's stricter rule): q113's
+    forward-best pairs additionally filtered to targets that elect the
+    same source back — unique on BOTH sides. One extra per-tgt window
+    over the already-thinned forward set."""
+    return similarity.bitext_margin_pairs(
+        _emb(spark, sf_dir), k=BITEXT_K, threshold=BITEXT_THRESHOLD,
+        n_bits=BITEXT_BITS, mutual=True)
+
+
+_BITEXT_MUTUAL_SQL = _BITEXT_SQL.replace(
+    """    SELECT src_id, tgt_id, cos6 AS cos_sim, margin
+    FROM best
+    WHERE rb = 1 AND margin >= {thr}
+    ORDER BY src_id
+""".format(thr=BITEXT_THRESHOLD),
+    """    , fwd AS (
+        SELECT src_id, tgt_id, cos6, margin FROM best
+        WHERE rb = 1 AND margin >= {thr}
+    ),
+    back AS (
+        SELECT *, row_number() OVER (PARTITION BY tgt_id
+                                     ORDER BY margin DESC, src_id) AS rt
+        FROM fwd
+    )
+    SELECT src_id, tgt_id, cos6 AS cos_sim, margin
+    FROM back WHERE rt = 1
+    ORDER BY src_id
+""".format(thr=BITEXT_THRESHOLD))
+
+QUERIES["q123_bitext_mutual"] = q123_bitext_mutual
+ORACLES["q123_bitext_mutual"] = _BITEXT_MUTUAL_SQL

@@ -719,3 +719,19 @@ def test_hard_negative_mining_label_and_order(spark):
     assert [r["negative_id"] for r in got] == [2, 3]
     assert all(r["neg_label"] != r["anchor_label"] for r in got)
     assert got[0]["cos_sim"] >= got[1]["cos_sim"]
+
+
+def test_bitext_mutual_election_subset_and_unique(spark):
+    """mutual=True keeps only pairs where the target also elects the
+    source: a subset of the forward pairs with UNIQUE targets."""
+    from curator_spark.operators.similarity import bitext_margin_pairs
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    fwd = {(r["src_id"], r["tgt_id"])
+           for r in bitext_margin_pairs(emb, threshold=0.0).collect()}
+    mut = [(r["src_id"], r["tgt_id"])
+           for r in bitext_margin_pairs(emb, threshold=0.0,
+                                        mutual=True).collect()]
+    assert set(mut) <= fwd and 0 < len(mut) <= len(fwd)
+    tgts = [t for _, t in mut]
+    assert len(tgts) == len(set(tgts))  # each target claimed once
