@@ -293,6 +293,23 @@ def build_parser() -> argparse.ArgumentParser:
                    metavar="ISO8601",
                    help="clone the latest snapshot at or before this "
                         "datetime instead of the head")
+    p.add_argument("--maintain", action="store_true",
+                   help="auto-pilot maintenance on --output: compact "
+                        "over-filed partitions (per-partition atomic "
+                        "commits), vacuum aged orphans, print the "
+                        "before/after health report; --maintain-report "
+                        "for report-only")
+    p.add_argument("--maintain-report", action="store_true",
+                   help="print the metadata-only maintenance health "
+                        "report for --output and exit (no Spark job)")
+    p.add_argument("--maintain-target-files", type=int, default=4,
+                   metavar="N",
+                   help="compact partitions holding more than N live "
+                        "files (default 4)")
+    p.add_argument("--maintain-retention", type=float, default=3600.0,
+                   metavar="SECONDS",
+                   help="vacuum retention window (default 3600; pass 0 "
+                        "only with no concurrent writers)")
     p.add_argument("--branch", type=str, default=None, metavar="DIR",
                    help="fork --output at its head into a WAP branch "
                         "at DIR and exit (zero-copy; write/audit there, "
@@ -357,6 +374,20 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps(clone_table(args.output, args.clone,
                                      version=args.clone_version,
                                      asof=asof)))
+        return 0
+    if args.maintain_report:
+        from curator_spark.maintenance import maintenance_report
+        print(json.dumps(maintenance_report(
+            args.output, target_files=args.maintain_target_files,
+            min_age_s=args.maintain_retention)))
+        return 0
+    if args.maintain:
+        from curator_spark.maintenance import run_maintenance
+        from curator_spark.session import get_spark
+        print(json.dumps(run_maintenance(
+            get_spark("maintain"), args.output,
+            target_files=args.maintain_target_files,
+            min_age_s=args.maintain_retention)))
         return 0
     if args.branch is not None:
         from curator_spark.wap import create_branch
