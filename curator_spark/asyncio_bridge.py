@@ -108,12 +108,20 @@ def run_async_payload(df: DataFrame,
     would exceed the cap — with the reference's no-starvation rule: a
     single over-sized estimate still admits alone.
     """
+    resp_names = [n for n, _ in response_fields]
+    clash = set(resp_names + ["errors"]) & set(df.columns)
+    if clash:
+        raise ValueError(
+            "run_async_payload output columns collide with input "
+            f"columns: {sorted(clash)} — rename the input columns or "
+            "the response_fields (the 'errors' name is reserved)")
+    if len(set(resp_names)) != len(resp_names):
+        raise ValueError(f"duplicate response_fields names: {resp_names}")
     out_schema = T.StructType(
         list(df.schema.fields)
         + [T.StructField(n, getattr(T, "_parse_datatype_string")(t), True)
            for n, t in response_fields]
         + [T.StructField("errors", T.StringType(), True)])
-    resp_names = [n for n, _ in response_fields]
     conc = int(max_concurrency)
     rps = requests_per_second
     retries = int(max_retries)
@@ -128,7 +136,13 @@ def run_async_payload(df: DataFrame,
                 sem = asyncio.Semaphore(conc)
                 bucket = TokenBucket(rps) if rps else None
                 mva: deque = deque(maxlen=50)
-                state = {"inflight": 0.0}
+                # In-flight is tracked as BOTH a token sum and an
+                # integer task count: the no-starvation gate keys on
+                # the count, because repeated float add/sub of varying
+                # estimates can leave a ~1e-13 residue in the sum that
+                # would otherwise read as "someone is in flight" with
+                # nobody left to notify the condition (deadlock).
+                state = {"inflight": 0.0, "count": 0}
                 cond = asyncio.Condition()
 
                 async def one(row):
@@ -139,11 +153,12 @@ def run_async_payload(df: DataFrame,
                             async with cond:
                                 # no-starvation: admit alone even if
                                 # the estimate alone exceeds the cap
-                                while (state["inflight"] > 0.0
+                                while (state["count"] > 0
                                        and state["inflight"] + est
                                        > capacity_tokens):
                                     await cond.wait()
                                 state["inflight"] += est
+                                state["count"] += 1
                         try:
                             last = None
                             for attempt in range(retries + 1):
@@ -167,6 +182,11 @@ def run_async_payload(df: DataFrame,
                             if capacity_tokens is not None:
                                 async with cond:
                                     state["inflight"] -= est
+                                    state["count"] -= 1
+                                    if state["count"] == 0:
+                                        # flush float residue so the
+                                        # next dispatch sees exactly 0
+                                        state["inflight"] = 0.0
                                     cond.notify_all()
 
                 return await asyncio.gather(*[one(r) for r in rows])

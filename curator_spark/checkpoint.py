@@ -3750,8 +3750,7 @@ def read_with_lineage(spark: SparkSession, out_dir: str,
         runs = list(m.get("runs")
                     or ([m.get("run_id")] if m.get("run_id") else []))
         for fn in (m.get("files") or {}):
-            fp = os.path.join(out_dir, "data", f"part={int(p)}", fn)
-            rows.append((os.path.abspath(fp), fn, int(p),
+            rows.append((fn, int(p), fn, int(p),
                          m.get("run_id"), runs))
     df = read_committed(spark, out_dir, backend=backend, version=version)
     if not rows:
@@ -3763,11 +3762,19 @@ def read_with_lineage(spark: SparkSession, out_dir: str,
                 .withColumn("_lineage_runs",
                             F.lit(None).cast("array<string>")))
     lineage = F.broadcast(spark.createDataFrame(
-        rows, "_lpath string, _lineage_file string, _lineage_part int, "
+        rows, "_lname string, _lpart int, _lineage_file string, "
+              "_lineage_part int, "
               "_lineage_run_id string, _lineage_runs array<string>"))
-    # _metadata.file_path is a URI; strip the scheme to match the map
-    key = F.regexp_replace(F.col("_metadata").getField("file_path"),
-                           "^file:", "")
-    return (df.withColumn("_lpath", key)
-            .join(lineage, "_lpath", "left")
-            .drop("_lpath"))
+    # Join on a SCHEME-INDEPENDENT key: (part, file name). _metadata.
+    # file_path is a URI whose rendering varies by filesystem
+    # (file:/p, file:///p, s3a://bucket/p, hdfs://nn/p) — matching on
+    # a normalized absolute path silently null-joins off the local
+    # FS. File names are shard-unique within a part by construction,
+    # so (part, name) identifies the file on any store.
+    fp = F.col("_metadata").getField("file_path")
+    return (df.withColumn("_lname", F.regexp_extract(fp, "[^/]+$", 0))
+            .withColumn("_lpart",
+                        F.regexp_extract(fp, "part=(\\d+)", 1)
+                        .cast("int"))
+            .join(lineage, ["_lname", "_lpart"], "left")
+            .drop("_lname", "_lpart"))

@@ -173,7 +173,22 @@ def publish_branch(src_dir: str, branch_dir: str,
         except FileExistsError:
             pass  # racer staged the same immutable file
         except OSError:
-            shutil.copy2(sp, dp)  # cross-device (object-store: COPY)
+            # cross-device (object-store: server-side COPY). A bare
+            # copy2 is not atomic — a crash mid-copy would leave a
+            # truncated file that a retried publish skips as complete
+            # (the exists-check above is only safe for os.link). Copy
+            # to a temp name in the destination dir, then rename into
+            # place: atomic on the same filesystem.
+            tmp = dp + f".publish-tmp-{os.getpid()}"
+            try:
+                shutil.copy2(sp, tmp)
+                os.rename(tmp, dp)
+            finally:
+                if os.path.exists(tmp):
+                    try:
+                        os.remove(tmp)
+                    except OSError:
+                        pass
         linked += 1
 
     payload = json.dumps({

@@ -126,6 +126,64 @@ def test_capacity_blocking_bounds_inflight_tokens(spark):
     assert [r["rid"] for r in out] == list(range(12))
 
 
+def test_capacity_gate_no_residue_deadlock(spark):
+    """Regression (round-4 advice): interleaved float add/sub of
+    estimates leaves state['inflight'] with a ~1e-17 positive residue
+    after all tasks finish; a later dispatch whose MVA estimate alone
+    exceeds capacity_tokens must still be admitted (no-starvation),
+    which a sum-only gate (`inflight > 0.0`) denies forever.
+
+    Repro shape: seed estimate 0.1 admits several tasks concurrently
+    (their add/sub order leaves the residue); every completion reports
+    50 tokens, so the warmed MVA (50.0) exceeds capacity (1.0) and all
+    later dispatches depend on the count-keyed gate. On the buggy gate
+    this hangs; the watchdog thread turns that into a test failure."""
+    import threading
+
+    async def payload(row: dict) -> dict:
+        import asyncio
+        await asyncio.sleep(0.002)
+        return {"tokens": 50.0}
+
+    df = spark.createDataFrame([(i,) for i in range(30)],
+                               ["rid"]).coalesce(1)
+    res: dict = {}
+
+    def _run():
+        res["rows"] = run_async_payload(
+            df, payload, [("tokens", "double")],
+            max_concurrency=8, capacity_tokens=1.0,
+            tokens_field="tokens", default_estimate=0.1).collect()
+
+    t = threading.Thread(target=_run, daemon=True)
+    t.start()
+    t.join(timeout=180)
+    assert not t.is_alive(), \
+        "capacity gate deadlocked on float residue (regression)"
+    assert len(res["rows"]) == 30
+    assert all(r["errors"] is None for r in res["rows"])
+
+
+def test_response_column_collision_rejected(spark):
+    """Regression (round-4 advice): response names or the reserved
+    `errors` column colliding with input columns must fail fast with a
+    clear ValueError, not produce a duplicate-field struct inside
+    mapInPandas."""
+
+    async def payload(row: dict) -> dict:
+        return {"text": "x"}
+
+    df = spark.createDataFrame([(1, "a")], ["rid", "text"])
+    with pytest.raises(ValueError, match="collide"):
+        run_async_payload(df, payload, [("text", "string")])
+    with pytest.raises(ValueError, match="collide"):
+        run_async_payload(df.withColumnRenamed("text", "errors"),
+                          payload, [("reply", "string")])
+    with pytest.raises(ValueError, match="duplicate"):
+        run_async_payload(df.select("rid"), payload,
+                          [("reply", "string"), ("reply", "string")])
+
+
 def test_token_bucket_rate_never_exceeded_property():
     """Property (fake clock, no sleeps): over ANY schedule of attempts,
     admissions by time t never exceed capacity + rate·t, and a told

@@ -253,3 +253,38 @@ def test_publish_carries_deletion_vectors(spark, table):
     # no new data files were linked (a DV delete ships only metadata)
     assert table_row_count(out) < before_rows
     assert pub["files_linked"] == 0
+
+
+def test_publish_copy_fallback_is_atomic(spark, table, monkeypatch):
+    """Regression (round-4 advice): when os.link fails (cross-device /
+    object store), publish must stage via copy-to-temp + rename — a
+    bare copy2 straight to the destination name is not crash-safe,
+    because a truncated partial file would be skipped as complete by a
+    retried publish. Force the fallback and verify the published data
+    is byte-complete with no temp droppings left behind."""
+    import curator_spark.wap as wap_mod
+
+    out, br = table["out"], table["branch"]
+    create_branch(out, br)
+    fixtures.write_transcripts_parquet(table["batch"], 200, seed=83,
+                                       n_parts=4)
+    append_new_conversations(spark, table["batch"], br)
+    branch_ids = _ids(spark, br)
+
+    real_link = os.link
+
+    def _no_link(src, dst, **kw):
+        # fail only the DATA-file staging (the cross-device case under
+        # test); the ledger's same-dir commit links stay real
+        if f"{os.sep}data{os.sep}" in str(dst):
+            raise OSError(18, "Invalid cross-device link")
+        return real_link(src, dst, **kw)
+
+    monkeypatch.setattr(wap_mod.os, "link", _no_link)
+    r = publish_branch(out, br, spark=spark)
+    assert r["published_version"] is not None and r["files_linked"] > 0
+    # the copied files are complete: the source reads the branch's rows
+    assert _ids(spark, out) == branch_ids
+    # and no .publish-tmp-* residue anywhere under the source data dir
+    for root, _dirs, files in os.walk(os.path.join(out, "data")):
+        assert not [f for f in files if ".publish-tmp-" in f], files
