@@ -293,6 +293,18 @@ def build_parser() -> argparse.ArgumentParser:
                    metavar="ISO8601",
                    help="clone the latest snapshot at or before this "
                         "datetime instead of the head")
+    p.add_argument("--export-delta", nargs="?", const="__inplace__",
+                   default=None, metavar="DEST",
+                   help="export --output's commitlog snapshot as a "
+                        "Delta Lake table and exit (no Spark session). "
+                        "Without DEST: writes _delta_log/ inside "
+                        "--output/data so the data dir itself becomes "
+                        "a Delta table (zero copy); with DEST: builds "
+                        "a standalone Delta table of hard-linked "
+                        "files. Re-running appends one incremental "
+                        "Delta version (add/remove diff). Combine "
+                        "with --export-version for a time-travel "
+                        "export")
     p.add_argument("--maintain", action="store_true",
                    help="auto-pilot maintenance on --output: compact "
                         "over-filed partitions (per-partition atomic "
@@ -374,6 +386,13 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps(clone_table(args.output, args.clone,
                                      version=args.clone_version,
                                      asof=asof)))
+        return 0
+    if args.export_delta is not None:
+        from curator_spark.export_delta import export_delta_log
+        dest = None if args.export_delta == "__inplace__" \
+            else args.export_delta
+        print(json.dumps(export_delta_log(
+            args.output, dest=dest, version=args.export_version)))
         return 0
     if args.maintain_report:
         from curator_spark.maintenance import maintenance_report

@@ -1,0 +1,335 @@
+"""Commitlog snapshot → Delta Lake transaction log (`_delta_log`).
+
+The open-format EXIT DOOR for the table layer: any engine that speaks
+the Delta protocol (Spark+delta, DuckDB `delta_scan`, Trino, Polars,
+delta-rs, ...) can read a curated table without this package on the
+path — the same interoperability point the reference hits by leaving
+its final dataset as a plain Arrow/parquet directory anyone can open
+(base_request_processor.py:430-436). Our commitlog is already
+Delta-shaped (versioned atomic commits, add/remove file actions,
+snapshot isolation), so the export is a mechanical translation of ONE
+snapshot into Delta protocol v1 actions:
+
+* `protocol`  — minReader 1 / minWriter 2 (plain parquet + adds); the
+  export opts into reader 2 / writer 5 ONLY when the table carries a
+  non-identity column mapping (Delta name-mapping metadata).
+* `metaData`  — the commitlog's declared Spark schema serialized as
+  Delta's `schemaString` (the formats are the same JSON dialect), with
+  `part` declared a partition column — files hold no `part` column on
+  either side, the directory layout carries it.
+* `add`       — one per manifest file: relative path `part=N/<file>`,
+  byte size, `partitionValues {"part": "N"}`, and per-file stats
+  (numRecords + min/max/nullCount from the manifest's footer stats)
+  so downstream engines file-skip without opening footers.
+
+Exports are INCREMENTAL and versioned like any Delta writer: the first
+export writes `00...0.json`, a re-export after table mutations replays
+the existing `_delta_log`, diffs the live file set against the new
+snapshot, and appends ONE new log version of add/remove actions (plus
+a fresh `metaData` when the schema evolved). `metaData.id` is minted
+once and carried across versions, as the protocol requires.
+
+Zero data movement by default: `dest=None` writes `_delta_log/` INSIDE
+`<out_dir>/data`, so the existing data directory itself becomes a
+readable Delta table (Spark/DuckDB readers ignore `_`-prefixed
+subdirs, so this package's own parquet scans are unaffected). With
+`dest=` the data files are hard-linked (atomic-copy fallback) into a
+standalone Delta table directory.
+
+Deletion vectors are the one commitlog feature Delta protocol v1
+cannot carry (Delta DVs need reader v3 + the binary DV file format).
+An export of a snapshot with live DV masks REFUSES with instructions
+to materialize first (compact/OPTIMIZE rewrites masked files) —
+exporting the raw files would silently resurrect deleted rows.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import shutil
+
+from .checkpoint import detect_backend, make_ledger
+
+#: Delta stats are emitted only for these JSON-native stat types; a
+#: timestamp min/max is stored as epoch-micros in the commitlog but
+#: Delta expects ISO strings with engine-specific rounding rules, so
+#: timestamp columns are (soundly) left unstated rather than risking
+#: a bound a reader interprets in the wrong unit.
+_STATS_JSON_TYPES = (bool, int, float, str)
+
+
+def _delta_schema(meta: dict) -> tuple[dict, dict, int]:
+    """Commitlog table_meta → (Delta schema JSON, configuration,
+    minReaderVersion). Appends the `part` partition column and, when a
+    non-identity column mapping is live, Delta name-mapping metadata."""
+    schema = json.loads(json.dumps(meta["schema"]))  # deep copy
+    names = {f["name"] for f in schema["fields"]}
+    if "part" not in names:
+        schema["fields"].append({"name": "part", "type": "integer",
+                                 "nullable": True, "metadata": {}})
+    cm = dict(meta.get("column_mapping") or {})
+    if not any(cm.get(k, k) != k for k in
+               [f["name"] for f in schema["fields"]]):
+        return schema, {}, 1
+    # non-identity mapping → Delta columnMapping mode=name: logical
+    # names live in the schema, physical file names ride per-field
+    # metadata (exactly this package's logical/physical split)
+    for i, f in enumerate(schema["fields"], start=1):
+        f["metadata"] = dict(f.get("metadata") or {})
+        f["metadata"]["delta.columnMapping.id"] = i
+        f["metadata"]["delta.columnMapping.physicalName"] = \
+            cm.get(f["name"], f["name"])
+    conf = {"delta.columnMapping.mode": "name",
+            "delta.columnMapping.maxColumnId":
+                str(len(schema["fields"]))}
+    return schema, conf, 2
+
+
+def _file_stats_json(finfo: dict, fstats: dict | None) -> str:
+    """Manifest entry → Delta per-add `stats` JSON string."""
+    out: dict = {"numRecords": int(finfo.get("n_rows", 0))}
+    mins: dict = {}
+    maxs: dict = {}
+    nulls: dict = {}
+    for col, st in (fstats or {}).items():
+        if not isinstance(st, dict):
+            continue  # "__unbounded__" poison — no sound bound exists
+        mn, mx = st.get("min"), st.get("max")
+        if isinstance(mn, _STATS_JSON_TYPES) and \
+                isinstance(mx, _STATS_JSON_TYPES):
+            # epoch-micros ints would be timestamps in disguise, but
+            # the caller already stripped timestamp-typed columns
+            mins[col] = mn
+            maxs[col] = mx
+        if st.get("nulls") is not None:
+            nulls[col] = int(st["nulls"])
+    if mins:
+        out["minValues"] = mins
+        out["maxValues"] = maxs
+    if nulls:
+        out["nullCount"] = nulls
+    return json.dumps(out, sort_keys=True)
+
+
+def _replay_delta_log(log_dir: str) -> tuple[int | None, dict, str | None,
+                                             str | None]:
+    """Replay an exported `_delta_log` → (last version, live
+    {path: add-action}, metaData id, last schemaString)."""
+    if not os.path.isdir(log_dir):
+        return None, {}, None, None
+    versions = sorted(fn for fn in os.listdir(log_dir)
+                      if fn.endswith(".json") and fn[:-5].isdigit())
+    live: dict = {}
+    table_id = schema_str = None
+    last = None
+    for fn in versions:
+        last = int(fn[:-5])
+        with open(os.path.join(log_dir, fn)) as f:
+            for line in f:
+                if not line.strip():
+                    continue
+                action = json.loads(line)
+                if "add" in action:
+                    live[action["add"]["path"]] = action["add"]
+                elif "remove" in action:
+                    live.pop(action["remove"]["path"], None)
+                elif "metaData" in action:
+                    table_id = action["metaData"]["id"]
+                    schema_str = action["metaData"]["schemaString"]
+    return last, live, table_id, schema_str
+
+
+def _stage_file(sp: str, dp: str) -> None:
+    """Hard-link `sp` to `dp`; atomic copy-to-temp+rename fallback for
+    cross-device destinations (same crash-safety rule as WAP publish:
+    an existing destination must always be a COMPLETE file)."""
+    if os.path.exists(dp):
+        return
+    try:
+        os.link(sp, dp)
+    except FileExistsError:
+        pass
+    except OSError:
+        tmp = dp + f".export-tmp-{os.getpid()}"
+        try:
+            shutil.copy2(sp, tmp)
+            os.rename(tmp, dp)
+        finally:
+            if os.path.exists(tmp):
+                try:
+                    os.remove(tmp)
+                except OSError:
+                    pass
+
+
+def export_delta_log(out_dir: str, dest: str | None = None,
+                     version: int | None = None) -> dict:
+    """Export a commitlog table snapshot as a Delta Lake table.
+
+    dest=None (default): write `_delta_log/` inside `<out_dir>/data` —
+    the data directory becomes the Delta table, zero bytes moved at
+    any table size. dest=<dir>: hard-link the snapshot's files into a
+    standalone Delta table at `dest` (metadata-sized on one device;
+    atomic copies across devices).
+
+    Re-exporting after table mutations appends ONE new Delta version
+    containing only the add/remove delta (and a refreshed `metaData`
+    if the schema evolved). Returns {delta_version, table_root, adds,
+    removes, files_live, n_rows, linked}.
+    """
+    if detect_backend(out_dir) != "commitlog":
+        raise ValueError(
+            "Delta export requires the commitlog ledger: the markers "
+            "backend has neither a versioned snapshot nor a declared "
+            "schema to translate")
+    sl = make_ledger(out_dir, "commitlog")
+    committed, _success, meta, _txns = sl.snapshot(version=version)
+    if not (meta or {}).get("schema"):
+        raise ValueError("table has no declared schema in its log — "
+                         "nothing to put in Delta's schemaString")
+
+    # live DV masks cannot ride protocol-v1 adds; refuse loudly rather
+    # than export files whose deleted rows would silently come back
+    dv_parts = sorted(int(p) for p, m in (committed or {}).items()
+                      if m and m.get("status") == "COMMITTED"
+                      and any((m.get("dv") or {}).values()))
+    if dv_parts:
+        raise ValueError(
+            f"partitions {dv_parts[:8]} carry live deletion vectors, "
+            "which Delta protocol v1 cannot express — materialize "
+            "them first (compact_partitions / maintenance OPTIMIZE "
+            "rewrites masked files), then export")
+
+    standalone = dest is not None
+    table_root = os.path.abspath(dest) if standalone \
+        else os.path.join(os.path.abspath(out_dir), "data")
+    log_dir = os.path.join(table_root, "_delta_log")
+    prev_version, live, table_id, prev_schema = _replay_delta_log(log_dir)
+
+    schema, conf, min_reader = _delta_schema(meta)
+    # timestamp columns carry epoch-micros stats internally — strip
+    # them from the emitted per-file stats (see _STATS_JSON_TYPES)
+    ts_cols = {f["name"] for f in schema["fields"]
+               if f.get("type") == "timestamp"}
+    cm = dict(meta.get("column_mapping") or {})
+    ts_cols |= {cm.get(c, c) for c in ts_cols}
+    schema_str = json.dumps(schema, sort_keys=True)
+
+    # desired live set from the snapshot
+    desired: dict[str, dict] = {}
+    n_rows = 0
+    linked = 0
+    for p, m in sorted((committed or {}).items()):
+        if not m or m.get("status") != "COMMITTED":
+            continue
+        pstats = m.get("stats") or {}
+        for fn, finfo in sorted((m.get("files") or {}).items()):
+            rel = f"part={int(p)}/{fn}"
+            src = os.path.join(out_dir, "data", f"part={int(p)}", fn)
+            fstats = {c: st for c, st in (pstats.get(fn) or {}).items()
+                      if c not in ts_cols}
+            size = int((finfo or {}).get("n_bytes") or 0)
+            if not size and os.path.exists(src):
+                size = os.path.getsize(src)
+            desired[rel] = {
+                "path": rel,
+                "partitionValues": {"part": str(int(p))},
+                "size": size,
+                "modificationTime": int(os.path.getmtime(src) * 1000)
+                if os.path.exists(src) else 0,
+                "dataChange": True,
+                "stats": _file_stats_json(finfo or {}, fstats),
+            }
+            n_rows += int((finfo or {}).get("n_rows") or 0)
+
+    if standalone:
+        for rel in desired:
+            sp = os.path.join(out_dir, "data", rel)
+            dp = os.path.join(table_root, rel)
+            os.makedirs(os.path.dirname(dp), exist_ok=True)
+            _stage_file(sp, dp)
+            linked += 1
+
+    adds = [desired[r] for r in sorted(set(desired) - set(live))]
+    removes = sorted(set(live) - set(desired))
+    schema_changed = prev_schema is None or (
+        json.dumps(json.loads(prev_schema), sort_keys=True) != schema_str)
+    if not adds and not removes and not schema_changed:
+        return {"delta_version": None, "table_root": table_root,
+                "adds": 0, "removes": 0, "files_live": len(desired),
+                "n_rows": n_rows, "linked": linked}
+
+    if table_id is None:
+        # minted once per exported table, stable across re-exports (a
+        # content hash of the table root keeps it deterministic —
+        # uniqueness per table path is what the protocol needs)
+        h = hashlib.sha256(table_root.encode()).hexdigest()
+        table_id = (f"{h[:8]}-{h[8:12]}-{h[12:16]}-{h[16:20]}-"
+                    f"{h[20:32]}")
+    commit_ts = max([a["modificationTime"] for a in adds] or [0])
+    actions: list[dict] = [
+        {"commitInfo": {
+            "operation": "WRITE" if prev_version is None else "REPLACE",
+            "operationParameters": {"source": "curator_spark.commitlog",
+                                    "snapshotVersion":
+                                        sl.latest_version()
+                                        if version is None else version},
+            "timestamp": commit_ts}},
+    ]
+    if prev_version is None or schema_changed:
+        # protocol persists across versions; re-state it only when it
+        # could have changed (a later ALTER can introduce the column-
+        # mapping feature and with it the reader-2 requirement)
+        actions.append(
+            {"protocol": {"minReaderVersion": min_reader,
+                          "minWriterVersion":
+                              5 if min_reader == 2 else 2}})
+    if schema_changed:
+        actions.append({"metaData": {
+            "id": table_id,
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": schema_str,
+            "partitionColumns": ["part"],
+            "configuration": conf,
+            "createdTime": commit_ts}})
+    for rel in removes:
+        actions.append({"remove": {"path": rel,
+                                   "deletionTimestamp": commit_ts,
+                                   "dataChange": True}})
+    for a in adds:
+        actions.append({"add": a})
+
+    next_version = 0 if prev_version is None else prev_version + 1
+    os.makedirs(log_dir, exist_ok=True)
+    final = os.path.join(log_dir, f"{next_version:020d}.json")
+    if os.path.exists(final):
+        raise FileExistsError(
+            f"{final} already exists — a concurrent export raced this "
+            "one; re-run to diff against the new log head")
+    tmp = final + f".tmp-{os.getpid()}"
+    with open(tmp, "w") as f:
+        for action in actions:
+            f.write(json.dumps(action, sort_keys=True) + "\n")
+        f.flush()
+        os.fsync(f.fileno())
+    os.rename(tmp, final)  # atomic publish, same rule as the commitlog
+    return {"delta_version": next_version, "table_root": table_root,
+            "adds": len(adds), "removes": len(removes),
+            "files_live": len(desired), "n_rows": n_rows,
+            "linked": linked}
+
+
+def delta_live_files(table_root: str) -> list[dict]:
+    """Replay `<table_root>/_delta_log` → the live add-actions, each
+    with an absolute `abs_path`. The verification half of the export
+    (and what any Delta reader computes before scanning)."""
+    _v, live, _id, _schema = _replay_delta_log(
+        os.path.join(table_root, "_delta_log"))
+    out = []
+    for rel in sorted(live):
+        a = dict(live[rel])
+        a["abs_path"] = os.path.join(table_root, rel)
+        out.append(a)
+    return out

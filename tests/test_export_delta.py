@@ -1,0 +1,211 @@
+"""Commitlog → Delta Lake `_delta_log` export (export_delta.py): the
+curated table readable by any Delta engine. The sandbox has no Delta
+reader (DuckDB's delta extension needs a network install), so the
+round-trip is verified the way a Delta reader itself starts: replay
+the exported log to the live add-set, then have an INDEPENDENT engine
+(DuckDB read_parquet) scan exactly those files + partitionValues and
+match the package's own snapshot read value-for-value. A guarded
+`delta_scan` lane upgrades the check automatically where the
+extension exists."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import duckdb
+import pytest
+
+from curator_spark import fixtures
+from curator_spark.checkpoint import (
+    compact_partition, delete_conversations, delete_rows_dv,
+    make_ledger, read_committed, run_checkpointed)
+from curator_spark.export_delta import delta_live_files, export_delta_log
+from curator_spark.incremental import append_new_conversations
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    inp = str(tmp_path / "t.parquet")
+    fixtures.write_transcripts_parquet(inp, 600, seed=91, n_parts=4)
+    out = str(tmp_path / "tbl")
+    run_checkpointed(spark, inp, out, ledger_backend="commitlog")
+    return {"out": out, "tmp": tmp_path}
+
+
+def _duckdb_read_live(table_root: str):
+    """Scan the log's live file set with DuckDB, part attached from
+    partitionValues — the scan any Delta engine would plan."""
+    live = delta_live_files(table_root)
+    assert live, "no live files in the exported log"
+    con = duckdb.connect()
+    parts: dict[int, list[str]] = {}
+    for a in live:
+        assert os.path.exists(a["abs_path"]), a["abs_path"]
+        assert os.path.getsize(a["abs_path"]) == a["size"]
+        parts.setdefault(int(a["partitionValues"]["part"]),
+                         []).append(a["abs_path"])
+    sql = " union all ".join(
+        f"select *, {p} as part from read_parquet({json.dumps(fs)})"
+        for p, fs in sorted(parts.items()))
+    return con.execute(sql).df()
+
+
+def _maybe_delta_scan(table_root: str):
+    """Real-reader lane: only where the duckdb delta extension is
+    installed (needs network; absent in this sandbox)."""
+    con = duckdb.connect()
+    try:
+        con.execute("LOAD delta")
+    except Exception:
+        return None
+    return con.execute(
+        f"select * from delta_scan('{table_root}')").df()
+
+
+def _assert_matches_snapshot(spark, out, table_root, version=None):
+    ddf = _duckdb_read_live(table_root)
+    sdf = read_committed(spark, out, version=version) \
+        .toPandas()
+    assert len(ddf) == len(sdf)
+    key = lambda df: sorted(zip(df["conv_id"], df["turn_idx"],  # noqa: E731
+                                df["text"], df["part"]))
+    assert key(ddf) == key(sdf)
+    real = _maybe_delta_scan(table_root)
+    if real is not None:
+        assert len(real) == len(sdf) and key(real) == key(sdf)
+
+
+def test_inplace_export_is_spec_shaped_and_readable(spark, table):
+    out = table["out"]
+    r = export_delta_log(out)
+    assert r["delta_version"] == 0 and r["removes"] == 0
+    assert r["table_root"] == os.path.join(os.path.abspath(out), "data")
+    log = os.path.join(r["table_root"], "_delta_log",
+                       "00000000000000000000.json")
+    actions = [json.loads(line) for line in open(log)]
+    kinds = [next(iter(a)) for a in actions]
+    assert kinds[0] == "commitInfo"
+    proto = next(a["protocol"] for a in actions if "protocol" in a)
+    assert proto == {"minReaderVersion": 1, "minWriterVersion": 2}
+    md = next(a["metaData"] for a in actions if "metaData" in a)
+    assert md["partitionColumns"] == ["part"]
+    assert md["format"] == {"provider": "parquet", "options": {}}
+    schema = json.loads(md["schemaString"])
+    names = [f["name"] for f in schema["fields"]]
+    assert "part" in names and "conv_id" in names and "text" in names
+    adds = [a["add"] for a in actions if "add" in a]
+    assert len(adds) == r["adds"] == r["files_live"]
+    for a in adds:
+        assert set(a) >= {"path", "partitionValues", "size",
+                          "modificationTime", "dataChange", "stats"}
+        st = json.loads(a["stats"])
+        assert st["numRecords"] > 0
+        # manifest min/max stats ride along for reader file-skipping
+        assert "conv_id" in st.get("minValues", {})
+        # timestamp columns are never emitted (epoch-micros internal
+        # representation has no sound Delta string rendering)
+        assert "ts" not in st.get("minValues", {})
+    _assert_matches_snapshot(spark, out, r["table_root"])
+    # the in-place log must not confuse the package's own reader
+    assert read_committed(spark, out).count() == r["n_rows"]
+
+
+def test_reexport_appends_incremental_diff(spark, table):
+    out = table["out"]
+    v0 = export_delta_log(out)
+    # mutate: append a new batch, delete a conversation (file
+    # rewrites), compact a partition (file swaps)
+    batch = str(table["tmp"] / "b2.parquet")
+    fixtures.write_transcripts_parquet(batch, 300, seed=92, n_parts=4)
+    append_new_conversations(spark, batch, out)
+    victim = read_committed(spark, out).select("conv_id") \
+        .distinct().orderBy("conv_id").first()["conv_id"]
+    delete_conversations(spark, out, [victim])
+    compact_partition(spark, out, 0)
+
+    r1 = export_delta_log(out)
+    assert r1["delta_version"] == 1
+    assert r1["adds"] > 0 and r1["removes"] > 0
+    # the replayed live set IS the current snapshot's manifest
+    live = {a["path"] for a in delta_live_files(r1["table_root"])}
+    sl = make_ledger(out, "commitlog")
+    want = {f"part={int(p)}/{fn}"
+            for p, m in sl.snapshot()[0].items()
+            if m and m.get("status") == "COMMITTED"
+            for fn in (m.get("files") or {})}
+    assert live == want
+    _assert_matches_snapshot(spark, out, r1["table_root"])
+    # idempotent: nothing changed → no new Delta version
+    r2 = export_delta_log(out)
+    assert r2["delta_version"] is None and r2["adds"] == 0
+
+
+def test_schema_evolution_reemits_metadata(spark, table):
+    from curator_spark.alter import add_column
+    out = table["out"]
+    export_delta_log(out)
+    add_column(out, "review_tag", "string")
+    r = export_delta_log(out)
+    assert r["delta_version"] == 1
+    log = os.path.join(r["table_root"], "_delta_log",
+                       "00000000000000000001.json")
+    actions = [json.loads(line) for line in open(log)]
+    md = next(a["metaData"] for a in actions if "metaData" in a)
+    schema = json.loads(md["schemaString"])
+    assert "review_tag" in [f["name"] for f in schema["fields"]]
+    # metaData.id is minted once and stable across versions
+    log0 = os.path.join(r["table_root"], "_delta_log",
+                        "00000000000000000000.json")
+    md0 = next(json.loads(line)["metaData"] for line in open(log0)
+               if "metaData" in line)
+    assert md["id"] == md0["id"]
+
+
+def test_live_deletion_vectors_refuse_export(spark, table):
+    out = table["out"]
+    victim = read_committed(spark, out).select("conv_id") \
+        .distinct().orderBy("conv_id").first()["conv_id"]
+    delete_rows_dv(spark, out, [victim])
+    with pytest.raises(ValueError, match="deletion vectors"):
+        export_delta_log(out)
+    # materializing the masks (compaction) unblocks the export
+    for p in range(4):
+        compact_partition(spark, out, p)
+    r = export_delta_log(out)
+    assert r["delta_version"] == 0
+    _assert_matches_snapshot(spark, out, r["table_root"])
+
+
+def test_standalone_export_links_files(spark, table, tmp_path):
+    out = table["out"]
+    dest = str(tmp_path / "delta_tbl")
+    r = export_delta_log(out, dest=dest)
+    assert r["table_root"] == os.path.abspath(dest)
+    assert r["linked"] == r["files_live"] > 0
+    for a in delta_live_files(dest):
+        src = os.path.join(out, "data", a["path"])
+        assert os.path.samefile(src, a["abs_path"])  # zero-copy
+    _assert_matches_snapshot(spark, out, dest)
+
+
+def test_time_travel_export(spark, table):
+    out = table["out"]
+    sl = make_ledger(out, "commitlog")
+    v_head = sl.latest_version()
+    batch = str(table["tmp"] / "b3.parquet")
+    fixtures.write_transcripts_parquet(batch, 200, seed=93, n_parts=4)
+    append_new_conversations(spark, batch, out)
+    dest = str(table["tmp"] / "delta_asof")
+    r = export_delta_log(out, dest=dest, version=v_head)
+    assert r["delta_version"] == 0
+    _assert_matches_snapshot(spark, out, dest, version=v_head)
+
+
+def test_cli_export_delta_verb(spark, table, capsys):
+    from curator_spark.cli import main
+    out = table["out"]
+    rc = main(["--output", out, "--export-delta"])
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["delta_version"] == 0 and summary["files_live"] > 0
