@@ -138,7 +138,101 @@ class CondPutStore:
             return True
 
 
-ATOMIC_STORES = {"oslink": OsLinkStore, "condput": CondPutStore}
+class S3Store:
+    """put-if-absent via S3 conditional PUT: `PUT ... If-None-Match: *`
+    returns 200 to exactly one writer per key and 412 Precondition
+    Failed to every later one — the server-side contract the whole
+    commit protocol rests on (PROTOCOL.md §2). The client is INJECTED
+    (a boto3 S3 client, or any object with its `put_object` surface),
+    so the adapter carries zero SDK dependency and the full ledger
+    suite can prove the protocol over a contract double
+    (curator_spark.testing.FakeS3Client) with injected 412/409/5xx
+    answers.
+
+    Response handling mirrors S3's documented conditional-write
+    behavior:
+    * 412 PreconditionFailed → False (a racer's object is there, and
+      S3 guarantees it is COMPLETE — multipart/atomic visibility);
+    * 409 ConditionalRequestConflict → RETRY with backoff: S3 returns
+      this to ALL writers when conditional PUTs race mid-flight, so
+      giving up would mean NO winner; the retry then wins (200) or
+      loses honestly (412);
+    * 500/503/SlowDown → retry with backoff (standard S3 guidance);
+    * anything else (403, invalid bucket, ...) → raise.
+    """
+
+    name = "s3"
+    RETRYABLE = {"ConditionalRequestConflict", "OperationAborted",
+                 "SlowDown", "InternalError", "ServiceUnavailable",
+                 "RequestTimeout"}
+    RETRYABLE_STATUS = {409, 500, 503}
+
+    def __init__(self, client, bucket: str,
+                 key_for=None, max_retries: int = 8,
+                 backoff_base: float = 0.05, sleep=None) -> None:
+        import time as _time
+        self.client = client
+        self.bucket = bucket
+        # default key mapping: the ledger's absolute path minus the
+        # leading slash (callers pass a prefix-aware key_for on real
+        # buckets)
+        self.key_for = key_for or (lambda p: str(p).lstrip("/"))
+        self.max_retries = int(max_retries)
+        self.backoff_base = float(backoff_base)
+        self.sleep = sleep or _time.sleep
+
+    @staticmethod
+    def _code_status(exc) -> tuple[str | None, int | None]:
+        """Duck-typed botocore ClientError shape: response['Error']
+        ['Code'] + HTTP status. None/None for non-S3 exceptions."""
+        resp = getattr(exc, "response", None)
+        if not isinstance(resp, dict):
+            return None, None
+        code = (resp.get("Error") or {}).get("Code")
+        status = (resp.get("ResponseMetadata") or {}).get(
+            "HTTPStatusCode")
+        return code, status
+
+    def put_if_absent(self, path: str, data: bytes) -> bool:
+        key = self.key_for(path)
+        delay = self.backoff_base
+        attempt = 0
+        while True:
+            try:
+                self.client.put_object(Bucket=self.bucket, Key=key,
+                                       Body=data, IfNoneMatch="*")
+                return True
+            except Exception as e:  # noqa: BLE001 — classified below
+                code, status = self._code_status(e)
+                if code == "PreconditionFailed" or status == 412:
+                    return False  # a racer won; its object is complete
+                retryable = (code in self.RETRYABLE
+                             or status in self.RETRYABLE_STATUS)
+                if not retryable or attempt >= self.max_retries:
+                    raise
+                self.sleep(delay)
+                delay = min(delay * 2, 2.0)
+                attempt += 1
+
+
+def _s3_store_from_env():
+    """Factory for CURATOR_SPARK_ATOMIC_STORE=s3: builds the adapter
+    via the dotted `module:callable` in CURATOR_SPARK_S3_FACTORY (a
+    deployment provides e.g. `mysite.stores:make_s3_store` returning
+    S3Store(boto3.client('s3'), bucket, key_for=...)). Default falls
+    back to the in-process contract double over the local filesystem
+    (curator_spark.testing.local_fake_s3_store) — the full protocol
+    runs through the S3 adapter's code path with no bucket."""
+    spec = os.environ.get("CURATOR_SPARK_S3_FACTORY",
+                          "curator_spark.testing:local_fake_s3_store")
+    import importlib
+    mod, _, fn = spec.partition(":")
+    return getattr(importlib.import_module(mod), fn or
+                   "local_fake_s3_store")()
+
+
+ATOMIC_STORES = {"oslink": OsLinkStore, "condput": CondPutStore,
+                 "s3": _s3_store_from_env}
 
 
 def get_atomic_store():

@@ -36,11 +36,17 @@ spark.stop()
 # both put-if-absent stores must serialize real multi-process races:
 # os.link natively, the conditional-put emulation via its server-side-
 # style lock — the same contract an S3 If-None-Match adapter provides
-@pytest.mark.parametrize("store_name", ["oslink", "condput"])
+@pytest.mark.parametrize("store_name", ["oslink", "condput", "s3"])
 def test_processes_race_appends_without_lost_updates(spark, tmp_path,
                                                      store_name,
                                                      monkeypatch):
+    # "s3" routes every publish through the S3 adapter's conditional
+    # PUT (over the filesystem-backed fake client), with one 409
+    # ConditionalRequestConflict injected per key so the adapter's
+    # retry path runs UNDER the real multi-process races
     monkeypatch.setenv("CURATOR_SPARK_ATOMIC_STORE", store_name)
+    if store_name == "s3":
+        monkeypatch.setenv("CURATOR_SPARK_FAKE_S3_409", "1")
     p0 = str(tmp_path / "base.parquet")
     fixtures.write_transcripts_parquet(p0, 400, seed=91, n_parts=4)
     out = str(tmp_path / "out")
@@ -83,7 +89,7 @@ def test_processes_race_appends_without_lost_updates(spark, tmp_path,
     assert n_appends >= len(batches)
 
 
-@pytest.mark.parametrize("store_name", ["oslink", "condput"])
+@pytest.mark.parametrize("store_name", ["oslink", "condput", "s3"])
 def test_atomic_store_contract_under_thread_races(tmp_path, store_name):
     """The put_if_absent contract both stores must honor: for one name,
     exactly ONE writer wins, the loser learns it (False — never an
