@@ -265,7 +265,7 @@ def knn_pagerank(emb: DataFrame, k: int = 3, n_bits: int = 4,
                           * (F.coalesce(F.col("s"), F.lit(0.0))
                              + F.lit(dang / n))).alias("r"))
                  .localCheckpoint())
-    out = (ranks.select(F.col("vid").alias(id_col),
+    # no trailing orderBy: a global sort of every node's rank is a
+    # range-partition shuffle bought purely for presentation
+    return ranks.select(F.col("vid").alias(id_col),
                         F.round(F.col("r") * 1e6, 4).alias("pagerank_ppm"))
-           .orderBy(F.col("pagerank_ppm").desc(), F.col(id_col).asc()))
-    return out

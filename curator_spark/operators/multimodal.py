@@ -125,25 +125,144 @@ def _is_real_wav(content: bytes) -> bool:
     return content[:4] == b"RIFF" and content[8:12] == b"WAVE"
 
 
+def _png_unfilter(raw: np.ndarray, h: int, w: int, bpp: int) -> np.ndarray:
+    """Reverse PNG's per-row byte filters (spec §9: None/Sub/Up/
+    Average/Paeth) over the decompressed IDAT stream. Returns the
+    (h, w*bpp) filtered-out scanline bytes."""
+    stride = w * bpp
+    out = np.zeros((h, stride), dtype=np.uint8)
+    pos = 0
+    for y in range(h):
+        ftype = int(raw[pos])
+        row = raw[pos + 1: pos + 1 + stride].astype(np.int32)
+        pos += 1 + stride
+        prev = out[y - 1].astype(np.int32) if y else np.zeros(
+            stride, dtype=np.int32)
+        if ftype == 0:                       # None
+            cur = row
+        elif ftype == 2:                     # Up
+            cur = (row + prev) & 0xFF
+        else:                                # Sub/Average/Paeth scan
+            cur = np.zeros(stride, dtype=np.int32)
+            for x in range(stride):
+                a = cur[x - bpp] if x >= bpp else 0      # left
+                b = prev[x]                              # up
+                if ftype == 1:               # Sub
+                    v = row[x] + a
+                elif ftype == 3:             # Average
+                    v = row[x] + ((a + b) >> 1)
+                elif ftype == 4:             # Paeth
+                    c = prev[x - bpp] if x >= bpp else 0  # up-left
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) \
+                        else (b if pb <= pc else c)
+                    v = row[x] + pred
+                else:
+                    raise NotImplementedError(
+                        f"unknown PNG filter type {ftype}")
+                cur[x] = v & 0xFF
+        out[y] = cur.astype(np.uint8)
+    return out
+
+
+def decode_png(content: bytes) -> np.ndarray:
+    """Pure-stdlib PNG decode (zlib inflate + spec §9 unfilter) →
+    HxWx3 uint8 pixels. Covers the dominant lossless web shapes:
+    8-bit-depth grayscale (expanded to RGB), RGB, and RGBA (alpha
+    dropped, matching Pillow's convert('RGB')), non-interlaced.
+    Anything else (palette, 16-bit, Adam7) raises NotImplementedError
+    into the error-row contract. This is the no-dependency codec lane:
+    a real PNG payload decodes for real even where Pillow cannot be
+    installed."""
+    import struct
+    if not content.startswith(b"\x89PNG\r\n\x1a\n"):
+        raise NotImplementedError("not a PNG")
+    pos, idat, hdr = 8, [], None
+    try:
+        while pos + 8 <= len(content):
+            clen, ctype = struct.unpack(">I4s", content[pos:pos + 8])
+            data = content[pos + 8: pos + 8 + clen]
+            if len(data) != clen:
+                raise ValueError("truncated chunk")
+            if ctype == b"IHDR":
+                hdr = struct.unpack(">IIBBBBB", data)
+            elif ctype == b"IDAT":
+                idat.append(data)
+            elif ctype == b"IEND":
+                break
+            pos += 12 + clen  # len + type + data + crc
+        if hdr is None or not idat:
+            raise ValueError("missing IHDR/IDAT")
+        w, h, depth, ctype_, comp, filt, interlace = hdr
+        if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
+            raise NotImplementedError(
+                f"unsupported PNG shape: depth={depth} "
+                f"interlace={interlace}")
+        channels = {0: 1, 2: 3, 6: 4}.get(ctype_)
+        if channels is None:
+            raise NotImplementedError(
+                f"unsupported PNG color type {ctype_}")
+        raw = np.frombuffer(zlib.decompress(b"".join(idat)),
+                            dtype=np.uint8)
+        if len(raw) != h * (1 + w * channels):
+            raise ValueError("IDAT length mismatch")
+        px = _png_unfilter(raw, h, w, channels).reshape(h, w, channels)
+        if channels == 1:
+            return np.repeat(px, 3, axis=2).copy()
+        return px[:, :, :3].copy()
+    except NotImplementedError:
+        raise
+    except Exception as e:  # corrupt container → error-row contract
+        raise NotImplementedError(f"undecodable PNG: {e}") from e
+
+
+def encode_png(pixels: np.ndarray) -> bytes:
+    """Pure-stdlib PNG encode (filter 0 + zlib) of HxWx3 uint8 pixels
+    — the write half of the no-dependency codec lane (resized thumbs /
+    sampled frames exported as real containers any tool opens)."""
+    import struct
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim != 3 or px.shape[2] != 3:
+        raise ValueError("encode_png expects HxWx3 uint8")
+    h, w = px.shape[:2]
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data)))
+
+    scan = b"".join(b"\x00" + px[y].tobytes() for y in range(h))
+    return (b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(scan, 6))
+            + chunk(b"IEND", b""))
+
+
 def _decode_image(content: bytes) -> np.ndarray:
     """bytes → HxWx3 uint8 pixels.
 
-    Payload-dispatched: a real container signature decodes with Pillow
-    (NotImplementedError → null row when Pillow is absent); synthetic
+    Payload-dispatched: a real container signature decodes with a real
+    codec — Pillow when importable (all formats), else the pure-stdlib
+    PNG lane (decode_png) for PNGs; a real non-PNG payload with no
+    Pillow raises NotImplementedError → null row. Both real lanes
+    produce IDENTICAL pixels for the shapes both support (PNG is
+    lossless), so features are hash-stable across installs. Synthetic
     payloads take the deterministic hash-derived stub, keeping fixture
-    and golden outputs identical on every install."""
+    and golden outputs identical everywhere."""
     if content is None or len(content) == 0:
         raise NotImplementedError("empty payload")
     if _is_real_image(content):
-        if _PILImage is None:
-            raise NotImplementedError(
-                "real image payload but Pillow is not installed")
-        import io
-        try:
-            img = _PILImage.open(io.BytesIO(content)).convert("RGB")
-        except Exception as e:  # corrupt container → error-row contract
-            raise NotImplementedError(f"undecodable image: {e}") from e
-        return np.asarray(img, dtype=np.uint8)
+        if _PILImage is not None:
+            import io
+            try:
+                img = _PILImage.open(io.BytesIO(content)).convert("RGB")
+            except Exception as e:  # corrupt → error-row contract
+                raise NotImplementedError(f"undecodable image: {e}") from e
+            return np.asarray(img, dtype=np.uint8)
+        if content.startswith(b"\x89PNG\r\n\x1a\n"):
+            return decode_png(content)
+        raise NotImplementedError(
+            "real non-PNG image payload and Pillow is not installed")
     h = hashlib.sha256(content).digest()
     side = 8 + h[0] % 8
     rng = np.frombuffer((h * ((side * side * 3) // len(h) + 1))[: side * side * 3],

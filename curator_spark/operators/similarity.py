@@ -516,9 +516,11 @@ def bitext_margin_pairs(emb: DataFrame, k: int = 4,
             F.col("margin").desc(), F.col("src_id").asc())
         out = (out.withColumn("rt", F.row_number().over(w_back))
                .filter(F.col("rt") == 1))
-    return (out.select("src_id", "tgt_id",
-                       F.col("cos6").alias("cos_sim"), "margin")
-            .orderBy("src_id"))
+    # no trailing orderBy: row order is presentation, and a global
+    # sort is a real range-partition shuffle of the whole result —
+    # callers that need order ask for it
+    return out.select("src_id", "tgt_id",
+                      F.col("cos6").alias("cos_sim"), "margin")
 
 
 def hard_negative_mining(emb: DataFrame, k: int = 5, n_bits: int = 4,
@@ -559,5 +561,4 @@ def hard_negative_mining(emb: DataFrame, k: int = 5, n_bits: int = 4,
             .filter(F.col("rnk") <= k)
             .select("anchor_id", "anchor_label", "negative_id",
                     "neg_label", "cos_sim",
-                    F.col("rnk").cast("integer").alias("rnk"))
-            .orderBy("anchor_id", "rnk"))
+                    F.col("rnk").cast("integer").alias("rnk")))

@@ -119,5 +119,4 @@ def trajectory_validity(turns: DataFrame) -> DataFrame:
                     (F.col("role_violations") == 0)
                     & (F.col("tool_placement_violations") == 0)
                     & ~F.col("dangling_tool_call")
-                    & ~F.col("idx_gaps"))
-        .orderBy("conv_id"))
+                    & ~F.col("idx_gaps")))

@@ -1574,13 +1574,25 @@ def q68_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_stats(_t(spark, sf_dir, "documents"), n=2)
 
 
-def q69_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q69_quality_buckets(spark: SparkSession, sf_dir: str,
+                        approx: bool = False) -> DataFrame:
     """CCNet-style per-language quality bucketing (Wenzek et al. 2020):
     rank every document inside its language by a quality score and cut
     the ranking into head/middle/tail thirds (CCNet does this with LM
     perplexity; here the SQL-expressible stopword-density proxy in
-    integer fixed point, q15/q54's score family). One window shuffle
-    on lang; ntile + total-order tiebreak keeps both engines exact."""
+    integer fixed point, q15/q54's score family).
+
+    Two physical strategies, same q78 pairing:
+    * approx=False (the oracle baseline): ntile over a per-lang window
+      + total-order tiebreak — exact, hash-matches DuckDB, but each
+      language's documents sort inside ONE task, so a 100 TB language
+      is a straggler.
+    * approx=True (the 100 TB path, CCNet's actual method): the two
+      cut thresholds per language come from a MERGEABLE quantile
+      sketch (percentile_approx partial-aggregates map-side; no
+      per-lang sort anywhere), broadcast back onto the scored docs —
+      the whole job is two narrow shuffles of lang-keyed partials
+      regardless of language skew."""
     docs = _t(spark, sf_dir, "documents")
     toks = F.filter(F.split(F.lower(F.col("text")), " "), lambda t: t != "")
     staged = docs.select(
@@ -1590,6 +1602,20 @@ def q69_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.greatest(F.size(toks), F.lit(1)).cast("long").alias("n_toks"))
     scored = staged.withColumn(
         "stop_score", F.expr("(n_stop * 1000000) div n_toks"))
+    if approx:
+        # score DESCENDS through the buckets (high stopword density =
+        # head), so the cuts are the upper/lower tertiles
+        cuts = scored.groupBy("lang").agg(
+            F.percentile_approx(
+                "stop_score", F.array(F.lit(2 / 3), F.lit(1 / 3)),
+                F.lit(10000)).alias("qs"))
+        return (scored.join(F.broadcast(cuts), "lang")
+                .select("doc_id", "lang", "stop_score",
+                        F.when(F.col("stop_score") >= F.col("qs")[0],
+                               "head")
+                        .when(F.col("stop_score") >= F.col("qs")[1],
+                              "middle")
+                        .otherwise("tail").alias("bucket")))
     w = Window.partitionBy("lang").orderBy(
         F.col("stop_score").desc(), F.col("doc_id").asc())
     bucket = F.ntile(3).over(w)
@@ -1683,7 +1709,15 @@ def q43_window_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
     total-order tiebreak makes ntile/lead deterministic; dense_rank
     deliberately omits the tiebreak (equal balances share a rank). All
     three windows partition on mktsegment, so Catalyst plans ONE
-    shuffle and sorts within it."""
+    shuffle and sorts within it.
+
+    SCALE NOTE: mktsegment has ~5 values, so each segment sorts inside
+    one task — fine for a demo of the window surface, a straggler at
+    100 TB. The scale idiom for low-cardinality-partition ranking is
+    the mergeable-sketch threshold path (percentile_approx broadcast
+    back, q69/q78 approx=True) or, when exact global order is
+    required, the sketch-boundary parallel sort (operators/ranking.py
+    global_rank, q84)."""
     cents = _cents("c_acctbal")
     return (
         _t(spark, sf_dir, "customer")
@@ -3352,8 +3386,7 @@ def q114_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.col("curriculum_rank") - 1) * CURRICULUM_STAGES
                 / F.lit(total)).cast("integer"))
             .select("doc_id", "n_tokens", "rare_pm", "difficulty",
-                    "curriculum_rank", "stage")
-            .orderBy("curriculum_rank"))
+                    "curriculum_rank", "stage"))
 
 
 _CURRICULUM_SQL = f"""
@@ -3421,9 +3454,8 @@ def q116_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = docs.select("doc_id", "source", F.size(toks).alias("n_tokens"))
     out = token_budget_sample(base, "source", "n_tokens", "doc_id",
                               budget_frac=BUDGET_FRAC)
-    return (out.select("doc_id", "source", "n_tokens", "cum_tokens",
-                       "budget", "keep_budget")
-            .orderBy("source", "cum_tokens"))
+    return out.select("doc_id", "source", "n_tokens", "cum_tokens",
+                      "budget", "keep_budget")
 
 
 _TOKEN_BUDGET_SQL = f"""
@@ -3490,8 +3522,7 @@ def q119_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (joined.withColumn("term", p_s * F.log(p_s / q))
             .groupBy("source")
             .agg(F.max("n_s").cast("long").alias("n_tokens"),
-                 F.round(F.sum("term"), 6).alias("kl_to_corpus"))
-            .orderBy("source"))
+                 F.round(F.sum("term"), 6).alias("kl_to_corpus")))
 
 
 _SOURCE_DIVERGENCE_SQL = """
@@ -3548,8 +3579,7 @@ def q120_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct(F.when(F.col("hb") < 8, F.col("word")))
         .cast("long").alias("vocab_half"),
         F.countDistinct("word").cast("long").alias("vocab_full"),
-        F.count(F.lit(1)).cast("long").alias("n_tokens"))
-        .orderBy("source"))
+        F.count(F.lit(1)).cast("long").alias("n_tokens")))
 
 
 _VOCAB_GROWTH_SQL = """
@@ -3605,8 +3635,7 @@ def q121_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.log(F.col("freq").cast("double")),
                 F.log(F.col("rnk").cast("double"))), 6)
                 .alias("zipf_slope"),
-                F.count(F.lit(1)).cast("long").alias("n_points"))
-            .orderBy("source"))
+                F.count(F.lit(1)).cast("long").alias("n_points")))
 
 
 _ZIPF_SQL = f"""
@@ -3650,8 +3679,7 @@ def q122_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("lang", "len_bucket")
             .agg(F.count(F.lit(1)).alias("k"),
                  F.countDistinct("source").cast("long").alias("l"))
-            .withColumn("homogeneous", F.col("l") < L_DIVERSITY_FLOOR)
-            .orderBy("lang", "len_bucket"))
+            .withColumn("homogeneous", F.col("l") < L_DIVERSITY_FLOOR))
 
 
 _L_DIVERSITY_SQL = f"""

@@ -116,3 +116,19 @@ def test_ccnet_approx_cuts_agree_with_exact(spark):
     assert agree >= 0.90, f"bucket agreement {agree:.3f}"
     # both paths keep exactly the head bucket
     assert (approx["keep"] == (approx["bucket"] == "head")).all()
+
+
+def test_quality_buckets_approx_agrees_with_exact(spark):
+    """q69's two cut strategies on the same scored corpus: exact
+    per-lang ntile vs the percentile_approx threshold path. Same doc
+    universe, identical scores, >=90% bucket agreement (they may
+    differ only at quantile-boundary ties)."""
+    from curator_spark.queries import q69_quality_buckets
+    exact = q69_quality_buckets(spark, SF).toPandas().set_index("doc_id")
+    approx = q69_quality_buckets(spark, SF, approx=True) \
+        .toPandas().set_index("doc_id")
+    assert set(exact.index) == set(approx.index)
+    approx = approx.reindex(exact.index)
+    assert (exact["stop_score"] == approx["stop_score"]).all()
+    agree = (exact["bucket"] == approx["bucket"]).mean()
+    assert agree >= 0.90, f"bucket agreement {agree:.3f}"

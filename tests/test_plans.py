@@ -621,3 +621,44 @@ def test_q120_vocab_growth_single_aggregate(spark):
     plan = plan_of(queries.q120_vocab_growth(spark, SF))
     assert "Join" not in plan and "Window" not in plan
     assert "Expand" in plan  # Spark's multi-distinct rewrite
+
+
+def test_quality_buckets_approx_has_no_per_lang_sort(spark):
+    """q69 approx=True (the 100 TB path, same pairing as q78): the
+    per-language tertile cuts come from a map-side-combinable
+    percentile_approx sketch broadcast back — NO ntile and NO window
+    partitioned by lang (the exact baseline single-tasks each
+    language's sort; a 100 TB language is a straggler)."""
+    plan = plan_of(queries.q69_quality_buckets(spark, SF, approx=True))
+    assert "ntile(" not in plan
+    assert "windowspecdefinition(lang" not in plan
+    assert "partial_percentile_approx" in plan  # sketch partial-aggs
+    assert "BroadcastHashJoin" in plan          # cuts broadcast back
+    # the exact baseline, by contrast, IS the per-lang ntile sort
+    exact = plan_of(queries.q69_quality_buckets(spark, SF))
+    assert "ntile(" in exact
+
+
+@pytest.mark.parametrize("qname", [
+    "q113_bitext_margin", "q114_curriculum_order", "q115_knn_pagerank",
+    "q116_token_budget", "q117_hard_negatives",
+    "q118_trajectory_validity", "q119_source_divergence",
+    "q120_vocab_growth", "q121_zipf_slope", "q122_l_diversity",
+    "q123_bitext_mutual"])
+def test_no_presentation_range_exchange(spark, qname):
+    """The 11 queries the round-4 breadth audit flagged for a trailing
+    presentation orderBy: row order is not semantics (the driver and
+    selfcheck canonicalize order before hashing), and a global sort is
+    a real range-partition shuffle of the whole result. Pin
+    range_exchange == 0 via the same classifier the registry audit
+    uses, so the count in PLANS.md cannot silently drift again."""
+    import os as _os
+    import sys as _sys
+    _sys.path.insert(0, _os.path.join(_os.path.dirname(__file__),
+                                      "..", "tools"))
+    from plan_audit import audit_plan
+    import __spark_entry__ as entrymod
+    plan = plan_of(entrymod.queries()[qname](spark, SF))
+    a = audit_plan(plan)
+    assert a["info"].get("range_exchange", 0) == 0, a
+    assert a["red"] == {}
