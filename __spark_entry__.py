@@ -91,16 +91,14 @@ def _multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 DRIVER_WINDOW = [
     # flagship + multimodal
     "q00_quality_filter", "q30_multimodal_features",
-    # dedup battery (q20 simhash rotates to selfcheck — the
-    # signature-dedup family keeps q19's driver row; q97's
-    # response-opener dedup adds the transcripts-payload axis)
-    # (q18 jaccard pairs rotates to selfcheck — q24's pipeline runs the
-    # same verify stage in-window)
-    # (q24's E2E pipeline rotates to selfcheck this round — its LSH +
-    # verify + decision stages keep q19/q17 driver rows; q107 adds the
-    # priority-election axis the battery lacked)
-    "q17_exact_dedup", "q19_minhash_lsh",
-    "q107_priority_dedup", "q31_conv_dedup",
+    # dedup battery — round 5 rotates q20 simhash and the q24 E2E
+    # pipeline BACK into the gate (round-4 review request): simhash is
+    # the one signature family q19's minhash row does not exercise,
+    # and q24 composes exact → LSH → verify → decision in one plan.
+    # q31 conv-dedup rotates to selfcheck (its reassembly shape stays
+    # covered by q55's context windows and its dedup algebra by q24).
+    "q17_exact_dedup", "q19_minhash_lsh", "q20_simhash",
+    "q24_dedup_pipeline", "q107_priority_dedup",
     "q39_dedup_components", "q47_decontaminate",
     # winnowing (MOSS) positional fingerprints — the localizing sketch
     # (q70 segment-removal rotates to selfcheck: the span family keeps
@@ -118,11 +116,11 @@ DRIVER_WINDOW = [
     "q93_curation_pipeline",
     # attribute store + mixer (tag once, re-mix by metadata)
     "q94_attribute_mixer",
-    # similarity / ANN / clustering (q23 single-bucket near-dup and
-    # q21 brute-force cosine rotate to selfcheck — q49's multi-probe
-    # variant and q56's KNN join carry the family; q21 stays a bench
-    # headline)
-    "q49_multiprobe_neardup",
+    # similarity / ANN / clustering (q23 single-bucket near-dup,
+    # q21 brute-force cosine and — round 5 — q49 multi-probe rotate to
+    # selfcheck; q56 KNN join, q57 k-means, q61 SemDeDup and q66
+    # IVF-PQ keep four distinct family representatives in-window, and
+    # q21 stays a bench headline)
     "q56_knn_join", "q57_kmeans_clusters", "q61_semdedup",
     "q66_ivfpq_search",
     # sequence packing / context windows (q52 doc packing rotates to
@@ -141,8 +139,12 @@ DRIVER_WINDOW = [
     # (q99 preference pairs rotates to selfcheck — SFT keeps q96/q98;
     # the slot admits q118's trajectory validity gate, the tool-use
     # corpus's structural filter, next to q101's transitions)
-    "q96_chat_template",
-    "q98_refusal_filter", "q118_trajectory_validity",
+    # (round 5: q99 preference pairs rotates BACK in — review
+    # request; q98 refusal filter to selfcheck, its keep/drop shape is
+    # the flagship's bread and butter while q99's grouped best-vs-rest
+    # election is unique to the RLHF surface)
+    "q96_chat_template", "q99_preference_pairs",
+    "q118_trajectory_validity",
     "q116_token_budget",
     # agent-trajectory analytics over the tool/ts schema columns
     "q101_tool_transitions",
@@ -174,11 +176,11 @@ DRIVER_WINDOW = [
     # driver row; q112 puts the privacy-AGGREGATE family — k-anonymity
     # over quasi-identifiers, new this round — in the gate next to the
     # scrubbers q104/q67)
-    # (q112 k-anonymity rotates to selfcheck — q122's l-diversity
-    # reports population k AND distinct-sensitive l, the strictly
-    # stronger privacy-aggregate audit)
+    # (round 5 swaps the privacy-aggregate row back to q112
+    # k-anonymity — review request; q122 l-diversity, its strictly
+    # stronger sibling, returns to selfcheck coverage)
     "q104_pii_pseudonymize",
-    "q67_luhn_cc_scrub", "q122_l_diversity",
+    "q67_luhn_cc_scrub", "q112_k_anonymity",
     "q45_sketch_accuracy",
     # distributed total order (no single-task global window)
     "q84_global_rank",
