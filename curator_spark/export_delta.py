@@ -113,32 +113,58 @@ def _file_stats_json(finfo: dict, fstats: dict | None) -> str:
     return json.dumps(out, sort_keys=True)
 
 
-def _replay_delta_log(log_dir: str) -> tuple[int | None, dict, str | None,
-                                             str | None]:
-    """Replay an exported `_delta_log` → (last version, live
-    {path: add-action}, metaData id, last schemaString)."""
+def _replay_delta_log(log_dir: str, upto: int | None = None) -> dict:
+    """Replay a Delta `_delta_log` (JSON commits; any writer's) up to
+    `upto` → {version, live: {path: add}, table_id, schema_str,
+    partition_columns, configuration, protocol}. The same state
+    machine every Delta reader runs before planning a scan. Commit
+    versions must be gap-free from the earliest present file (the
+    protocol's contract); parquet checkpoints are not consumed — logs
+    written by this package never produce them, and a foreign log
+    whose JSON tail has been checkpoint-truncated raises rather than
+    silently reading a partial table."""
+    state = {"version": None, "live": {}, "table_id": None,
+             "schema_str": None, "partition_columns": None,
+             "configuration": {}, "protocol": None}
     if not os.path.isdir(log_dir):
-        return None, {}, None, None
+        return state
     versions = sorted(fn for fn in os.listdir(log_dir)
                       if fn.endswith(".json") and fn[:-5].isdigit())
-    live: dict = {}
-    table_id = schema_str = None
-    last = None
+    if versions and any(fn.endswith(".checkpoint.parquet")
+                        for fn in os.listdir(log_dir)):
+        nums = [int(fn[:-5]) for fn in versions]
+        if nums[0] != 0 or nums != list(range(nums[0], nums[-1] + 1)):
+            raise NotImplementedError(
+                "log has parquet checkpoints and a truncated JSON "
+                "tail — checkpoint reading is not implemented")
     for fn in versions:
-        last = int(fn[:-5])
+        v = int(fn[:-5])
+        if upto is not None and v > upto:
+            break
+        state["version"] = v
         with open(os.path.join(log_dir, fn)) as f:
             for line in f:
                 if not line.strip():
                     continue
                 action = json.loads(line)
                 if "add" in action:
-                    live[action["add"]["path"]] = action["add"]
+                    state["live"][action["add"]["path"]] = action["add"]
                 elif "remove" in action:
-                    live.pop(action["remove"]["path"], None)
+                    state["live"].pop(action["remove"]["path"], None)
                 elif "metaData" in action:
-                    table_id = action["metaData"]["id"]
-                    schema_str = action["metaData"]["schemaString"]
-    return last, live, table_id, schema_str
+                    md = action["metaData"]
+                    state["table_id"] = md["id"]
+                    state["schema_str"] = md["schemaString"]
+                    state["partition_columns"] = \
+                        md.get("partitionColumns") or []
+                    state["configuration"] = md.get("configuration") or {}
+                elif "protocol" in action:
+                    state["protocol"] = action["protocol"]
+    if upto is not None and (state["version"] is None
+                             or state["version"] < upto):
+        raise ValueError(f"version {upto} not in the log "
+                         f"(head is {state['version']})")
+    return state
 
 
 def _stage_file(sp: str, dp: str) -> None:
@@ -206,7 +232,9 @@ def export_delta_log(out_dir: str, dest: str | None = None,
     table_root = os.path.abspath(dest) if standalone \
         else os.path.join(os.path.abspath(out_dir), "data")
     log_dir = os.path.join(table_root, "_delta_log")
-    prev_version, live, table_id, prev_schema = _replay_delta_log(log_dir)
+    prev = _replay_delta_log(log_dir)
+    prev_version, live = prev["version"], prev["live"]
+    table_id, prev_schema = prev["table_id"], prev["schema_str"]
 
     schema, conf, min_reader = _delta_schema(meta)
     # timestamp columns carry epoch-micros stats internally — strip
@@ -321,15 +349,106 @@ def export_delta_log(out_dir: str, dest: str | None = None,
             "linked": linked}
 
 
-def delta_live_files(table_root: str) -> list[dict]:
+def delta_live_files(table_root: str,
+                     version: int | None = None) -> list[dict]:
     """Replay `<table_root>/_delta_log` → the live add-actions, each
     with an absolute `abs_path`. The verification half of the export
     (and what any Delta reader computes before scanning)."""
-    _v, live, _id, _schema = _replay_delta_log(
-        os.path.join(table_root, "_delta_log"))
+    state = _replay_delta_log(os.path.join(table_root, "_delta_log"),
+                              upto=version)
+    live = state["live"]
     out = []
     for rel in sorted(live):
         a = dict(live[rel])
         a["abs_path"] = os.path.join(table_root, rel)
         out.append(a)
+    return out
+
+
+def read_delta(spark, table_root: str, version: int | None = None):
+    """Read a Delta Lake table (this package's exports OR a foreign
+    writer's JSON log) as a DataFrame — the IMPORT half of the open-
+    format door, so a corpus curated elsewhere and published as Delta
+    ingests with no extra dependency: replay the log to the live
+    add-set (optionally AS OF `version`), scan exactly those parquet
+    files with the log's declared schema, and attach partition columns
+    from each add's `partitionValues` (they are not in the files).
+
+    Scale shape: planning is metadata-only (one log replay); the scan
+    is one parquet job per distinct partition-value tuple unioned
+    together — for bucket-partitioned tables that is k bounded scans,
+    and Catalyst prunes/pushes into each as usual.
+
+    Honest refusals (never a silently wrong table): reader protocol
+    > 2, deletion vectors on live files, and column-mapping modes
+    other than the name-mode this package writes."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
+
+    log_dir = os.path.join(table_root, "_delta_log")
+    state = _replay_delta_log(log_dir, upto=version)
+    if state["version"] is None:
+        raise ValueError(f"{table_root} has no _delta_log")
+    proto = state["protocol"] or {}
+    if int(proto.get("minReaderVersion", 1)) > 2:
+        raise NotImplementedError(
+            f"table requires Delta reader {proto['minReaderVersion']} "
+            "(features beyond column mapping); not supported")
+    for a in state["live"].values():
+        if a.get("deletionVector"):
+            raise NotImplementedError(
+                "live deletion vectors in the source table; "
+                "materialize them before import")
+    cm_mode = (state["configuration"] or {}).get(
+        "delta.columnMapping.mode", "none")
+    if cm_mode not in ("none", "name"):
+        raise NotImplementedError(
+            f"column mapping mode {cm_mode!r} not supported")
+    schema = json.loads(state["schema_str"])
+    part_cols = state["partition_columns"] or []
+
+    def field_type(f):
+        return StructType.fromJson(
+            {"type": "struct", "fields": [dict(f, metadata={})]}
+        ).fields[0].dataType
+
+    data_fields = [f for f in schema["fields"]
+                   if f["name"] not in part_cols]
+    # physical (in-file) names under name-mode column mapping
+    phys = {f["name"]: (f.get("metadata") or {}).get(
+        "delta.columnMapping.physicalName", f["name"])
+        for f in schema["fields"]}
+    file_schema = StructType.fromJson(
+        {"type": "struct",
+         "fields": [dict(f, name=phys[f["name"]], metadata={})
+                    for f in data_fields]})
+    ptypes = {f["name"]: field_type(f) for f in schema["fields"]
+              if f["name"] in part_cols}
+
+    groups: dict[tuple, list[str]] = {}
+    for rel, a in state["live"].items():
+        pv = a.get("partitionValues") or {}
+        key = tuple(pv.get(c) for c in part_cols)
+        groups.setdefault(key, []).append(
+            os.path.join(table_root, rel))
+    if not groups:
+        out_schema = StructType.fromJson(
+            {"type": "struct",
+             "fields": [dict(f, metadata={}) for f in schema["fields"]]})
+        return spark.createDataFrame([], out_schema)
+    parts = []
+    for key, files in sorted(
+            groups.items(),
+            key=lambda kv: tuple((v is None, v or "") for v in kv[0])):
+        df = spark.read.schema(file_schema).parquet(*sorted(files))
+        df = df.select([F.col(phys[f["name"]]).alias(f["name"])
+                        for f in data_fields])
+        for c, raw in zip(part_cols, key):
+            # Delta renders partition NULL as missing/empty in the map
+            val = F.lit(None) if raw in (None, "") else F.lit(raw)
+            df = df.withColumn(c, val.cast(ptypes[c]))
+        parts.append(df)
+    out = parts[0]
+    for df in parts[1:]:
+        out = out.unionByName(df)
     return out

@@ -209,3 +209,122 @@ def test_cli_export_delta_verb(spark, table, capsys):
     assert rc == 0
     summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert summary["delta_version"] == 0 and summary["files_live"] > 0
+
+
+def test_read_delta_roundtrip_inplace(spark, table):
+    from curator_spark.export_delta import read_delta
+    out = table["out"]
+    r = export_delta_log(out)
+    got = read_delta(spark, r["table_root"]).toPandas()
+    want = read_committed(spark, out).toPandas()
+    assert len(got) == len(want)
+    key = lambda df: sorted(zip(df["conv_id"], df["turn_idx"],  # noqa: E731
+                                df["text"], df["part"]))
+    assert key(got) == key(want)
+    assert set(got.columns) == set(want.columns)
+
+
+def test_read_delta_as_of_exported_version(spark, table):
+    from curator_spark.export_delta import read_delta
+    out = table["out"]
+    export_delta_log(out)
+    before = read_committed(spark, out).count()
+    batch = str(table["tmp"] / "b4.parquet")
+    fixtures.write_transcripts_parquet(batch, 200, seed=94, n_parts=4)
+    append_new_conversations(spark, batch, out)
+    r1 = export_delta_log(out)
+    assert r1["delta_version"] == 1
+    root = r1["table_root"]
+    assert read_delta(spark, root).count() == \
+        read_committed(spark, out).count()
+    # Delta-version time travel over the exported log
+    assert read_delta(spark, root, version=0).count() == before
+
+
+def test_read_delta_foreign_log(spark, tmp_path):
+    """A Delta table written by ANOTHER engine: different partition
+    column, string-typed values, flat layout (no hive dirs), nulls in
+    partitionValues — read_delta must plan purely from the log."""
+    import pandas as pd
+
+    from curator_spark.export_delta import read_delta
+    from curator_spark.fixtures import to_spark_parquet
+
+    root = str(tmp_path / "foreign")
+    os.makedirs(os.path.join(root, "_delta_log"))
+    files = {}
+    for i, region in enumerate(["eu", "us", None]):
+        pdf = pd.DataFrame({"id": [i * 10 + j for j in range(3)],
+                            "name": [f"r{i}-{j}" for j in range(3)]})
+        fn = f"data-{i:03d}.parquet"
+        to_spark_parquet(pdf, os.path.join(root, fn))
+        files[fn] = region
+    schema = {"type": "struct", "fields": [
+        {"name": "id", "type": "long", "nullable": True, "metadata": {}},
+        {"name": "name", "type": "string", "nullable": True,
+         "metadata": {}},
+        {"name": "region", "type": "string", "nullable": True,
+         "metadata": {}}]}
+    actions = [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {"metaData": {"id": "foreign-0001", "format":
+                      {"provider": "parquet", "options": {}},
+                      "schemaString": json.dumps(schema),
+                      "partitionColumns": ["region"],
+                      "configuration": {}, "createdTime": 0}},
+    ]
+    for fn, region in files.items():
+        pv = {} if region is None else {"region": region}
+        actions.append({"add": {
+            "path": fn, "partitionValues": pv,
+            "size": os.path.getsize(os.path.join(root, fn)),
+            "modificationTime": 0, "dataChange": True}})
+    with open(os.path.join(root, "_delta_log",
+                           f"{0:020d}.json"), "w") as f:
+        f.write("\n".join(json.dumps(a) for a in actions))
+    df = read_delta(spark, root).toPandas()
+    assert len(df) == 9
+    assert sorted(df.columns) == ["id", "name", "region"]
+    by_region = df.groupby(df["region"].fillna("<null>")).size().to_dict()
+    assert by_region == {"eu": 3, "us": 3, "<null>": 3}
+
+
+def test_read_delta_refuses_unreadable_features(spark, table, tmp_path):
+    from curator_spark.export_delta import read_delta
+    out = table["out"]
+    r = export_delta_log(out)
+    root = r["table_root"]
+    # a later commit ratcheting the reader past what we implement
+    with open(os.path.join(root, "_delta_log",
+                           f"{1:020d}.json"), "w") as f:
+        f.write(json.dumps(
+            {"protocol": {"minReaderVersion": 3,
+                          "minWriterVersion": 7}}) + "\n")
+    with pytest.raises(NotImplementedError, match="reader 3"):
+        read_delta(spark, root)
+    # version-travel BEFORE the ratchet still reads
+    assert read_delta(spark, root, version=0).count() > 0
+
+
+def test_read_delta_column_mapping_name_mode(spark, table):
+    """Rename a column (metadata-only DDL) then export: the log rides
+    Delta name-mode mapping, and read_delta resolves physical in-file
+    names back to the renamed logical schema."""
+    from curator_spark.alter import rename_column
+
+    from curator_spark.export_delta import read_delta
+    out = table["out"]
+    rename_column(out, "text", "body")
+    r = export_delta_log(out)
+    log = os.path.join(r["table_root"], "_delta_log",
+                       "00000000000000000000.json")
+    md = next(json.loads(line)["metaData"] for line in open(log)
+              if "metaData" in line)
+    assert json.loads(md["schemaString"])  # parses
+    got = read_delta(spark, r["table_root"])
+    assert "body" in got.columns and "text" not in got.columns
+    want = read_committed(spark, out)
+    assert got.count() == want.count()
+    a = sorted(r["body"] for r in got.select("body").collect())
+    b = sorted(r["body"] for r in want.select("body").collect())
+    assert a == b
