@@ -1,6 +1,7 @@
 """Runnable end-to-end tour: documents → quality-filtered transcript
 table → WAP branch with an audited publish → lineage → change feed →
-verified training shards. Finishes in ~1 minute on local[8].
+verified training shards → in-place Delta-log publish read back
+through the open format. Finishes in ~1 minute on local[8].
 
     python examples/end_to_end.py [workdir]
 
@@ -23,8 +24,8 @@ from pyspark.sql import functions as F  # noqa: E402
 
 from curator_spark import fixtures  # noqa: E402
 from curator_spark.checkpoint import (  # noqa: E402
-    delete_rows_dv, read_committed, read_with_lineage, run_checkpointed,
-    table_row_count)
+    delete_rows_dv, make_ledger, read_committed, read_with_lineage,
+    run_checkpointed, table_row_count)
 from curator_spark.export import export_jsonl_shards, \
     verify_export  # noqa: E402
 from curator_spark.feed import consume_changes  # noqa: E402
@@ -91,6 +92,24 @@ def main() -> None:
                          "shards": exp["n_shards"],
                          "verified": bool(chk["all_ok"])}
     summary["table_rows"] = table_row_count(f"{work}/table")
+
+    # 7. open-format exit: materialize the DV mask (the export refuses
+    #    to ship files whose deleted rows would come back), publish
+    #    the snapshot as a Delta table in place (zero copy), and read
+    #    it back through the Delta log — the path any external Delta
+    #    engine would take
+    from curator_spark.checkpoint import compact_partition  # noqa: E402
+    from curator_spark.export_delta import (  # noqa: E402
+        export_delta_log, read_delta)
+    for p, m in make_ledger(f"{work}/table", "commitlog") \
+            .snapshot()[0].items():
+        if m and any((m.get("dv") or {}).values()):
+            compact_partition(spark, f"{work}/table", int(p))
+    dl = export_delta_log(f"{work}/table")
+    assert read_delta(spark, dl["table_root"]).count() \
+        == summary["table_rows"]
+    summary["delta_export"] = {"version": dl["delta_version"],
+                               "files": dl["files_live"]}
 
     print(json.dumps(summary, indent=2, default=str))
     spark.stop()
