@@ -27,7 +27,13 @@ export writes `00...0.json`, a re-export after table mutations replays
 the existing `_delta_log`, diffs the live file set against the new
 snapshot, and appends ONE new log version of add/remove actions (plus
 a fresh `metaData` when the schema evolved). `metaData.id` is minted
-once and carried across versions, as the protocol requires.
+once and carried across versions, as the protocol requires. Every
+CHECKPOINT_INTERVAL versions the exporter also writes a Delta parquet
+CHECKPOINT (`<v>.checkpoint.parquet` + `_last_checkpoint`), so
+readers of a long-re-exported table bootstrap from one parquet file
+plus the JSON tail instead of replaying every version — the same
+O(1)-planning design as the commitlog's own ckpt files; `read_delta`
+consumes checkpoints too (including foreign writers').
 
 Zero data movement by default: `dest=None` writes `_delta_log/` INSIDE
 `<out_dir>/data`, so the existing data directory itself becomes a
@@ -113,53 +119,102 @@ def _file_stats_json(finfo: dict, fstats: dict | None) -> str:
     return json.dumps(out, sort_keys=True)
 
 
+def _apply_action(state: dict, action: dict) -> None:
+    if "add" in action:
+        state["live"][action["add"]["path"]] = action["add"]
+    elif "remove" in action:
+        state["live"].pop(action["remove"]["path"], None)
+    elif "metaData" in action:
+        md = action["metaData"]
+        state["table_id"] = md["id"]
+        state["schema_str"] = md["schemaString"]
+        state["partition_columns"] = md.get("partitionColumns") or []
+        state["configuration"] = md.get("configuration") or {}
+    elif "protocol" in action:
+        state["protocol"] = action["protocol"]
+
+
+def _read_checkpoint_parquet(path: str) -> list[dict]:
+    """One Delta checkpoint parquet → the action dicts it carries
+    (each row holds exactly one non-null action struct column)."""
+    import pyarrow.parquet as pq
+    tbl = pq.read_table(path)
+    out: list[dict] = []
+    cols = {n: tbl.column(n).to_pylist() for n in tbl.column_names
+            if n in ("add", "remove", "metaData", "protocol", "txn")}
+    n = tbl.num_rows
+    for i in range(n):
+        for name, vals in cols.items():
+            v = vals[i]
+            if v is None:
+                continue
+            if isinstance(v, dict):
+                # pyarrow map types come back as lists of (k, v)
+                # pairs — normalize the map-typed fields
+                for mk in ("partitionValues", "configuration"):
+                    if isinstance(v.get(mk), list):
+                        v[mk] = dict(v[mk])
+                fmt = v.get("format")
+                if isinstance(fmt, dict) and \
+                        isinstance(fmt.get("options"), list):
+                    fmt["options"] = dict(fmt["options"])
+                # drop nulled optional fields so replay matches JSON
+                v = {k: x for k, x in v.items() if x is not None}
+            out.append({name: v})
+    return out
+
+
 def _replay_delta_log(log_dir: str, upto: int | None = None) -> dict:
-    """Replay a Delta `_delta_log` (JSON commits; any writer's) up to
-    `upto` → {version, live: {path: add}, table_id, schema_str,
+    """Replay a Delta `_delta_log` (any writer's) up to `upto` →
+    {version, live: {path: add}, table_id, schema_str,
     partition_columns, configuration, protocol}. The same state
-    machine every Delta reader runs before planning a scan. Commit
-    versions must be gap-free from the earliest present file (the
-    protocol's contract); parquet checkpoints are not consumed — logs
-    written by this package never produce them, and a foreign log
-    whose JSON tail has been checkpoint-truncated raises rather than
-    silently reading a partial table."""
+    machine every Delta reader runs before planning a scan: bootstrap
+    from the newest usable parquet checkpoint at or below `upto`
+    (`_last_checkpoint` names the head one), then fold the JSON
+    commits after it. A log whose JSON tail starts after the requested
+    point with no usable checkpoint raises rather than silently
+    reading a partial table."""
     state = {"version": None, "live": {}, "table_id": None,
              "schema_str": None, "partition_columns": None,
              "configuration": {}, "protocol": None}
     if not os.path.isdir(log_dir):
         return state
-    versions = sorted(fn for fn in os.listdir(log_dir)
+    names = os.listdir(log_dir)
+    versions = sorted(fn for fn in names
                       if fn.endswith(".json") and fn[:-5].isdigit())
-    if versions and any(fn.endswith(".checkpoint.parquet")
-                        for fn in os.listdir(log_dir)):
+    ckpts = sorted(int(fn.split(".")[0]) for fn in names
+                   if fn.endswith(".checkpoint.parquet")
+                   and fn.split(".")[0].isdigit())
+    start_after = None
+    usable = [c for c in ckpts if upto is None or c <= upto]
+    if usable:
+        c = usable[-1]
+        for action in _read_checkpoint_parquet(
+                os.path.join(log_dir, f"{c:020d}.checkpoint.parquet")):
+            _apply_action(state, action)
+        state["version"] = c
+        start_after = c
+    if versions:
         nums = [int(fn[:-5]) for fn in versions]
-        if nums[0] != 0 or nums != list(range(nums[0], nums[-1] + 1)):
+        first_needed = 0 if start_after is None else start_after + 1
+        replay = [n for n in nums
+                  if n >= first_needed
+                  and (upto is None or n <= upto)]
+        want_head = max((n for n in nums
+                         if upto is None or n <= upto),
+                        default=start_after)
+        if want_head is not None and want_head >= first_needed and \
+                replay != list(range(first_needed, want_head + 1)):
             raise NotImplementedError(
-                "log has parquet checkpoints and a truncated JSON "
-                "tail — checkpoint reading is not implemented")
-    for fn in versions:
-        v = int(fn[:-5])
-        if upto is not None and v > upto:
-            break
-        state["version"] = v
-        with open(os.path.join(log_dir, fn)) as f:
-            for line in f:
-                if not line.strip():
-                    continue
-                action = json.loads(line)
-                if "add" in action:
-                    state["live"][action["add"]["path"]] = action["add"]
-                elif "remove" in action:
-                    state["live"].pop(action["remove"]["path"], None)
-                elif "metaData" in action:
-                    md = action["metaData"]
-                    state["table_id"] = md["id"]
-                    state["schema_str"] = md["schemaString"]
-                    state["partition_columns"] = \
-                        md.get("partitionColumns") or []
-                    state["configuration"] = md.get("configuration") or {}
-                elif "protocol" in action:
-                    state["protocol"] = action["protocol"]
+                f"JSON commits {first_needed}..{want_head} are not "
+                "contiguous and no parquet checkpoint covers the gap "
+                "— refusing to read a partial table")
+        for v in replay:
+            state["version"] = v
+            with open(os.path.join(log_dir, f"{v:020d}.json")) as f:
+                for line in f:
+                    if line.strip():
+                        _apply_action(state, json.loads(line))
     if upto is not None and (state["version"] is None
                              or state["version"] < upto):
         raise ValueError(f"version {upto} not in the log "
@@ -188,6 +243,88 @@ def _stage_file(sp: str, dp: str) -> None:
                     os.remove(tmp)
                 except OSError:
                     pass
+
+
+#: write a Delta checkpoint parquet every N exported versions — the
+#: same O(1)-bootstrap design as the commitlog's own ckpt files, so a
+#: table re-exported after every ingestion wave never makes readers
+#: replay an unbounded JSON tail
+CHECKPOINT_INTERVAL = 10
+
+
+def _write_delta_checkpoint(log_dir: str, version: int,
+                            state: dict) -> None:
+    """Write `<v>.checkpoint.parquet` + `_last_checkpoint` for the
+    replayed state at `version`: one row per action (live adds +
+    metaData + protocol), nullable struct columns per the Delta
+    checkpoint schema. Tombstoned removes are not carried — they exist
+    for VACUUM coordination, which exported tables delegate to the
+    commitlog's own vacuum."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    add_t = pa.struct([
+        ("path", pa.string()),
+        ("partitionValues", pa.map_(pa.string(), pa.string())),
+        ("size", pa.int64()),
+        ("modificationTime", pa.int64()),
+        ("dataChange", pa.bool_()),
+        ("stats", pa.string()),
+    ])
+    meta_t = pa.struct([
+        ("id", pa.string()),
+        ("format", pa.struct([("provider", pa.string()),
+                              ("options",
+                               pa.map_(pa.string(), pa.string()))])),
+        ("schemaString", pa.string()),
+        ("partitionColumns", pa.list_(pa.string())),
+        ("configuration", pa.map_(pa.string(), pa.string())),
+        ("createdTime", pa.int64()),
+    ])
+    proto_t = pa.struct([("minReaderVersion", pa.int32()),
+                         ("minWriterVersion", pa.int32())])
+
+    adds, metas, protos = [], [], []
+    proto = state["protocol"] or {"minReaderVersion": 1,
+                                  "minWriterVersion": 2}
+    protos.append(proto)
+    metas.append(None)
+    adds.append(None)
+    metas.append({
+        "id": state["table_id"],
+        "format": {"provider": "parquet", "options": []},
+        "schemaString": state["schema_str"],
+        "partitionColumns": state["partition_columns"] or [],
+        "configuration": list((state["configuration"] or {}).items()),
+        "createdTime": 0})
+    protos.append(None)
+    adds.append(None)
+    for rel in sorted(state["live"]):
+        a = state["live"][rel]
+        adds.append({
+            "path": a["path"],
+            "partitionValues":
+                list((a.get("partitionValues") or {}).items()),
+            "size": int(a.get("size") or 0),
+            "modificationTime": int(a.get("modificationTime") or 0),
+            "dataChange": bool(a.get("dataChange", True)),
+            "stats": a.get("stats")})
+        metas.append(None)
+        protos.append(None)
+    tbl = pa.table({
+        "protocol": pa.array(protos, type=proto_t),
+        "metaData": pa.array(metas, type=meta_t),
+        "add": pa.array(adds, type=add_t),
+    })
+    path = os.path.join(log_dir, f"{version:020d}.checkpoint.parquet")
+    tmp = path + f".tmp-{os.getpid()}"
+    pq.write_table(tbl, tmp)
+    os.rename(tmp, path)
+    last = os.path.join(log_dir, "_last_checkpoint")
+    tmp = last + f".tmp-{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump({"version": version, "size": tbl.num_rows}, f)
+    os.rename(tmp, last)
 
 
 def export_delta_log(out_dir: str, dest: str | None = None,
@@ -343,10 +480,16 @@ def export_delta_log(out_dir: str, dest: str | None = None,
         f.flush()
         os.fsync(f.fileno())
     os.rename(tmp, final)  # atomic publish, same rule as the commitlog
+    checkpointed = False
+    if next_version > 0 and next_version % CHECKPOINT_INTERVAL == 0:
+        _write_delta_checkpoint(
+            log_dir, next_version,
+            _replay_delta_log(log_dir, upto=next_version))
+        checkpointed = True
     return {"delta_version": next_version, "table_root": table_root,
             "adds": len(adds), "removes": len(removes),
             "files_live": len(desired), "n_rows": n_rows,
-            "linked": linked}
+            "linked": linked, "checkpointed": checkpointed}
 
 
 def delta_live_files(table_root: str,

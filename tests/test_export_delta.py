@@ -328,3 +328,93 @@ def test_read_delta_column_mapping_name_mode(spark, table):
     a = sorted(r["body"] for r in got.select("body").collect())
     b = sorted(r["body"] for r in want.select("body").collect())
     assert a == b
+
+
+def _foreign_log(root, n_versions):
+    """Build a minimal foreign Delta table: version v adds file v."""
+    import pandas as pd
+
+    from curator_spark.fixtures import to_spark_parquet
+    os.makedirs(os.path.join(root, "_delta_log"), exist_ok=True)
+    schema = {"type": "struct", "fields": [
+        {"name": "id", "type": "long", "nullable": True, "metadata": {}},
+        {"name": "part", "type": "integer", "nullable": True,
+         "metadata": {}}]}
+    for v in range(n_versions):
+        fn = f"f-{v:03d}.parquet"
+        to_spark_parquet(pd.DataFrame({"id": [v]}),
+                         os.path.join(root, fn))
+        actions = []
+        if v == 0:
+            actions += [
+                {"protocol": {"minReaderVersion": 1,
+                              "minWriterVersion": 2}},
+                {"metaData": {"id": "fk-1", "format":
+                              {"provider": "parquet", "options": {}},
+                              "schemaString": json.dumps(schema),
+                              "partitionColumns": ["part"],
+                              "configuration": {}, "createdTime": 0}}]
+        actions.append({"add": {
+            "path": fn, "partitionValues": {"part": str(v % 2)},
+            "size": os.path.getsize(os.path.join(root, fn)),
+            "modificationTime": 0, "dataChange": True}})
+        with open(os.path.join(root, "_delta_log",
+                               f"{v:020d}.json"), "w") as f:
+            f.write("\n".join(json.dumps(a) for a in actions))
+
+
+def test_delta_checkpoint_bootstrap_and_truncated_tail(spark, tmp_path):
+    """Checkpoint consumption: replay state at v7, write the Delta
+    parquet checkpoint + _last_checkpoint, DELETE the JSON prefix
+    (Delta log retention does exactly this) — the reader must
+    bootstrap from the checkpoint plus the JSON tail and see all 10
+    files; without the checkpoint the truncated tail must refuse."""
+    from curator_spark.export_delta import (
+        _replay_delta_log, _write_delta_checkpoint, read_delta)
+
+    root = str(tmp_path / "fk")
+    _foreign_log(root, 10)
+    log_dir = os.path.join(root, "_delta_log")
+    state = _replay_delta_log(log_dir, upto=7)
+    _write_delta_checkpoint(log_dir, 7, state)
+    assert json.load(open(os.path.join(log_dir, "_last_checkpoint"))) \
+        == {"version": 7, "size": 2 + 8}
+    for v in range(7):  # retention-expire the JSON prefix
+        os.remove(os.path.join(log_dir, f"{v:020d}.json"))
+    df = read_delta(spark, root).toPandas()
+    assert sorted(df["id"]) == list(range(10))
+    assert sorted(df["part"].unique()) == [0, 1]
+    # time travel to the checkpoint version itself
+    assert read_delta(spark, root, version=7).count() == 8
+    # without the checkpoint, the same truncated tail refuses loudly
+    os.remove(os.path.join(
+        log_dir, f"{7:020d}.checkpoint.parquet"))
+    os.remove(os.path.join(log_dir, "_last_checkpoint"))
+    with pytest.raises(NotImplementedError, match="contiguous"):
+        read_delta(spark, root)
+
+
+def test_export_writes_checkpoint_at_interval(spark, table, monkeypatch):
+    from curator_spark import export_delta as ed
+
+    monkeypatch.setattr(ed, "CHECKPOINT_INTERVAL", 2)
+    out = table["out"]
+    assert ed.export_delta_log(out)["checkpointed"] is False  # v0
+    for i, seed in enumerate((95, 96)):
+        batch = str(table["tmp"] / f"ck{i}.parquet")
+        fixtures.write_transcripts_parquet(batch, 120, seed=seed,
+                                           n_parts=4)
+        append_new_conversations(spark, batch, out)
+        r = ed.export_delta_log(out)
+        assert r["checkpointed"] == (r["delta_version"] == 2)
+    root = os.path.join(os.path.abspath(out), "data")
+    ck = os.path.join(root, "_delta_log",
+                      f"{2:020d}.checkpoint.parquet")
+    assert os.path.exists(ck)
+    # bootstrap path gives the same table as full JSON replay
+    a = ed.read_delta(spark, root).count()
+    assert a == read_committed(spark, out).count()
+    # and the checkpoint alone + tail survives JSON-prefix expiry
+    for v in range(2):
+        os.remove(os.path.join(root, "_delta_log", f"{v:020d}.json"))
+    assert ed.read_delta(spark, root).count() == a
