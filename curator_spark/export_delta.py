@@ -525,13 +525,16 @@ def read_delta(spark, table_root: str, version: int | None = None):
     Honest refusals (never a silently wrong table): reader protocol
     > 2, deletion vectors on live files, and column-mapping modes
     other than the name-mode this package writes."""
-    from pyspark.sql import functions as F
-    from pyspark.sql.types import StructType
-
     log_dir = os.path.join(table_root, "_delta_log")
     state = _replay_delta_log(log_dir, upto=version)
     if state["version"] is None:
         raise ValueError(f"{table_root} has no _delta_log")
+    _check_readable(state)
+    return _scan_adds(spark, table_root, state,
+                      list(state["live"].values()))
+
+
+def _check_readable(state: dict) -> None:
     proto = state["protocol"] or {}
     if int(proto.get("minReaderVersion", 1)) > 2:
         raise NotImplementedError(
@@ -547,6 +550,17 @@ def read_delta(spark, table_root: str, version: int | None = None):
     if cm_mode not in ("none", "name"):
         raise NotImplementedError(
             f"column mapping mode {cm_mode!r} not supported")
+
+
+def _scan_adds(spark, table_root: str, state: dict, adds: list[dict]):
+    """Scan exactly `adds` with the state's declared schema, partition
+    columns attached from each add's partitionValues (they are not in
+    the files), physical→logical names resolved under name-mode
+    column mapping. One parquet job per distinct partition tuple,
+    unioned — k bounded scans for bucket-partitioned tables."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
+
     schema = json.loads(state["schema_str"])
     part_cols = state["partition_columns"] or []
 
@@ -557,7 +571,6 @@ def read_delta(spark, table_root: str, version: int | None = None):
 
     data_fields = [f for f in schema["fields"]
                    if f["name"] not in part_cols]
-    # physical (in-file) names under name-mode column mapping
     phys = {f["name"]: (f.get("metadata") or {}).get(
         "delta.columnMapping.physicalName", f["name"])
         for f in schema["fields"]}
@@ -569,11 +582,11 @@ def read_delta(spark, table_root: str, version: int | None = None):
               if f["name"] in part_cols}
 
     groups: dict[tuple, list[str]] = {}
-    for rel, a in state["live"].items():
+    for a in adds:
         pv = a.get("partitionValues") or {}
         key = tuple(pv.get(c) for c in part_cols)
         groups.setdefault(key, []).append(
-            os.path.join(table_root, rel))
+            os.path.join(table_root, a["path"]))
     if not groups:
         out_schema = StructType.fromJson(
             {"type": "struct",
@@ -595,3 +608,83 @@ def read_delta(spark, table_root: str, version: int | None = None):
     for df in parts[1:]:
         out = out.unionByName(df)
     return out
+
+
+def delta_inserts(spark, table_root: str, since: int,
+                  until: int | None = None,
+                  on_changes: str = "error"):
+    """The INSERT FEED over a Delta log — Delta's streaming-source
+    semantics for incremental ingestion of an upstream Delta-published
+    corpus: rows added in versions (since, until], read from exactly
+    the new files (cost ∝ change, never a table re-scan).
+
+    A version carrying `remove` actions is a REWRITE (delete /
+    compaction / merge), where new-adds cannot be told apart from
+    rewritten old rows without diffing data. `on_changes` picks the
+    Delta option: "error" (default — the streaming source's
+    failOnDataLoss stance), "skip" (ignoreChanges: rewritten versions
+    contribute nothing; downstream must tolerate missing updates), or
+    "include" (their adds are fed; downstream dedups).
+
+    Returns (DataFrame, head_version)."""
+    if on_changes not in ("error", "skip", "include"):
+        raise ValueError(f"bad on_changes {on_changes!r}")
+    log_dir = os.path.join(table_root, "_delta_log")
+    state = _replay_delta_log(log_dir, upto=until)
+    if state["version"] is None:
+        raise ValueError(f"{table_root} has no _delta_log")
+    _check_readable(state)
+    head = state["version"]
+    adds: list[dict] = []
+    for v in range(since + 1, head + 1):
+        fp = os.path.join(log_dir, f"{v:020d}.json")
+        if not os.path.exists(fp):
+            raise NotImplementedError(
+                f"version {v} JSON expired from the log — the feed "
+                "cursor is past retention; re-bootstrap the consumer")
+        v_adds, v_removes = [], 0
+        with open(fp) as f:
+            for line in f:
+                if not line.strip():
+                    continue
+                action = json.loads(line)
+                if "add" in action:
+                    v_adds.append(action["add"])
+                elif "remove" in action:
+                    v_removes += 1
+        if v_removes:
+            if on_changes == "error":
+                raise ValueError(
+                    f"version {v} rewrites files (remove+add) — not an "
+                    "append; pass on_changes='skip' or 'include'")
+            if on_changes == "skip":
+                continue
+        adds.extend(v_adds)
+    return _scan_adds(spark, table_root, state, adds), head
+
+
+def consume_delta_inserts(spark, table_root: str, consumer_id: str,
+                          fn, on_changes: str = "error",
+                          state_dir: str | None = None) -> dict:
+    """Exactly-once consumption of a Delta table's insert feed with a
+    durable cursor (feed.py's protocol pointed at a Delta log): each
+    poll reads (cursor, head], hands the batch to `fn(df, since,
+    until)`, and only THEN commits the cursor — a crash in between
+    replays the same window (exactly-once end to end when the sink is
+    idempotent). `state_dir` holds the cursor files (default: inside
+    the table dir; pass a local dir for a read-only upstream)."""
+    from .feed import _commit_cursor, consumer_position
+
+    sd = state_dir or table_root
+    # Delta versions start at 0 (the commitlog's start at 1), so the
+    # cursor stores head+1 = "the next version to read"; an absent
+    # cursor (position 0) then correctly bootstraps version 0
+    since = consumer_position(sd, consumer_id) - 1
+    df, head = delta_inserts(spark, table_root, since,
+                             on_changes=on_changes)
+    if head <= since:
+        return {"since": since, "until": since, "rows_fed": 0}
+    n = df.count()
+    fn(df, since, head)
+    _commit_cursor(sd, consumer_id, head + 1, n)
+    return {"since": since, "until": head, "rows_fed": n}

@@ -418,3 +418,75 @@ def test_export_writes_checkpoint_at_interval(spark, table, monkeypatch):
     for v in range(2):
         os.remove(os.path.join(root, "_delta_log", f"{v:020d}.json"))
     assert ed.read_delta(spark, root).count() == a
+
+
+def test_delta_insert_feed_and_durable_cursor(spark, table, tmp_path):
+    """Incremental ingestion FROM a Delta-published corpus: each poll
+    of consume_delta_inserts reads exactly the new versions' adds
+    (cost ∝ change), commits a durable cursor only after the sink ran,
+    and a crashed poll replays the same window. Rewrite versions honor
+    the Delta streaming-source options."""
+    from curator_spark.export_delta import (
+        consume_delta_inserts, delta_inserts, export_delta_log,
+        read_delta)
+
+    out = table["out"]
+    export_delta_log(out)
+    root = os.path.join(os.path.abspath(out), "data")
+    sd = str(tmp_path / "consumer_state")  # read-only-upstream shape
+
+    fed: list[int] = []
+    s1 = consume_delta_inserts(
+        spark, root, "trainer", lambda df, a, b: fed.append(df.count()),
+        state_dir=sd)
+    assert s1["since"] == -1 and s1["until"] == 0  # bootstrap incl. v0
+    assert s1["rows_fed"] == read_delta(spark, root).count()
+    # nothing new → no-op poll, no sink call
+    s2 = consume_delta_inserts(
+        spark, root, "trainer", lambda df, a, b: fed.append(-1),
+        state_dir=sd)
+    assert s2["rows_fed"] == 0 and len(fed) == 1
+
+    # an append lands upstream and is re-exported
+    batch = str(table["tmp"] / "feed1.parquet")
+    fixtures.write_transcripts_parquet(batch, 150, seed=97, n_parts=4)
+    append_new_conversations(spark, batch, out)
+    export_delta_log(out)
+    s3 = consume_delta_inserts(
+        spark, root, "trainer", lambda df, a, b: fed.append(df.count()),
+        state_dir=sd)
+    assert s3["rows_fed"] > 0 and s3["since"] == s1["until"]
+    assert fed[-1] == s3["rows_fed"]
+    # total fed == table rows (insert feed carried everything once)
+    assert sum(fed) == read_delta(spark, root).count()
+
+    # a delete (rewrite version) → error by default, skip on request
+    victim = read_committed(spark, out).select("conv_id") \
+        .distinct().orderBy("conv_id").first()["conv_id"]
+    delete_conversations(spark, out, [victim])
+    export_delta_log(out)
+    with pytest.raises(ValueError, match="rewrites files"):
+        delta_inserts(spark, root, s3["until"])
+    df, head = delta_inserts(spark, root, s3["until"],
+                             on_changes="skip")
+    assert df.count() == 0 and head == s3["until"] + 1
+
+    # crash-safety: a sink that dies does NOT advance the cursor
+    class Boom(Exception):
+        pass
+
+    batch2 = str(table["tmp"] / "feed2.parquet")
+    fixtures.write_transcripts_parquet(batch2, 100, seed=98, n_parts=4)
+    append_new_conversations(spark, batch2, out)
+    export_delta_log(out)
+
+    def dying(df, a, b):
+        raise Boom()
+
+    with pytest.raises(Boom):
+        consume_delta_inserts(spark, root, "trainer", dying,
+                              on_changes="skip", state_dir=sd)
+    replay = consume_delta_inserts(
+        spark, root, "trainer", lambda df, a, b: fed.append(df.count()),
+        on_changes="skip", state_dir=sd)
+    assert replay["rows_fed"] > 0  # the same window replayed
