@@ -508,7 +508,44 @@ def delta_live_files(table_root: str,
     return out
 
 
-def read_delta(spark, table_root: str, version: int | None = None):
+def _delta_add_admits(a: dict, conj: list, part_cols: list) -> bool:
+    """False only when the add's stats (minValues/maxValues/nullCount)
+    or its partitionValues PROVE no row satisfies the conjunction —
+    the file-skipping half of Delta scan planning, same soundness rule
+    as the commitlog's (`checkpoint._file_may_match`): missing or
+    foreign-kind stats always keep the file."""
+    from .checkpoint import _file_may_match
+    try:
+        st = json.loads(a.get("stats") or "{}")
+    except (TypeError, ValueError):
+        st = {}
+    mins = st.get("minValues") or {}
+    maxs = st.get("maxValues") or {}
+    shaped = {c: {"min": mins[c], "max": maxs[c]}
+              for c in mins if c in maxs}
+    pv = a.get("partitionValues") or {}
+    for col, op, val in conj:
+        if col in part_cols:
+            raw = pv.get(col)
+            if raw in (None, ""):
+                return False  # partition value is NULL: no comparison
+            try:  # coerce the string partition value to the literal's
+                  # kind; un-coercible → keep the file (sound)
+                p = type(val)(raw) if not isinstance(val, str) else raw
+            except (TypeError, ValueError):
+                continue
+            ok = {"=": p == val, "<": p < val, "<=": p <= val,
+                  ">": p > val, ">=": p >= val}[op]
+            if not ok:
+                return False
+            continue
+        if not _file_may_match(shaped, col, op, val):
+            return False
+    return True
+
+
+def read_delta(spark, table_root: str, version: int | None = None,
+               where=None):
     """Read a Delta Lake table (this package's exports OR a foreign
     writer's JSON log) as a DataFrame — the IMPORT half of the open-
     format door, so a corpus curated elsewhere and published as Delta
@@ -524,14 +561,34 @@ def read_delta(spark, table_root: str, version: int | None = None):
 
     Honest refusals (never a silently wrong table): reader protocol
     > 2, deletion vectors on live files, and column-mapping modes
-    other than the name-mode this package writes."""
+    other than the name-mode this package writes.
+
+    `where` — one (col, op, literal) triple or a list (ANDed, ops
+    = < <= > >= ) — is applied BOTH as log-stats file skipping (adds
+    whose minValues/maxValues or partitionValues cannot match are
+    never handed to Spark — planned from the log alone, zero data
+    I/O) and as a residual DataFrame filter, so the result is exactly
+    the predicate's rows while the scan touches only surviving
+    files."""
+    from pyspark.sql import functions as F
+
+    from .checkpoint import _normalize_where
+
     log_dir = os.path.join(table_root, "_delta_log")
     state = _replay_delta_log(log_dir, upto=version)
     if state["version"] is None:
         raise ValueError(f"{table_root} has no _delta_log")
     _check_readable(state)
-    return _scan_adds(spark, table_root, state,
-                      list(state["live"].values()))
+    conj = _normalize_where(where)
+    part_cols = state["partition_columns"] or []
+    adds = [a for a in state["live"].values()
+            if not conj or _delta_add_admits(a, conj, part_cols)]
+    df = _scan_adds(spark, table_root, state, adds)
+    for col, op, val in conj:  # exactness: residual filter on top
+        c = F.col(col)
+        df = df.filter({"=": c == val, "<": c < val, "<=": c <= val,
+                        ">": c > val, ">=": c >= val}[op])
+    return df
 
 
 def _check_readable(state: dict) -> None:

@@ -490,3 +490,49 @@ def test_delta_insert_feed_and_durable_cursor(spark, table, tmp_path):
         spark, root, "trainer", lambda df, a, b: fed.append(df.count()),
         on_changes="skip", state_dir=sd)
     assert replay["rows_fed"] > 0  # the same window replayed
+
+
+def test_read_delta_where_prunes_files_and_stays_exact(spark, table):
+    """where= pushes into log planning: the admitted add-set shrinks
+    to files whose stats/partitionValues can match (zero data I/O to
+    decide), while the residual filter keeps the result exactly the
+    predicate's rows."""
+    from curator_spark.export_delta import (_delta_add_admits,
+                                            delta_live_files,
+                                            read_delta)
+    from curator_spark.checkpoint import _normalize_where
+
+    out = table["out"]
+    export_delta_log(out)
+    root = os.path.join(os.path.abspath(out), "data")
+    full = read_delta(spark, root).toPandas()
+    probe = sorted(full["conv_id"])[0]
+
+    got = read_delta(spark, root,
+                     where=("conv_id", "=", probe)).toPandas()
+    want = full[full["conv_id"] == probe]
+    assert len(got) == len(want) > 0
+    assert sorted(got["turn_idx"]) == sorted(want["turn_idx"])
+
+    # the planner really pruned: admitted adds < live adds
+    live = delta_live_files(root)
+    conj = _normalize_where(("conv_id", "=", probe))
+    admitted = [a for a in live
+                if _delta_add_admits(a, conj, ["part"])]
+    assert 0 < len(admitted) < len(live)
+
+    # partition-column predicate prunes by partitionValues alone
+    got_p = read_delta(spark, root,
+                       where=("part", "=", 2)).toPandas()
+    assert set(got_p["part"].unique()) == {2}
+    assert len(got_p) == len(full[full["part"] == 2])
+    conj_p = _normalize_where(("part", "=", 2))
+    adm_p = [a for a in live if _delta_add_admits(a, conj_p, ["part"])]
+    assert all(a["partitionValues"]["part"] == "2" for a in adm_p)
+    assert len(adm_p) < len(live)
+
+    # range predicate over a stats column
+    cut = sorted(full["conv_id"])[len(full) // 2]
+    got_r = read_delta(spark, root,
+                       where=("conv_id", ">=", cut)).toPandas()
+    assert len(got_r) == (full["conv_id"] >= cut).sum()
