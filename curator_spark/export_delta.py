@@ -660,7 +660,9 @@ def _scan_adds(spark, table_root: str, state: dict, adds: list[dict]):
             # Delta renders partition NULL as missing/empty in the map
             val = F.lit(None) if raw in (None, "") else F.lit(raw)
             df = df.withColumn(c, val.cast(ptypes[c]))
-        parts.append(df)
+        # restore the DECLARED column order (partition columns sit
+        # wherever schemaString puts them, not appended at the end)
+        parts.append(df.select([f["name"] for f in schema["fields"]]))
     out = parts[0]
     for df in parts[1:]:
         out = out.unionByName(df)
