@@ -1829,14 +1829,35 @@ def _run_checkpointed_grouped(spark, input_path, out_dir, params,
                     "wall_ms": 0, "memoized": True}
         ledger.drop_run_success()  # stale memo: data no longer reconciles
 
-    transcripts = spark.read.schema(schema.TRANSCRIPTS_SCHEMA).parquet(input_path)
+    if os.path.isdir(os.path.join(input_path, "_delta_log")):
+        # Delta-table input: the curation job points straight at an
+        # upstream Delta-published corpus (any writer's) — the import
+        # half of the open-format door feeding the flagship pipeline.
+        # Columns are named by the log's declared schema; extra
+        # upstream columns are pruned to the transcripts shape.
+        from .export_delta import read_delta
+        from .ingest import N_PARTS, part_expr
+        dt = read_delta(spark, input_path)
+        types = {f.name: f.dataType
+                 for f in schema.TRANSCRIPTS_SCHEMA.fields}
+        cols = [F.col(c).cast(types[c]).alias(c)
+                for c in types if c != "part" and c in dt.columns]
+        part_col = F.col("part").cast("int") if "part" in dt.columns \
+            else part_expr("conv_id", N_PARTS)
+        transcripts = dt.select(*cols, part_col.alias("part"))
+        all_parts = sorted(
+            r.part for r in
+            transcripts.select("part").distinct().collect())
+    else:
+        transcripts = spark.read.schema(
+            schema.TRANSCRIPTS_SCHEMA).parquet(input_path)
 
-    # Partition inventory from the input's directory layout when it is
-    # bucket-partitioned on disk (no Spark job); single-file inputs fall
-    # back to a column-pruned distinct scan.
-    all_parts = _list_input_parts(input_path) or sorted(
-        r.part for r in transcripts.select("part").distinct().collect()
-    )
+        # Partition inventory from the input's directory layout when
+        # it is bucket-partitioned on disk (no Spark job); single-file
+        # inputs fall back to a column-pruned distinct scan.
+        all_parts = _list_input_parts(input_path) or sorted(
+            r.part for r in transcripts.select("part").distinct().collect()
+        )
     todo = [p for p in all_parts if p not in done]
     if only_parts is not None:
         todo = [p for p in todo if p in set(only_parts)]

@@ -536,3 +536,33 @@ def test_read_delta_where_prunes_files_and_stays_exact(spark, table):
     got_r = read_delta(spark, root,
                        where=("conv_id", ">=", cut)).toPandas()
     assert len(got_r) == (full["conv_id"] >= cut).sum()
+
+
+def test_checkpointed_run_over_delta_input(spark, tmp_path):
+    """Curate FROM Delta: run_checkpointed pointed at a Delta table
+    directory (here: an exported one — any writer's works) coerces the
+    log's declared schema to the transcripts shape and produces the
+    same curated table as the parquet path, resume semantics intact."""
+    inp = str(tmp_path / "t.parquet")
+    fixtures.write_transcripts_parquet(inp, 400, seed=61, n_parts=4)
+    # upstream: a curated table published as Delta (raw columns kept)
+    up = str(tmp_path / "upstream")
+    run_checkpointed(spark, inp, up, ledger_backend="commitlog")
+    from curator_spark.export_delta import export_delta_log
+    export_delta_log(up)
+    delta_dir = os.path.join(os.path.abspath(up), "data")
+
+    out_d = str(tmp_path / "from_delta")
+    s = run_checkpointed(spark, delta_dir, out_d,
+                         ledger_backend="commitlog")
+    assert s["parts_committed"] > 0
+    # re-run memoizes (fingerprint + ledger intact over a Delta input)
+    s2 = run_checkpointed(spark, delta_dir, out_d,
+                          ledger_backend="commitlog")
+    assert s2["memoized"] is True
+    got = read_committed(spark, out_d)
+    # the upstream table's rows all flowed through the filter again
+    assert got.count() == read_committed(spark, up).count()
+    assert {r["part"] for r in got.select("part").distinct().collect()} \
+        == {r["part"] for r in read_committed(spark, up)
+            .select("part").distinct().collect()}
