@@ -38,10 +38,19 @@ from dataclasses import dataclass
 
 from pyspark.sql.datasource import (DataSource, DataSourceReader,
                                     DataSourceStreamReader,
-                                    InputPartition)
+                                    EqualTo, GreaterThan,
+                                    GreaterThanOrEqual, InputPartition,
+                                    LessThan, LessThanOrEqual)
 from pyspark.sql.types import StructType
 
-from .export_delta import _check_readable, _replay_delta_log
+from .export_delta import (_check_readable, _delta_add_admits,
+                           _replay_delta_log)
+
+# Spark Filter classes with 1:1 (col, op, literal) skipping semantics;
+# everything else stays Spark-side (returning filters unpushed is
+# always sound — pushdown only shrinks the scheduled file set)
+_PUSHABLE = {EqualTo: "=", GreaterThan: ">", GreaterThanOrEqual: ">=",
+             LessThan: "<", LessThanOrEqual: "<="}
 
 
 @dataclass
@@ -131,10 +140,30 @@ class _DeltaSnapshotReader(DataSourceReader):
                        ("schema_str", "partition_columns")}
         self._adds = list(state["live"].values())
         _st, self._phys = _logical_schema(state)
+        self._where: list[tuple] = []
+
+    def pushFilters(self, filters):
+        """Record pushable conjuncts for add-stats/partitionValues
+        file skipping in partitions(); every filter is returned for
+        Spark-side re-evaluation (skipping is conservative, never a
+        claim of exactness)."""
+        for f in filters:
+            op = _PUSHABLE.get(type(f))
+            if op is None or len(f.attribute) != 1:
+                continue
+            v = f.value
+            if isinstance(v, (list, tuple, dict, bytes)):
+                continue
+            self._where.append((f.attribute[0], op, v))
+        return filters
 
     def partitions(self):
-        return _plan_adds(self._root, self._adds,
-                          self._state["partition_columns"] or [])
+        part_cols = self._state["partition_columns"] or []
+        adds = self._adds
+        if self._where:
+            adds = [a for a in adds
+                    if _delta_add_admits(a, self._where, part_cols)]
+        return _plan_adds(self._root, adds, part_cols)
 
     def read(self, partition: _DeltaAddPartition):
         return _read_add_as_arrow(partition, self._schema, self._phys)

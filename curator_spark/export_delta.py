@@ -747,3 +747,62 @@ def consume_delta_inserts(spark, table_root: str, consumer_id: str,
     fn(df, since, head)
     _commit_cursor(sd, consumer_id, head + 1, n)
     return {"since": since, "until": head, "rows_fed": n}
+
+
+def vacuum_delta(table_root: str, min_age_s: float = 3600.0,
+                 dry_run: bool = False) -> dict:
+    """Reclaim data files under `table_root` that the Delta log no
+    longer references (removed by incremental re-exports) and that are
+    older than `min_age_s` — Delta's VACUUM, for standalone exported
+    tables (in-place exports delegate to the commitlog's own vacuum,
+    which owns the data directory; this verb REFUSES there rather than
+    fight it). The retention window is the crash-safety margin: a
+    reader planning against an older snapshot keeps its files until
+    the window passes, exactly as in Delta. Never touches `_delta_log`
+    or non-parquet names. Returns {reclaimed, kept_recent, live,
+    bytes_reclaimed}."""
+    import time as _time
+
+    log_dir = os.path.join(table_root, "_delta_log")
+    if not os.path.isdir(log_dir):
+        raise ValueError(f"{table_root} has no _delta_log")
+    # in-place export? the commitlog governs this directory's files
+    parent = os.path.dirname(os.path.abspath(table_root))
+    if os.path.basename(os.path.abspath(table_root)) == "data" and \
+            (os.path.isdir(os.path.join(parent, "_commitlog"))
+             or os.path.isdir(os.path.join(parent, "_ledger"))):
+        raise ValueError(
+            "this Delta table is an IN-PLACE export of a commitlog "
+            "table — its data dir is governed by the commitlog; run "
+            "checkpoint.vacuum on the table (then re-export) instead")
+    live = {a["path"] for a in delta_live_files(table_root)}
+    now = _time.time()
+    reclaimed = kept = 0
+    bytes_reclaimed = 0
+    for root, dirs, files in os.walk(table_root):
+        dirs[:] = [d for d in dirs if d != "_delta_log"]
+        for fn in files:
+            if not fn.endswith(".parquet"):
+                continue
+            fp = os.path.join(root, fn)
+            rel = os.path.relpath(fp, table_root)
+            if rel in live:
+                continue
+            try:
+                age = now - os.path.getmtime(fp)
+            except OSError:
+                continue  # already gone (concurrent vacuum)
+            if age < float(min_age_s):
+                kept += 1
+                continue
+            size = os.path.getsize(fp)
+            if not dry_run:
+                try:
+                    os.remove(fp)
+                except OSError:
+                    continue
+            reclaimed += 1
+            bytes_reclaimed += size
+    return {"reclaimed": reclaimed, "kept_recent": kept,
+            "live": len(live), "bytes_reclaimed": bytes_reclaimed,
+            "dry_run": bool(dry_run)}

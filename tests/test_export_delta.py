@@ -566,3 +566,65 @@ def test_checkpointed_run_over_delta_input(spark, tmp_path):
     assert {r["part"] for r in got.select("part").distinct().collect()} \
         == {r["part"] for r in read_committed(spark, up)
             .select("part").distinct().collect()}
+
+
+def test_vacuum_delta_standalone(spark, table, tmp_path):
+    """VACUUM for standalone exported tables: files the log no longer
+    references are reclaimed once past retention; recent orphans and
+    every live file survive; in-place exports refuse (the commitlog
+    owns that data dir)."""
+    from curator_spark.export_delta import (delta_live_files,
+                                            read_delta, vacuum_delta)
+    out = table["out"]
+    dest = str(tmp_path / "standalone")
+    export_delta_log(out, dest=dest)
+    # mutate upstream: delete + compact (files get superseded)
+    victim = read_committed(spark, out).select("conv_id") \
+        .distinct().orderBy("conv_id").first()["conv_id"]
+    delete_conversations(spark, out, [victim])
+    compact_partition(spark, out, 0)
+    export_delta_log(out, dest=dest)  # removes + adds in the dest log
+
+    n_before = read_delta(spark, dest).count()
+    dry = vacuum_delta(dest, min_age_s=0, dry_run=True)
+    assert dry["reclaimed"] > 0 and dry["dry_run"]
+    # retention: nothing young enough is touched
+    keep = vacuum_delta(dest, min_age_s=10 ** 6)
+    assert keep["reclaimed"] == 0 and keep["kept_recent"] > 0
+    got = vacuum_delta(dest, min_age_s=0)
+    assert got["reclaimed"] == dry["reclaimed"]
+    assert got["bytes_reclaimed"] > 0
+    # the table still reads identically — only orphans died
+    assert read_delta(spark, dest).count() == n_before
+    for a in delta_live_files(dest):
+        assert os.path.exists(a["abs_path"])
+    # idempotent
+    assert vacuum_delta(dest, min_age_s=0)["reclaimed"] == 0
+    # in-place export: refuse
+    export_delta_log(out)
+    with pytest.raises(ValueError, match="IN-PLACE"):
+        vacuum_delta(os.path.join(os.path.abspath(out), "data"),
+                     min_age_s=0)
+
+
+def test_delta_feed_pushdown_prunes_scheduled_files(spark, table):
+    """The delta_feed batch reader's pushFilters shrinks the scheduled
+    file set from add stats / partitionValues while results stay exact
+    (Spark re-evaluates every filter)."""
+    from curator_spark.delta_source import DeltaFeedDataSource
+    from curator_spark.export_delta import read_delta
+    out = table["out"]
+    export_delta_log(out)
+    root = os.path.join(os.path.abspath(out), "data")
+    spark.dataSource.register(DeltaFeedDataSource)
+    full = read_delta(spark, root).toPandas()
+    df = (spark.read.format("delta_feed").load(root)
+          .filter("part = 1"))
+    got = df.toPandas()
+    assert len(got) == len(full[full["part"] == 1]) > 0
+    assert set(got["part"].unique()) == {1}
+    # plan evidence: the scheduled input partitions shrank
+    pruned = df.rdd.getNumPartitions()
+    total = spark.read.format("delta_feed").load(root) \
+        .rdd.getNumPartitions()
+    assert 0 < pruned < total
