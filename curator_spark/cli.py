@@ -293,6 +293,22 @@ def build_parser() -> argparse.ArgumentParser:
                    metavar="ISO8601",
                    help="clone the latest snapshot at or before this "
                         "datetime instead of the head")
+    p.add_argument("--vacuum-delta", type=str, default=None,
+                   metavar="DIR",
+                   help="VACUUM a STANDALONE exported Delta table: "
+                        "reclaim parquet files its log no longer "
+                        "references, older than --maintain-retention "
+                        "seconds (in-place exports refuse — the "
+                        "commitlog's own --vacuum owns that data dir); "
+                        "no Spark session")
+    p.add_argument("--consume-delta", type=str, default=None,
+                   metavar="ID",
+                   help="poll the INSERT FEED of the Delta table at "
+                        "--input as consumer ID: reads versions "
+                        "(cursor, head] from exactly the new files, "
+                        "appends them as parquet under --consume-out, "
+                        "then commits the durable cursor (exactly-once "
+                        "end to end)")
     p.add_argument("--export-delta", nargs="?", const="__inplace__",
                    default=None, metavar="DEST",
                    help="export --output's commitlog snapshot as a "
@@ -393,6 +409,32 @@ def main(argv: list[str] | None = None) -> int:
             else args.export_delta
         print(json.dumps(export_delta_log(
             args.output, dest=dest, version=args.export_version)))
+        return 0
+    if args.vacuum_delta is not None:
+        from curator_spark.export_delta import vacuum_delta
+        print(json.dumps(vacuum_delta(
+            args.vacuum_delta,
+            min_age_s=args.maintain_retention)))
+        return 0
+    if args.consume_delta is not None:
+        if not args.input or not args.consume_out:
+            build_parser().error(
+                "--consume-delta requires --input (the Delta table "
+                "dir) and --consume-out")
+        import os
+
+        from curator_spark.export_delta import consume_delta_inserts
+        from curator_spark.session import get_spark
+        spark = get_spark("consume-delta")
+
+        def sink(df, since, until):
+            (df.write.mode("append")
+             .parquet(os.path.join(args.consume_out,
+                                   f"window-{since + 1}-{until}")))
+
+        print(json.dumps(consume_delta_inserts(
+            spark, args.input, args.consume_delta, sink,
+            on_changes="skip", state_dir=args.consume_out)))
         return 0
     if args.maintain_report:
         from curator_spark.maintenance import maintenance_report

@@ -628,3 +628,25 @@ def test_delta_feed_pushdown_prunes_scheduled_files(spark, table):
     total = spark.read.format("delta_feed").load(root) \
         .rdd.getNumPartitions()
     assert 0 < pruned < total
+
+
+def test_cli_vacuum_and_consume_delta(spark, table, tmp_path, capsys):
+    from curator_spark.cli import main
+    out = table["out"]
+    dest = str(tmp_path / "standalone")
+    export_delta_log(out, dest=dest)
+    rc = main(["--output", out, "--vacuum-delta", dest,
+               "--maintain-retention", "0"])
+    assert rc == 0
+    v = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert v["dry_run"] is False and v["live"] > 0
+
+    cdir = str(tmp_path / "consumed")
+    rc = main(["--output", out, "--input", dest,
+               "--consume-delta", "trainer", "--consume-out", cdir])
+    assert rc == 0
+    s = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert s["rows_fed"] > 0
+    from curator_spark.export_delta import read_delta
+    got = spark.read.parquet(f"{cdir}/window-*").count()
+    assert got == read_delta(spark, dest).count() == s["rows_fed"]
